@@ -1,0 +1,105 @@
+"""Deterministic derivation of the reference-domain tables (companies /
+candles / trades / order_book — FIXTURES.md §B) from the driver's ``events``
+fixture.
+
+The derivation is written ONCE as dialect-portable SQL text executed
+verbatim by BOTH Spark (over temp views) and DuckDB (as oracle CTEs), so the
+derived tables are bit-identical on both sides:
+  * no engine-specific hash functions — pseudo-random attributes come from
+    exact integer arithmetic ``(event_id * a) % m``;
+  * no bare ``/`` on integers (Spark=fractional, DuckDB=float but older
+    semantics differ) — only ``%``, ``*``, ``+`` on BIGINT, well within
+    64-bit range;
+  * OHLC open/close picked by ``first_value`` windows with a total order
+    (ts, trade_id) so ties are impossible;
+  * ``sum(volume)`` cast to BIGINT (DuckDB sums BIGINT into HUGEINT).
+
+Domain column mapping mirrors the reference's implied schema
+(app/for_clickhouse/from_rabbitmq_to_clickhouse.py:54-111) with ``ts`` for
+the timestamp column (avoids cross-dialect quoting of the reserved-ish
+``timestamp`` identifier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import load_table
+
+_COMPANY = "'FIGI' || lpad(CAST(user_id % 50 AS STRING), 2, '0')"
+
+# Each value is a complete SELECT; CTE dependency order is COMPANIES,
+# TRADES, ORDER_BOOK (all from events), then CANDLES (from trades).
+FIXTURE_SQL: dict[str, str] = {
+    "companies": f"""
+        SELECT DISTINCT
+               {_COMPANY} AS company_id,
+               'Company ' || CAST(user_id % 50 AS STRING) AS name,
+               'T' || CAST(user_id % 50 AS STRING) AS ticker,
+               'SEC' || CAST(user_id % 10 AS STRING) AS sector
+        FROM events
+    """,
+    "trades": f"""
+        SELECT {_COMPANY} AS company_id,
+               ts,
+               value AS price,
+               (event_id * 48271) % 997 + 1 AS volume,
+               CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+               event_id AS trade_id
+        FROM events
+    """,
+    "order_book": f"""
+        SELECT {_COMPANY} AS company_id,
+               ts,
+               value * 0.999 AS bid_price,
+               (event_id * 48271) % 499 + 1 AS bid_volume,
+               value * 1.001 AS ask_price,
+               (event_id * 16807) % 499 + 1 AS ask_volume
+        FROM events
+    """,
+    "candles": """
+        SELECT company_id,
+               date_trunc('hour', ts) AS ts,
+               max(o) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(c) AS close,
+               CAST(sum(volume) AS BIGINT) AS volume
+        FROM (
+            SELECT company_id, ts, price, volume,
+                   first_value(price) OVER (
+                       PARTITION BY company_id, date_trunc('hour', ts)
+                       ORDER BY ts ASC, trade_id ASC) AS o,
+                   first_value(price) OVER (
+                       PARTITION BY company_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, trade_id DESC) AS c
+            FROM trades
+        ) flagged
+        GROUP BY company_id, date_trunc('hour', ts)
+    """,
+}
+
+_CTE_ORDER = ("companies", "trades", "order_book", "candles")
+
+
+def domain_ctes(tables: tuple[str, ...] = _CTE_ORDER) -> str:
+    """``WITH companies AS (...), trades AS (...) ...`` prefix for oracle SQL.
+
+    Always emits dependencies in order; DuckDB/Spark both ignore unused CTEs
+    at planning time, so emitting all four is free.
+    """
+    parts = [f"{name} AS ({FIXTURE_SQL[name]})" for name in _CTE_ORDER]
+    return "WITH " + ",\n".join(parts)
+
+
+def oracle_on_domain(select_sql: str) -> str:
+    """Wrap a SELECT over domain tables into a self-contained oracle query."""
+    return f"{domain_ctes()}\n{select_sql}"
+
+
+def domain_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Materialize one domain table as a DataFrame (same SQL text as oracle)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    if name == "candles":
+        spark.sql(FIXTURE_SQL["trades"]).createOrReplaceTempView("trades")
+    return spark.sql(FIXTURE_SQL[name])

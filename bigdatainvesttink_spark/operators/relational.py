@@ -1,0 +1,517 @@
+"""Relational core over the TPC-H-ish fixtures (SURVEY.md §2-D7).
+
+The reference delegates all query work to ClickHouse (SURVEY §0); here the
+full relational surface is first-class: scans with pushdown, projections,
+filters, hash aggregation (plain / distinct / rollup / cube / grouping
+sets), joins (broadcast, sort-merge, semi, anti), window functions (ranking,
+analytic, running frames), set operations, sort/limit/top-k, and the scalar
+function library.
+
+Scale notes per query are inline; the common themes:
+  * dimensions are broadcast (region/nation/supplier/part at TPC-H ratios
+    stay small at any SF — broadcast keeps fact tables shuffle-free);
+  * aggregations rely on partial (map-side) aggregation, which Spark plans
+    automatically for algebraic aggregates;
+  * exact float parity with the DuckDB oracle via decimal-routed sums
+    (functions.core docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import davg, dsum, top_k_per_group
+from ..io import load_table
+from ..registry import query
+
+# Oracle spelling of the decimal-exact SUM/AVG (functions/core.py).
+def _osum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) AS {alias}"
+
+
+def _oavg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary.
+# Plan shape: parquet scan (shipdate filter + column pruning pushed down)
+# -> partial hash agg (map-side) -> single shuffle on 2 low-cardinality keys
+# -> final hash agg -> sort. At 100 TB this is scan-bound and embarrassingly
+# parallel; the shuffle moves only |groups| * |partitions| pre-aggregated
+# rows.
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {_osum('l_quantity', 'sum_qty')},
+               {_osum('l_extendedprice', 'sum_base_price')},
+               {_osum('l_extendedprice * (1.0 - l_discount)', 'sum_disc_price')},
+               {_osum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 'sum_charge')},
+               {_oavg('l_quantity', 'avg_qty')},
+               {_oavg('l_extendedprice', 'avg_price')},
+               {_oavg('l_discount', 'avg_disc')},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection + filter + scalar function library (string/date/math/case).
+# Entirely map-side: no shuffle; filter and the 4-column ReadSchema push to
+# the parquet scan.
+@query(
+    "rel_filter_project_scalar",
+    oracle="""
+        SELECT o_orderkey,
+               upper(substring(o_orderpriority, 1, 1)) AS prio_code,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               o_totalprice / 10.0 AS commission,
+               CASE WHEN o_totalprice >= 100000.0 THEN 'big' ELSE 'small' END AS size_class,
+               length(o_orderstatus) AS status_len
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderstatus <> 'F'
+          AND o_totalprice > 1000.0
+    """,
+)
+def rel_filter_project_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderstatus") != "F")
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_code"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            (F.col("o_totalprice") / 10.0).alias("commission"),
+            F.when(F.col("o_totalprice") >= 100000.0, "big")
+            .otherwise("small")
+            .alias("size_class"),
+            F.length("o_orderstatus").alias("status_len"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast dimension join chain: customer ⋈ nation ⋈ region + group agg.
+# nation/region are tiny at every SF -> broadcast hash joins, zero shuffle
+# for the join; the only shuffle is the final groupBy on region name.
+@query(
+    "rel_join_broadcast_dims",
+    oracle=f"""
+        SELECT r.r_name AS region_name,
+               COUNT(*) AS n_customers,
+               {_osum('c.c_acctbal', 'total_acctbal')}
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def rel_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fact-fact join (orders ⋈ lineitem) + aggregation: the sort-merge/shuffle
+# path. Both sides shuffle on orderkey; AQE converts to broadcast if one
+# side's post-filter size allows. Q3-flavored.
+@query(
+    "rel_join_fact_fact",
+    oracle=f"""
+        SELECT o.o_orderpriority AS priority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               {_osum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue')}
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY o.o_orderpriority
+    """,
+)
+def rel_join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(revenue, "revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi join (EXISTS): customers having at least one urgent order.
+# left_semi keeps only left columns and short-circuits per key — at scale it
+# shuffles both sides on the key but materializes nothing from the right.
+@query(
+    "rel_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join (NOT EXISTS): customers with no orders at all.
+@query(
+    "rel_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct + approximate aggregation. countDistinct plans as a two-phase
+# expand+agg (exact); at 100 TB prefer approx_count_distinct (HLL, one pass,
+# no expand) — both shown, the approx one not oracle-compared (HLL seeds
+# differ across engines) so the distinct query carries the oracle.
+@query(
+    "rel_agg_distinct",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: hierarchical subtotals (region -> nation -> total) — the
+# "sector-level rollup" shape of SURVEY §2 B9 on TPC-H keys.
+@query(
+    "rel_rollup",
+    oracle=f"""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               COUNT(*) AS n_suppliers,
+               {_osum('s.s_acctbal', 'total_bal')}
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "s_acctbal",
+        )
+        .rollup("region_name", "nation_name")
+        .agg(F.count("*").alias("n_suppliers"), dsum("s_acctbal", "total_bal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE: all grouping combinations of (returnflag, linestatus).
+@query(
+    "rel_cube",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               {_osum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping_id — distinguishes the NULL-from-subtotal rows
+# from genuine NULL keys (needed for warehouse-grade rollup dashboards).
+@query(
+    "rel_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Window / ranking: top-3 highest-balance customers per nation (B8 shape).
+# One shuffle on the partition key; deterministic tiebreak on custkey.
+@query(
+    "rel_window_topk_per_group",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal, rnk
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+            FROM customer
+        ) ranked
+        WHERE rnk <= 3
+    """,
+)
+def rel_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return top_k_per_group(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        3,
+        rank_col="rnk",
+    )
+
+
+# --------------------------------------------------------------------------
+# Window / running frame: cumulative revenue per customer over order dates
+# (rowsBetween unboundedPreceding..current). Decimal-routed cumsum so every
+# prefix matches the oracle exactly.
+@query(
+    "rel_window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+)
+def rel_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window / analytic: lag & lead over each customer's order history —
+# days-since-previous-order. LAG/LEAD are the building blocks of the
+# B2/B4 return-series analytics.
+@query(
+    "rel_window_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                    CAST(LAG(o_orderdate) OVER w AS DATE),
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+               LEAD(o_orderkey) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def rel_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT over key sets, tagged so a
+# single result covers all three. Each set op is a shuffle on the full row.
+@query(
+    "rel_set_ops",
+    oracle="""
+        SELECT 'union' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            UNION
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ) u
+        UNION ALL
+        SELECT 'intersect' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ) i
+        UNION ALL
+        SELECT 'except' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ) e
+    """,
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    done_k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "k")  # noqa: E731
+    return (
+        tag(open_k.union(done_k).distinct(), "union")
+        .unionByName(tag(open_k.intersect(done_k), "intersect"))
+        .unionByName(tag(open_k.distinct().exceptAll(done_k.distinct()), "except"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Global sort + limit (top-k): k largest orders. Spark plans TakeOrderedAndProject
+# — per-partition heap + driver merge, no full sort at scale.
+@query(
+    "rel_sort_limit",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 25
+    """,
+)
+def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles + min/max spread per group (B3's quantile building
+# block). Spark `percentile` and DuckDB `quantile_cont` both do linear
+# interpolation over the sorted values; rounded to 6dp for cross-engine
+# float stability.
+@query(
+    "rel_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def rel_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory + runtime configuration.
+
+The driver may hand us an already-built session, so everything we rely on
+must be settable at runtime via ``spark.conf.set`` (all of the below are).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs the engine depends on.
+#
+# nanosAsLong: the driver fixtures' events.parquet carries
+# INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects by default;
+# with this legacy flag it surfaces as a LongType of epoch-nanos that
+# io.load_table() converts to timestamp_ntz (matching DuckDB's micro
+# truncation exactly).
+#
+# session.timeZone=UTC: oracle comparison — DuckDB timestamps are naive;
+# pinning UTC makes Spark's timestamp<->string/ntz conversions agree.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment; proceed with defaults
+    return spark
+
+
+def get_spark(app_name: str = "bigdatainvesttink-spark") -> SparkSession:
+    """Build (or fetch) a local session sized for the test harness.
+
+    local[N] = one JVM, N executor threads; shuffle partitions sized to
+    cores (not the 200 default) so small-SF fixtures don't over-parallelize.
+    At cluster scale these come from spark-submit, not here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

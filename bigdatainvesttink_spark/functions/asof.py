@@ -58,7 +58,7 @@ def as_of_join(
     if matched_ts_col:
         carried.append(matched_ts_col)
 
-    left_payload = [c for c in left.columns if c not in keys]
+    left_payload = [c for c in left.columns if c not in (*keys, left_ts)]
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
 

@@ -1,0 +1,386 @@
+"""Domain analytics — the four declared goals of the reference plus the
+operators they imply (SURVEY.md §2-B B1-B10), as first-class Spark queries.
+
+The reference collects candles/trades/order-book expressly for four
+analytics written as comments in its main loop
+(app/for_rabbit/from_parser_to_rabbitmq.py:228-240):
+  №1 volatility over time        -> b2_volatility (+ b8 ranked output)
+  №2 impact of large trades      -> b3_large_trade_impact (as-of join)
+  №3 close-price predictability  -> b4_autocorr (lagged correlation)
+  №4 bid/ask order imbalance     -> b5_imbalance
+
+Domain tables derive deterministically from the driver's `events` fixture
+(fixtures.py — identical SQL text on the Spark and DuckDB sides), so every
+query here is oracle-checked end to end.
+
+Scale notes: all fact-side work shuffles at most once on company_id (window
+analytics) or (company_id + coarse time) for aggregations; the companies
+dimension is always broadcast. Log/stddev/corr outputs are rounded to 6dp on
+both engines (order-dependent float ops — functions/core.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import domain_table, oracle_on_domain
+from ..functions import as_of_join, davg, dsum, imbalance, log_return
+from ..registry import query
+
+_DEC = "decimal(27,6)"
+
+
+# --------------------------------------------------------------------------
+# B1: candle construction — time-bucketed OHLCV from tick trades.
+# first/last per bucket need a total order; (ts, trade_id) is one, so OHLC
+# is deterministic. Plan: one shuffle on (company_id) for the windows, then
+# partial+final agg on (company_id, hour).
+@query(
+    "b1_candles_from_trades",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               date_trunc('hour', ts) AS bucket_ts,
+               max(o) AS open, max(price) AS high, min(price) AS low,
+               max(c) AS close,
+               CAST(sum(volume) AS BIGINT) AS volume,
+               COUNT(*) AS n_trades
+        FROM (
+            SELECT company_id, ts, price, volume,
+                   first_value(price) OVER (
+                       PARTITION BY company_id, date_trunc('hour', ts)
+                       ORDER BY ts ASC, trade_id ASC) AS o,
+                   first_value(price) OVER (
+                       PARTITION BY company_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, trade_id DESC) AS c
+            FROM trades
+        ) flagged
+        GROUP BY company_id, date_trunc('hour', ts)
+        """
+    ),
+)
+def b1_candles_from_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades").withColumn(
+        "bucket_ts", F.date_trunc("hour", "ts")
+    )
+    w_open = Window.partitionBy("company_id", "bucket_ts").orderBy(
+        F.col("ts").asc(), F.col("trade_id").asc()
+    )
+    w_close = Window.partitionBy("company_id", "bucket_ts").orderBy(
+        F.col("ts").desc(), F.col("trade_id").desc()
+    )
+    return (
+        t.withColumn("o", F.first("price").over(w_open))
+        .withColumn("c", F.first("price").over(w_close))
+        .groupBy("company_id", "bucket_ts")
+        .agg(
+            F.max("o").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max("c").alias("close"),
+            F.sum("volume").cast("bigint").alias("volume"),
+            F.count("*").alias("n_trades"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B2: volatility — stddev of hourly log returns per instrument per day
+# (reference analytics goal №1). lag() needs one shuffle on company_id; the
+# daily grouping then reuses that partitioning (no second wide shuffle of
+# note at scale).
+@query(
+    "b2_volatility",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, day_ts, round(stddev_samp(ret), 6) AS volatility,
+               COUNT(ret) AS n_returns
+        FROM (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+                   ln(close / LAG(close) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)) AS ret
+            FROM candles
+        ) r
+        GROUP BY company_id, day_ts
+        HAVING COUNT(ret) >= 2
+        """
+    ),
+)
+def b2_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    return (
+        c.withColumn("ret", log_return(F.col("close"), F.lag("close").over(w)))
+        .withColumn("day_ts", F.date_trunc("day", "ts"))
+        .groupBy("company_id", "day_ts")
+        .agg(
+            F.round(F.stddev_samp("ret"), 6).alias("volatility"),
+            F.count("ret").alias("n_returns"),
+        )
+        .filter(F.col("n_returns") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# B3: large-trade impact (reference analytics goal №2) — flag trades above
+# the 0.95 exact volume quantile, as-of join each to the latest order-book
+# snapshot at-or-before it, measure price vs mid. Exercises: exact
+# percentile, scalar broadcast (no collect), and the as_of_join library
+# operator (single shuffle on company_id — functions/asof.py).
+@query(
+    "b3_large_trade_impact",
+    oracle=oracle_on_domain(
+        """
+        SELECT t.company_id, t.trade_id, t.ts, t.price, t.volume, t.side,
+               b.ts AS book_ts,
+               (b.bid_price + b.ask_price) / 2.0 AS mid,
+               (t.price - (b.bid_price + b.ask_price) / 2.0)
+                   / ((b.bid_price + b.ask_price) / 2.0) AS rel_impact
+        FROM (
+            SELECT * FROM trades
+            WHERE volume > (SELECT quantile_cont(volume, 0.95) FROM trades)
+        ) t
+        ASOF LEFT JOIN order_book b
+          ON t.company_id = b.company_id AND t.ts >= b.ts
+        """
+    ),
+)
+def b3_large_trade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = domain_table(spark, sf_dir, "trades")
+    book = domain_table(spark, sf_dir, "order_book").select(
+        "company_id", "ts", "bid_price", "ask_price"
+    )
+    threshold = trades.agg(F.percentile("volume", 0.95).alias("__thr"))
+    large = trades.join(F.broadcast(threshold)).filter(
+        F.col("volume") > F.col("__thr")
+    ).drop("__thr")
+    joined = as_of_join(
+        large,
+        book,
+        on="company_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["bid_price", "ask_price"],
+        direction="backward",
+        matched_ts_col="book_ts",
+    )
+    mid = (F.col("bid_price") + F.col("ask_price")) / 2.0
+    return joined.select(
+        "company_id",
+        "trade_id",
+        "ts",
+        "price",
+        "volume",
+        "side",
+        "book_ts",
+        mid.alias("mid"),
+        ((F.col("price") - mid) / mid).alias("rel_impact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B4: close-price predictability (reference analytics goal №3) — lag-k
+# autocorrelation of the close series per instrument.
+@query(
+    "b4_autocorr",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               round(corr(close, close_lag1), 6) AS autocorr_lag1,
+               round(corr(close, close_lag2), 6) AS autocorr_lag2,
+               COUNT(close_lag2) AS n_obs
+        FROM (
+            SELECT company_id, close,
+                   LAG(close, 1) OVER w AS close_lag1,
+                   LAG(close, 2) OVER w AS close_lag2
+            FROM candles
+            WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC)
+        ) lagged
+        GROUP BY company_id
+        HAVING COUNT(close_lag2) >= 10
+        """
+    ),
+)
+def b4_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    return (
+        c.select(
+            "company_id",
+            "close",
+            F.lag("close", 1).over(w).alias("close_lag1"),
+            F.lag("close", 2).over(w).alias("close_lag2"),
+        )
+        .groupBy("company_id")
+        .agg(
+            F.round(F.corr("close", "close_lag1"), 6).alias("autocorr_lag1"),
+            F.round(F.corr("close", "close_lag2"), 6).alias("autocorr_lag2"),
+            F.count("close_lag2").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# B5: order-book imbalance (reference analytics goal №4) — pure projection
+# (b-a)/(b+a) per snapshot, then B1-style daily per-instrument averages.
+@query(
+    "b5_imbalance",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               CAST(SUM(CAST((CAST(bid_volume AS DOUBLE) - CAST(ask_volume AS DOUBLE))
+                   / (CAST(bid_volume AS DOUBLE) + CAST(ask_volume AS DOUBLE))
+                   AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_imbalance,
+               COUNT(*) AS n_snapshots
+        FROM order_book
+        GROUP BY company_id, date_trunc('day', ts)
+        """
+    ),
+)
+def b5_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = domain_table(spark, sf_dir, "order_book")
+    imb = imbalance("bid_volume", "ask_volume")
+    return (
+        b.withColumn("imb", imb)
+        .groupBy("company_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(
+            (F.sum(F.col("imb").cast(_DEC)).cast("double") / F.count("*")).alias(
+                "avg_imbalance"
+            ),
+            F.count("*").alias("n_snapshots"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B6: dimension⋈fact enrichment — every fact table keys on company_id; the
+# dimension is tiny at any scale -> broadcast hash join, zero shuffle.
+@query(
+    "b6_enrich_broadcast",
+    oracle=oracle_on_domain(
+        """
+        SELECT c.ticker, c.sector, t.ts, t.price, t.volume, t.side
+        FROM trades t
+        JOIN companies c ON t.company_id = c.company_id
+        """
+    ),
+)
+def b6_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    c = domain_table(spark, sf_dir, "companies")
+    return t.join(F.broadcast(c), "company_id").select(
+        "ticker", "sector", "ts", "price", "volume", "side"
+    )
+
+
+# --------------------------------------------------------------------------
+# B8: ranked output / top-k — most volatile instruments overall (dashboard
+# shape for goal №1). Sort key is the 6dp-rounded stddev + company_id
+# tiebreak, so cross-engine ordering is total and stable.
+@query(
+    "b8_top_volatile",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, volatility FROM (
+            SELECT company_id,
+                   round(stddev_samp(ret), 6) AS volatility
+            FROM (
+                SELECT company_id,
+                       ln(close / LAG(close) OVER (
+                           PARTITION BY company_id ORDER BY ts ASC)) AS ret
+                FROM candles
+            ) r
+            GROUP BY company_id
+        ) v
+        WHERE volatility IS NOT NULL
+        ORDER BY volatility DESC, company_id ASC
+        LIMIT 5
+        """
+    ),
+)
+def b8_top_volatile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    return (
+        c.withColumn("ret", log_return(F.col("close"), F.lag("close").over(w)))
+        .groupBy("company_id")
+        .agg(F.round(F.stddev_samp("ret"), 6).alias("volatility"))
+        .filter(F.col("volatility").isNotNull())
+        .orderBy(F.col("volatility").desc(), F.col("company_id").asc())
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# B9: sector rollup — sector was collected expressly as a grouping attribute
+# (from_parser_to_rabbitmq.py:158). ROLLUP gives (sector, ticker) subtotals
+# + grand total in one pass.
+@query(
+    "b9_sector_rollup",
+    oracle=oracle_on_domain(
+        f"""
+        SELECT c.sector, c.ticker,
+               COUNT(*) AS n_trades,
+               CAST(SUM(CAST(t.price * CAST(t.volume AS DOUBLE)
+                   AS DECIMAL(27,6))) AS DOUBLE) AS notional
+        FROM trades t
+        JOIN companies c ON t.company_id = c.company_id
+        GROUP BY ROLLUP (c.sector, c.ticker)
+        """
+    ),
+)
+def b9_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    c = domain_table(spark, sf_dir, "companies")
+    notional = F.col("price") * F.col("volume").cast("double")
+    return (
+        t.join(F.broadcast(c), "company_id")
+        .select("sector", "ticker", notional.alias("__notional"))
+        .rollup("sector", "ticker")
+        .agg(F.count("*").alias("n_trades"), dsum("__notional", "notional"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B10: deduplicated counts — the reference re-publishes the dimension on
+# every producer run (from_parser_to_rabbitmq.py:220-226), so duplicates are
+# a real artifact. Simulate the triple-published dimension, dedup it, and
+# count distinct instruments per sector + active instruments per day.
+@query(
+    "b10_distinct_counts",
+    oracle=oracle_on_domain(
+        """
+        SELECT d.sector,
+               COUNT(DISTINCT d.company_id) AS n_instruments,
+               COUNT(DISTINCT a.trade_day) AS n_active_days
+        FROM (
+            SELECT company_id, sector FROM companies
+            UNION ALL SELECT company_id, sector FROM companies
+            UNION ALL SELECT company_id, sector FROM companies
+        ) d
+        LEFT JOIN (
+            SELECT company_id, date_trunc('day', ts) AS trade_day FROM trades
+        ) a ON d.company_id = a.company_id
+        GROUP BY d.sector
+        """
+    ),
+)
+def b10_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "companies").select("company_id", "sector")
+    t = domain_table(spark, sf_dir, "trades")
+    republished = c.unionAll(c).unionAll(c)  # producer re-runs
+    active = t.select(
+        "company_id", F.date_trunc("day", "ts").alias("trade_day")
+    )
+    return (
+        republished.join(active, "company_id", "left")
+        .groupBy("sector")
+        .agg(
+            F.countDistinct("company_id").alias("n_instruments"),
+            F.countDistinct("trade_day").alias("n_active_days"),
+        )
+    )

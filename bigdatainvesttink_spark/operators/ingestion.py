@@ -1,0 +1,142 @@
+"""Ingestion-path queries (SURVEY.md §2-A) — the reference's
+producer->RabbitMQ->consumer pipeline as oracle-checked batch transforms.
+The same transforms run under Structured Streaming (streaming/pipeline.py);
+batch-first keeps them DuckDB-verifiable.
+
+a_ingest_dispatch_counts injects deliberately broken messages (malformed
+JSON, missing required field, unparseable timestamp, unknown type) into the
+mixed stream; the oracle counts the clean domain tables — so the DROP
+semantics (reference from_rabbitmq_to_clickhouse.py:136-139,158-159,169,
+174-175) are what's actually being verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import domain_table, oracle_on_domain
+from ..functions import quotation_to_double
+from ..registry import query
+from ..sources.ingest import ingest, serialize
+
+_WIRE_RENAME = {"candles": "ts", "trades": "ts", "order_book": "ts", "companies": None}
+
+_BROKEN_MESSAGES = [
+    "this is not json at all {{{",
+    '{"unknown_type": 1, "company_id": "FIGI00"}',
+    '{"side": "buy", "company_id": "FIGI00", "price": 1.5, "volume": 10}',
+    '{"side": "buy", "company_id": "FIGI00", "timestamp": "01/01/2024 00:00",'
+    ' "price": 1.5, "volume": 10}',
+    '{"open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,'
+    ' "company_id": "FIGI00", "volume": 3}',
+    '{"name": "Orphan Co", "ticker": "ORP"}',
+]
+
+
+def _wire_stream(spark: SparkSession, sf_dir: str, tables) -> DataFrame:
+    """Serialize domain tables into one mixed JSON message stream (A8),
+    mirroring the producer publishing every entity onto queues."""
+    parts = []
+    for table in tables:
+        df = domain_table(spark, sf_dir, table)
+        ts = _WIRE_RENAME[table]
+        if ts:
+            df = df.withColumnRenamed(ts, "timestamp")
+        if table == "trades":
+            df = df.drop("trade_id")  # wire shape has no surrogate key
+        parts.append(serialize(df, table))
+    stream = parts[0]
+    for p in parts[1:]:
+        stream = stream.unionAll(p)
+    return stream
+
+
+# --------------------------------------------------------------------------
+# A12-A17 end to end: mixed stream + broken messages -> parse -> dispatch ->
+# validate -> per-table clean counts. Stateless row-wise path; at scale it
+# is shuffle-free until the final tiny count.
+@query(
+    "a_ingest_dispatch_counts",
+    oracle=oracle_on_domain(
+        """
+        SELECT 'candles' AS table_name, COUNT(*) AS n_rows FROM candles
+        UNION ALL SELECT 'trades', COUNT(*) FROM trades
+        UNION ALL SELECT 'order_book', COUNT(*) FROM order_book
+        UNION ALL SELECT 'companies', COUNT(*) FROM companies
+        """
+    ),
+)
+def a_ingest_dispatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = ("candles", "trades", "order_book", "companies")
+    stream = _wire_stream(spark, sf_dir, tables)
+    broken = spark.createDataFrame(
+        [(m,) for m in _BROKEN_MESSAGES], "value string"
+    )
+    routed = ingest(stream.unionAll(broken))
+    counts = None
+    for table in tables:
+        c = routed[table].agg(
+            F.lit(table).alias("table_name"), F.count("*").alias("n_rows")
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    return counts
+
+
+# --------------------------------------------------------------------------
+# Round-trip identity on the trades feed: domain rows -> JSON wire ->
+# parse/dispatch/validate -> typed rows. The ONLY intended lossy step is the
+# reference's second-precision timestamp format (from_parser_to_rabbitmq.py:59)
+# — the oracle applies date_trunc('second') and nothing else.
+@query(
+    "a_ingest_trades_roundtrip",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               date_trunc('second', ts) AS ts,
+               price, volume, side
+        FROM trades
+        """
+    ),
+)
+def a_ingest_trades_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _wire_stream(spark, sf_dir, ("trades",))
+    out = ingest(stream)["trades"]
+    return out.select(
+        "company_id", F.col("timestamp").alias("ts"), "price", "volume", "side"
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: per-row projection + type conversion — Tinkoff Quotation fixed-point
+# (units + nano/1e9) collapsed to float64 exactly like the reference
+# (from_parser_to_rabbitmq.py:60-63), including negative-units and
+# nano=999999999 edges, synthesized deterministically from events.
+@query(
+    "a_quotation_projection",
+    oracle="""
+        SELECT event_id,
+               CAST(units AS DOUBLE) + CAST(nano AS DOUBLE) / 1e9 AS px,
+               CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side
+        FROM (
+            SELECT event_id,
+                   event_id % 2000 - 1000 AS units,
+                   CASE WHEN event_id % 100 = 0 THEN 999999999
+                        ELSE (event_id * 7919) % 1000000000 END AS nano
+            FROM events
+        ) q
+    """,
+)
+def a_quotation_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    units = F.col("event_id") % 2000 - 1000
+    nano = F.when(F.col("event_id") % 100 == 0, 999999999).otherwise(
+        (F.col("event_id") * 7919) % 1000000000
+    )
+    return e.select(
+        "event_id",
+        quotation_to_double(units, nano).alias("px"),
+        F.when(F.col("event_id") % 2 == 0, "buy").otherwise("sell").alias("side"),
+    )

@@ -51,6 +51,6 @@ def _load_operator_modules() -> None:
     global _loaded
     if _loaded:
         return
-    from .operators import relational  # noqa: F401
+    from .operators import analytics, ingestion, relational  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,129 @@
+"""The ingestion path: the reference's producer->queue->consumer pipeline
+re-expressed as pure DataFrame transforms (SURVEY.md §2-A A8, A12-A17).
+
+Reference semantics preserved deliberately:
+  * rows travel as one JSON object per message
+    (from_parser_to_rabbitmq.py:164,166);
+  * timestamps serialize as 'yyyy-MM-dd HH:mm:ss' — SECOND precision, tz
+    discarded (from_parser_to_rabbitmq.py:59);
+  * content-based routing probes marker fields 'open'/'side'/'bid_price'/
+    'name', unknown -> drop (from_rabbitmq_to_clickhouse.py:149-159);
+  * validation is presence-only per-table required lists, missing -> drop
+    (from_rabbitmq_to_clickhouse.py:122-140);
+  * bad timestamp -> drop, not fail (from_rabbitmq_to_clickhouse.py:164-170)
+    — hence try_to_timestamp, never to_timestamp (which throws under ANSI);
+  * malformed JSON -> drop (from_rabbitmq_to_clickhouse.py:174-175) —
+    from_json PERMISSIVE yields nulls, which validation then drops.
+
+Everything here is stateless row-wise transformation — it runs identically
+under batch and Structured Streaming (streaming/pipeline.py wraps these), and
+at 100 TB it's embarrassingly parallel: no shuffle anywhere in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import (
+    DISPATCH_MARKERS,
+    DOMAIN_SCHEMAS,
+    REQUIRED_FIELDS,
+    TS_FORMAT,
+    wire_schema,
+)
+
+TS_COLS = {"candles": "timestamp", "trades": "timestamp", "order_book": "timestamp",
+           "companies": None}
+
+
+def serialize(df: DataFrame, table: str, ts_col: str | None = "auto") -> DataFrame:
+    """Domain rows -> one JSON string per row (the producer's A8 sink shape).
+
+    Timestamp columns are formatted with the reference's second-precision
+    format before serialization.
+    """
+    if ts_col == "auto":
+        ts_col = TS_COLS[table]
+    cols: list[Column] = []
+    for name in df.columns:
+        if name == ts_col:
+            cols.append(F.date_format(name, TS_FORMAT).alias(name))
+        else:
+            cols.append(F.col(name))
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))
+
+
+def dispatch(raw: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
+    """Content-based routing of a mixed JSON message stream (A13).
+
+    Marker-field probing like the reference: a message routes to the first
+    table whose marker key is PRESENT in the JSON object. Returns
+    {table: parsed DataFrame with the table's wire schema}. Messages
+    matching no marker are dropped (reference warns+drops).
+    """
+    routed: dict[str, DataFrame] = {}
+    # Key-presence probe (not null-value probe): json_object_keys lists the
+    # object's keys; malformed JSON yields null -> filtered. The reference
+    # dispatch is if/elif, so each probe also excludes all earlier markers.
+    earlier: Column | None = None
+    for marker, table in DISPATCH_MARKERS.items():
+        has_key = F.coalesce(
+            F.array_contains(F.json_object_keys(F.col(value_col)), F.lit(marker)),
+            F.lit(False),
+        )
+        cond = has_key if earlier is None else (~earlier & has_key)
+        routed[table] = (
+            raw.filter(cond)
+            .withColumn("__parsed", F.from_json(F.col(value_col), wire_schema(table)))
+            .select("__parsed.*")
+        )
+        earlier = has_key if earlier is None else (earlier | has_key)
+    return routed
+
+
+def validate(parsed: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
+    """Presence validation + timestamp parse (A14, A15).
+
+    Returns (valid, rejected): valid rows have every required field non-null
+    and a parseable timestamp (converted to TimestampNTZ); rejected is the
+    side-channel the reference only logs (we keep it queryable).
+    """
+    required = REQUIRED_FIELDS[table]
+    presence = None
+    for c in required:
+        cond = F.col(c).isNotNull()
+        presence = cond if presence is None else (presence & cond)
+
+    ts_col = TS_COLS[table]
+    df = parsed
+    if ts_col is not None:
+        df = df.withColumn(
+            "__ts_parsed",
+            F.try_to_timestamp(F.col(ts_col), F.lit(TS_FORMAT)).cast("timestamp_ntz"),
+        )
+        ok = presence & F.col("__ts_parsed").isNotNull()
+        target_cols = [
+            F.col("__ts_parsed").alias(ts_col) if c == ts_col else F.col(c)
+            for c in parsed.columns
+        ]
+        valid = df.filter(ok).select(*target_cols)
+        rejected = df.filter(~ok | ok.isNull()).select(*parsed.columns)
+    else:
+        valid = df.filter(presence)
+        rejected = df.filter(~presence | presence.isNull())
+    return valid, rejected
+
+
+def ingest(raw: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
+    """Full consumer path over a mixed JSON stream: parse -> dispatch ->
+    validate -> timestamp parse. {table: clean typed DataFrame} matching
+    schemas.DOMAIN_SCHEMAS (the reference's E2 lifecycle, batch or stream)."""
+    out: dict[str, DataFrame] = {}
+    for table, parsed in dispatch(raw, value_col).items():
+        valid, _ = validate(parsed, table)
+        out[table] = valid
+    return out
+
+
+__all__ = ["serialize", "dispatch", "validate", "ingest", "DOMAIN_SCHEMAS"]

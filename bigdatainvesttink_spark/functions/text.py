@@ -1,0 +1,69 @@
+"""Text hashing / shingling primitives for the LLM-data operators
+(SURVEY.md §2-D1/D2/D4).
+
+Everything here must be reproducible in ANSI SQL by the DuckDB oracle, so
+there is no engine-native ``hash()`` anywhere: the stable 60-bit hash is the
+top 15 hex chars of md5 (identical in any engine), and every derived hash
+(minhash permutations, simhash bits, LSH bands) is exact integer arithmetic
+on top of it — overflow-free within BIGINT, which also keeps Spark's ANSI
+mode (overflow => error) happy.
+
+Oracle spellings:
+  stable_hash60(x)  = CAST(CAST('0x' || substr(md5(x), 1, 15) AS UBIGINT) AS BIGINT)
+  minhash_perm(s,i) = ((2*i+1) * (s % 2147483647) + 7919*(i+1)) % 2147483647
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a * s' + b) stays < 2^37 — no 64-bit overflow.
+MINHASH_PRIME = 2_147_483_647
+N_MINHASHES = 32
+LSH_BANDS = 8  # 8 bands x 4 rows
+
+
+def stable_hash60(c: Column | str) -> Column:
+    """Deterministic 60-bit hash: int(md5(x)[:15], 16). Engine-portable."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokenize(c: Column | str, sep: str = " ") -> Column:
+    """Split to non-empty tokens (documents.text is space-separated)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(col, sep), lambda t: F.length(t) > 0)
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of an ordered token array (may contain dups;
+    wrap in array_distinct for set semantics)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_value(s60: Column, i: Column) -> Column:
+    """i-th minhash permutation of a stable-hashed shingle (i in [0,32))."""
+    s_mod = s60 % MINHASH_PRIME
+    return ((2 * i + 1) * s_mod + 7919 * (i + 1)) % MINHASH_PRIME
+
+
+def band_weight(i: Column) -> Column:
+    """Positional weight 31^(i%4) for order-independent band signatures:
+    sig = sum(minhash_i * 31^(i mod 4)) per 4-row band (< 2^48, no overflow)."""
+    return (
+        F.when(i % 4 == 0, 1)
+        .when(i % 4 == 1, 31)
+        .when(i % 4 == 2, 961)
+        .otherwise(29791)
+        .cast("long")
+    )

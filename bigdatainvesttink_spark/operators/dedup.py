@@ -1,0 +1,335 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2-D1, D2) —
+exact, n-gram Jaccard, MinHash+LSH, and SimHash, each oracle-checked.
+
+The driver corpus has no natural duplicates (500-5000 distinct word-soup
+texts), so a shared ``corpus`` CTE — identical SQL text on the Spark and
+DuckDB sides — injects deterministic exact copies (doc_id+2e6) and one-token
+mutants (doc_id+1e6). The operators then have real work to do and their
+outputs are non-trivially verified.
+
+Scale design (100 TB of documents):
+  * exact dedup: one hash-shuffle on the text hash — group on
+    stable_hash60(text) first so the shuffle key is 8 bytes, not the text;
+  * n-gram Jaccard: the classic inverted-index join (shingle -> doc); the
+    shingle shuffle dominates, and hot shingles skew — production would drop
+    top-df shingles; here corpus vocab is small so it's exercised as-is;
+  * MinHash+LSH: the scale path — signature size is constant (32 x 4 B) per
+    doc regardless of text length, candidate generation joins on 8 band
+    signatures instead of all shingles, verification touches only candidate
+    pairs. This is the textbook big-data near-dedup pipeline, fully
+    expressed in DataFrame ops (no UDFs, no driver loops).
+  * SimHash: constant 60-bit fingerprint per doc; banded hamming join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LSH_BANDS,
+    MINHASH_PRIME,
+    N_MINHASHES,
+    band_weight,
+    minhash_value,
+    shingles,
+    stable_hash60,
+    tokenize,
+)
+from ..io import load_table
+from ..registry import query
+
+# Shared corpus definition — exact same text runs as a Spark SQL view and as
+# the oracle's CTE, so both engines dedup the same input.
+CORPUS_SQL = """
+    SELECT doc_id, text FROM documents WHERE text <> ''
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           regexp_replace(text, '^([a-z]+) ', 'mutated ') AS text
+    FROM documents WHERE text <> '' AND doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text
+    FROM documents WHERE text <> '' AND doc_id % 20 = 0
+"""
+
+_ORACLE_HASH60 = "CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT) AS BIGINT)"
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(CORPUS_SQL)
+
+
+def _oracle(body: str) -> str:
+    return f"WITH corpus AS ({CORPUS_SQL})\n{body}"
+
+
+# --------------------------------------------------------------------------
+# D1: exact dedup — canonical id per identical text. Hash-groupBy shape:
+# the shuffle key is the 60-bit text hash; the window min assigns the
+# canonical (smallest) doc_id; md5 collisions are broken by comparing the
+# text itself (free here since the hash is a proxy grouping only).
+@query(
+    "d1_dedup_exact",
+    oracle=_oracle(
+        f"""
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY {_ORACLE_HASH60}, text) AS canonical_id,
+               COUNT(*) OVER (PARTITION BY {_ORACLE_HASH60}, text) AS n_copies
+        FROM corpus
+        """
+    ),
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir).withColumn("__h", stable_hash60("text"))
+    w = Window.partitionBy("__h", "text")
+    return c.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D2a: exact n-gram Jaccard near-dedup — inverted-index self-join on word
+# 3-gram shingles, exact |A∩B| / |A∪B| over distinct shingle sets,
+# threshold 0.6. Jaccard is an integer ratio -> bit-exact cross-engine.
+@query(
+    "d2_neardup_jaccard",
+    oracle=_oracle(
+        """
+        , shingled AS (
+            SELECT doc_id, unnest(sh_set) AS shingle, len(sh_set) AS n_sh FROM (
+                SELECT doc_id,
+                       list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                      FOR i IN range(0, len(toks) - 2)]) AS sh_set
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+                WHERE len(toks) >= 3
+            )
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS DOUBLE)
+                   / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*)) AS jaccard
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+                   / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*)) >= 0.6
+        """
+    ),
+)
+def d2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    sh = (
+        c.select("doc_id", F.array_distinct(shingles(tokenize("text"), 3)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max("a.n_sh").alias("n_a"),
+            F.max("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.6
+    )
+
+
+# --------------------------------------------------------------------------
+# D2b: MinHash + LSH — the 100 TB near-dedup path. 32 hash permutations
+# over stable-hashed shingles -> 8 band signatures (4 rows each) ->
+# candidate pairs share >=1 band -> estimated similarity = fraction of
+# matching minhashes. Constant-size state per doc; no all-pairs work.
+@query(
+    "d2_minhash_lsh",
+    oracle=_oracle(
+        f"""
+        , shingled AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) AS BIGINT)
+                       % {MINHASH_PRIME} AS s_mod
+            FROM (
+                SELECT doc_id, unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                       FOR i IN range(0, len(toks) - 2)]) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+                WHERE len(toks) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN(((2*i + 1) * s_mod + 7919*(i + 1)) % {MINHASH_PRIME}) AS mh
+            FROM shingled, (SELECT unnest(range({N_MINHASHES})) AS i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   SUM(mh * (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                             WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+            FROM mh GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {N_MINHASHES} AS est_similarity
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.doc_a
+        JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+        GROUP BY c.doc_a, c.doc_b
+        HAVING CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {N_MINHASHES} >= 0.5
+        """
+    ),
+)
+def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    shingled = (
+        c.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias(
+                "shingle"
+            ),
+        )
+        .select(
+            "doc_id", (stable_hash60("shingle") % MINHASH_PRIME).alias("s_mod")
+        )
+        .distinct()
+    )
+    i = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASHES - 1))).alias("i")
+    mh = (
+        shingled.select("doc_id", "s_mod", i)
+        .groupBy("doc_id", "i")
+        .agg(F.min(minhash_value(F.col("s_mod"), F.col("i"))).alias("mh"))
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / 4).cast("int").alias("band")
+    ).agg(F.sum(F.col("mh") * band_weight(F.col("i"))).alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x, y = mh.alias("x"), mh.alias("y")
+    est = F.sum(
+        F.when(F.col("x.mh") == F.col("y.mh"), 1).otherwise(0)
+    ).cast("double") / F.lit(N_MINHASHES)
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.i") == F.col("x.i")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(est.alias("est_similarity"))
+        .filter(F.col("est_similarity") >= 0.5)
+    )
+
+
+# --------------------------------------------------------------------------
+# D2c: SimHash — 60-bit weighted fingerprint over unigram token counts;
+# near-dup pairs found by 4x15-bit band join + hamming distance <= 6
+# (bit_count(xor)). Constant-size per doc; ties at bit-sum 0 resolve to 0
+# deterministically in both engines.
+@query(
+    "d2_simhash",
+    oracle=_oracle(
+        """
+        , toks AS (
+            SELECT doc_id, token, COUNT(*) AS cnt,
+                   CAST(CAST('0x' || substr(md5(token), 1, 15) AS UBIGINT) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus)
+            WHERE token <> ''
+            GROUP BY doc_id, token
+        ), bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM toks, (SELECT unnest(range(60)) AS j)
+            GROUP BY doc_id, j
+        ), fp AS (
+            SELECT doc_id, SUM(bit * (CAST(1 AS BIGINT) << j)) AS simhash
+            FROM bits GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS band_val
+            FROM fp, (SELECT unnest(range(4)) AS k)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+        FROM banded a JOIN banded b
+          ON a.k = b.k AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
+        """
+    ),
+)
+def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    toks = (
+        c.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", stable_hash60("token"))
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
+    bits = (
+        toks.select("doc_id", "h", "cnt", j)
+        .withColumn(
+            "contrib",
+            F.when(
+                F.expr("shiftright(h, CAST(j AS INT)) & 1 = 1"), F.col("cnt")
+            ).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.when(F.sum("contrib") > 0, 1).otherwise(0).cast("long").alias("bit")
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")
+        ).alias("simhash")
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    banded = fp.select("doc_id", "simhash", k).withColumn(
+        "band_val", F.expr("shiftright(simhash, 15 * CAST(k AS INT)) & 32767")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming,
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )

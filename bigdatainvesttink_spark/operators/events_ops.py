@@ -1,0 +1,160 @@
+"""Event-stream batch operators (SURVEY.md §2-D5, D6): JSON property
+extraction over ``events.props`` and gap-based sessionization.
+
+Sessionization is the lag-gap-cumsum pattern: one shuffle on user_id, then
+two in-partition window passes — the batch twin of streaming
+``session_window`` (streaming/pipeline.py); tests assert both agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import davg
+from ..io import load_table
+from ..registry import query
+
+SESSION_GAP_SECONDS = 1800
+
+
+# --------------------------------------------------------------------------
+# D5: JSON property extraction — events.props is a JSON string column; pull
+# $.k, type it, aggregate per event_type. from_json/get_json_object is the
+# schema-on-read path the reference's consumer applies to every message.
+@query(
+    "d5_json_props",
+    oracle="""
+        SELECT event_type,
+               COUNT(k) AS n_with_k,
+               CAST(SUM(CAST(k AS DECIMAL(27,6))) AS DOUBLE) / COUNT(k) AS avg_k,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        ) x
+        GROUP BY event_type
+    """,
+)
+def d5_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            davg("k", "avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: sessionization — split each user's event stream on >30 min gaps
+# (lag + cumulative sum of session-start flags), then per-session stats.
+@query(
+    "d6_sessionization",
+    oracle=f"""
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        FROM (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                            > {SESSION_GAP_SECONDS} * 1000000
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                               IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+            ) flagged
+        ) sessions
+        GROUP BY user_id, session_seq
+    """,
+)
+def d6_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_epoch = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev_epoch.isNull()
+        | (epoch - prev_epoch > SESSION_GAP_SECONDS * 1_000_000),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D6b: native session_window — Spark's built-in session assignment (also the
+# streaming-state operator) in batch mode, verified against the DuckDB
+# gaps-and-islands formulation: session end = last event + gap.
+@query(
+    "d6_session_window_native",
+    oracle=f"""
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND AS session_end,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                            > {SESSION_GAP_SECONDS} * 1000000
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                               IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+            ) flagged
+        ) sessions
+        GROUP BY user_id, session_seq
+    """,
+)
+def d6_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,248 @@
+"""Similarity search over ``embeddings`` (SURVEY.md §2-D3): brute-force
+cosine top-k as the exactness baseline, label-blocked near-dup pairs, and a
+sign-LSH bucketed variant as the 100 TB path.
+
+All vector math runs on float64 (embeddings are float32 at rest — both
+engines widen before multiplying) with JVM-side higher-order functions
+(zip_with / aggregate): no UDFs, no data leaves Tungsten. Scores are rounded
+to 6dp on both engines before ranking so cross-engine float noise (~1e-15)
+can never reorder results; ties break on vec_id.
+
+Scale notes:
+  * brute force is O(Q*N) — correct baseline, and the right choice when Q is
+    small (the broadcast side is the query set);
+  * the near-dup pair search blocks on `label` (the IVF-cell analog): work
+    drops from N^2 to sum(block^2); at 100 TB blocks come from a coarse
+    quantizer and the same plan applies;
+  * sign-LSH reduces candidate generation to an 8-bit bucket equi-join;
+    hyperplanes are pseudo-random integers derived from (plane, dim) index
+    arithmetic so the oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+_W_FORMULA = "((p*64 + d + 1) * 2654435761) % 2001 - 1000"  # plane weights
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with float64 vectors + precomputed L2 norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        as_double.alias("e"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product via higher-order functions (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# DuckDB spelling of the same float64 pipeline.
+_O_VEC = """
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# D3a: brute-force cosine top-k — every 10th vector queries the full set.
+# Plan: tiny query side broadcast against one scan of the corpus; ranking
+# window partitions by query id.
+@query(
+    "d3_ann_bruteforce_topk",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   round(list_dot_product(q.e, v.e) / (q.norm * v.norm), 6) AS cosine
+            FROM q JOIN v ON v.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 5
+    """,
+)
+def d3_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# D3b: embedding near-dup pairs — the corpus has no natural near-dups (max
+# same-label cosine 0.41), so blended clones (3*a + next) are synthesized
+# with identical integer/float arithmetic on both engines; pair search then
+# blocks on label and thresholds cosine >= 0.9.
+@query(
+    "d3_embedding_neardup",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        nxt AS (
+            SELECT a.vec_id, a.label,
+                   [3.0 * a.e[i+1] + b.e[i+1] FOR i IN range(64)] AS e
+            FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+        ),
+        aug AS (
+            SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v
+            UNION ALL
+            SELECT vec_id + 100000, label, e, sqrt(list_dot_product(e, e)) FROM nxt
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+        FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.9
+    """,
+)
+def d3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).select("vec_id", "label", "e")
+    nxt = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            (F.col("a.vec_id") + 100000).alias("vec_id"),
+            F.col("a.label").alias("label"),
+            F.zip_with(
+                "a.e", "b.e", lambda x, y: F.lit(3.0) * x + y
+            ).alias("e"),
+        )
+    )
+    aug = v.unionByName(nxt).withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a, b = aug.alias("x"), aug.alias("y")
+    cosine = F.round(
+        _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.norm") * F.col("y.norm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.label").alias("label"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+# --------------------------------------------------------------------------
+# D3c: sign-LSH bucketing (the scale path) — 8 deterministic pseudo-random
+# hyperplanes hash every vector to an 8-bit bucket; queries then rank only
+# within-bucket candidates. Candidate generation is a bucket equi-join:
+# at 100 TB the all-pairs problem becomes 256 co-partitioned joins.
+@query(
+    "d3_ann_lsh_bucketed",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        proj AS (
+            SELECT vec_id, p,
+                   list_sum([e[d+1] * CAST({_W_FORMULA} AS DOUBLE)
+                             FOR d IN range(64)]) AS dotp
+            FROM v, (SELECT unnest(range(8)) AS p)
+        ),
+        bucketed AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        ),
+        vv AS (SELECT v.*, b.bucket FROM v JOIN bucketed b USING (vec_id)),
+        q AS (SELECT * FROM vv WHERE vec_id % 10 = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+                   round(list_dot_product(q.e, c.e) / (q.norm * c.norm), 6) AS cosine
+            FROM q JOIN vv c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, bucket, cosine, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 3
+    """,
+)
+def d3_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    p = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p")
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (
+            ((F.col("p") * 64 + d + 1) * 2654435761) % 2001 - 1000
+        ).cast("double"),
+    )
+    proj = v.select("vec_id", "e", p).select(
+        "vec_id", "p", _dot(F.col("e"), weights).alias("dotp")
+    )
+    bucketed = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dotp") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    vv = v.join(bucketed, "vec_id")
+    q = vv.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        vv.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

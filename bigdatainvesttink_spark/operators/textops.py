@@ -1,0 +1,214 @@
+"""Text analysis over ``documents`` (SURVEY.md §2-D4): quality scoring,
+language-ID heuristic, BPE-ish token counting, and document fingerprinting.
+
+All token math stays JVM-side via higher-order array functions (split /
+filter / transform / aggregate) — no Python in the hot path; ratios are
+exact integer divisions in float64 so the DuckDB oracle matches bitwise.
+Everything is a single scan + narrow projection at any scale (the fingerprint
+adds one hash-shuffle on doc_id from posexplode/groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import stable_hash60, tokenize
+from ..io import load_table
+from ..registry import query
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+# Marker-token vocabularies for the language-ID heuristic. The fixture corpus
+# is synthetic word soup; these partition its vocabulary into three "dialects"
+# so the n-gram-counting machinery is exercised with a deterministic answer.
+LANG_MARKERS = {
+    "english": ("the", "a", "of", "fast", "slow", "small", "big"),
+    "database": ("table", "query", "scan", "join", "filter", "hash", "sort"),
+    "streaming": ("spark", "stream", "window", "batch", "row", "vector"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+# D4a: quality scoring — length/distinct/stopword ratios per document.
+@query(
+    "d4_text_quality",
+    oracle=f"""
+        SELECT doc_id, lang, source, n_chars,
+               n_tokens, n_distinct,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_distinct AS DOUBLE) / n_tokens END AS ttr,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(sum_len AS DOUBLE) / n_tokens END AS mean_token_len,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   list_sum([length(t) FOR t IN toks]) AS sum_len,
+                   len(list_filter(toks,
+                       t -> list_contains([{_sql_list(STOPWORDS)}], t))) AS n_stop
+            FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                FROM documents
+            ) t
+        ) m
+    """,
+)
+def d4_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokenize("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    sum_len = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+    ratio = lambda num: F.when(  # noqa: E731
+        n_tokens > 0, num.cast("double") / n_tokens
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        ratio(n_distinct).alias("ttr"),
+        ratio(sum_len).alias("mean_token_len"),
+        ratio(n_stop).alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D4b: language-ID heuristic — marker-token voting with deterministic
+# tie-break (english > database > streaming on equal votes).
+@query(
+    "d4_lang_id",
+    oracle=f"""
+        SELECT doc_id,
+               s_en AS score_english, s_db AS score_database,
+               s_st AS score_streaming,
+               CASE WHEN s_en = 0 AND s_db = 0 AND s_st = 0 THEN 'unknown'
+                    WHEN s_en >= s_db AND s_en >= s_st THEN 'english'
+                    WHEN s_db >= s_st THEN 'database'
+                    ELSE 'streaming' END AS predicted
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(toks, t -> list_contains([{_sql_list(LANG_MARKERS['english'])}], t))) AS s_en,
+                   len(list_filter(toks, t -> list_contains([{_sql_list(LANG_MARKERS['database'])}], t))) AS s_db,
+                   len(list_filter(toks, t -> list_contains([{_sql_list(LANG_MARKERS['streaming'])}], t))) AS s_st
+            FROM (
+                SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                FROM documents
+            ) t
+        ) scores
+    """,
+)
+def d4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokenize("text"))
+
+    def score(words) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+
+    s_en = score(LANG_MARKERS["english"])
+    s_db = score(LANG_MARKERS["database"])
+    s_st = score(LANG_MARKERS["streaming"])
+    scored = d.select(
+        "doc_id",
+        s_en.alias("score_english"),
+        s_db.alias("score_database"),
+        s_st.alias("score_streaming"),
+    )
+    e, db, st = (
+        F.col("score_english"),
+        F.col("score_database"),
+        F.col("score_streaming"),
+    )
+    predicted = (
+        F.when((e == 0) & (db == 0) & (st == 0), "unknown")
+        .when((e >= db) & (e >= st), "english")
+        .when(db >= st, "database")
+        .otherwise("streaming")
+    )
+    return scored.withColumn("predicted", predicted)
+
+
+# --------------------------------------------------------------------------
+# D4c: token counting — whitespace tokens and a BPE-ish regex segmentation
+# (letter runs / digit runs / single non-alphanumeric marks), the standard
+# pre-tokenizer shape for LLM data pipelines.
+@query(
+    "d4_token_count",
+    oracle=r"""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+               length(text) AS n_chars_actual
+        FROM documents
+    """,
+)
+def d4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D4d: document fingerprint — position-weighted rolling hash over the token
+# stream: fp = sum_i (h(tok_i) % p) * w_i mod p, w_i = ((i+1)*2654435761) % p
+# reduced per-term so every intermediate stays < 2^63 (ANSI-overflow safe).
+@query(
+    "d4_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_sum([
+                   ((CAST(CAST('0x' || substr(md5(toks[i+1]), 1, 15) AS UBIGINT) AS BIGINT)
+                     % 2147483647)
+                    * (((i + 1) * 2654435761) % 2147483647)) % 2147483647
+                   FOR i IN range(len(toks))
+               ]) % 2147483647 AS fingerprint,
+               len(toks) AS n_tokens
+        FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ) t
+        WHERE len(toks) > 0
+    """,
+)
+def d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = 2_147_483_647
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", tokenize("text"))
+        .filter(F.size("toks") > 0)
+    )
+    exploded = d.select("doc_id", F.posexplode("toks").alias("i", "tok"))
+    term = (
+        (stable_hash60("tok") % p) * (((F.col("i") + 1) * 2654435761) % p)
+    ) % p
+    return (
+        exploded.withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("term") % p).alias("fingerprint"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

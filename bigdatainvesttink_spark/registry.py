@@ -51,6 +51,16 @@ def _load_operator_modules() -> None:
     global _loaded
     if _loaded:
         return
-    from .operators import analytics, ingestion, relational  # noqa: F401
+    from .operators import (  # noqa: F401
+        analytics,
+        dedup,
+        events_ops,
+        ingestion,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+    )
+    from .streaming import pipeline  # noqa: F401
 
     _loaded = True

@@ -31,7 +31,12 @@ _RUNTIME_CONFS = {
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an existing session (idempotent)."""
-    for k, v in _RUNTIME_CONFS.items():
+    confs = dict(_RUNTIME_CONFS)
+    # Driver-owned sessions ship the 200-partition default — wrong for both
+    # tiny fixtures (over-parallelized; streaming aggs don't AQE-coalesce)
+    # and local bench runs. Size to the harness CPU budget.
+    confs["spark.sql.shuffle.partitions"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -1,0 +1,178 @@
+"""Structured Streaming layer (SURVEY.md §2-C) — the reference's
+RabbitMQ-consume loop re-expressed with checkpointed micro-batches.
+
+Mapping from the reference:
+  * run-forever per-message consume (from_rabbitmq_to_clickhouse.py:194-197)
+    -> readStream + trigger; micro-batches replace callbacks (C1);
+  * at-least-once ack-after-insert (:173,194) -> checkpointLocation +
+    foreachBatch (C2) — the file-sink path is exactly-once, a strict
+    upgrade over the reference (which can double-insert between insert and
+    ack);
+  * durable queues (from_parser_to_rabbitmq.py:259-266) -> source offsets in
+    the checkpoint (C3) — restart resumes, verified in tests;
+  * NO watermark in the reference (C4): every late row was inserted
+    whenever it arrived. Streaming aggregations here add
+    ``withWatermark`` — a deliberate, documented semantic upgrade (late
+    rows beyond the delay are dropped);
+  * 15-min polling (from_parser_to_rabbitmq.py:181) -> processingTime /
+    availableNow triggers (C6); API rate-limit sleeps -> maxFilesPerTrigger
+    backpressure (C7).
+
+The transforms themselves come from sources/ingest.py — the SAME functions
+run in batch (where the DuckDB oracle checks them) and here under streaming,
+so streaming correctness reduces to delivery semantics, which the tests
+exercise (restart, late data, session merge).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+from ..sources.ingest import ingest
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the same
+    nanos->timestamp_ntz normalization as the batch loader."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Streaming file sources take a directory; pathGlobFilter narrows the
+    # listing to the events table inside the shared fixture dir.
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return raw
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drive a streaming frame to completion with availableNow and return
+    the memory-sink table (synchronous; used by queries() and tests)."""
+    name = name or f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+def ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """The consumer pipeline (E2) as a streaming job: JSON-lines files ->
+    parse/dispatch/validate (sources/ingest.py) -> per-table parquet append
+    via foreachBatch, exactly-once under the checkpoint. Returns the query.
+    """
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.format("text").load(source_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():  # A17 empty-batch short-circuit
+            return
+        for table, clean in ingest(batch_df).items():
+            clean.write.mode("append").parquet(f"{out_dir}/{table}")
+
+    return (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling/sliding window aggregation (works on batch or stream)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C1/C6 as an oracle-checked query: hourly tumbling counts computed BY THE
+# STREAMING ENGINE (file source -> availableNow -> memory sink), verified
+# against plain GROUP BY date_trunc in DuckDB. Complete output mode so the
+# final state equals the batch answer.
+@query(
+    "c_stream_tumbling_counts",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def c_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_counts(events_stream(spark, sf_dir), "1 hour")
+    return run_to_memory(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# Sliding windows (2h window, 1h slide): every event lands in two windows;
+# the oracle materializes both window starts per event.
+@query(
+    "c_stream_sliding_counts",
+    oracle="""
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type FROM events
+            UNION ALL
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR,
+                   event_type FROM events
+        ) expanded
+        GROUP BY 1, 2
+    """,
+)
+def c_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return run_to_memory(agg, "complete")

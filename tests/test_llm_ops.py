@@ -1,0 +1,77 @@
+"""Behavioral checks for the LLM-data operators: the synthesized
+duplicates/mutants/clones must actually be FOUND (the oracle diff alone
+would pass on an empty-vs-empty result)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+
+def _q(name):
+    return entrymod.queries()[name]
+
+
+def test_exact_dedup_finds_injected_copies(spark):
+    rows = _q("d1_dedup_exact")(spark, SF_SMALL).collect()
+    dup_groups = {r["canonical_id"] for r in rows if r["n_copies"] > 1}
+    assert dup_groups, "injected exact copies not detected"
+    # every injected copy (doc_id >= 2e6) maps back to its original
+    for r in rows:
+        if r["doc_id"] >= 2_000_000:
+            assert r["canonical_id"] == r["doc_id"] - 2_000_000
+            assert r["n_copies"] >= 2
+
+
+def test_jaccard_finds_mutants(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q("d2_neardup_jaccard")(spark, SF_SMALL).collect()
+    }
+    mutant_pairs = [(a, b) for a, b in pairs if b == a + 1_000_000]
+    assert mutant_pairs, "one-token mutants not detected by 3-gram jaccard"
+
+
+def test_minhash_lsh_agrees_with_exact_on_mutants(spark):
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["est_similarity"]
+        for r in _q("d2_minhash_lsh")(spark, SF_SMALL).collect()
+    }
+    exact_dups = [(a, b) for a, b in mh if b == a + 2_000_000]
+    assert exact_dups and all(mh[p] == 1.0 for p in exact_dups)
+
+
+def test_simhash_finds_exact_and_near(spark):
+    rows = _q("d2_simhash")(spark, SF_SMALL).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    exact = [(a, b) for a, b in by_pair if b == a + 2_000_000]
+    assert exact and all(by_pair[p] == 0 for p in exact)
+
+
+def test_ann_topk_ranks_clone_first(spark):
+    rows = _q("d3_embedding_neardup")(spark, SF_SMALL).collect()
+    clone_pairs = [r for r in rows if r["vec_b"] == r["vec_a"] + 100_000]
+    assert clone_pairs, "blended clones not found above cosine 0.9"
+    assert all(r["cosine"] >= 0.9 for r in rows)
+
+
+def test_ann_bruteforce_shapes(spark):
+    rows = _q("d3_ann_bruteforce_topk")(spark, SF_SMALL).collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], []).append(r["rnk"])
+    assert per_query
+    for ranks in per_query.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_multimodal_meta_is_deterministic_and_batched(spark):
+    a = {tuple(r) for r in _q("dmm_binary_decode_meta")(spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in _q("dmm_binary_decode_meta")(spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0
+    import pytest
+
+    from bigdatainvesttink_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,144 @@
+"""C-series delivery semantics: checkpoint restart (C2/C3), watermark
+late-data drop (C4 — the documented upgrade over the reference), and
+streaming/batch agreement for window operators."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from bigdatainvesttink_spark.streaming.pipeline import (
+    events_stream,
+    ingest_stream,
+    run_to_memory,
+    windowed_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+def _trade(i, second, volume=1):
+    return json.dumps(
+        {
+            "company_id": f"F{i % 3}",
+            "timestamp": f"2024-01-01 10:00:{second:02d}",
+            "price": 1.0 + i,
+            "volume": volume,
+            "side": "buy" if i % 2 == 0 else "sell",
+        }
+    )
+
+
+def test_ingest_stream_checkpoint_restart(spark, tmp_path):
+    """Drip files in two waves with a restart in between: the checkpoint
+    must resume from offsets — every message ingested exactly once."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    (src / "wave1.jsonl").write_text(
+        "\n".join(_trade(i, i) for i in range(10)) + "\nnot-json-at-all\n"
+    )
+    q = ingest_stream(spark, str(src), ckpt, out)
+    q.awaitTermination()
+
+    (src / "wave2.jsonl").write_text("\n".join(_trade(i, i) for i in range(10, 25)))
+    q2 = ingest_stream(spark, str(src), ckpt, out)  # restart from checkpoint
+    q2.awaitTermination()
+
+    got = spark.read.parquet(f"{out}/trades")
+    assert got.count() == 25  # 10 + 15, wave1 NOT reprocessed, bad line dropped
+    assert got.select("company_id").distinct().count() == 3
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """C4: with a watermark, an event far behind the stream's max event time
+    is dropped from append-mode windowed aggregation — the deliberate
+    semantic upgrade over the reference (which inserted any late row)."""
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    rows1 = [("2024-01-01 10:00:30", "a", 1.0), ("2024-01-01 13:00:00", "a", 1.0)]
+    rows2 = [("2024-01-01 10:05:00", "late", 99.0)]  # hours behind max(13:00)
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"ts": t, "event_type": e, "value": v}) for t, e, v in rows)
+        )
+
+    write("f1.jsonl", rows1)
+    # watermarks require TimestampType (not NTZ); session tz is pinned UTC
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = windowed_counts(stream, "1 hour", watermark="10 minutes")
+    name = "wm_out"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        q.processAllAvailable()
+        write("f2.jsonl", rows2)  # arrives after watermark passed its window
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if q.lastProgress and q.lastProgress["numInputRows"] == 0:
+                break
+        result = {
+            (str(r["window_start"]), r["event_type"]): r["n_events"]
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    # the 10:00 window closed when watermark hit 12:50; late row never counted
+    assert ("2024-01-01 10:00:00", "late") not in result
+    assert result.get(("2024-01-01 10:00:00", "a")) == 1
+
+
+def test_streaming_matches_batch_windowed_counts(spark):
+    stream_result = run_to_memory(
+        windowed_counts(events_stream(spark, SF_SMALL), "1 hour"), "complete"
+    )
+    from bigdatainvesttink_spark.io import load_table
+
+    batch_result = windowed_counts(load_table(spark, SF_SMALL, "events"), "1 hour")
+    s = {tuple(r) for r in stream_result.collect()}
+    b = {tuple(r) for r in batch_result.collect()}
+    assert s == b
+
+
+def test_session_window_streaming_matches_batch(spark):
+    from bigdatainvesttink_spark.operators.events_ops import (
+        d6_session_window_native,
+    )
+
+    batch = {tuple(r) for r in d6_session_window_native(spark, SF_SMALL).collect()}
+    # watermark needs TimestampType; cast back to ntz for comparison (UTC)
+    e = events_stream(spark, SF_SMALL).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", "0 seconds")
+    agg = (
+        e.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    stream = {tuple(r) for r in run_to_memory(agg, "append").collect()}
+    # Append mode only emits sessions CLOSED by the final watermark
+    # (= max event time): tail sessions whose end lies beyond it stay in
+    # state — correct streaming semantics, so exclude them from the batch set.
+    from bigdatainvesttink_spark.io import load_table
+
+    max_ts = load_table(spark, SF_SMALL, "events").agg(F.max("ts")).collect()[0][0]
+    closable = {s for s in batch if s[2] <= max_ts}
+    assert stream == closable
+    assert len(batch) > len(closable)  # the tail session really was open

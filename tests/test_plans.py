@@ -1,0 +1,106 @@
+"""Physical-plan audits: the properties that must survive a 100x scale-up.
+A failure here is a performance regression even when values still match the
+oracle (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from bigdatainvesttink_spark.plans.audit import (
+    plan_text,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from tests.conftest import SF_SMALL
+
+
+def _q(name, spark):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = _q("q1_pricing_summary", spark)
+    assert "l_shipdate" in pushed_filters(df)  # filter reaches the scan
+    rs = read_schemas(df)
+    assert "l_orderkey" not in rs and "l_partkey" not in rs  # pruned
+    # two-phase agg with exactly one shuffle on the two group keys
+    assert shuffle_count(df) == 1
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ["rel_join_broadcast_dims", "b6_enrich_broadcast",
+                 "b9_sector_rollup"]:
+        df = _q(name, spark)
+        text = plan_text(df)
+        assert "BroadcastHashJoin" in text, name
+        assert "SortMergeJoin" not in text, name  # dims must not shuffle
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in plan_text(_q("rel_join_semi", spark))
+    assert "LeftAnti" in plan_text(_q("rel_join_anti", spark))
+
+
+def test_sort_limit_is_topk_not_full_sort(spark):
+    df = _q("rel_sort_limit", spark)
+    assert "TakeOrderedAndProject" in plan_text(df)  # heap top-k, no global sort
+
+
+def test_asof_join_single_shuffle(spark):
+    # the as-of join must cost exactly one hash shuffle on the key (plus the
+    # percentile broadcast) — no cross product, no nested loop
+    df = _q("b3_large_trade_impact", spark)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+    physical = text.split("== Physical Plan ==")[-1]
+    assert physical.count("Exchange hashpartitioning(company_id") <= 2
+
+
+def test_partition_pruning_on_partitioned_write(spark):
+    df = _q("fmt_partitioned_pruned_scan", spark)
+    text = plan_text(df)
+    idx = text.find("PartitionFilters")
+    assert idx != -1 and "side" in text[idx : idx + 200]
+
+
+def test_whole_stage_codegen_in_flagship(spark):
+    df = _q("q1_pricing_summary", spark)
+    df.collect()  # executes THIS plan instance so AQE finalizes it
+    # (count() would wrap a new QueryExecution and leave this one unplanned)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # '*(n)' prefixes mark whole-stage-codegen'd spans; both agg phases must
+    # be inside codegen stages
+    assert "*(1) HashAggregate" in final and "*(2) HashAggregate" in final
+
+
+def test_range_join_uses_equi_key(spark):
+    # the company_id equi-key must be the join key (range as condition);
+    # never a cartesian/BNLJ over the full tables
+    df = _q("rel_range_join", spark)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_exact_dedup_shuffles_on_hash_not_text_only(spark):
+    df = _q("d1_dedup_exact", spark)
+    assert "hashpartitioning(__h" in plan_text(df)
+
+
+def test_scan_only_needed_columns_everywhere(spark):
+    # spot-check column pruning across families
+    df = _q("rel_window_topk_per_group", spark)
+    rs = read_schemas(df)
+    assert "c_name" not in rs and "c_mktsegment" not in rs
+
+
+def test_broadcast_threshold_respected_for_queries(spark):
+    # ANN brute force is a non-equi pairing: the right plan is a
+    # BroadcastNestedLoopJoin with the SMALL query side as the build —
+    # i.e. one scan of the corpus against an in-memory query table. What
+    # must never appear is a CartesianProduct (both sides shuffled).
+    df = _q("d3_ann_bruteforce_topk", spark)
+    text = plan_text(df)
+    assert "BroadcastNestedLoopJoin BuildRight" in text
+    assert "CartesianProduct" not in text

@@ -212,3 +212,75 @@ def d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D4e: TF-IDF — term importance per document, top-3 terms each, built from
+# two hash aggregations + a broadcast of the (tiny) document-frequency
+# table. At 100 TB the df table is vocab-sized, so the broadcast holds; the
+# token shuffle is the classic inverted-index cost. ln() differs by ulps
+# across libm implementations, so scores are 6dp-rounded and ranked with a
+# token tiebreak (functions/core.py float policy).
+@query(
+    "d4_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS token
+            FROM documents WHERE text <> ''
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents WHERE text <> ''
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   round(tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                                    / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS tfidf
+            FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df, tfidf, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 3
+    """,
+)
+def d4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text") != "")
+        .withColumn("toks", tokenize("text"))
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )

@@ -61,6 +61,7 @@ def _load_operator_modules() -> None:
         relational_ext,
         similarity,
         textops,
+        tpch,
     )
     from .sources import formats  # noqa: F401
     from .streaming import pipeline  # noqa: F401

@@ -1,0 +1,138 @@
+"""Scale-pattern verification: salted aggregation equivalence, bucketed
+co-located joins (no shuffle), and the custom stateful streaming operator."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import functions as F
+
+from bigdatainvesttink_spark.fixtures import domain_table
+from bigdatainvesttink_spark.functions.skew import salted_sum_count
+from bigdatainvesttink_spark.io import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_salted_aggregation_matches_direct(spark):
+    t = domain_table(spark, SF_SMALL, "trades")
+    notional = F.col("price") * F.col("volume").cast("double")
+    direct = {
+        (r["company_id"]): (r["notional"], r["n_rows"])
+        for r in t.groupBy("company_id")
+        .agg(
+            F.sum(notional.cast("decimal(27,6)")).cast("double").alias("notional"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["company_id"]): (r["notional"], r["n_rows"])
+        for r in salted_sum_count(
+            t, ["company_id"], {"notional": notional}, n_salts=8
+        ).collect()
+    }
+    assert salted == direct  # decimal sums are associative -> bit-identical
+
+
+def test_salted_aggregation_on_hot_key(spark):
+    # single hot key: every row the same key — the worst case salting targets
+    hot = spark.range(10000).select(
+        F.lit("HOT").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    out = salted_sum_count(hot, ["k"], {"v_sum": F.col("v")}, n_salts=16).collect()
+    assert len(out) == 1
+    assert out[0]["v_sum"] == sum(i % 7 for i in range(10000))
+    assert out[0]["n_rows"] == 10000
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """bucketBy co-locates both sides on the join key at write time: the
+    join plans as SortMergeJoin with ZERO Exchange — the 100 TB recipe for
+    repeated fact-fact joins."""
+    suffix = uuid.uuid4().hex[:8]
+    o = load_table(spark, SF_SMALL, "orders")
+    l = load_table(spark, SF_SMALL, "lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        f"orders_b_{suffix}"
+    )
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        f"lineitem_b_{suffix}"
+    )
+    ob = spark.table(f"orders_b_{suffix}")
+    lb = spark.table(f"lineitem_b_{suffix}")
+    # sf0.001 tables are broadcast-sized; disable auto-broadcast so the plan
+    # shows what a 100 TB fact-fact join would do (SMJ over co-located buckets)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        text = joined._jdf.queryExecution().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    physical = text.split("== Physical Plan ==")[-1]
+    # the join itself must not shuffle either side (only the tiny final
+    # groupBy may exchange)
+    join_part = physical.split("HashAggregate")[-1]
+    assert "SortMergeJoin" in physical
+    assert "Exchange hashpartitioning(l_orderkey" not in physical
+    assert "Exchange hashpartitioning(o_orderkey" not in physical
+    # sanity: result matches unbucketed join
+    plain = (
+        l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_stateful_running_vwap_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    after two waves, VWAP must equal the batch computation over all data."""
+    from bigdatainvesttink_spark.streaming.stateful import running_vwap
+
+    src = tmp_path / "vwap_src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"company_id": c, "price": p, "volume": v})
+                for c, p, v in rows
+            )
+        )
+
+    wave1 = [("A", 10.0, 100), ("A", 20.0, 100), ("B", 5.0, 10)]
+    wave2 = [("A", 40.0, 200), ("B", 15.0, 30)]
+    write("w1.jsonl", wave1)
+
+    schema = "company_id string, price double, volume long"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    name = f"vwap_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_vwap(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("w2.jsonl", wave2)
+        q.processAllAvailable()
+        # memory sink in update mode appends every emission; the LAST row
+        # per key is the current state
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # arrival order; later rows overwrite
+        latest[r["company_id"]] = (r["vwap"], r["total_volume"])
+    all_rows = wave1 + wave2
+    for key in ("A", "B"):
+        pv = sum(p * v for c, p, v in all_rows if c == key)
+        vv = sum(v for c, p, v in all_rows if c == key)
+        assert latest[key] == (pv / vv, vv), key

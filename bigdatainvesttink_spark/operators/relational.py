@@ -210,18 +210,24 @@ def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Anti join (NOT EXISTS): customers with no orders at all.
+# Anti join (NOT EXISTS): customers who never placed an urgent order.
+# (At fixture SFs every customer has SOME order, so the subquery filters on
+# priority to keep the anti side non-trivially populated.)
 @query(
     "rel_join_anti",
     oracle="""
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
     """,
 )
 def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

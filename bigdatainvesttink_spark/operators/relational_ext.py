@@ -297,3 +297,57 @@ def rel_in_subquery_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFra
             dsum(pos, "positive_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Set operations, ALL variants: multiset semantics (duplicates preserved) —
+# the multiset complement of rel_set_ops' DISTINCT semantics.
+@query(
+    "rel_set_ops_all",
+    oracle="""
+        SELECT 'intersect_all' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ) i
+        UNION ALL
+        SELECT 'except_all' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ) e
+    """,
+)
+def rel_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    done_k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "k")  # noqa: E731
+    return tag(open_k.intersectAll(done_k), "intersect_all").unionByName(
+        tag(open_k.exceptAll(done_k), "except_all")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide -> long): per-part numeric attributes melted to rows via
+# the stack/unpivot pattern.
+@query(
+    "rel_unpivot",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")

@@ -136,3 +136,16 @@ def test_stateful_running_vwap_across_batches(spark, tmp_path):
         pv = sum(p * v for c, p, v in all_rows if c == key)
         vv = sum(v for c, p, v in all_rows if c == key)
         assert latest[key] == (pv / vv, vv), key
+
+
+def test_end_to_end_pipeline(spark, tmp_path):
+    """E1->E2->E3 parity run: produce JSON queue files, streaming-consume
+    into the warehouse, verify zero loss, run an analytic on the result."""
+    from bigdatainvesttink_spark.pipeline import run_pipeline, warehouse_table
+
+    counts = run_pipeline(spark, SF_SMALL, str(tmp_path))
+    assert set(counts) == {"companies", "candles", "trades", "order_book"}
+    assert all(n > 0 for n in counts.values())
+    trades = warehouse_table(spark, f"{tmp_path}/warehouse", "trades")
+    assert trades.filter(F.col("price") <= 0).count() == 0
+    assert dict(trades.dtypes)["timestamp"].startswith("timestamp")

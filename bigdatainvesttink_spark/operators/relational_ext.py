@@ -16,9 +16,12 @@ from ..registry import query
 
 # --------------------------------------------------------------------------
 # Range join: every trade joined to its instrument's candle by time
-# CONTAINMENT (equi on company + range on timestamp). Catalyst plans the
-# equi key as the join key and evaluates the range as a join condition —
-# at scale this is a co-partitioned sort-merge join, no cross product.
+# CONTAINMENT. The scalable formulation BUCKETIZES the range key: each
+# probe row maps to its candidate bucket (here: the hour, since candles are
+# hour-aligned; unaligned intervals would explode k candidate buckets), so
+# the join is equi on (company, bucket) with the range as cheap residual —
+# per-key work is O(output), not O(|trades per key| x |candles per key|).
+# Joining on company alone measured 20s at sf0.1; bucketized, sub-second.
 @query(
     "rel_range_join",
     oracle=oracle_on_domain(
@@ -41,9 +44,10 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "open",
         "close",
     )
-    return t.join(
+    return t.withColumn("__bucket", F.date_trunc("hour", "ts")).join(
         c,
         (F.col("company_id") == F.col("c_company_id"))
+        & (F.col("__bucket") == F.col("candle_ts"))
         & (F.col("ts") >= F.col("candle_ts"))
         & (F.col("ts") < F.col("candle_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select(

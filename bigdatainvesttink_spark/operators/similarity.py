@@ -141,11 +141,15 @@ def d3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    aug = v.unionByName(nxt).withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    aug = v.unionByName(nxt)
     a, b = aug.alias("x"), aug.alias("y")
-    cosine = F.round(
-        _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.norm") * F.col("y.norm")), 6
-    )
+    # Arrow-vectorized cosine: the candidate set is |block|^2-sized, and the
+    # per-pair zip_with fold allocates an intermediate array each time —
+    # numpy einsum over Arrow batches is ~10x cheaper. round6 keeps it
+    # interchangeable with the JVM fold and the oracle (module docstring).
+    from ..functions.vectorized import cosine_pandas
+
+    cosine = F.round(cosine_pandas(F.col("x.e"), F.col("y.e")), 6)
     return (
         a.join(
             b,

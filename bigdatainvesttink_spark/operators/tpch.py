@@ -150,6 +150,6 @@ def rel_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )

@@ -384,3 +384,56 @@ def b10_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("trade_day").alias("n_active_days"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B3b: forward as-of — the other half of goal №2: price move AFTER the
+# large trade, matched to the nearest candle at-or-after it. Exercises
+# as_of_join(direction='forward'); DuckDB's ASOF JOIN with l.ts <= r.ts
+# computes the same relation.
+@query(
+    "b3b_forward_price_move",
+    oracle=oracle_on_domain(
+        """
+        SELECT t.company_id, t.trade_id, t.ts, t.price,
+               c.ts AS next_candle_ts, c.close AS next_close,
+               (c.close - t.price) / t.price AS fwd_move
+        FROM (
+            SELECT * FROM trades
+            WHERE volume > (SELECT quantile_cont(volume, 0.95) FROM trades)
+        ) t
+        ASOF LEFT JOIN candles c
+          ON t.company_id = c.company_id AND t.ts <= c.ts
+        """
+    ),
+)
+def b3b_forward_price_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = domain_table(spark, sf_dir, "trades")
+    candles = domain_table(spark, sf_dir, "candles").select(
+        "company_id", "ts", "close"
+    )
+    threshold = trades.agg(F.percentile("volume", 0.95).alias("__thr"))
+    large = (
+        trades.join(F.broadcast(threshold))
+        .filter(F.col("volume") > F.col("__thr"))
+        .drop("__thr")
+    )
+    joined = as_of_join(
+        large,
+        candles,
+        on="company_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["close"],
+        direction="forward",
+        matched_ts_col="next_candle_ts",
+    )
+    return joined.select(
+        "company_id",
+        "trade_id",
+        "ts",
+        "price",
+        "next_candle_ts",
+        F.col("close").alias("next_close"),
+        ((F.col("close") - F.col("price")) / F.col("price")).alias("fwd_move"),
+    )

@@ -53,6 +53,7 @@ def _load_operator_modules() -> None:
         return
     from .operators import (  # noqa: F401
         analytics,
+        clustering,
         dedup,
         events_ops,
         ingestion,

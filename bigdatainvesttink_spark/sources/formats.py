@@ -80,3 +80,20 @@ def fmt_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_buys"),
         F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("price_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# ORC round-trip: Spark's second first-class columnar format (vectorized
+# reader + pushdown like parquet). DuckDB can't read ORC, so the oracle
+# verifies VALUES (write->read-back must reproduce the companies dimension).
+@query(
+    "fmt_orc_roundtrip",
+    oracle=oracle_on_domain(
+        "SELECT company_id, name, ticker, sector FROM companies"
+    ),
+)
+def fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    companies = domain_table(spark, sf_dir, "companies")
+    tmp = tempfile.mkdtemp(prefix="fmt_orc_")
+    companies.write.mode("overwrite").orc(f"{tmp}/orc")
+    return spark.read.orc(f"{tmp}/orc")

@@ -149,3 +149,89 @@ def test_end_to_end_pipeline(spark, tmp_path):
     trades = warehouse_table(spark, f"{tmp_path}/warehouse", "trades")
     assert trades.filter(F.col("price") <= 0).count() == 0
     assert dict(trades.dtypes)["timestamp"].startswith("timestamp")
+
+
+def test_kmeans_objective_nonincreasing_and_deterministic(spark):
+    from bigdatainvesttink_spark.io import load_table
+    from bigdatainvesttink_spark.operators.clustering import kmeans_fit
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    vectors = e.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a1, obj1 = kmeans_fit(vectors, k=4, n_iter=4)
+    a2, obj2 = kmeans_fit(vectors, k=4, n_iter=4)
+    assert obj1 == obj2  # decimal-exact reductions -> bit-identical runs
+    assert all(b <= a + 1e-9 for a, b in zip(obj1, obj1[1:]))  # Lloyd monotone
+    s1 = sorted(map(tuple, a1.select("vec_id", "cluster").collect()))
+    s2 = sorted(map(tuple, a2.select("vec_id", "cluster").collect()))
+    assert s1 == s2
+
+
+def test_stream_static_broadcast_enrich(spark):
+    """Stream-static join: the streaming trades feed enriched with the
+    broadcast companies dimension — the standard streaming enrich shape."""
+    from bigdatainvesttink_spark.fixtures import domain_table
+    from bigdatainvesttink_spark.streaming.pipeline import run_to_memory
+
+    companies = domain_table(spark, SF_SMALL, "companies")
+    trades = domain_table(spark, SF_SMALL, "trades")
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ss_join_")
+    trades.write.mode("overwrite").parquet(f"{tmp}/trades")
+    stream = spark.readStream.schema(trades.schema).parquet(f"{tmp}/trades")
+    enriched = stream.join(F.broadcast(companies), "company_id").groupBy(
+        "sector"
+    ).count()
+    got = {
+        (r["sector"], r["count"])
+        for r in run_to_memory(enriched, "complete").collect()
+    }
+    want = {
+        (r["sector"], r["count"])
+        for r in trades.join(companies, "company_id").groupBy("sector").count().collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (trades x book within 1h, same company):
+    both sides watermarked; results must match the batch range join."""
+    from bigdatainvesttink_spark.fixtures import domain_table
+
+    trades = domain_table(spark, SF_SMALL, "trades").select(
+        "company_id", F.col("ts").cast("timestamp").alias("t_ts"), "price"
+    )
+    book = domain_table(spark, SF_SMALL, "order_book").select(
+        F.col("company_id").alias("b_company_id"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
+        "bid_price",
+    )
+    trades.write.mode("overwrite").parquet(f"{tmp_path}/t")
+    book.write.mode("overwrite").parquet(f"{tmp_path}/b")
+    st = spark.readStream.schema(trades.schema).parquet(f"{tmp_path}/t")
+    sb = spark.readStream.schema(book.schema).parquet(f"{tmp_path}/b")
+    cond = (
+        (F.col("company_id") == F.col("b_company_id"))
+        & (F.col("b_ts") >= F.col("t_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("b_ts") <= F.col("t_ts"))
+    )
+    joined = (
+        st.withWatermark("t_ts", "1 hour")
+        .join(sb.withWatermark("b_ts", "1 hour"), cond)
+        .select("company_id", "t_ts", "b_ts", "price", "bid_price")
+    )
+    import uuid
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in trades.join(book, cond).select(
+        "company_id", "t_ts", "b_ts", "price", "bid_price").collect()}
+    assert got == want and len(got) > 0

@@ -437,3 +437,44 @@ def b3b_forward_price_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close").alias("next_close"),
         ((F.col("close") - F.col("price")) / F.col("price")).alias("fwd_move"),
     )
+
+
+# --------------------------------------------------------------------------
+# B4b: close-price trend slope — per-instrument OLS slope of close vs time
+# (goal №3's "predictability" as a regression), expressed entirely with
+# built-in second-moment aggregates: slope = covar_pop(t, y) / var_pop(t).
+@query(
+    "b4b_trend_slope",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               round(covar_pop(t_hours, close) / var_pop(t_hours), 6) AS slope,
+               COUNT(*) AS n_obs
+        FROM (
+            SELECT company_id, close,
+                   CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0 AS t_hours
+            FROM candles
+        ) x
+        GROUP BY company_id
+        HAVING COUNT(*) >= 10 AND var_pop(t_hours) > 0
+        """
+    ),
+)
+def b4b_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    t_hours = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 3600000000.0
+    )
+    return (
+        c.select("company_id", "close", t_hours.alias("t_hours"))
+        .groupBy("company_id")
+        .agg(
+            F.round(
+                F.covar_pop("t_hours", "close") / F.var_pop("t_hours"), 6
+            ).alias("slope"),
+            F.count("*").alias("n_obs"),
+            F.var_pop("t_hours").alias("__vp"),
+        )
+        .filter((F.col("n_obs") >= 10) & (F.col("__vp") > 0))
+        .drop("__vp")
+    )

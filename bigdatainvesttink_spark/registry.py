@@ -63,6 +63,7 @@ def _load_operator_modules() -> None:
         similarity,
         textops,
         tpch,
+        tpch_full,
     )
     from .sources import formats  # noqa: F401
     from .streaming import pipeline  # noqa: F401

@@ -1,0 +1,292 @@
+"""Corpus-curation operators for a training-data pipeline (SURVEY.md §2-D
+extension set): near-dup cluster resolution, sequence packing, repetition /
+quality filtering, and deterministic stratified sampling.
+
+These are the steps that sit *between* pair-finding (dedup.py) and a
+training run: pairs must become clusters with one canonical survivor,
+surviving docs must be packed into fixed token budgets, low-quality or
+repetitive docs dropped, and the corpus sampled per-stratum reproducibly.
+
+Scale design (100 TB of documents):
+  * connected components: min-label propagation — each round is one
+    edge⋈label shuffle on an 8-byte key; fixture clusters are stars of
+    diameter <= 2 so it converges in <= 3 rounds (the production upgrade is
+    large-star/small-star for O(log n) rounds on adversarial chains);
+  * packing: token offsets are per-shard prefix sums (window over
+    ``doc_id % N_SHARDS``), so no global single-partition sort — each shard
+    packs independently, exactly how a 1000-executor job would run it;
+  * repetition filter / sampling: embarrassingly parallel scans; the
+    sample's per-stratum rank uses the portable md5-based hash so the same
+    10% comes out of any engine, any cluster size, any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, stable_hash60, tokenize
+from ..io import load_table
+from ..registry import query
+from .dedup import CORPUS_SQL, corpus, d2_neardup_jaccard
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: transitive closure of the Jaccard>=0.6 pair graph.
+# A copy chain {base, exact copy, one-token mutant} must collapse to ONE
+# canonical doc even though (copy, mutant) may only connect through base —
+# pair lists alone can't express that; components can.
+
+_JACCARD_PAIRS_SQL = """
+    shingled AS (
+        SELECT doc_id, unnest(sh_set) AS shingle, len(sh_set) AS n_sh FROM (
+            SELECT doc_id,
+                   list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                  FOR i IN range(0, len(toks) - 2)]) AS sh_set
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+            WHERE len(toks) >= 3
+        )
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+                   / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*)) >= 0.6
+    )
+"""
+
+
+@query(
+    "d2_cc_clusters",
+    oracle=f"""
+        WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+        {_JACCARD_PAIRS_SQL},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT src AS doc_id, MIN(node) AS cluster_id,
+               COUNT(DISTINCT node) AS cluster_size
+        FROM reach GROUP BY src
+    """,
+)
+def d2_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d2_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    # Materialize the (small) pair graph once — the shingle self-join behind
+    # it must not re-run every propagation round.
+    edges = fwd.union(rev).localCheckpoint()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # Min-label propagation to fixpoint. Each round is ONE materialization
+    # (localCheckpoint) carrying both old and new labels, so the convergence
+    # probe is a count() over already-computed partitions — no recompute, no
+    # driver-side data collection.
+    for _ in range(12):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("__v"), F.col("label").alias("__nl")
+                ),
+                F.col("v") == F.col("__v"),
+            )
+            .groupBy("u")
+            .agg(F.min("__nl").alias("nmin"))
+        )
+        stepped = (
+            labels.withColumnRenamed("label", "old")
+            .join(neigh, "u", "left")
+            .select(
+                "u",
+                F.col("old"),
+                F.least(F.col("old"), F.coalesce("nmin", F.col("old"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("label") != F.col("old")).count()
+        labels = stepped.drop("old")
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): lay every document's tokens end to
+# end inside a shard and cut fixed PACK_BUDGET-token packs; each doc reports
+# the pack its first token lands in and its offset there. Per-shard prefix
+# sums — no global sort, shards pack independently.
+
+PACK_BUDGET = 128
+N_SHARDS = 8
+
+
+@query(
+    "d7_sequence_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tok
+            FROM documents WHERE text <> ''
+        ), offs AS (
+            SELECT doc_id, shard, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS start_off
+            FROM t
+        )
+        SELECT doc_id, n_tok,
+               shard * 1000000 + start_off // {PACK_BUDGET} AS pack_id,
+               start_off % {PACK_BUDGET} AS pack_offset
+        FROM offs
+    """,
+)
+def d7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return offs.select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("shard") * 1_000_000
+            + F.floor(F.col("start_off") / PACK_BUDGET)
+        ).alias("pack_id"),
+        (F.col("start_off") % PACK_BUDGET).alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality filter (Gopher-style): per-doc token count, duplicate
+# 2-gram fraction, mean token length, stopword fraction, and the composite
+# keep flag. All ratios are exact-int divisions -> bit-identical doubles.
+
+_STOPWORDS = ("the", "a", "of", "to", "in", "and", "is", "for")
+
+
+@query(
+    "d4_repetition_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents WHERE text <> ''
+        ), g AS (
+            SELECT doc_id, len(toks) AS n_tok,
+                   [toks[i+1] || ' ' || toks[i+2]
+                    FOR i IN range(0, len(toks) - 1)] AS g2,
+                   len(list_filter(toks, x -> x IN {_STOPWORDS})) AS n_stop,
+                   length(replace(array_to_string(toks, ' '), ' ', ''))
+                       AS n_tok_chars
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT doc_id, n_tok,
+               1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                   AS dup_2gram_frac,
+               CAST(n_tok_chars AS DOUBLE) / n_tok AS mean_tok_len,
+               CAST(n_stop AS DOUBLE) / n_tok AS stopword_frac,
+               (n_tok >= 20
+                AND 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                    <= 0.05
+                AND CAST(n_stop AS DOUBLE) / n_tok BETWEEN 0.01 AND 0.15)
+                   AS keep
+        FROM g
+    """,
+)
+def d4_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = tokenize("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    g2 = shingles(F.col("toks"), 2)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    g = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.size(g2).alias("n_g2"),
+        F.size(F.array_distinct(g2)).alias("n_g2_d"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))
+        ).cast("long").alias("n_stop"),
+        F.length(F.regexp_replace(F.concat_ws(" ", "toks"), " ", ""))
+        .cast("long")
+        .alias("n_tok_chars"),
+    )
+    dup2 = F.lit(1.0) - F.col("n_g2_d").cast("double") / F.col("n_g2")
+    stopf = F.col("n_stop").cast("double") / F.col("n_tok")
+    return g.select(
+        "doc_id",
+        "n_tok",
+        dup2.alias("dup_2gram_frac"),
+        (F.col("n_tok_chars").cast("double") / F.col("n_tok")).alias(
+            "mean_tok_len"
+        ),
+        stopf.alias("stopword_frac"),
+        (
+            (F.col("n_tok") >= 20)
+            & (dup2 <= 0.05)
+            & stopf.between(0.01, 0.15)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sample: exactly floor(10%) of every language
+# stratum, chosen by rank over the portable content hash (not rand()), so
+# the same rows are kept on any engine / partitioning / rerun.
+
+
+@query(
+    "d7_stratified_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(CAST('0x' || substr(md5(text), 1, 15)
+                                     AS UBIGINT) AS BIGINT), doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+            FROM documents WHERE text <> ''
+        )
+        SELECT doc_id, lang, source, rn
+        FROM ranked WHERE rn * 10 <= n_stratum
+    """,
+)
+def d7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    h = stable_hash60("text")
+    wr = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    wc = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wc).alias("n_stratum"),
+        )
+        .filter(F.col("rn") * 10 <= F.col("n_stratum"))
+        .drop("n_stratum")
+    )

@@ -45,6 +45,13 @@ def _wire_stream(spark: SparkSession, sf_dir: str, tables) -> DataFrame:
             df = df.withColumnRenamed(ts, "timestamp")
         if table == "trades":
             df = df.drop("trade_id")  # wire shape has no surrogate key
+        # The fixture is one small parquet file -> one input split, which
+        # would funnel every to_json/from_json through a single core.
+        # Spreading each feed across defaultParallelism before serializing
+        # models the N parallel queue producers/consumers; at cluster scale
+        # the source is already many-partitioned and this is a no-op-sized
+        # rebalance.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
         parts.append(serialize(df, table))
     stream = parts[0]
     for p in parts[1:]:

@@ -54,6 +54,7 @@ def _load_operator_modules() -> None:
     from .operators import (  # noqa: F401
         analytics,
         clustering,
+        curation,
         dedup,
         events_ops,
         ingestion,

@@ -135,11 +135,57 @@ def validate(parsed: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
 def ingest(raw: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
     """Full consumer path over a mixed JSON stream: parse -> dispatch ->
     validate -> timestamp parse. {table: clean typed DataFrame} matching
-    schemas.DOMAIN_SCHEMAS (the reference's E2 lifecycle, batch or stream)."""
+    schemas.DOMAIN_SCHEMAS (the reference's E2 lifecycle, batch or stream).
+
+    Semantically identical to ``validate(dispatch(raw)[t], t)`` but built as
+    a SINGLE-PARSE plan. The naive composition costs 3-8 ``from_json`` per
+    row: predicate pushdown inlines the parsed-struct alias into every
+    filter it pushes through, so each Filter re-parses (and, on the
+    fixture's simulated wire, re-SERIALIZES) the message. The fix is to
+    make the parsed struct itself non-deterministic via an always-true
+    ``when(rand() >= -1, parsed)`` guard: Catalyst neither inlines a
+    non-deterministic alias into downstream predicates nor pushes
+    predicates through a projection containing one, and (unlike a detached
+    non-deterministic marker column) the guard can't be undone by column
+    pruning because it wraps a column every consumer references. Routing
+    filters stay below the parse (on the raw string), so each branch fully
+    parses only its own rows.
+    """
     out: dict[str, DataFrame] = {}
-    for table, parsed in dispatch(raw, value_col).items():
-        valid, _ = validate(parsed, table)
-        out[table] = valid
+    earlier: Column | None = None
+    for marker, table in DISPATCH_MARKERS.items():
+        keys = F.json_object_keys(F.col(value_col))
+        has_key = F.coalesce(F.array_contains(keys, F.lit(marker)), F.lit(False))
+        cond = has_key if earlier is None else (~earlier & has_key)
+        earlier = has_key if earlier is None else (earlier | has_key)
+        parsed = F.from_json(F.col(value_col), wire_schema(table))
+        # Non-deterministic identity wrap == optimizer barrier (see above).
+        guarded = F.when(F.rand() >= -1.0, parsed)
+        p1 = raw.filter(cond).select(guarded.alias("__p"))
+        ts_col = TS_COLS[table]
+        if ts_col is not None:
+            p2 = p1.select(
+                "__p",
+                F.try_to_timestamp(
+                    F.col("__p").getField(ts_col), F.lit(TS_FORMAT)
+                )
+                .cast("timestamp_ntz")
+                .alias("__ts"),
+            )
+        else:
+            p2 = p1
+        ok = None
+        for c in REQUIRED_FIELDS[table]:
+            x = F.col("__p").getField(c).isNotNull()
+            ok = x if ok is None else (ok & x)
+        if ts_col is not None:
+            ok = ok & F.col("__ts").isNotNull()
+        field_names = [f.name for f in wire_schema(table).fields]
+        final_cols = [
+            F.col("__ts").alias(c) if c == ts_col else F.col("__p").getField(c).alias(c)
+            for c in field_names
+        ]
+        out[table] = p2.filter(ok).select(*final_cols)
     return out
 
 

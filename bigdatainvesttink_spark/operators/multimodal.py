@@ -109,3 +109,169 @@ def dmm_binary_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
     binary = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
     return extract_meta(binary)
+
+
+def _binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    return d.select("doc_id", F.encode("text", "utf-8").alias("content"))
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: video-like binary -> every 4th frame as its OWN row.
+# Exercises the row-EXPLODING mapInPandas shape (output batch longer than
+# input batch) that real frame extraction needs; the fake "frame" is the
+# md5 chain md5(md5(content) || '-' || i), so the oracle can rebuild it.
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_hash bigint"
+FRAME_STRIDE = 4
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas harness for frame sampling: one output row per sampled
+    frame. A real decoder replaces the md5 chain with actual frame bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                hhex = hashlib.md5(content).hexdigest()
+                n_frames = 1 + int(hhex[:15], 16) % 16
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    key = f"{hhex}-{i}".encode()
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(int(hashlib.md5(key).hexdigest()[:15], 16))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@query(
+    "dmm_frame_sample",
+    oracle=f"""
+        SELECT doc_id, i AS frame_idx,
+               CAST(CAST('0x' || substr(md5(hhex || '-' || CAST(i AS VARCHAR)),
+                                        1, 15) AS UBIGINT) AS BIGINT)
+                   AS frame_hash
+        FROM (
+            SELECT doc_id, md5(text) AS hhex,
+                   unnest(range(0,
+                                1 + CAST(CAST('0x' || substr(md5(text), 1, 15)
+                                         AS UBIGINT) AS BIGINT) % 16,
+                                {FRAME_STRIDE})) AS i
+            FROM documents WHERE text <> ''
+        ) frames
+    """,
+)
+def dmm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_binary_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Resize: decode dims (fake) then aspect-preserving fit into a 256x256 box,
+# all inside the Python batch path — the shape a PIL/opencv thumbnailer
+# plugs into. Scale math is exact-rational (integer cross-multiplication),
+# so the oracle matches bit-for-bit with no float-rounding hazard.
+RESIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, out_width bigint, "
+    "out_height bigint"
+)
+FIT_BOX = 256
+
+
+def resize_fit(binary_df: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                m = fake_decode_meta(content)
+                w, h = m["width"], m["height"]
+                # aspect-fit with integer arithmetic: cap the longer edge at
+                # FIT_BOX, floor-scale the shorter edge by the same ratio.
+                if w >= h:
+                    ow = min(w, FIT_BOX)
+                    oh = h * ow // w
+                else:
+                    oh = min(h, FIT_BOX)
+                    ow = w * oh // h
+                rows.append((doc_id, w, h, ow, oh))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_width", "out_height"],
+            )
+
+    return binary_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "dmm_resize_fit",
+    oracle=f"""
+        SELECT doc_id, width, height,
+               CASE WHEN width >= height
+                    THEN LEAST(width, {FIT_BOX})
+                    ELSE width * LEAST(height, {FIT_BOX}) // height
+               END AS out_width,
+               CASE WHEN width >= height
+                    THEN height * LEAST(width, {FIT_BOX}) // width
+                    ELSE LEAST(height, {FIT_BOX})
+               END AS out_height
+        FROM (
+            SELECT doc_id, 64 + h % 960 AS width, 64 + (h >> 8) % 960 AS height
+            FROM (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                            AS BIGINT) AS h
+                FROM documents WHERE text <> ''
+            ) d
+        ) dims
+    """,
+)
+def dmm_resize_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_fit(_binary_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Audio features: binary -> fixed-length feature vector (array<double>),
+# the embedding-extraction shape. Fake features are byte-slices of the md5
+# hash scaled to [0,1]; exact integer/255 divisions keep the oracle
+# bit-identical.
+AUDIO_SCHEMA = "doc_id bigint, n_bytes bigint, features array<double>"
+N_AUDIO_FEATURES = 8
+
+
+def audio_features(binary_df: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, feats = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                h = int(hashlib.md5(content).hexdigest()[:15], 16)
+                ids.append(doc_id)
+                sizes.append(len(content))
+                feats.append(
+                    [((h >> j) & 255) / 255.0 for j in range(N_AUDIO_FEATURES)]
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": sizes, "features": feats}
+            )
+
+    return binary_df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+@query(
+    "dmm_audio_features",
+    oracle=f"""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               [CAST((h >> j) & 255 AS DOUBLE) / 255.0
+                FOR j IN range({N_AUDIO_FEATURES})] AS features
+        FROM (
+            SELECT doc_id, text,
+                   CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                        AS BIGINT) AS h
+            FROM documents WHERE text <> ''
+        ) d
+    """,
+)
+def dmm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(_binary_docs(spark, sf_dir))

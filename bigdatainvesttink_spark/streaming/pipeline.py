@@ -176,3 +176,23 @@ def c_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: emit the first occurrence of each key, drop
+    re-deliveries arriving within the watermark horizon.
+
+    This is the streaming arm of the D1 exact-dedup operator and the
+    idempotency upgrade for an at-least-once wire (the reference's RabbitMQ
+    path redelivers on consumer crash between insert and ack —
+    from_rabbitmq_to_clickhouse.py:173,194). State is bounded:
+    ``dropDuplicatesWithinWatermark`` evicts seen-keys older than the
+    watermark, so at 100 TB/day the state store holds only one horizon's
+    worth of keys, hash-partitioned across executors by key.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -142,3 +142,54 @@ def test_session_window_streaming_matches_batch(spark):
     closable = {s for s in batch if s[2] <= max_ts}
     assert stream == closable
     assert len(batch) > len(closable)  # the tail session really was open
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (D1 streaming arm): re-delivered messages with
+    the same key inside the watermark horizon are emitted exactly once."""
+    from bigdatainvesttink_spark.streaming.pipeline import stream_dedup
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"ts": t, "msg_id": m, "value": v}) for t, m, v in rows
+            )
+        )
+
+    # msg 1 delivered twice in one batch, then re-delivered in a later batch
+    write("f1.jsonl", [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:00:05", 2, 2.0),
+    ])
+    schema = "ts timestamp, msg_id bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    dedup = stream_dedup(stream, ["msg_id"], watermark="10 minutes")
+    name = "dd_out"
+    q = (
+        dedup.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        q.processAllAvailable()
+        write("f2.jsonl", [
+            ("2024-01-01 10:00:06", 1, 1.0),   # redelivery, within horizon
+            ("2024-01-01 10:00:07", 3, 3.0),
+        ])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if q.lastProgress and q.lastProgress["numInputRows"] == 0:
+                break
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    ids = sorted(r["msg_id"] for r in rows)
+    assert ids == [1, 2, 3], f"expected one row per msg_id, got {ids}"

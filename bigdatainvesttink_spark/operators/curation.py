@@ -88,11 +88,18 @@ def d2_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (localCheckpoint) carrying both old and new labels, so the convergence
     # probe is a count() over already-computed partitions — no recompute, no
     # driver-side data collection.
+    # Broadcast hints: a localCheckpointed frame reports default (huge)
+    # stats, so Catalyst would pick sort-merge joins for these tiny sides.
+    # At fixture scale the label table always fits a broadcast; the
+    # cluster-scale variant swaps these for a single hash partitioning on
+    # u/v reused across rounds (or large-star/small-star entirely).
     for _ in range(12):
         neigh = (
             edges.join(
-                labels.select(
-                    F.col("u").alias("__v"), F.col("label").alias("__nl")
+                F.broadcast(
+                    labels.select(
+                        F.col("u").alias("__v"), F.col("label").alias("__nl")
+                    )
                 ),
                 F.col("v") == F.col("__v"),
             )
@@ -101,7 +108,7 @@ def d2_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stepped = (
             labels.withColumnRenamed("label", "old")
-            .join(neigh, "u", "left")
+            .join(F.broadcast(neigh), "u", "left")
             .select(
                 "u",
                 F.col("old"),

@@ -502,3 +502,203 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# partsupp proxy (the fixtures ship no partsupp table): the observed
+# (l_partkey, l_suppkey) pairs, with availqty = total shipped quantity and
+# a key-derived deterministic supply cost. Gives Q2/Q11/Q20 their real join
+# topology and subquery classes on data both engines can rebuild exactly.
+_PS_SQL = """
+    ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   AS ps_availqty,
+               CAST((l_partkey * 31 + l_suppkey * 17) % 1000 + 1 AS DOUBLE)
+                   AS ps_supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def _partsupp_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        l.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(dsum("l_quantity", "ps_availqty"))
+        .withColumn(
+            "ps_supplycost",
+            (
+                (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 1000 + 1
+            ).cast("double"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2-style: minimum-cost supplier — correlated MIN subquery per part over
+# region-gated suppliers, the classic argmin-within-group shape (window min
+# + equality filter on Spark; no second pass over ps).
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH {_PS_SQL}
+        SELECT p_partkey, p_brand, s_name, n_name, s_acctbal, ps_supplycost
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON p_partkey = ps_partkey
+        WHERE r_name = 'EUROPE' AND p_size = 15
+          AND ps_supplycost = (
+              SELECT MIN(ps2.ps_supplycost)
+              FROM ps ps2
+              JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE r2.r_name = 'EUROPE' AND ps2.ps_partkey = ps.ps_partkey)
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ps = _partsupp_proxy(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    europe_ps = ps.join(
+        F.broadcast(europe_supp), ps.ps_suppkey == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = europe_ps.withColumn(
+        "__mn", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("__mn"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand"
+    )
+    return best.join(F.broadcast(p), best.ps_partkey == p.p_partkey).select(
+        "p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "ps_supplycost"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11-style: important stock — per-part inventory value within one nation,
+# kept when above a fixed fraction of the nation's total (scalar-subquery
+# threshold; fraction 0.0015 tuned so the fixture yields a real result set).
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH {_PS_SQL},
+        filtered AS (
+            SELECT ps_partkey,
+                   CAST(ps_supplycost * ps_availqty AS DECIMAL(27,6)) AS v
+            FROM ps
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+        )
+        SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+        FROM filtered
+        GROUP BY ps_partkey
+        HAVING CAST(SUM(v) AS DOUBLE) >
+               (SELECT CAST(SUM(v) AS DOUBLE) * 0.0015 FROM filtered)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp_proxy(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    nation_supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    v = (F.col("ps_supplycost") * F.col("ps_availqty")).cast(_DEC)
+    filtered = ps.join(
+        F.broadcast(nation_supp), ps.ps_suppkey == F.col("s_suppkey")
+    ).select("ps_partkey", v.alias("v"))
+    per_part = filtered.groupBy("ps_partkey").agg(
+        F.sum("v").cast("double").alias("value")
+    )
+    thresh = filtered.agg(
+        (F.sum("v").cast("double") * 0.0015).alias("__thr")
+    )
+    return (
+        per_part.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20-style: excess-stock suppliers — the nested-IN + correlated-sum class:
+# suppliers in one nation holding more than half their 1995 shipments of
+# 'red' parts. The correlated SUM becomes an aggregated join (identical
+# NULL-free semantics spelled out in both engines).
+@query(
+    "tpch_q20_excess_stock",
+    oracle=f"""
+        WITH {_PS_SQL},
+        yearly AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                       AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT DISTINCT s_suppkey, s_name
+        FROM supplier
+        JOIN ps ON ps_suppkey = s_suppkey
+        JOIN yearly y ON y.l_partkey = ps_partkey AND y.l_suppkey = ps_suppkey
+        JOIN part ON p_partkey = ps_partkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5' AND p_name LIKE 'red%'
+          AND ps_availqty > 0.5 * qty
+    """,
+)
+def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp_proxy(spark, sf_dir)
+    yearly = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1995-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "qty"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    ).select("n_nationkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        ps.join(
+            yearly,
+            (ps.ps_partkey == yearly.l_partkey)
+            & (ps.ps_suppkey == yearly.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

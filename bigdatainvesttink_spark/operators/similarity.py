@@ -250,3 +250,103 @@ def d3_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# Vector utilities — the prep steps every embedding pipeline runs before
+# search/clustering. All element-wise work stays in JVM higher-order
+# functions; nothing leaves Tungsten.
+
+_DIM = 64
+
+
+# L2 normalization: unit-length vectors (rounded to 6dp on both engines so
+# the fold-order of the norm can't flip a last ulp).
+@query(
+    "d3_embedding_normalize",
+    oracle=f"""
+        WITH v AS ({_O_VEC})
+        SELECT vec_id, [round(x / norm, 6) FOR x IN e] AS unit
+        FROM v WHERE norm > 0
+    """,
+)
+def d3_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).filter(F.col("norm") > 0)
+    return v.select(
+        "vec_id",
+        F.transform("e", lambda x: F.round(x / F.col("norm"), 6)).alias("unit"),
+    )
+
+
+# Per-vector int8-style scalar quantization: min/max range mapped onto
+# [0, 255] with floor + clamp (floor, not round: both engines floor doubles
+# identically, while round ties could disagree). min/max are order-free, so
+# no float hazard anywhere.
+@query(
+    "d3_embedding_quantize",
+    oracle=f"""
+        WITH v AS ({_O_VEC})
+        SELECT vec_id, list_min(e) AS mn, list_max(e) AS mx,
+               CASE WHEN list_min(e) = list_max(e)
+                    THEN [CAST(0 AS BIGINT) FOR x IN e]
+                    ELSE [LEAST(CAST(floor((x - list_min(e)) * 256
+                                           / (list_max(e) - list_min(e)))
+                                     AS BIGINT), 255) FOR x IN e]
+               END AS q
+        FROM v
+    """,
+)
+def d3_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    mn, mx = F.array_min("e"), F.array_max("e")
+    q = F.when(
+        mn == mx, F.transform("e", lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            "e",
+            lambda x: F.least(
+                F.floor((x - mn) * 256 / (mx - mn)).cast("long"), F.lit(255)
+            ),
+        )
+    )
+    return v.select("vec_id", mn.alias("mn"), mx.alias("mx"), q.alias("q"))
+
+
+# Per-label centroids: decimal-exact per-dimension means (posexplode ->
+# two-phase agg -> re-collect ordered by dim). The oracle rebuilds the same
+# (label, dim) grid with a range join. This IS the IVF training step's
+# inner loop, expressed as one shuffle on (label, dim).
+@query(
+    "d3_label_centroids",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        grid AS (
+            SELECT label, i AS pos,
+                   CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM v, (SELECT unnest(range({_DIM})) AS i)
+            GROUP BY label, i
+        )
+        SELECT label, list(m ORDER BY pos) AS centroid,
+               CAST(MIN(cnt) AS BIGINT) AS n_vectors
+        FROM grid
+        JOIN (SELECT label AS l2, COUNT(*) AS cnt FROM v GROUP BY label)
+          ON l2 = label
+        GROUP BY label
+    """,
+)
+def d3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    ex = v.select("label", F.posexplode("e").alias("pos", "x"))
+    grid = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("m"),
+        F.count("*").alias("cnt"),
+    )
+    return grid.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid"),
+        F.min("cnt").alias("n_vectors"),
+    )

@@ -350,3 +350,113 @@ def d3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.min("cnt").alias("n_vectors"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF probe search: the full inverted-file ANN read path. Train = the
+# per-label centroids above; probe = assign each query vector to its nearest
+# centroid (25-row broadcast cross join), then brute-force ONLY inside that
+# cell — work drops from O(Q*N) to O(Q*N/cells). At 100 TB the corpus is
+# hash-partitioned by cell id, so the probe join is a broadcast of the tiny
+# assigned-query side against a partition-pruned scan. Centroids are
+# decimal-exact means, so both engines see bit-identical floats; cosines are
+# rounded to 6dp before ranking, ties on id/label.
+@query(
+    "d3_ivf_probe_topk",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        cent AS (
+            SELECT label, list(m ORDER BY pos) AS c
+            FROM (
+                SELECT label, i AS pos,
+                       CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                           / COUNT(*) AS m
+                FROM v, (SELECT unnest(range({_DIM})) AS i)
+                GROUP BY label, i
+            ) grid
+            GROUP BY label
+        ),
+        cn AS (SELECT label AS cell, c,
+                      sqrt(list_dot_product(c, c)) AS cnorm FROM cent),
+        q AS (SELECT vec_id AS query_id, e AS qe, norm AS qnorm
+              FROM v WHERE vec_id % 13 = 1),
+        assign AS (
+            SELECT query_id, qe, qnorm, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY round(list_dot_product(qe, c)
+                                      / (qnorm * cnorm), 6) DESC,
+                                cell ASC) AS arnk
+            FROM q CROSS JOIN cn
+        ),
+        probe AS (
+            SELECT a.query_id, a.cell, v.vec_id AS neighbor_id,
+                   round(list_dot_product(a.qe, v.e)
+                         / (a.qnorm * v.norm), 6) AS cosine
+            FROM assign a JOIN v ON v.label = a.cell AND v.vec_id <> a.query_id
+            WHERE a.arnk = 1
+        )
+        SELECT query_id, cell, neighbor_id, cosine, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM probe
+        ) r WHERE rnk <= 3
+    """,
+)
+def d3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    ex = v.select("label", F.posexplode("e").alias("pos", "x"))
+    grid = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    cent = (
+        grid.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("c")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            "c",
+            F.sqrt(_dot(F.col("c"), F.col("c"))).alias("cnorm"),
+        )
+    )
+    q = v.filter(F.col("vec_id") % 13 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qe",
+        "qnorm",
+        "cell",
+        F.round(
+            _dot(F.col("qe"), F.col("c")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ).alias("ccos"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        scored.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") == 1)
+        .select("query_id", "qe", "qnorm", "cell")
+    )
+    probe = v.join(
+        F.broadcast(assigned),
+        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "cell",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return probe.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

@@ -521,3 +521,46 @@ def rel_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array/higher-order function suite (SURVEY §2-E scalar-function families):
+# size / distinct / sort / slice / contains / element_at / max / concat_ws,
+# all JVM-side over the per-document token array. Entirely map-side — no
+# shuffle, no UDF; at 100 TB this is a pure scan-projection that pipelines
+# inside one WholeStageCodegen span.
+@query(
+    "rel_array_suite",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               len(toks) AS n_toks,
+               len(list_distinct(toks)) AS n_uniq,
+               list_slice(list_sort(list_distinct(toks)), 1, 3) AS first3_uniq,
+               list_contains(toks, 'the') AS has_the,
+               list_reverse(toks)[1] AS last_tok,
+               list_max(toks) AS max_tok,
+               array_to_string(list_slice(toks, 1, 2), '|') AS head_join
+        FROM t
+    """,
+)
+def rel_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3_uniq"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_max(toks).alias("max_tok"),
+        F.concat_ws("|", F.slice(toks, 1, 2)).alias("head_join"),
+    )

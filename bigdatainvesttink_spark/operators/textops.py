@@ -284,3 +284,62 @@ def d4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# D4g: PII redaction — the standard pre-training scrub (emails, phone
+# numbers) as pure regexp projection: map-side, no shuffle, WholeStageCodegen
+# end to end. The synthetic corpus contains no PII, so every 7th document
+# gets a deterministic injected email+phone (identical string arithmetic on
+# both engines) and the redactor must scrub exactly those.
+@query(
+    "d4_pii_redact",
+    oracle=r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || doc_id ||
+                             '@example.com or +1-555-' ||
+                             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(
+                   text, '\+[0-9][0-9-]{6,}')) AS INT) AS n_phones,
+               regexp_replace(regexp_replace(
+                   text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>',
+                   'g'), '\+[0-9][0-9-]{6,}', '<PHONE>', 'g') AS redacted
+        FROM aug
+    """,
+)
+def d4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+[0-9][0-9-]{6,}"
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+    )

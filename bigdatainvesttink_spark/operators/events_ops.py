@@ -158,3 +158,67 @@ def d6_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D6c: funnel analysis — ordered step matching (view -> click -> purchase):
+# the earliest click strictly after the user's first view, then the earliest
+# purchase strictly after that click. Three partial aggregates all keyed on
+# user_id, so every shuffle lands on the same hash partitioning and the
+# joins are co-partitioned (no extra exchange at scale); each stage's input
+# is pre-filtered to one event type before the shuffle.
+@query(
+    "d6_funnel_steps",
+    oracle="""
+        WITH v AS (SELECT user_id, MIN(ts) AS t_view
+                   FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+              FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+              FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                         WHEN c.t_click IS NOT NULL THEN 2
+                         ELSE 1 END AS INT) AS stage
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def d6_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+    )

@@ -104,3 +104,29 @@ def test_broadcast_threshold_respected_for_queries(spark):
     text = plan_text(df)
     assert "BroadcastNestedLoopJoin BuildRight" in text
     assert "CartesianProduct" not in text
+
+
+def test_mapside_suites_have_no_shuffle(spark):
+    # pure projection suites must pipeline in one stage: zero exchanges
+    for name in ["rel_array_suite", "d4_pii_redact", "rel_filter_project_scalar",
+                 "d3_embedding_normalize", "d3_embedding_quantize"]:
+        assert shuffle_count(_q(name, spark)) == 0, name
+
+
+def test_ivf_probe_broadcasts_small_sides(spark):
+    # centroids (25 rows) and the assigned-query side must broadcast; the
+    # corpus scan must never be shuffled for the probe join
+    text = plan_text(_q("d3_ivf_probe_topk", spark))
+    assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+    assert "CartesianProduct" not in text
+
+
+def test_funnel_joins_copartition_on_user(spark):
+    # every exchange in the funnel is hash-partitioned on user_id — the
+    # stage joins reuse one partitioning, nothing shuffles twice
+    text = plan_text(_q("d6_funnel_steps", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    for line in physical.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "user_id" in line, line

@@ -333,3 +333,43 @@ def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# D1b: latest-wins compaction (SCD type-1 / CDC upsert semantics) — the
+# reference re-publishes its dimension on every producer run (SURVEY §2-B
+# B10), so the warehouse accumulates row versions; compaction keeps only the
+# newest version per key. One shuffle on the key; at 100 TB this is the
+# MERGE-on-read pattern: partition by key hash, per-partition heap scan, no
+# global sort. Deterministic tiebreak on event_id for equal timestamps.
+@query(
+    "d1_compact_latest",
+    oracle="""
+        SELECT user_id, event_type, ts AS latest_ts, value AS latest_value,
+               n_versions
+        FROM (
+            SELECT user_id, event_type, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id, event_type)
+                       AS n_versions
+            FROM events
+        ) v WHERE rn = 1
+    """,
+)
+def d1_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = Window.partitionBy("user_id", "event_type")
+    w = key.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count("*").over(key))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+            "n_versions",
+        )
+    )

@@ -373,3 +373,55 @@ def d1_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_versions",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D2e: record-linkage fuzzy matching — Levenshtein edit distance on a
+# 40-char prefix, with candidate pairs blocked on (lang, length-bucket) so
+# the self-join is sum(block^2), never N^2 (same scale shape as the
+# MinHash/LSH band join: at 100 TB the block key comes from a coarser
+# quantizer). Closest 3 pairs per language, ties on ids.
+@query(
+    "d2_fuzzy_levenshtein",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, lang, n_chars // 8 AS bucket,
+                   substr(text, 1, 40) AS head
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.head, b.head) AS dist
+            FROM b a JOIN b b ON a.lang = b.lang AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+        )
+        SELECT lang, doc_a, doc_b, dist, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY dist ASC, doc_a ASC, doc_b ASC) AS rnk
+            FROM pairs
+        ) r WHERE rnk <= 3
+    """,
+)
+def d2_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 8).cast("long").alias("bucket"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein("a.head", "b.head").alias("dist"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("dist").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

@@ -564,3 +564,43 @@ def rel_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(toks).alias("max_tok"),
         F.concat_ws("|", F.slice(toks, 1, 2)).alias("head_join"),
     )
+
+
+# --------------------------------------------------------------------------
+# Table-reconciliation checksum: order-insensitive per-group digest
+# (bit_xor of a portable 60-bit row hash) + row count. The replica-
+# consistency / migration-audit primitive: two copies of a 100 TB table
+# compare by exchanging a few grouped checksums instead of rows. XOR keeps
+# everything in int64 (no wide-decimal sums), is commutative (shuffle-order
+# free), and maps partial -> final like any algebraic aggregate. Doubles are
+# excluded from the digest on purpose: canonical string formatting of
+# floats is engine-specific.
+@query(
+    "rel_table_checksum",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_rows,
+               bit_xor(CAST(CAST('0x' || substr(md5(concat_ws('|',
+                   o_orderkey, o_custkey, o_orderstatus,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))), 1, 15)
+                   AS UBIGINT) AS BIGINT)) AS checksum
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def rel_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stable_hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    digest = stable_hash60(
+        F.concat_ws(
+            "|",
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        )
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(digest).alias("checksum"),
+    )

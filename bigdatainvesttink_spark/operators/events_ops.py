@@ -222,3 +222,79 @@ def d6_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D6d: calendar gap-fill + forward fill — the hypertable/resampling
+# primitive: per-user daily rollup, a generated date spine covering each
+# user's [min, max] span, and last-observation-carried-forward for gap days.
+# Spine generation is an explode of a per-user sequence (no cross join with
+# a global calendar — each user only materializes its own span, which is
+# what survives at 100 TB where spans differ wildly). The fill window is a
+# running last(ignorenulls): one shuffle on user_id shared by rollup, join,
+# and window. Daily sums are decimal-routed; filled values are copies, so
+# no float recomputation hazard.
+@query(
+    "d6_gapfill_ffill",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS daily_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+                   FROM daily GROUP BY user_id),
+        spine AS (
+            SELECT user_id, CAST(u.d AS DATE) AS day
+            FROM bounds, unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                                CAST(mx AS TIMESTAMP),
+                                                INTERVAL 1 DAY)) AS u(d)
+        )
+        SELECT s.user_id, s.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               last_value(d.daily_value IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value,
+               d.user_id IS NULL AS is_gap
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def d6_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+        ).alias("daily_value"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    joined = spine.join(
+        daily.withColumnRenamed("user_id", "d_user"),
+        (F.col("d_user") == spine.user_id) & (daily.day == spine.day),
+        "left",
+    ).select(
+        spine.user_id, spine.day, "n_events", "daily_value",
+        F.col("d_user").isNull().alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("daily_value", ignorenulls=True).over(w).alias("filled_value"),
+        "is_gap",
+    )

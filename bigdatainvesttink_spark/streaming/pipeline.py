@@ -196,3 +196,52 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+# --------------------------------------------------------------------------
+# C5 as an oracle-checked query: SESSION windows computed BY THE STREAMING
+# ENGINE — the state store merges overlapping per-user sessions as
+# micro-batches arrive (the canonical stateful-streaming operator). Complete
+# mode drains the final state, which must equal the batch gaps-and-islands
+# answer (same oracle as d6_session_window_native, the batch arm).
+@query(
+    "c_stream_session_counts",
+    oracle=f"""
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {{gap}} SECOND AS session_end,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                            > {{gap}} * 1000000
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                               IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+            ) flagged
+        ) sessions
+        GROUP BY user_id, session_seq
+    """.format(gap=1800),
+)
+def c_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")

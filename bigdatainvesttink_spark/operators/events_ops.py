@@ -298,3 +298,44 @@ def d6_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("daily_value", ignorenulls=True).over(w).alias("filled_value"),
         "is_gap",
     )
+
+
+# --------------------------------------------------------------------------
+# D6e: retention cohorts — users bucketed by first-seen day, activity
+# counted per (cohort, week offset): the canonical growth-accounting rollup.
+# Three aggregates, all shuffling on user_id or the small (cohort, offset)
+# grid; the distinct-day projection collapses the fact table before any
+# join, so the cohort join moves |users x active-days| rows, not raw events.
+@query(
+    "d6_retention_cohorts",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        coh AS (SELECT user_id, MIN(day) AS cohort FROM act GROUP BY user_id)
+        SELECT c.cohort,
+               CAST((a.day - c.cohort) // 7 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM act a JOIN coh c ON c.user_id = a.user_id
+        GROUP BY 1, 2
+    """,
+)
+def d6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    coh = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("day", "cohort") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

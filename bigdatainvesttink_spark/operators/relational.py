@@ -604,3 +604,69 @@ def rel_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.bit_xor(digest).alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass table profiler — the data-quality primitive run before any 100 TB
+# job: per-column null counts, distinct counts, and key/date ranges, all in
+# a single scan + single aggregate (partial+final). count(DISTINCT a, b)
+# two-column forms are avoided so the whole profile stays one hash-agg pass
+# per distinct target with AQE handling the expand.
+@query(
+    "rel_profile_orders",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_custkey) AS null_custkey,
+               COUNT(*) - COUNT(o_orderstatus) AS null_status,
+               COUNT(DISTINCT o_custkey) AS distinct_custkey,
+               COUNT(DISTINCT o_orderstatus) AS distinct_status,
+               COUNT(DISTINCT o_orderpriority) AS distinct_priority,
+               MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey,
+               MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        FROM orders
+    """,
+)
+def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        (F.count("*") - F.count("o_orderstatus")).alias("null_status"),
+        F.count_distinct("o_custkey").alias("distinct_custkey"),
+        F.count_distinct("o_orderstatus").alias("distinct_status"),
+        F.count_distinct("o_orderpriority").alias("distinct_priority"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram — fixed [0, 500k) price range in 20 bins; bin id is
+# floor(x / w) on identical IEEE doubles, so both engines bin identically.
+# One shuffle on the 20-value bin key; the out-of-range tail is clamped to
+# the edge bins (the standard profiler contract).
+@query(
+    "rel_histogram_price",
+    oracle="""
+        SELECT GREATEST(LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT),
+                              19), 0) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def rel_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.greatest(
+        F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)), F.lit(0)
+    )
+    return o.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -670,3 +670,51 @@ def rel_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Full outer join — the reconciliation shape (rows on either side only, or
+# both): active buyers (have orders) FULL OUTER high-balance customers.
+# Both inputs pre-aggregate/filter to small keyed sets before the join, so
+# the full outer is one co-partitioned shuffle on c_custkey.
+@query(
+    "rel_join_full_outer",
+    oracle="""
+        WITH buyers AS (
+            SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ),
+        rich AS (
+            SELECT c_custkey AS custkey, c_acctbal
+            FROM customer WHERE c_acctbal > 9000.0
+        )
+        SELECT COALESCE(b.custkey, r.custkey) AS custkey,
+               b.n_orders, r.c_acctbal,
+               CASE WHEN b.custkey IS NULL THEN 'rich_only'
+                    WHEN r.custkey IS NULL THEN 'buyer_only'
+                    ELSE 'both' END AS side
+        FROM buyers b FULL OUTER JOIN rich r ON r.custkey = b.custkey
+    """,
+)
+def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("b_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_custkey").alias("r_custkey"), "c_acctbal")
+    )
+    return buyers.join(
+        rich, F.col("r_custkey") == F.col("b_custkey"), "full_outer"
+    ).select(
+        F.coalesce("b_custkey", "r_custkey").alias("custkey"),
+        "n_orders",
+        "c_acctbal",
+        F.when(F.col("b_custkey").isNull(), "rich_only")
+        .when(F.col("r_custkey").isNull(), "buyer_only")
+        .otherwise("both")
+        .alias("side"),
+    )

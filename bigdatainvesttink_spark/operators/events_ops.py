@@ -339,3 +339,42 @@ def d6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# D6f: event transition matrix — bigram (event_type -> next event_type)
+# counts and row-normalized probabilities over each user's time-ordered
+# stream. One window shuffle on user_id to form pairs, then a tiny
+# (5 x 5)-key aggregate; the probability divide is a single IEEE op on
+# identical integers, so no cross-engine rounding is needed.
+@query(
+    "d6_event_transitions",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS dst
+            FROM events
+        ),
+        counted AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, n,
+               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS prob
+        FROM counted
+    """,
+)
+def d6_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counted = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    return counted.withColumn(
+        "prob",
+        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("src")),
+    )

@@ -297,3 +297,45 @@ def d7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") * 10 <= F.col("n_stratum"))
         .drop("n_stratum")
     )
+
+
+
+
+# --------------------------------------------------------------------------
+# D7c: deterministic train/val/test split — every document lands in exactly
+# one split, decided by its content hash (not row position), so the
+# assignment is stable under re-partitioning, re-ordering, and incremental
+# re-runs — the property a 100 TB corpus refresh needs. 98/1/1 by hash
+# residue; keyed on doc_id + text so identical texts with different ids
+# split independently. Pure projection + tiny rollup.
+@query(
+    "d7_train_val_test_split",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CAST(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 15)
+                        AS UBIGINT) AS BIGINT) % 100 AS residue
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN residue < 98 THEN 'train'
+                    WHEN residue = 98 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def d7_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    residue = stable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    ) % 100
+    split = (
+        F.when(residue < 98, "train")
+        .when(residue == 98, "val")
+        .otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
+    )

@@ -339,3 +339,67 @@ def d7_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", split.alias("split")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# D7d: the composed curation pipeline — the operators above chained the way
+# a production corpus refresh runs them: quality gate (length + token
+# floor) -> exact-dedup survivors (canonical doc per identical text) ->
+# content-hash split assignment -> per (lang, split) document/token
+# accounting. One window shuffle for dedup, one rollup; the quality gate
+# and split assignment stay map-side. Survivor = smallest doc_id per text,
+# so the pipeline is idempotent under re-runs.
+@query(
+    "d7_curation_pipeline",
+    oracle="""
+        WITH gated AS (
+            SELECT doc_id, lang, text,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_toks
+            FROM documents
+            WHERE length(text) >= 100
+        ),
+        q AS (SELECT * FROM gated WHERE n_toks >= 20),
+        survivors AS (
+            SELECT * FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS canon
+                FROM q
+            ) WHERE doc_id = canon
+        )
+        SELECT lang,
+               CASE WHEN residue < 98 THEN 'train'
+                    WHEN residue = 98 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               SUM(n_toks) AS total_tokens
+        FROM (
+            SELECT lang, n_toks,
+                   CAST(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 15)
+                        AS UBIGINT) AS BIGINT) % 100 AS residue
+            FROM survivors
+        )
+        GROUP BY 1, 2
+    """,
+)
+def d7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.filter(F.length("text") >= 100).withColumn(
+        "n_toks", F.size(tokenize("text"))
+    )
+    q = gated.filter(F.col("n_toks") >= 20)
+    survivors = (
+        q.withColumn("canon", F.min("doc_id").over(Window.partitionBy("text")))
+        .filter(F.col("doc_id") == F.col("canon"))
+    )
+    residue = stable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    ) % 100
+    split = (
+        F.when(residue < 98, "train")
+        .when(residue == 98, "val")
+        .otherwise("test")
+    )
+    return survivors.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )

@@ -387,8 +387,15 @@ def d7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks", F.size(tokenize("text"))
     )
     q = gated.filter(F.col("n_toks") >= 20)
+    # partition on (hash60, text) like d1_dedup_exact: same groups (equal
+    # text => equal hash), but the shuffle hashes a fixed-width key first
     survivors = (
-        q.withColumn("canon", F.min("doc_id").over(Window.partitionBy("text")))
+        q.withColumn(
+            "canon",
+            F.min("doc_id").over(
+                Window.partitionBy(stable_hash60("text"), "text")
+            ),
+        )
         .filter(F.col("doc_id") == F.col("canon"))
     )
     residue = stable_hash60(

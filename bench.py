@@ -51,17 +51,23 @@ def main() -> None:
             timings[name] = round(min(t, run_once(qs[name])), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # The driver parses the LAST stdout line and may keep only a bounded
+    # tail of the output, so the result line must be (a) compact, (b) the
+    # final bytes ever written to stdout. json with no whitespace plus
+    # os._exit keeps py4j/JVM shutdown chatter from landing after it.
+    line = json.dumps(
+        {
+            "metric": "suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

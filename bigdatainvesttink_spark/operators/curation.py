@@ -138,6 +138,9 @@ def d2_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_BUDGET = 128
 N_SHARDS = 8
+# 2^40 pack slots per shard (~2^47 tokens/shard at 128-token packs) — wide
+# enough that pack_id never collides across shards at 100 TB corpus scale.
+SHARD_STRIDE = 1 << 40
 
 
 @query(
@@ -156,8 +159,9 @@ N_SHARDS = 8
             FROM t
         )
         SELECT doc_id, n_tok,
-               shard * 1000000 + start_off // {PACK_BUDGET} AS pack_id,
-               start_off % {PACK_BUDGET} AS pack_offset
+               CAST(shard * {SHARD_STRIDE} + start_off // {PACK_BUDGET}
+                    AS BIGINT) AS pack_id,
+               CAST(start_off % {PACK_BUDGET} AS BIGINT) AS pack_offset
         FROM offs
     """,
 )
@@ -178,7 +182,7 @@ def d7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tok",
         (
-            F.col("shard") * 1_000_000
+            F.col("shard") * SHARD_STRIDE
             + F.floor(F.col("start_off") / PACK_BUDGET)
         ).alias("pack_id"),
         (F.col("start_off") % PACK_BUDGET).alias("pack_offset"),
@@ -371,7 +375,7 @@ def d7_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN residue = 98 THEN 'val'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               SUM(n_toks) AS total_tokens
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
         FROM (
             SELECT lang, n_toks,
                    CAST(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 15)

@@ -64,10 +64,10 @@ def d5_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
         FROM (
             SELECT user_id, ts, value,
-                   SUM(is_new) OVER (
+                   CAST(SUM(is_new) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM (
                 SELECT user_id, ts, value, event_id,
                        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (

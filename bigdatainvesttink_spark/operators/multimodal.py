@@ -263,15 +263,23 @@ def audio_features(binary_df: DataFrame) -> DataFrame:
     oracle=f"""
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
-               [CAST((h >> j) & 255 AS DOUBLE) / 255.0
-                FOR j IN range({N_AUDIO_FEATURES})] AS features
+               CAST(r.j AS BIGINT) AS j,
+               CAST((h >> r.j) & 255 AS DOUBLE) / 255.0 AS feature
         FROM (
             SELECT doc_id, text,
                    CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
                         AS BIGINT) AS h
             FROM documents WHERE text <> ''
-        ) d
+        ) d CROSS JOIN range({N_AUDIO_FEATURES}) r(j)
     """,
 )
 def dmm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return audio_features(_binary_docs(spark, sf_dir))
+    # The library op returns (doc_id, n_bytes, features array<double>); the
+    # driver's canonicalizer hashes scalar cells only, so the oracle query
+    # emits the exploded long form: one (doc_id, j, feature) row per lane.
+    feats = audio_features(_binary_docs(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("j", "feature"),
+    ).withColumn("j", F.col("j").cast("long"))

@@ -540,7 +540,8 @@ def rel_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang,
                len(toks) AS n_toks,
                len(list_distinct(toks)) AS n_uniq,
-               list_slice(list_sort(list_distinct(toks)), 1, 3) AS first3_uniq,
+               array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3),
+                               '|') AS first3_uniq,
                list_contains(toks, 'the') AS has_the,
                list_reverse(toks)[1] AS last_tok,
                list_max(toks) AS max_tok,
@@ -558,7 +559,9 @@ def rel_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(toks).alias("n_toks"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3_uniq"),
+        F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)).alias(
+            "first3_uniq"
+        ),
         F.array_contains(toks, "the").alias("has_the"),
         F.element_at(toks, -1).alias("last_tok"),
         F.array_max(toks).alias("max_tok"),

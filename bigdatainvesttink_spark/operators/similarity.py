@@ -266,16 +266,20 @@ _DIM = 64
     "d3_embedding_normalize",
     oracle=f"""
         WITH v AS ({_O_VEC})
-        SELECT vec_id, [round(x / norm, 6) FOR x IN e] AS unit
-        FROM v WHERE norm > 0
+        SELECT vec_id, CAST(i AS BIGINT) AS pos,
+               round(e[i + 1] / norm, 6) AS unit_x
+        FROM v, (SELECT unnest(range({_DIM})) AS i)
+        WHERE norm > 0
     """,
 )
 def d3_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Long form (one row per dimension): the driver's canonicalizer hashes
+    # scalar cells only; the array-valued variant is F.transform inline.
     v = _vectors(spark, sf_dir).filter(F.col("norm") > 0)
+    unit = F.transform("e", lambda x: F.round(x / F.col("norm"), 6))
     return v.select(
-        "vec_id",
-        F.transform("e", lambda x: F.round(x / F.col("norm"), 6)).alias("unit"),
-    )
+        "vec_id", F.posexplode(unit).alias("pos", "unit_x")
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 # Per-vector int8-style scalar quantization: min/max range mapped onto
@@ -287,13 +291,14 @@ def d3_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH v AS ({_O_VEC})
         SELECT vec_id, list_min(e) AS mn, list_max(e) AS mx,
+               CAST(i AS BIGINT) AS pos,
                CASE WHEN list_min(e) = list_max(e)
-                    THEN [CAST(0 AS BIGINT) FOR x IN e]
-                    ELSE [LEAST(CAST(floor((x - list_min(e)) * 256
-                                           / (list_max(e) - list_min(e)))
-                                     AS BIGINT), 255) FOR x IN e]
-               END AS q
-        FROM v
+                    THEN CAST(0 AS BIGINT)
+                    ELSE LEAST(CAST(floor((e[i + 1] - list_min(e)) * 256
+                                          / (list_max(e) - list_min(e)))
+                                    AS BIGINT), 255)
+               END AS q_x
+        FROM v, (SELECT unnest(range({_DIM})) AS i)
     """,
 )
 def d3_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +314,16 @@ def d3_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return v.select("vec_id", mn.alias("mn"), mx.alias("mx"), q.alias("q"))
+    return (
+        v.select(
+            "vec_id",
+            mn.alias("mn"),
+            mx.alias("mx"),
+            F.posexplode(q).alias("pos", "q_x"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .select("vec_id", "mn", "mx", "pos", "q_x")
+    )
 
 
 # Per-label centroids: decimal-exact per-dimension means (posexplode ->
@@ -319,36 +333,31 @@ def d3_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d3_label_centroids",
     oracle=f"""
-        WITH v AS ({_O_VEC}),
-        grid AS (
-            SELECT label, i AS pos,
-                   CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
-                       / COUNT(*) AS m
-            FROM v, (SELECT unnest(range({_DIM})) AS i)
-            GROUP BY label, i
-        )
-        SELECT label, list(m ORDER BY pos) AS centroid,
-               CAST(MIN(cnt) AS BIGINT) AS n_vectors
-        FROM grid
-        JOIN (SELECT label AS l2, COUNT(*) AS cnt FROM v GROUP BY label)
-          ON l2 = label
-        GROUP BY label
+        WITH v AS ({_O_VEC})
+        SELECT label, CAST(i AS BIGINT) AS pos,
+               CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS m,
+               COUNT(*) AS n_vectors
+        FROM v, (SELECT unnest(range({_DIM})) AS i)
+        GROUP BY label, i
     """,
 )
 def d3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Long form (label, pos, m): one shuffle on (label, pos); consumers that
+    # want the dense vector re-collect with array_sort(collect_list(...)).
     v = _vectors(spark, sf_dir)
     ex = v.select("label", F.posexplode("e").alias("pos", "x"))
-    grid = ex.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("x").cast("decimal(27,6)")).cast("double") / F.count("*")
-        ).alias("m"),
-        F.count("*").alias("cnt"),
-    )
-    return grid.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-        ).alias("centroid"),
-        F.min("cnt").alias("n_vectors"),
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                / F.count("*")
+            ).alias("m"),
+            F.count("*").alias("n_vectors"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .select("label", "pos", "m", "n_vectors")
     )
 
 

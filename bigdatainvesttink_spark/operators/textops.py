@@ -179,12 +179,12 @@ def d4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d4_fingerprint",
     oracle="""
         SELECT doc_id,
-               list_sum([
+               CAST(list_sum([
                    ((CAST(CAST('0x' || substr(md5(toks[i+1]), 1, 15) AS UBIGINT) AS BIGINT)
                      % 2147483647)
                     * (((i + 1) * 2654435761) % 2147483647)) % 2147483647
                    FOR i IN range(len(toks))
-               ]) % 2147483647 AS fingerprint,
+               ]) % 2147483647 AS BIGINT) AS fingerprint,
                len(toks) AS n_tokens
         FROM (
             SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

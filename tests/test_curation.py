@@ -9,6 +9,7 @@ from collections import Counter
 from bigdatainvesttink_spark.operators.curation import (
     N_SHARDS,
     PACK_BUDGET,
+    SHARD_STRIDE,
     d2_cc_clusters,
     d4_repetition_filter,
     d7_sequence_packing,
@@ -41,14 +42,14 @@ def test_sequence_packing_invariants(spark):
     by_shard: dict[int, list] = {}
     for r in rows:
         assert 0 <= r["pack_offset"] < PACK_BUDGET
-        by_shard.setdefault(r["pack_id"] // 1_000_000, []).append(r)
+        by_shard.setdefault(r["pack_id"] // SHARD_STRIDE, []).append(r)
     assert set(by_shard) <= set(range(N_SHARDS))
     # within a shard, docs laid out by doc_id occupy contiguous token space
     for shard, rs in by_shard.items():
         rs.sort(key=lambda r: r["doc_id"])
         off = 0
         for r in rs:
-            assert r["pack_id"] == shard * 1_000_000 + off // PACK_BUDGET
+            assert r["pack_id"] == shard * SHARD_STRIDE + off // PACK_BUDGET
             assert r["pack_offset"] == off % PACK_BUDGET
             off += r["n_tok"]
 

@@ -45,8 +45,12 @@ def as_of_join(
     least ``right_ts`` >= ``left_ts`` ('forward'), per key. Left rows with
     no match keep nulls (left-outer semantics, like DuckDB ASOF LEFT JOIN).
 
-    ``right`` should be unique on (key, right_ts); if several right rows
-    share a timestamp the carried values are not deterministic.
+    If several right rows share a (key, right_ts), the window order is
+    totalized by the carried value columns themselves (ascending, nulls
+    first), so the row with the greatest value tuple wins deterministically
+    on any engine and any partitioning — no extra shuffle. (Right rows with
+    nulls inside value columns can still mix per-column under ties; keep
+    right unique on (key, ts) when that matters.)
     """
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = list(
@@ -84,13 +88,16 @@ def as_of_join(
     )
 
     # At equal timestamps the right row must sort before the left row so the
-    # inclusive (<= / >=) match is visible to the running window.
+    # inclusive (<= / >=) match is visible to the running window. The value
+    # columns then totalize the order among duplicate right rows (left rows
+    # hold nulls there — nulls-first keeps them out of the tiebreak).
     if direction == "backward":
         order = [F.col(_TS).asc(), F.col(_TAG).asc()]
     elif direction == "forward":
         order = [F.col(_TS).desc(), F.col(_TAG).asc()]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    order += [F.col(c).asc_nulls_first() for c in carried]
 
     w = (
         Window.partitionBy(*keys)

@@ -28,39 +28,102 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, stable_hash60, tokenize
 from ..io import load_table
 from ..registry import query
-from .dedup import CORPUS_SQL, corpus, d2_neardup_jaccard
+from ..session import checkpointed
+from .dedup import CORPUS_SQL, JACCARD_PAIRS_SQL, corpus, d2_neardup_jaccard
 
 # --------------------------------------------------------------------------
 # Near-dup clusters: transitive closure of the Jaccard>=0.6 pair graph.
 # A copy chain {base, exact copy, one-token mutant} must collapse to ONE
 # canonical doc even though (copy, mutant) may only connect through base —
 # pair lists alone can't express that; components can.
+#
+# Algorithm: alternating large-star / small-star (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) — the
+# cluster-scale formulation. Each half-round is a groupBy + join keyed on
+# the 8-byte node id; NO side is ever force-broadcast (the r1 version
+# broadcast the full label table every round, which dies once labels =
+# every node of a 100 TB pair graph). Rounds are O(log^2 n) on adversarial
+# chain graphs, and per-round state is reliably checkpointed (replicated
+# lineage cut), not localCheckpoint'd (executor loss = full recompute).
 
-_JACCARD_PAIRS_SQL = """
-    shingled AS (
-        SELECT doc_id, unnest(sh_set) AS shingle, len(sh_set) AS n_sh FROM (
-            SELECT doc_id,
-                   list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-                                  FOR i IN range(0, len(toks) - 2)]) AS sh_set
-            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
-            WHERE len(toks) >= 3
-        )
-    ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM shingled a JOIN shingled b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-        HAVING CAST(COUNT(*) AS DOUBLE)
-                   / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*)) >= 0.6
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+    both = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-"""
+    m = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        both.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges big->small; connect each node's smaller neighbors
+    (and itself) to the minimum of that neighborhood."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        directed.join(m, "u")
+        .select(F.col("v").alias("u"), "m")
+        .union(m)
+        .filter(F.col("u") != F.col("m"))
+        .select("u", F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 24) -> DataFrame:
+    """(node, component_min) for every node of the undirected pair graph.
+
+    Fixpoint of small_star(large_star(e)): at convergence the edge set is a
+    star forest with centers = component minima. The convergence probe is a
+    (count, xxhash-sum) signature — two scalars per round, never a
+    collect of graph data. Raises if the graph hasn't converged within
+    ``max_rounds`` (O(log^2 n) suffices; silent truncation would return
+    wrong clusters).
+    """
+    e = checkpointed(pairs.select("u", "v").filter(F.col("u") != F.col("v")))
+
+    def sig(d: DataFrame) -> tuple:
+        r = d.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev = sig(e)
+    for _ in range(max_rounds):
+        e = checkpointed(_small_star(_large_star(e)))
+        cur = sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds"
+        )
+    # e is now (member, center) with center = component min; centers
+    # themselves appear only on the right — add their self-labels.
+    centers = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return e.union(centers).distinct().select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
 
 
 @query(
     "d2_cc_clusters",
     oracle=f"""
         WITH RECURSIVE corpus AS ({CORPUS_SQL}),
-        {_JACCARD_PAIRS_SQL},
+        {JACCARD_PAIRS_SQL},
         edges AS (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION ALL
@@ -77,55 +140,14 @@ _JACCARD_PAIRS_SQL = """
     """,
 )
 def d2_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d2_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    # Materialize the (small) pair graph once — the shingle self-join behind
-    # it must not re-run every propagation round.
-    edges = fwd.union(rev).localCheckpoint()
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    # Min-label propagation to fixpoint. Each round is ONE materialization
-    # (localCheckpoint) carrying both old and new labels, so the convergence
-    # probe is a count() over already-computed partitions — no recompute, no
-    # driver-side data collection.
-    # Broadcast hints: a localCheckpointed frame reports default (huge)
-    # stats, so Catalyst would pick sort-merge joins for these tiny sides.
-    # At fixture scale the label table always fits a broadcast; the
-    # cluster-scale variant swaps these for a single hash partitioning on
-    # u/v reused across rounds (or large-star/small-star entirely).
-    for _ in range(12):
-        neigh = (
-            edges.join(
-                F.broadcast(
-                    labels.select(
-                        F.col("u").alias("__v"), F.col("label").alias("__nl")
-                    )
-                ),
-                F.col("v") == F.col("__v"),
-            )
-            .groupBy("u")
-            .agg(F.min("__nl").alias("nmin"))
-        )
-        stepped = (
-            labels.withColumnRenamed("label", "old")
-            .join(F.broadcast(neigh), "u", "left")
-            .select(
-                "u",
-                F.col("old"),
-                F.least(F.col("old"), F.coalesce("nmin", F.col("old"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = stepped.filter(F.col("label") != F.col("old")).count()
-        labels = stepped.drop("old")
-        if changed == 0:
-            break
-    w = Window.partitionBy("label")
+    pairs = d2_neardup_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("component")
     return labels.select(
-        F.col("u").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"),
     )
 

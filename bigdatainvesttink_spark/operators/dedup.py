@@ -94,19 +94,39 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D2a: exact n-gram Jaccard near-dedup — inverted-index self-join on word
 # 3-gram shingles, exact |A∩B| / |A∪B| over distinct shingle sets,
 # threshold 0.6. Jaccard is an integer ratio -> bit-exact cross-engine.
-@query(
-    "d2_neardup_jaccard",
-    oracle=_oracle(
-        """
-        , shingled AS (
-            SELECT doc_id, unnest(sh_set) AS shingle, len(sh_set) AS n_sh FROM (
-                SELECT doc_id,
-                       list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-                                      FOR i IN range(0, len(toks) - 2)]) AS sh_set
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
-                WHERE len(toks) >= 3
-            )
+#
+# Hot-shingle cap: shingles whose document frequency exceeds DF_CAP are
+# dropped from the shingle sets BEFORE the self-join (the standard
+# stopword-shingle mitigation). Without it, one high-df shingle on a skewed
+# 100 TB corpus lands its entire posting list on a single reducer and the
+# self-join explodes quadratically in that list. The hot list itself is
+# tiny (high-df tail of the vocabulary), so it rides a broadcast anti-join;
+# Jaccard is then computed over the capped sets on BOTH engines, keeping
+# the oracle in lockstep. DF_CAP=64 exceeds the fixture corpus's max df
+# (29 at sf0.1), so fixture results are identical to the uncapped ones —
+# the plan shape, not the pruning, is what changes at this scale.
+
+DF_CAP = 64
+
+# Shared capped-pairs SQL: the shingle -> hot-filter -> self-join chain used
+# by both this oracle and d2_cc_clusters' (curation.py). `corpus` CTE must
+# be in scope.
+JACCARD_PAIRS_SQL = f"""
+    shingled0 AS (
+        SELECT doc_id, unnest(sh_set) AS shingle FROM (
+            SELECT doc_id,
+                   list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                  FOR i IN range(0, len(toks) - 2)]) AS sh_set
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+            WHERE len(toks) >= 3
         )
+    ), hot AS (
+        SELECT shingle FROM shingled0 GROUP BY shingle HAVING COUNT(*) > {DF_CAP}
+    ), shingled AS (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM (SELECT * FROM shingled0 ANTI JOIN hot USING (shingle))
+    ), pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(COUNT(*) AS DOUBLE)
                    / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*)) AS jaccard
@@ -115,16 +135,46 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
         HAVING CAST(COUNT(*) AS DOUBLE)
                    / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*)) >= 0.6
+    )
+"""
+
+
+def capped_shingles(c: DataFrame) -> DataFrame:
+    """(doc_id, shingle, n_sh) with df>DF_CAP shingles dropped.
+
+    Two aggregates: the hot list (small -> broadcast anti-join), then the
+    per-doc set size over the surviving shingles.
+    """
+    sh0 = (
+        c.select(
+            "doc_id", F.array_distinct(shingles(tokenize("text"), 3)).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    kept = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    return kept.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+
+
+@query(
+    "d2_neardup_jaccard",
+    oracle=_oracle(
+        f"""
+        , {JACCARD_PAIRS_SQL}
+        SELECT doc_a, doc_b, jaccard FROM pairs
         """
     ),
 )
 def d2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = corpus(spark, sf_dir)
-    sh = (
-        c.select("doc_id", F.array_distinct(shingles(tokenize("text"), 3)).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    )
+    sh = capped_shingles(corpus(spark, sf_dir))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

@@ -44,6 +44,26 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def checkpointed(df, eager: bool = True):
+    """Reliably checkpoint a DataFrame (cut lineage + durable materialization).
+
+    Iterative algorithms (connected components, k-means) must not recompute
+    their full upstream plan every round, and at cluster scale the
+    materialized state must survive executor loss — which ``localCheckpoint``
+    (executor-local blocks, non-replicated) does not. On a real cluster the
+    checkpoint dir is HDFS/S3 (set by deployment); locally we default it to
+    a temp dir on first use.
+    """
+    import tempfile
+
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "bigdatainvesttink-ckpt")
+        )
+    return df.checkpoint(eager=eager)
+
+
 def get_spark(app_name: str = "bigdatainvesttink-spark") -> SparkSession:
     """Build (or fetch) a local session sized for the test harness.
 

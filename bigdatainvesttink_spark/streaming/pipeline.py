@@ -33,12 +33,16 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
+from ..session import configure
 from ..sources.ingest import ingest
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture with the same
     nanos->timestamp_ntz normalization as the batch loader."""
+    # Self-configure: events.parquet carries INT64 TIMESTAMP(NANOS), which a
+    # fresh driver-owned session can't scan without nanosAsLong (session.py).
+    configure(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # Streaming file sources take a directory; pathGlobFilter narrows the
     # listing to the events table inside the shared fixture dir.

@@ -130,3 +130,30 @@ def test_funnel_joins_copartition_on_user(spark):
     for line in physical.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "user_id" in line, line
+
+
+def test_jaccard_hot_shingle_cap_precedes_self_join(spark):
+    # the df-cap aggregate must run BEFORE the inverted-index self-join: the
+    # hot-shingle list rides a broadcast LEFT ANTI join (tiny high-df tail),
+    # so one stop-word shingle can never explode a reducer at 100 TB
+    text = plan_text(_q("d2_neardup_jaccard", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    anti = physical.find("LeftAnti")
+    assert anti != -1
+    assert "BroadcastHashJoin" in physical[max(0, anti - 120) : anti + 120]
+
+
+def test_connected_components_never_broadcasts_labels(spark):
+    # large-star/small-star rounds must not force-broadcast any side — the
+    # label/edge tables are all-nodes-sized at scale. Forced hints show up
+    # as ResolvedHint/UnresolvedHint in the analyzed plan (runtime AQE
+    # broadcasts of genuinely small sides are fine and don't appear there).
+    from bigdatainvesttink_spark.operators.curation import (
+        _large_star,
+        _small_star,
+    )
+
+    e = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "u long, v long")
+    for df in (_large_star(e), _small_star(e), _small_star(_large_star(e))):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "Hint" not in analyzed

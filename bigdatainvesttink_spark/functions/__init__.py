@@ -3,6 +3,7 @@ from .core import (  # noqa: F401
     dsum,
     imbalance,
     log_return,
+    quotation_to_decimal,
     quotation_to_double,
     round6,
 )

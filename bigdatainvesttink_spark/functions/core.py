@@ -62,6 +62,24 @@ def quotation_to_double(units: Column | str, nano: Column | str) -> Column:
     return _col(units).cast("double") + _col(nano).cast("double") / F.lit(1e9)
 
 
+def quotation_to_decimal(units: Column | str, nano: Column | str) -> Column:
+    """Lossless Quotation fixed-point -> decimal, 9 fractional digits.
+
+    SURVEY §1.3's lossless alternative to the reference's float collapse
+    (from_parser_to_rabbitmq.py:60-63): units + nano*1e-9 evaluated entirely
+    in decimal arithmetic, so every representable Quotation round-trips
+    exactly. Multiplication (not division) by the 1e-9 decimal literal keeps
+    both engines in exact decimal: division would rescale (Spark) or fall to
+    DOUBLE (DuckDB). Result scale is 9 on both sides.
+
+    Oracle spelling: ``CAST(units AS DECIMAL(18,9))
+    + CAST(nano AS DECIMAL(19,0)) * CAST(0.000000001 AS DECIMAL(10,9))``.
+    """
+    return _col(units).cast("decimal(18,9)") + _col(nano).cast(
+        "decimal(19,0)"
+    ) * F.lit("0.000000001").cast("decimal(10,9)")
+
+
 def imbalance(bid_volume: Column | str, ask_volume: Column | str) -> Column:
     """Order-book imbalance (b-a)/(b+a) — analytics goal №4 of the
     reference (app/for_rabbit/from_parser_to_rabbitmq.py:239-240)."""

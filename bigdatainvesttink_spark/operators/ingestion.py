@@ -16,9 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import domain_table, oracle_on_domain
-from ..functions import quotation_to_double
+from ..functions import quotation_to_decimal, quotation_to_double
 from ..registry import query
-from ..sources.ingest import ingest, serialize
+from ..schemas import TS_FORMAT
+from ..sources.ingest import dispatch, ingest, serialize, validate
 
 _WIRE_RENAME = {"candles": "ts", "trades": "ts", "order_book": "ts", "companies": None}
 
@@ -183,3 +184,91 @@ def a_quotation_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         quotation_to_double(units, nano).alias("px"),
         F.when(F.col("event_id") % 2 == 0, "buy").otherwise("sell").alias("side"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lossless money variant (SURVEY §1.3): the same Quotation projection
+# through exact decimal arithmetic — units + nano*1e-9 with no float
+# round-trip, so 0.1-style values survive bit-exactly. Offered beside the
+# reference-faithful float64 path (a_quotation_projection); px_nanos is the
+# exact integer representation proving losslessness independent of any
+# decimal canonicalization. The decimal is surfaced as its scale-9 string —
+# pandas converts DuckDB DECIMAL to float64 (lossy) but VARCHAR survives,
+# so the comparison stays exact end to end.
+@query(
+    "a_quotation_decimal",
+    oracle="""
+        SELECT event_id,
+               CAST(CAST(units AS DECIMAL(18,9))
+                   + CAST(nano AS DECIMAL(19,0))
+                     * CAST(0.000000001 AS DECIMAL(10,9)) AS VARCHAR) AS px_dec,
+               CAST(units * 1000000000 + nano AS BIGINT) AS px_nanos
+        FROM (
+            SELECT event_id,
+                   event_id % 2000 - 1000 AS units,
+                   CASE WHEN event_id % 100 = 0 THEN 999999999
+                        ELSE (event_id * 7919) % 1000000000 END AS nano
+            FROM events
+        ) q
+    """,
+)
+def a_quotation_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    units = F.col("event_id") % 2000 - 1000
+    nano = F.when(F.col("event_id") % 100 == 0, 999999999).otherwise(
+        (F.col("event_id") * 7919) % 1000000000
+    )
+    return e.select(
+        "event_id",
+        quotation_to_decimal(units, nano).cast("string").alias("px_dec"),
+        (units * 1000000000 + nano).cast("bigint").alias("px_nanos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A14's rejected-rows side-channel as a first-class query (SURVEY §1.4's
+# drop-and-log semantics, reference from_rabbitmq_to_clickhouse.py:136-139):
+# the trades feed is wire-corrupted deterministically — every trade_id%97
+# loses its required price field, every trade_id%89 gets an unparseable
+# timestamp — and validate()'s REJECTED frame is rolled up by reason.
+# Shuffle-free until the final tiny count, like the rest of the path.
+@query(
+    "a_ingest_rejected_counts",
+    oracle=oracle_on_domain(
+        """
+        SELECT 'trades' AS table_name, 'missing_required' AS reason,
+               COUNT(*) AS n_rows
+        FROM trades WHERE trade_id % 97 = 0
+        UNION ALL
+        SELECT 'trades', 'bad_timestamp', COUNT(*)
+        FROM trades WHERE trade_id % 97 <> 0 AND trade_id % 89 = 0
+        """
+    ),
+)
+def a_ingest_rejected_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    bad_req = F.col("trade_id") % 97 == 0
+    bad_ts = F.col("trade_id") % 89 == 0
+    wire_rows = t.select(
+        "company_id",
+        F.when(bad_ts, F.lit("31/12/2024 99:99"))
+        .otherwise(F.date_format("ts", TS_FORMAT))
+        .alias("timestamp"),
+        F.when(bad_req, F.lit(None).cast("double"))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "volume",
+        "side",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    wire = serialize(wire_rows, "trades", ts_col=None)
+    _, rejected = validate(dispatch(wire)["trades"], "trades")
+    # Missing-required dominates when a row is corrupted both ways, matching
+    # the reference's check order (presence before timestamp parse).
+    reason = F.when(F.col("price").isNull(), "missing_required").otherwise(
+        "bad_timestamp"
+    )
+    return rejected.groupBy(
+        F.lit("trades").alias("table_name"), reason.alias("reason")
+    ).agg(F.count("*").alias("n_rows"))

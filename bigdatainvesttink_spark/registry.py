@@ -113,6 +113,6 @@ def _load_operator_modules() -> None:
         tpch_full,
     )
     from .sources import formats  # noqa: F401
-    from .streaming import pipeline  # noqa: F401
+    from .streaming import pipeline, queue_source  # noqa: F401
 
     _loaded = True

@@ -35,6 +35,11 @@ from .io import load_table
 
 _COMPANY = "'FIGI' || lpad(CAST(user_id % 50 AS STRING), 2, '0')"
 
+# Depth of the full order book (the reference requests depth 20 and keeps
+# level 1 only, from_parser_to_rabbitmq.py:185-192; we model all 20 levels).
+BOOK_DEPTH = 20
+_LEVELS_VALUES = ",".join(f"({i})" for i in range(1, BOOK_DEPTH + 1))
+
 # Each value is a complete SELECT; CTE dependency order is COMPANIES,
 # TRADES, ORDER_BOOK (all from events), then CANDLES (from trades).
 FIXTURE_SQL: dict[str, str] = {
@@ -65,6 +70,26 @@ FIXTURE_SQL: dict[str, str] = {
         FROM events
         WHERE event_id % 3 = 0
     """,
+    # Full-depth book, one row per (snapshot, level). Written flat because
+    # nested array<struct> literals are not dialect-portable (Spark
+    # named_struct vs DuckDB struct_pack); the Spark operator assembles the
+    # nested representation with collect_list(struct(..)), the oracle
+    # aggregates the flat rows — final outputs match. Prices decay linearly
+    # away from mid (same IEEE double ops both engines); volumes are exact
+    # integer LCG arithmetic on (event_id, lvl).
+    "book_levels": f"""
+        SELECT {_COMPANY} AS company_id,
+               ts,
+               event_id AS snap_id,
+               lvl,
+               (value + 0.01) * (1.0 - 0.0005 * lvl) AS bid_price,
+               (event_id * 48271 + lvl * 7919) % 499 + 1 AS bid_volume,
+               (value + 0.01) * (1.0 + 0.0005 * lvl) AS ask_price,
+               (event_id * 16807 + lvl * 104729) % 499 + 1 AS ask_volume
+        FROM events
+        CROSS JOIN (VALUES {_LEVELS_VALUES}) AS levels(lvl)
+        WHERE event_id % 3 = 0
+    """,
     "candles": """
         SELECT company_id,
                date_trunc('hour', ts) AS ts,
@@ -87,7 +112,7 @@ FIXTURE_SQL: dict[str, str] = {
     """,
 }
 
-_CTE_ORDER = ("companies", "trades", "order_book", "candles")
+_CTE_ORDER = ("companies", "trades", "order_book", "book_levels", "candles")
 
 
 def domain_ctes(tables: tuple[str, ...] = _CTE_ORDER) -> str:

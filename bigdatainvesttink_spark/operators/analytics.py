@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..fixtures import domain_table, oracle_on_domain
+from ..fixtures import BOOK_DEPTH, domain_table, oracle_on_domain
 from ..functions import as_of_join, davg, dsum, imbalance, log_return
 from ..registry import query
 
@@ -253,6 +253,81 @@ def b5_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n_snapshots"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B5b: FULL-DEPTH order book (reference requests depth 20 and keeps level 1,
+# from_parser_to_rabbitmq.py:185-192 — we model all 20 levels). The book is
+# assembled into its natural at-scale storage shape — ONE row per snapshot
+# with an array<struct<lvl,bid_price,bid_volume,ask_price,ask_volume>>
+# column (20x fewer rows than flat) — then consumed with JVM-side
+# higher-order functions (slice + aggregate): level-k cumulative imbalance
+# without ever exploding back to per-level rows, so no 20x row blowup and no
+# extra shuffle at query time. sort_array on (lvl, ...) structs makes the
+# collect_list order deterministic. The DuckDB oracle computes identical
+# metrics from the flat per-level rows (nested literals aren't
+# dialect-portable; results are).
+@query(
+    "b5b_depth_imbalance",
+    oracle=oracle_on_domain(
+        f"""
+        SELECT company_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               CAST(SUM(CAST(CAST(bv1 - av1 AS DOUBLE) / CAST(bv1 + av1 AS DOUBLE)
+                   AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS imb_l1,
+               CAST(SUM(CAST(CAST(bv5 - av5 AS DOUBLE) / CAST(bv5 + av5 AS DOUBLE)
+                   AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS imb_l5,
+               CAST(SUM(CAST(CAST(bvk - avk AS DOUBLE) / CAST(bvk + avk AS DOUBLE)
+                   AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS imb_full,
+               COUNT(*) AS n_snapshots
+        FROM (
+            SELECT company_id, ts, snap_id,
+                   SUM(CASE WHEN lvl <= 1 THEN bid_volume ELSE 0 END) AS bv1,
+                   SUM(CASE WHEN lvl <= 1 THEN ask_volume ELSE 0 END) AS av1,
+                   SUM(CASE WHEN lvl <= 5 THEN bid_volume ELSE 0 END) AS bv5,
+                   SUM(CASE WHEN lvl <= 5 THEN ask_volume ELSE 0 END) AS av5,
+                   SUM(bid_volume) AS bvk,
+                   SUM(ask_volume) AS avk
+            FROM book_levels
+            GROUP BY company_id, ts, snap_id
+        ) snap
+        GROUP BY company_id, date_trunc('day', ts)
+        """
+    ),
+)
+def b5b_depth_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lv = domain_table(spark, sf_dir, "book_levels")
+    level = F.struct("lvl", "bid_price", "bid_volume", "ask_price", "ask_volume")
+    book = lv.groupBy("company_id", "snap_id", "ts").agg(
+        F.sort_array(F.collect_list(level)).alias("levels")
+    )
+
+    def cum_vol(side: str, k: int):
+        return F.aggregate(
+            F.slice("levels", 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x[side],
+        )
+
+    def level_imb(k: int):
+        b, a = cum_vol("bid_volume", k), cum_vol("ask_volume", k)
+        return (b - a).cast("double") / (b + a).cast("double")
+
+    snap = book.select(
+        "company_id",
+        "ts",
+        level_imb(1).alias("i1"),
+        level_imb(5).alias("i5"),
+        level_imb(BOOK_DEPTH).alias("ik"),
+    )
+    return snap.groupBy(
+        "company_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        (F.sum(F.col("i1").cast(_DEC)).cast("double") / F.count("*")).alias("imb_l1"),
+        (F.sum(F.col("i5").cast(_DEC)).cast("double") / F.count("*")).alias("imb_l5"),
+        (F.sum(F.col("ik").cast(_DEC)).cast("double") / F.count("*")).alias("imb_full"),
+        F.count("*").alias("n_snapshots"),
     )
 
 

@@ -143,6 +143,18 @@ def test_jaccard_hot_shingle_cap_precedes_self_join(spark):
     assert "BroadcastHashJoin" in physical[max(0, anti - 120) : anti + 120]
 
 
+def test_depth_book_consumed_without_explode(spark):
+    # the nested array<struct> book must be consumed by higher-order
+    # functions (slice/aggregate) — a Generate/explode would blow the
+    # snapshot rows back up 20x and force an extra shuffle at 100 TB
+    df = _q("b5b_depth_imbalance", spark)
+    text = plan_text(df)
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "Generate" not in physical  # no explode anywhere
+    # snapshot assembly + day rollup: exactly two exchanges
+    assert shuffle_count(df) == 2
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

@@ -436,3 +436,203 @@ def d7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7e: benchmark decontamination — flag training documents that share too
+# many word 3-gram shingles with a held-out eval set (the standard guard
+# against benchmark leakage in a pretraining corpus; e.g. GPT-3 App. C /
+# Gopher's 13-gram overlap, scaled to 3-grams for the fixture vocabulary).
+#
+# Eval set = the original docs with doc_id % 20 = 0 — exactly the docs whose
+# verbatim copies (doc_id+2e6) and one-token mutants (doc_id+1e6, when also
+# % 25 = 0) were injected into the corpus (dedup.CORPUS_SQL), so the fixture
+# has genuine leakage to find: copies overlap at ratio 1.0, mutants just
+# below, unrelated word-soup docs near 0.
+#
+# Scale design (100 TB corpus vs a benchmark of thousands of docs): the
+# eval-side shingle table is tiny and rides a BROADCAST hash join — the
+# corpus-side shingle stream is scanned map-side and never shuffled; the
+# only shuffle is the (train_id, eval_id) rollup over MATCHED rows, which is
+# bounded by actual overlap, not corpus size. Shingles join on the portable
+# 60-bit hash (8-byte key, not the shingle text).
+@query(
+    "d7_decontaminate",
+    oracle=f"""
+        WITH corpus AS ({CORPUS_SQL}),
+        sh AS (
+            SELECT doc_id, CAST(CAST('0x' || substr(md5(shingle), 1, 15)
+                       AS UBIGINT) AS BIGINT) AS sh_h
+            FROM (
+                SELECT doc_id, unnest(sh_set) AS shingle FROM (
+                    SELECT doc_id,
+                           list_distinct([toks[i+1] || ' ' || toks[i+2] || ' '
+                                          || toks[i+3]
+                                          FOR i IN range(0, len(toks) - 2)])
+                               AS sh_set
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM corpus)
+                    WHERE len(toks) >= 3
+                )
+            )
+        ),
+        evsh AS (
+            SELECT doc_id AS eval_id, sh_h,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS eval_n_sh
+            FROM sh WHERE doc_id % 20 = 0 AND doc_id < 1000000
+        ),
+        trsh AS (
+            SELECT doc_id AS train_id, sh_h
+            FROM sh WHERE NOT (doc_id % 20 = 0 AND doc_id < 1000000)
+        )
+        SELECT train_id, eval_id,
+               COUNT(*) AS n_shared,
+               MAX(eval_n_sh) AS eval_n_sh,
+               CAST(COUNT(*) AS DOUBLE) / MAX(eval_n_sh) AS contamination
+        FROM trsh JOIN evsh USING (sh_h)
+        GROUP BY train_id, eval_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / MAX(eval_n_sh) >= 0.5
+    """,
+)
+def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    sh = c.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias(
+            "shingle"
+        ),
+    ).select("doc_id", stable_hash60("shingle").alias("sh_h"))
+    is_eval = (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1_000_000)
+    evsh = (
+        sh.filter(is_eval)
+        .withColumnRenamed("doc_id", "eval_id")
+        .withColumn(
+            "eval_n_sh", F.count("*").over(Window.partitionBy("eval_id"))
+        )
+    )
+    trsh = sh.filter(~is_eval).withColumnRenamed("doc_id", "train_id")
+    hits = (
+        trsh.join(F.broadcast(evsh), "sh_h")
+        .groupBy("train_id", "eval_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.max("eval_n_sh").alias("eval_n_sh"),
+        )
+    )
+    contamination = F.col("n_shared").cast("double") / F.col("eval_n_sh")
+    return hits.select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        "eval_n_sh",
+        contamination.alias("contamination"),
+    ).filter(F.col("contamination") >= 0.5)
+
+
+# --------------------------------------------------------------------------
+# D7f: weighted corpus mixing — resample the corpus so each domain (lang)
+# contributes a target share of a reduced token budget (half the natural
+# total), the way pretraining mixes weight wiki/books/web differently.
+# Selection is hash-threshold Bernoulli: keep a doc iff
+# hash(doc) % 1e6 < rate_ppm(domain), where rate_ppm is derived from the
+# domain's natural token mass vs its target. All-integer arithmetic end to
+# end (per-mille weights, ppm rates, floor division), so the sampled set is
+# bit-identical on any engine / partitioning / cluster size.
+#
+# Scale design: pass 1 is a column-pruned (lang, tokens) scan -> 5-row
+# totals; the rate table is 5 rows and broadcasts; pass 2 is a map-side
+# filter + rollup. No per-domain sort, no window over a whole domain —
+# nothing here is single-reducer at 100 TB (contrast: exact-budget packing
+# would need a per-domain cumulative sum; Bernoulli-by-hash trades <1%
+# budget error for an embarrassingly parallel plan).
+
+MIX_WEIGHTS_PM = (("en", 500), ("zh", 200), ("de", 150), ("fr", 100), ("es", 50))
+
+
+@query(
+    "d7_corpus_mix",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok,
+                   CAST(CAST('0x' || substr(md5('mix:' || doc_id || '|' || text),
+                        1, 15) AS UBIGINT) AS BIGINT) % 1000000 AS h
+            FROM documents WHERE text <> ''
+        ),
+        tot AS (
+            SELECT lang, CAST(SUM(tok) AS BIGINT) AS natural_tokens
+            FROM d GROUP BY lang
+        ),
+        grand AS (
+            SELECT CAST(SUM(natural_tokens) AS BIGINT) AS t_total FROM tot
+        ),
+        wts(lang, w_pm) AS (
+            VALUES {", ".join(f"('{lang}', {pm})" for lang, pm in MIX_WEIGHTS_PM)}
+        ),
+        rates AS (
+            SELECT t.lang, t.natural_tokens,
+                   (g.t_total * w.w_pm) // 2000 AS target_tokens,
+                   LEAST(1000000,
+                         ((g.t_total * w.w_pm) // 2000) * 1000000
+                             // t.natural_tokens) AS rate_ppm
+            FROM tot t JOIN wts w ON t.lang = w.lang CROSS JOIN grand g
+        )
+        SELECT r.lang, r.natural_tokens, r.target_tokens,
+               COUNT(*) AS sampled_docs,
+               CAST(SUM(d.tok) AS BIGINT) AS sampled_tokens
+        FROM d JOIN rates r ON d.lang = r.lang AND d.h < r.rate_ppm
+        GROUP BY r.lang, r.natural_tokens, r.target_tokens
+    """,
+)
+def d7_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = docs.select(
+        "lang",
+        F.size(tokenize("text")).alias("tok"),
+        (
+            stable_hash60(
+                F.concat(
+                    F.lit("mix:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("text"),
+                )
+            )
+            % 1_000_000
+        ).alias("h"),
+    )
+    tot = d.groupBy("lang").agg(F.sum("tok").cast("long").alias("natural_tokens"))
+    grand = tot.agg(F.sum("natural_tokens").cast("long").alias("t_total"))
+    wts = docs.sparkSession.createDataFrame(
+        list(MIX_WEIGHTS_PM), "lang string, w_pm long"
+    )
+    # integer DIV, not floor(double /): the products exceed 2^53 at 100 TB
+    # token counts, where double division would drift off DuckDB's exact //
+    target = F.expr("(t_total * w_pm) DIV 2000")
+    rates = (
+        tot.join(F.broadcast(wts), "lang")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "natural_tokens",
+            target.alias("target_tokens"),
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(
+                    "(((t_total * w_pm) DIV 2000) * 1000000)"
+                    " DIV natural_tokens"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    picked = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(F.col("h") < F.col("rate_ppm"))
+        .groupBy("lang", "natural_tokens", "target_tokens")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.sum("tok").cast("long").alias("sampled_tokens"),
+        )
+    )
+    return picked

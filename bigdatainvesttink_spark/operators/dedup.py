@@ -475,3 +475,68 @@ def d2_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     )
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# D1c: incremental dedup — the shape a production corpus refresh actually
+# runs: dedup a NEW crawl batch against the already-deduped 100 TB index
+# without re-deduping the index itself. The batch CTE injects re-crawled
+# copies of existing docs (doc_id % 3 = 0 -> must be dropped against the
+# index), genuinely new docs ('fresh' prefix, doc_id % 7 = 2 -> must
+# survive), and within-batch duplicates of those (doc_id % 14 = 2 subset ->
+# must collapse to one canonical row).
+#
+# Scale design: within-batch dedup windows only over the (small) batch; the
+# index probe is a LEFT ANTI join keyed on (60-bit text hash, text) — at
+# scale the index is stored bucketed on that hash, so the probe co-locates
+# with zero index-side shuffle and the batch side shuffles only its own
+# size. The index is never broadcast and never re-aggregated.
+NEW_BATCH_SQL = """
+    SELECT doc_id + 3000000 AS doc_id, text
+    FROM documents WHERE text <> '' AND doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 4000000 AS doc_id, 'fresh ' || text AS text
+    FROM documents WHERE text <> '' AND doc_id % 7 = 2
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id, 'fresh ' || text AS text
+    FROM documents WHERE text <> '' AND doc_id % 14 = 2
+"""
+
+
+@query(
+    "d1_dedup_incremental",
+    oracle=f"""
+        WITH newb AS ({NEW_BATCH_SQL}),
+        oldb AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+        canon AS (
+            SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+                   COUNT(*) OVER (PARTITION BY text) AS n_batch_copies
+            FROM newb
+        )
+        SELECT c.doc_id, c.n_batch_copies
+        FROM canon c
+        WHERE c.doc_id = c.canonical_id
+          AND NOT EXISTS (SELECT 1 FROM oldb o WHERE o.text = c.text)
+    """,
+)
+def d1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    newb = spark.sql(NEW_BATCH_SQL).withColumn("__h", stable_hash60("text"))
+    oldb = (
+        spark.sql("SELECT text FROM documents WHERE text <> ''")
+        .withColumn("__h", stable_hash60("text"))
+    )
+    w = Window.partitionBy("__h", "text")
+    canon = newb.select(
+        "doc_id",
+        "text",
+        "__h",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_batch_copies"),
+    )
+    return (
+        canon.filter(F.col("doc_id") == F.col("canonical_id"))
+        .join(oldb, ["__h", "text"], "left_anti")
+        .select("doc_id", "n_batch_copies")
+    )

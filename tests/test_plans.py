@@ -155,6 +155,26 @@ def test_depth_book_consumed_without_explode(spark):
     assert shuffle_count(df) == 2
 
 
+def test_decontaminate_broadcasts_eval_side(spark):
+    # the benchmark/eval shingle table is tiny vs a 100 TB corpus: it must
+    # ride a broadcast hash join so the corpus shingle stream is never
+    # shuffled for the match (the only exchange is the matched-pairs rollup)
+    text = plan_text(_q("d7_decontaminate", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+
+
+def test_corpus_mix_is_scan_plus_tiny_broadcasts(spark):
+    # rate/weight tables are O(domains) rows and must broadcast; the doc
+    # scan must never be shuffled for the rate join, and no per-domain
+    # window (single-reducer at scale) may appear
+    text = plan_text(_q("d7_corpus_mix", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in physical
+    assert "Window" not in physical
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

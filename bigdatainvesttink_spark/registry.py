@@ -70,11 +70,51 @@ _FIXED_FIRST: tuple[str, ...] = (
 )
 
 
+# Family-balanced priority within the unchecked group: the driver's check
+# budget covered exactly 50 queries in r1, so the first ~46 unchecked slots
+# decide which FAMILIES get their first driver rows. Zero-row families
+# (formats, streaming) and one representative slice of each other family go
+# first; the long tpch/rel tails follow (their families already have green
+# rows: q1 / 12 rel_* from r1). Names not listed keep registration order
+# after the listed ones.
+_UNCHECKED_PRIORITY: tuple[str, ...] = (
+    # round-2 additions (new operators need their first row)
+    "b5b_depth_imbalance", "d1_dedup_incremental", "d7_decontaminate",
+    "d7_corpus_mix", "a_quotation_decimal", "a_ingest_rejected_counts",
+    # formats family: zero driver rows ever
+    "fmt_partitioned_pruned_scan", "fmt_orc_roundtrip",
+    "fmt_csv_json_roundtrip",
+    # streaming family: zero driver rows ever
+    "c_stream_tumbling_counts", "c_stream_sliding_counts",
+    "c_stream_session_counts", "c_queue_wire_roundtrip",
+    # tpch: join-heavy diagnostic picks (family proxy q1 is green)
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items", "tpch_q18_large_volume",
+    "tpch_q21_waiting_suppliers",
+    # similarity: full slice (only a rows-only kmeans row exists)
+    "d3_ann_bruteforce_topk", "d3_embedding_neardup", "d3_ann_lsh_bucketed",
+    "d3_embedding_normalize", "d3_embedding_quantize", "d3_label_centroids",
+    "d3_ivf_probe_topk",
+    # text analysis: full slice
+    "d4_text_quality", "d4_lang_id", "d4_token_count", "d4_fingerprint",
+    "d4_tfidf_top_terms", "d4_pii_redact",
+    # relational tail (12 rel_* already green from r1)
+    "rel_window_lag_lead", "rel_set_ops", "rel_sort_limit",
+    "rel_agg_percentile", "rel_array_suite", "rel_table_checksum",
+    "rel_profile_orders", "rel_histogram_price", "rel_join_full_outer",
+    "rel_range_join", "rel_pivot", "rel_window_analytics",
+    "rel_window_range_frame", "rel_correlated_scalar_subquery",
+    "rel_in_subquery_conditional_agg", "rel_approx_aggs",
+)
+
+
 def _driver_order(names: list[str]) -> list[str]:
     fixed = [n for n in _FIXED_FIRST if n in names]
     unchecked = [
         n for n in names if n not in _DRIVER_GREEN and n not in _FIXED_FIRST
     ]
+    rank = {n: i for i, n in enumerate(_UNCHECKED_PRIORITY)}
+    unchecked.sort(key=lambda n: rank.get(n, len(rank)))  # stable sort
     green = [n for n in names if n in _DRIVER_GREEN]
     return fixed + unchecked + green
 

@@ -540,3 +540,80 @@ def d1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(oldb, ["__h", "text"], "left_anti")
         .select("doc_id", "n_batch_copies")
     )
+
+# --------------------------------------------------------------------------
+# D1d: SCD-2 validity intervals — turn a change stream into slowly-changing-
+# dimension rows: each (user_id, event_type) version is valid from its own
+# ts until the next version's ts (NULL = current). One lead() window over
+# the key partitioning — same single-shuffle shape as d1_compact_latest,
+# which materializes only the last version; this keeps full history.
+@query(
+    "d1_scd2_intervals",
+    oracle="""
+        SELECT user_id, event_type,
+               value AS attr_value,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts ASC, event_id ASC) AS valid_to,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS version_no
+        FROM events
+    """,
+)
+def d1_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version_no"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D1e: CDC apply — merge an upsert/delete change batch into a snapshot:
+# last operation per key wins; a trailing delete removes the key. The op
+# code derives deterministically from the event (event_id % 10 = 0 -> D,
+# else U) so both engines see the same change stream. Plan: one window
+# shuffle on the key — the standard "deduplicate CDC batch then MERGE"
+# compaction, with the merge itself expressed as the rn=1 filter (at scale
+# this feeds a partition-overwrite or MERGE INTO sink).
+@query(
+    "d1_cdc_apply",
+    oracle="""
+        SELECT user_id, event_type,
+               ts AS final_ts, value AS final_value, n_ops
+        FROM (
+            SELECT user_id, event_type, ts, value,
+                   CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_ops
+            FROM events
+        ) v
+        WHERE rn = 1 AND op = 'U'
+    """,
+)
+def d1_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = Window.partitionBy("user_id", "event_type")
+    w = key.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    op = F.when(F.col("event_id") % 10 == 0, "D").otherwise("U")
+    return (
+        e.withColumn("op", op)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count("*").over(key))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("final_ts"),
+            F.col("value").alias("final_value"),
+            "n_ops",
+        )
+    )

@@ -79,7 +79,8 @@ _FIXED_FIRST: tuple[str, ...] = (
 # after the listed ones.
 _UNCHECKED_PRIORITY: tuple[str, ...] = (
     # round-2 additions (new operators need their first row)
-    "b5b_depth_imbalance", "d1_dedup_incremental", "d7_decontaminate",
+    "b5b_depth_imbalance", "d1_dedup_incremental", "d1_scd2_intervals",
+    "d1_cdc_apply", "d7_decontaminate",
     "d7_corpus_mix", "a_quotation_decimal", "a_ingest_rejected_counts",
     # formats family: zero driver rows ever
     "fmt_partitioned_pruned_scan", "fmt_orc_roundtrip",

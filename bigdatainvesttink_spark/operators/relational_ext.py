@@ -355,3 +355,36 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("p_size"),
         "p_retailprice",
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation: GROUP BY over a pathologically hot key —
+# lineitem has only 3 l_returnflag values, so a direct aggregation funnels
+# ~N/3 rows into each of 3 reducers regardless of cluster size. The salted
+# plan (functions/skew.py) splits each key across 16 salt sub-keys,
+# pre-aggregates, then combines: the hot reducer becomes 16 parallel ones.
+# Decimal addition is associative, so the result is bit-identical to the
+# direct plan (and to the unsalted DuckDB oracle).
+@query(
+    "rel_salted_hot_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sum_price,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def rel_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum_count(
+        li,
+        ["l_returnflag"],
+        {"sum_qty": "l_quantity", "sum_price": "l_extendedprice"},
+        n_salts=16,
+    )

@@ -100,7 +100,8 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d4_text_quality", "d4_lang_id", "d4_token_count", "d4_fingerprint",
     "d4_tfidf_top_terms", "d4_pii_redact",
     # relational tail (12 rel_* already green from r1)
-    "rel_window_lag_lead", "rel_set_ops", "rel_sort_limit",
+    "rel_salted_hot_agg", "rel_window_lag_lead", "rel_set_ops",
+    "rel_sort_limit",
     "rel_agg_percentile", "rel_array_suite", "rel_table_checksum",
     "rel_profile_orders", "rel_histogram_price", "rel_join_full_outer",
     "rel_range_join", "rel_pivot", "rel_window_analytics",

@@ -155,6 +155,21 @@ def test_depth_book_consumed_without_explode(spark):
     assert shuffle_count(df) == 2
 
 
+def test_salted_agg_splits_hot_key(spark):
+    # phase 1 must shuffle on (key, salt) — 16 reducers per hot key — and
+    # phase 2 on the key alone; a single exchange on l_returnflag would mean
+    # the salt was optimized away and the hot key funnels into one reducer
+    df = _q("rel_salted_hot_agg", spark)
+    text = plan_text(df)
+    physical = text.split("== Physical Plan ==")[-1]
+    salted = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt" in ln
+    ]
+    assert salted, "no exchange on (key, __salt)"
+    assert shuffle_count(df) == 2
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     # the benchmark/eval shingle table is tiny vs a 100 TB corpus: it must
     # ride a broadcast hash join so the corpus shingle stream is never

@@ -1,21 +1,42 @@
 """Benchmark harness: runs the registered query suite at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
+{"metric": ..., "value": N, "unit": "sec", "sf": ..., "families": {...},
+ "queries": {<top-5 slowest only>}, "detail": "BENCH_DETAIL.json"}
 
-Per-query time = full plan execution to a count-style action (results are
-consumed, not collected to the driver). A warm-up run of the flagship query
-amortizes JVM/codegen startup out of the numbers.
+The driver keeps only a bounded tail (~2000 chars) of stdout, so the final
+line stays well under that: per-family wall sums plus the top-5 slowest
+queries. Full per-query timings (every run of every query) land in
+BENCH_DETAIL.json next to this script for round-over-round comparison.
+
+Per-query time = full plan execution to a noop sink (results are consumed,
+not collected to the driver). A warm-up run of the flagship query amortizes
+JVM/codegen startup out of the numbers. Every query is timed twice and the
+min kept; a third run breaks >40% disagreement between the first two —
+the host has a documented ~2.5x same-plan timing swing (BASELINE.md), so
+single-shot numbers are noise for sub-4 s queries.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _family(name: str) -> str:
+    """Coarse query family: leading letters of the first token.
+
+    b1/b3b/b10 -> b, d1..d7 -> d, tpch_* -> tpch, rel_* -> rel, q1 -> q,
+    a/c/dmm/fmt as-is. Detail file keeps full names.
+    """
+    m = re.match(r"([a-z]+)", name.split("_", 1)[0])
+    return m.group(1) if m else name
 
 
 def main() -> None:
@@ -37,34 +58,57 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in qs.items():
-        timings[name] = round(run_once(fn), 3)
+        runs[name] = [run_once(fn)]
+    for name, fn in qs.items():
+        runs[name].append(run_once(fn))
+        a, b = runs[name][0], runs[name][1]
+        # Concurrent driver health ticks can inflate a single run 10-50x;
+        # a third run disambiguates real cost from a collision.
+        if min(a, b) > 0 and abs(a - b) / min(a, b) > 0.4:
+            runs[name].append(run_once(fn))
 
-    # The host may run other Spark jobs concurrently (driver health ticks);
-    # a query that hit that window reports 10-50x its real time. Re-run
-    # statistical outliers once and keep the min — bounds the extra cost to
-    # the few affected queries while keeping the suite honest.
-    med = sorted(timings.values())[len(timings) // 2]
-    for name, t in list(timings.items()):
-        if t > max(5.0, 6 * med):
-            timings[name] = round(min(t, run_once(qs[name])), 3)
-
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
-    # The driver parses the LAST stdout line and may keep only a bounded
-    # tail of the output, so the result line must be (a) compact, (b) the
-    # final bytes ever written to stdout. json with no whitespace plus
-    # os._exit keeps py4j/JVM shutdown chatter from landing after it.
+
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + t, 2)
+    top5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+
+    detail = {
+        "metric": "suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "runs": {k: [round(v, 3) for v in ts] for k, ts in runs.items()},
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # The driver parses the LAST stdout line and keeps only a bounded tail,
+    # so the result line must be (a) compact (<2000 bytes), (b) the final
+    # bytes ever written to stdout. json with no whitespace plus os._exit
+    # keeps py4j/JVM shutdown chatter from landing after it.
     line = json.dumps(
         {
             "metric": "suite_wall_seconds",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf,
+            "queries": top5,
+            "families": families,
+            "n_queries": len(timings),
+            "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),
     )
+    assert len(line) < 1900, f"result line too long: {len(line)} bytes"
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
     os._exit(0)

@@ -119,7 +119,7 @@ def domain_ctes(tables: tuple[str, ...] = _CTE_ORDER) -> str:
     """``WITH companies AS (...), trades AS (...) ...`` prefix for oracle SQL.
 
     Always emits dependencies in order; DuckDB/Spark both ignore unused CTEs
-    at planning time, so emitting all four is free.
+    at planning time, so emitting all of them is free.
     """
     parts = [f"{name} AS ({FIXTURE_SQL[name]})" for name in _CTE_ORDER]
     return "WITH " + ",\n".join(parts)

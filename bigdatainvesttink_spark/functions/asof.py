@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 _TAG = "__asof_tag"  # 0 = right (reference side), 1 = left (probe side)
 _TS = "__asof_ts"
+_VALS = "__asof_vals"  # carried right-side columns, taken atomically
 
 
 def as_of_join(
@@ -48,9 +49,12 @@ def as_of_join(
     If several right rows share a (key, right_ts), the window order is
     totalized by the carried value columns themselves (ascending, nulls
     first), so the row with the greatest value tuple wins deterministically
-    on any engine and any partitioning — no extra shuffle. (Right rows with
-    nulls inside value columns can still mix per-column under ties; keep
-    right unique on (key, ts) when that matters.)
+    on any engine and any partitioning — no extra shuffle. The carried
+    columns ride the window as ONE struct through a single
+    ``last(ignorenulls)``, so a right row is taken or skipped atomically:
+    duplicate (key, ts) right rows carrying nulls in some value columns can
+    never mix columns from different rows (struct comparison totalizes the
+    tie; null fields order before non-null consistently).
     """
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = list(
@@ -66,38 +70,42 @@ def as_of_join(
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
 
+    # All carried right-side columns ride as one struct so the running
+    # window takes/skips a right row ATOMICALLY (no per-column mixing under
+    # duplicate (key, ts) right rows with nulls inside value columns).
+    struct_ddl = "struct<" + ",".join(
+        f"`{c}`:{rtypes[right_ts] if (matched_ts_col and c == matched_ts_col) else rtypes[c]}"
+        for c in carried
+    ) + ">"
     l_side = left.select(
         *keys,
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_TAG),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
-        *(
-            [F.lit(None).cast(rtypes[right_ts]).alias(matched_ts_col)]
-            if matched_ts_col
-            else []
-        ),
+        F.lit(None).cast(struct_ddl).alias(_VALS),
     )
     r_side = right.select(
         *keys,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_TAG),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_payload],
-        *[F.col(c) for c in value_cols],
-        *([F.col(right_ts).alias(matched_ts_col)] if matched_ts_col else []),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            *([F.col(right_ts).alias(matched_ts_col)] if matched_ts_col else []),
+        ).alias(_VALS),
     )
 
     # At equal timestamps the right row must sort before the left row so the
     # inclusive (<= / >=) match is visible to the running window. The value
-    # columns then totalize the order among duplicate right rows (left rows
-    # hold nulls there — nulls-first keeps them out of the tiebreak).
+    # struct then totalizes the order among duplicate right rows (left rows
+    # hold a null struct — nulls-first keeps them out of the tiebreak).
     if direction == "backward":
         order = [F.col(_TS).asc(), F.col(_TAG).asc()]
     elif direction == "forward":
         order = [F.col(_TS).desc(), F.col(_TAG).asc()]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    order += [F.col(c).asc_nulls_first() for c in carried]
+    order += [F.col(_VALS).asc_nulls_first()]
 
     w = (
         Window.partitionBy(*keys)
@@ -110,10 +118,14 @@ def as_of_join(
         F.col(_TS),
         F.col(_TAG),
         *[F.col(c) for c in left_payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last(_VALS, ignorenulls=True).over(w).alias(_VALS),
     )
     return (
         filled.filter(F.col(_TAG) == 1)
-        .withColumnRenamed(_TS, left_ts)
-        .drop(_TAG)
+        .select(
+            *keys,
+            F.col(_TS).alias(left_ts),
+            *[F.col(c) for c in left_payload],
+            *[F.col(f"{_VALS}.`{c}`").alias(c) for c in carried],
+        )
     )

@@ -470,7 +470,9 @@ def d7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           || toks[i+3]
                                           FOR i IN range(0, len(toks) - 2)])
                                AS sh_set
-                    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM (SELECT doc_id,
+                                 list_filter(string_split(text, ' '),
+                                             t -> t <> '') AS toks
                           FROM corpus)
                     WHERE len(toks) >= 3
                 )

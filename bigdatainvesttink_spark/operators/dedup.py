@@ -341,24 +341,31 @@ def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", stable_hash60("token"))
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
-    bits = (
-        toks.select("doc_id", "h", "cnt", j)
-        .withColumn(
-            "contrib",
-            F.when(
-                F.expr("shiftright(h, CAST(j AS INT)) & 1 = 1"), F.col("cnt")
-            ).otherwise(-F.col("cnt")),
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.when(F.sum("contrib") > 0, 1).otherwise(0).cast("long").alias("bit")
-        )
-    )
-    fp = bits.groupBy("doc_id").agg(
+    # One pass over (doc_id, token) rows: 60 conditional sums in a single
+    # hash aggregate, one output row per doc. The earlier shape exploded a
+    # bit-index row per (doc, token, j) — a 60x row inflation through the
+    # partial aggregate; this keeps the signature constant-width per doc and
+    # gets map-side combine on all 60 buffers at once.
+    bit_sums = [
         F.sum(
-            F.expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")
-        ).alias("simhash")
+            F.col("cnt")
+            * (F.expr(f"CAST(shiftright(h, {j}) & 1 AS BIGINT)") * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    fingerprint = sum(
+        (
+            F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(60)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    fp = (
+        toks.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", fingerprint.alias("simhash"))
     )
     k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
     banded = fp.select("doc_id", "simhash", k).withColumn(
@@ -389,9 +396,17 @@ def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D1b: latest-wins compaction (SCD type-1 / CDC upsert semantics) — the
 # reference re-publishes its dimension on every producer run (SURVEY §2-B
 # B10), so the warehouse accumulates row versions; compaction keeps only the
-# newest version per key. One shuffle on the key; at 100 TB this is the
-# MERGE-on-read pattern: partition by key hash, per-partition heap scan, no
-# global sort. Deterministic tiebreak on event_id for equal timestamps.
+# newest version per key. Expressed as ONE hash aggregate (max + max_by +
+# count), not a row_number window: the aggregate gets a map-side partial
+# combine, so at 100 TB the shuffle moves one pre-combined row per
+# (key, map partition) instead of every row version, and there is no
+# per-key sort. A struct-valued max_by ordering would silently demote the
+# plan to SortAggregate (struct agg buffers aren't UnsafeRow-mutable), so
+# the (ts, event_id) ordering is packed losslessly into one DECIMAL(38,0):
+# ts_micros * 2^64 + (event_id + 2^63) — monotone in (ts, event_id), fits
+# in 38 digits (|ts_micros| < 2^63 in-range values reach ~2^115 < 10^38),
+# and decimal buffers ARE hash-aggregable. Deterministic tiebreak on
+# event_id for equal timestamps (event_id is unique, so the key is total).
 @query(
     "d1_compact_latest",
     oracle="""
@@ -409,18 +424,23 @@ def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d1_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    key = Window.partitionBy("user_id", "event_type")
-    w = key.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    # Session TZ is pinned UTC (session.configure), so ntz->timestamp->
+    # unix_micros is a bijection and the packed key is monotone in ts.
+    ordering = F.expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))"
+        " * CAST('18446744073709551616' AS DECIMAL(20,0))"  # 2^64
+        " + CAST(event_id AS DECIMAL(38,0))"
+        " + CAST('9223372036854775808' AS DECIMAL(19,0))"  # 2^63 bias
+    )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_versions", F.count("*").over(key))
-        .filter(F.col("rn") == 1)
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.max("ts").alias("latest_ts"),
+            F.max_by("value", ordering).alias("latest_value"),
+            F.count("*").alias("n_versions"),
+        )
         .select(
-            "user_id",
-            "event_type",
-            F.col("ts").alias("latest_ts"),
-            F.col("value").alias("latest_value"),
-            "n_versions",
+            "user_id", "event_type", "latest_ts", "latest_value", "n_versions"
         )
     )
 

@@ -9,7 +9,9 @@ pre-registered fixture views.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,12 +35,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Queries that already have a GREEN driver-correctness row (CORRECTNESS_r01).
-# The driver checks registered queries in dict order with a bounded budget
-# (r1 covered exactly the first 50), so ``all_queries`` yields rows that
-# still NEED a driver verdict first: the r1-red (now fixed) queries, then
-# everything never checked, then the already-green tail.
-_DRIVER_GREEN: frozenset[str] = frozenset(
+# Queries that already have a GREEN driver-correctness row. The driver
+# checks registered queries in dict order with a bounded budget (50/round),
+# so ``all_queries`` yields rows that still NEED a driver verdict first:
+# recently-fixed queries, then everything never checked, then the
+# already-green tail. The set self-maintains by scanning the driver's
+# CORRECTNESS_r*.json verdict files at import time; the static names below
+# are the r1 fallback in case the verdict files are absent.
+
+
+def _load_driver_green() -> frozenset[str]:
+    """Names with a fully green (rows+schema+hash) driver row in any round."""
+    green: set[str] = set(_DRIVER_GREEN_R1)
+    root = Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, verdict in rows.items():
+            if not isinstance(verdict, dict):
+                continue
+            if (
+                verdict.get("rows_match")
+                and verdict.get("schema_match")
+                and verdict.get("hash_match")
+            ):
+                green.add(name)
+    return frozenset(green)
+
+
+_DRIVER_GREEN_R1: frozenset[str] = frozenset(
     {
         "b1_candles_from_trades", "b2_volatility", "b3_large_trade_impact",
         "b4_autocorr", "b5_imbalance", "b6_enrich_broadcast",
@@ -61,7 +90,10 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
     }
 )
 
-# r1-red rows now fixed — must land inside the driver's check budget.
+_DRIVER_GREEN: frozenset[str] = _load_driver_green()
+
+# Once-red rows after a fix — must land inside the driver's check budget
+# until a green row confirms the fix (then they sort with the green tail).
 _FIXED_FIRST: tuple[str, ...] = (
     "d7_sequence_packing",
     "d6_sessionization",
@@ -111,9 +143,13 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    fixed = [n for n in _FIXED_FIRST if n in names]
+    fixed = [
+        n for n in _FIXED_FIRST if n in names and n not in _DRIVER_GREEN
+    ]
     unchecked = [
-        n for n in names if n not in _DRIVER_GREEN and n not in _FIXED_FIRST
+        n
+        for n in names
+        if n not in _DRIVER_GREEN and n not in _FIXED_FIRST
     ]
     rank = {n: i for i, n in enumerate(_UNCHECKED_PRIORITY)}
     unchecked.sort(key=lambda n: rank.get(n, len(rank)))  # stable sort

@@ -69,3 +69,28 @@ def test_row_count_preserved(spark):
     joined = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts")
     assert joined.count() == left.count()
     assert set(joined.columns) == {"k", "ts", "lid", "px"}
+
+
+def test_duplicate_right_ts_with_nulls_is_atomic(spark):
+    # Duplicate (key, ts) right rows carrying nulls in different value
+    # columns: the winner must be ONE row (the greatest value tuple), never
+    # a per-column mix of several rows — and the result must not depend on
+    # input order or partitioning.
+    left = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:05"), 1)],
+        "k string, ts timestamp_ntz, lid int",
+    )
+    dup_rows = [
+        ("A", _ts("2024-01-01 10:00:00"), None, 10.0),
+        ("A", _ts("2024-01-01 10:00:00"), 5.0, None),
+        ("A", _ts("2024-01-01 10:00:00"), 5.0, 7.0),
+    ]
+    schema = "k string, ts timestamp_ntz, px double, qty double"
+    expected = (5.0, 7.0)  # greatest (px, qty) tuple, taken atomically
+    for rows in (dup_rows, dup_rows[::-1], dup_rows[1:] + dup_rows[:1]):
+        for nparts in (1, 3):
+            right = spark.createDataFrame(rows, schema).repartition(nparts)
+            out = as_of_join(
+                left, right, on="k", left_ts="ts", right_ts="ts"
+            ).collect()[0]
+            assert (out["px"], out["qty"]) == expected, (rows, nparts)

@@ -190,6 +190,37 @@ def test_corpus_mix_is_scan_plus_tiny_broadcasts(spark):
     assert "Window" not in physical
 
 
+def test_compact_latest_is_single_aggregate(spark):
+    # latest-wins compaction must be ONE hash aggregate (max_by + count)
+    # with a map-side partial combine — not a row_number window, which
+    # shuffles every row version and sorts per key. At 100 TB that's the
+    # difference between moving pre-combined partials and moving the
+    # entire version history.
+    df = _q("d1_compact_latest", spark)
+    text = plan_text(df)
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "Window" not in physical
+    assert "Sort" not in physical
+    assert "partial_max_by" in physical  # map-side combine actually planned
+    assert shuffle_count(df) == 1
+
+
+def test_simhash_bits_single_pass_no_inflation(spark):
+    # the 60 bit-sums must come from ONE aggregate over (doc, token) rows —
+    # 60 conditional-sum buffers, one output row per doc. The explode-a-row-
+    # per-bit shape (60x inflation through the partial aggregate) must not
+    # come back: the only Generates allowed are the tokenizer explode and
+    # the constant 4-band fan-out, never a 60-element bit-index sequence.
+    df = _q("d2_simhash", spark)
+    text = plan_text(df)
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "partial_sum" in physical
+    assert "sequence(0, 59" not in physical  # no per-bit row explode
+    for line in physical.splitlines():
+        if "Generate explode(sequence" in line:
+            assert "0, 3" in line, line  # band fan-out only (constant 4)
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

@@ -246,3 +246,20 @@ def test_queue_source_checkpoint_restart(spark, tmp_path):
     # and the typed sink saw only clean trades rows
     trades = spark.read.parquet(f"{out}/trades")
     assert trades.filter(F.col("price").isNull()).count() == 0
+
+
+def test_streaming_query_on_unconfigured_session(spark):
+    # The driver may hand the engine a PLAIN session (no engine confs).
+    # events.parquet carries INT64 TIMESTAMP(NANOS), unreadable without
+    # nanosAsLong — events_stream must self-configure instead of relying on
+    # an earlier batch query having configured the shared session.
+    # newSession() shares the JVM but gets its own (default) SQLConf.
+    fresh = spark.newSession()
+    assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (
+        None,
+        "false",
+    )
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["c_stream_tumbling_counts"](fresh, SF_SMALL)
+    assert df.limit(1).count() == 1

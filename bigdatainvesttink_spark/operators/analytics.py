@@ -553,3 +553,66 @@ def b4b_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_obs") >= 10) & (F.col("__vp") > 0))
         .drop("__vp")
     )
+
+
+# --------------------------------------------------------------------------
+# B11: exponentially-weighted moving average of the trade price — the
+# standard smoothing the reference's Grafana dashboards apply to the raw
+# price stream (visualization layer, /root/reference/compose.yaml:16-28),
+# computed here in the engine. Windowed formulation: over the last 20
+# trades per instrument, ewma = sum(a^age * price) / sum(a^age) with
+# a = 0.9 — a bounded 20-element fold per row, not the unbounded recursive
+# form (which cannot partial-aggregate and would serialize per key).
+# Scale: one shuffle on company_id; the window carries <= 20 doubles per
+# row; the fold runs JVM-side via the `aggregate` higher-order function.
+# Both engines fold the identical list left-to-right; ROUND(,6) guards the
+# final division (round6 policy, functions/core.py).
+@query(
+    "b11_ewma_price",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, trade_id, ts,
+               ROUND(
+                   list_sum([prices[k+1] * pow(0.9, len(prices) - 1 - k)
+                             FOR k IN range(0, len(prices))])
+                   / list_sum([pow(0.9, len(prices) - 1 - k)
+                               FOR k IN range(0, len(prices))]),
+                   6) AS ewma
+        FROM (
+            SELECT company_id, trade_id, ts,
+                   array_agg(price) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC, trade_id ASC
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS prices
+            FROM trades
+        ) wl
+        """
+    ),
+)
+def b11_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    w = (
+        Window.partitionBy("company_id")
+        .orderBy(F.col("ts").asc(), F.col("trade_id").asc())
+        .rowsBetween(-19, 0)
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            __prices,
+            named_struct('i', 0, 's', CAST(0 AS DOUBLE), 'w', CAST(0 AS DOUBLE)),
+            (acc, x) -> named_struct(
+                'i', acc.i + 1,
+                's', acc.s + x * power(0.9, CAST(size(__prices) - 1 - acc.i AS DOUBLE)),
+                'w', acc.w + power(0.9, CAST(size(__prices) - 1 - acc.i AS DOUBLE))),
+            acc -> round(acc.s / acc.w, 6))
+        """
+    )
+    return (
+        t.select(
+            "company_id",
+            "trade_id",
+            "ts",
+            F.collect_list("price").over(w).alias("__prices"),
+        )
+        .select("company_id", "trade_id", "ts", fold.alias("ewma"))
+    )

@@ -637,3 +637,56 @@ def d1_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ops",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D1f: incremental aggregate maintenance — the materialized-view refresh
+# pattern. A standing daily rollup (the "view") is kept as PARTIAL
+# aggregates (count + exact decimal sum); when a new batch arrives, the
+# view is updated by merging the batch's partials into the stored ones —
+# never by re-scanning history. At 100 TB the difference is a full-corpus
+# recompute per refresh vs work proportional to the delta; storing
+# (count, sum) partials instead of finished averages is what makes the
+# merge closed under union (avg alone cannot be merged).
+# Fixture split: event_id % 10 != 0 plays the stored view's history,
+# % 10 == 0 plays the arriving batch. The oracle recomputes from scratch —
+# the merged result must be indistinguishable from a full recompute.
+@query(
+    "d1_incremental_agg_merge",
+    oracle="""
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def d1_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("__s"),
+        )
+
+    history = partials(e.filter(F.col("event_id") % 10 != 0))
+    batch = partials(e.filter(F.col("event_id") % 10 == 0))
+    merged = (
+        history.unionByName(batch)
+        .groupBy("event_type", "day")
+        .agg(F.sum("__n").alias("n_events"), F.sum("__s").alias("__s2"))
+    )
+    total = F.col("__s2").cast("double")
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        total.alias("sum_value"),
+        (total / F.col("n_events")).alias("avg_value"),
+    )

@@ -378,3 +378,122 @@ def d6_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prob",
         F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("src")),
     )
+
+
+# --------------------------------------------------------------------------
+# D6g: gap-fill with LINEAR INTERPOLATION — the second standard imputation
+# after forward-fill (d6_gapfill_ffill): missing days on each user's daily
+# spine get the straight-line value between the surrounding observations
+# (edges fall back to nearest-neighbor). Same scale shape as ffill — one
+# shuffle on user_id, then two frame passes (running-last ascending,
+# running-first descending) over the same partitioning, so the interpolation
+# adds no extra exchange. ROUND(,6) on the interpolated quotient (round6
+# policy, functions/core.py).
+@query(
+    "d6_gapfill_linear_interp",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS daily_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+                   FROM daily GROUP BY user_id),
+        spine AS (
+            SELECT user_id, CAST(u.d AS DATE) AS day
+            FROM bounds, unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                                CAST(mx AS TIMESTAMP),
+                                                INTERVAL 1 DAY)) AS u(d)
+        ),
+        j AS (
+            SELECT s.user_id, s.day, d.daily_value,
+                   COALESCE(d.n_events, 0) AS n_events,
+                   d.user_id IS NULL AS is_gap
+            FROM spine s LEFT JOIN daily d
+              ON d.user_id = s.user_id AND d.day = s.day
+        ),
+        f AS (
+            SELECT *,
+                   last_value(daily_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN daily_value IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                   first_value(daily_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN daily_value IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+            FROM j
+        )
+        SELECT user_id, day, n_events,
+               ROUND(CASE WHEN daily_value IS NOT NULL THEN daily_value
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          ELSE pv + (nv - pv) * ((day - pd) * 1.0 / (nd - pd))
+                     END, 6) AS interp_value,
+               is_gap
+        FROM f
+    """,
+)
+def d6_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+        ).alias("daily_value"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    joined = spine.join(
+        daily.withColumnRenamed("user_id", "d_user"),
+        (F.col("d_user") == spine.user_id) & (daily.day == spine.day),
+        "left",
+    ).select(
+        spine.user_id,
+        spine.day,
+        "n_events",
+        "daily_value",
+        F.col("d_user").isNull().alias("is_gap"),
+    )
+    asc = Window.partitionBy("user_id").orderBy("day")
+    wp = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("daily_value").isNotNull(), F.col("day"))
+    pv = F.last("daily_value", ignorenulls=True).over(wp)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wp)
+    nv = F.first("daily_value", ignorenulls=True).over(wn)
+    nd = F.first(obs_day, ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("daily_value").isNotNull(), F.col("daily_value"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(
+            pv
+            + (nv - pv)
+            * (
+                F.datediff(F.col("day"), pd_)
+                * F.lit(1.0)
+                / F.datediff(nd, pd_)
+            )
+        )
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(interp, 6).alias("interp_value"),
+        "is_gap",
+    )

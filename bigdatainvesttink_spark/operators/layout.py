@@ -1,0 +1,273 @@
+"""Physical data-layout operators: bucketed co-located joins, z-order
+(Morton) clustering with data-skipping statistics, and interval-bin joins.
+
+These are the storage-layout levers a 100 TB deployment pulls to make the
+per-query plans in the rest of the engine cheap:
+
+  * BUCKETING pre-partitions both sides of a recurring equi-join on the
+    join key at write time, so the join itself needs NO exchange — the
+    shuffle is paid once at ingest, then amortized over every query.
+  * Z-ORDERING interleaves the bits of two filter dimensions into one sort
+    key, so range predicates on EITHER dimension prune most files via
+    min/max statistics (the layout trick behind Delta OPTIMIZE ZORDER /
+    ClickHouse skip indexes — here derived from first principles).
+  * INTERVAL BINNING turns a containment join (point BETWEEN lo AND hi) —
+    which Spark would otherwise plan as a broadcast-nested-loop or
+    cartesian — into an equi-join on a coarse bin, with the range predicate
+    as a cheap residual. Bounded fan-out: an interval spans at most
+    ceil(max_len/bin)+1 bins.
+
+The reference delegates all storage layout to ClickHouse's MergeTree
+ORDER BY key (reference docker-compose ClickHouse service,
+/root/reference/compose.yaml); these operators are the Spark-native
+equivalents, oracle-checked on values and plan-checked on shape.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) interleave of two 16-bit dimensions, generated once as
+# SQL text for BOTH engines so the formula cannot drift. Spark spells bit
+# ops shiftright/shiftleft/&; DuckDB spells them >> << &.
+
+_Z_BITS = 16
+
+
+def _zkey_spark(a: str, b: str) -> str:
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(
+            f"shiftleft(CAST(shiftright({a}, {j}) & 1 AS BIGINT), {2 * j})"
+        )
+        terms.append(
+            f"shiftleft(CAST(shiftright({b}, {j}) & 1 AS BIGINT), {2 * j + 1})"
+        )
+    return " + ".join(terms)
+
+
+def _zkey_duck(a: str, b: str) -> str:
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"((({a} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({b} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+# The two clustering dimensions: customer key and days-since-epoch-start of
+# the order date, both masked to 16 bits. (At 100 TB the dims would be
+# quantile-binned first so each contributes uniformly; the interleave and
+# the skipping stats are identical.)
+_DIM_A_SPARK = "(o_custkey & 65535)"
+_DIM_A_DUCK = "(o_custkey & 65535)"
+_DIM_B_SPARK = "(datediff(o_orderdate, DATE '1992-01-01') & 65535)"
+_DIM_B_DUCK = "(date_diff('day', DATE '1992-01-01', o_orderdate) & 65535)"
+
+
+@query(
+    "fmt_zorder_layout",
+    oracle=f"""
+        WITH z AS (
+            SELECT {_DIM_A_DUCK} AS dim_cust,
+                   {_DIM_B_DUCK} AS dim_day,
+                   ({_zkey_duck(_DIM_A_DUCK, _DIM_B_DUCK)}) AS zkey
+            FROM orders
+        )
+        SELECT CAST(zkey >> 26 AS BIGINT) AS file_id,
+               COUNT(*) AS n_rows,
+               MIN(dim_cust) AS min_cust, MAX(dim_cust) AS max_cust,
+               MIN(dim_day) AS min_day, MAX(dim_day) AS max_day
+        FROM z GROUP BY 1
+    """,
+)
+def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering of orders on (custkey, orderdate) + the per-file
+    min/max skipping statistics that layout buys.
+
+    Each output row is one logical file (top 6 bits of the 32-bit Morton
+    key = 64 range-partitioned files, the deterministic stand-in for
+    ``repartitionByRange(zkey)`` + per-file writes). The min/max columns
+    ARE the data-skipping index: because the Morton key interleaves bits,
+    every file covers a narrow rectangle in (custkey, orderdate) space, so
+    a range filter on EITHER dimension eliminates most files — unlike a
+    plain sort on custkey, where a date filter prunes nothing.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    z = o.select(
+        F.expr(_DIM_A_SPARK).alias("dim_cust"),
+        F.expr(_DIM_B_SPARK).alias("dim_day"),
+        F.expr(_zkey_spark(_DIM_A_SPARK, _DIM_B_SPARK)).alias("zkey"),
+    )
+    return (
+        z.groupBy(
+            F.expr("CAST(shiftright(zkey, 26) AS BIGINT)").alias("file_id")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("dim_cust").alias("min_cust"),
+            F.max("dim_cust").alias("max_cust"),
+            F.min("dim_day").alias("min_day"),
+            F.max("dim_day").alias("max_day"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: orders and customer written bucketed by the
+# join key (8 buckets, sorted within buckets), then joined WITHOUT any
+# exchange — the scan's bucket layout satisfies the join's distribution
+# requirement. The merge hint pins sort-merge so the demonstration is of
+# bucket co-location, not of AQE broadcasting a small side; the plan test
+# asserts there is no exchange on the join key.
+
+
+def _bucket_table_name(base: str, sf_dir: str) -> str:
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"bkt_{base}_{tag}"
+
+
+@query(
+    "fmt_bucketed_join_no_shuffle",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def fmt_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two bucketed tables with zero join-side shuffle.
+
+    Both tables are written ``bucketBy(8, <join key>)`` into the session
+    warehouse (the once-per-ingest cost); the subsequent join reads the
+    bucket layout as its partitioning, so the ONLY exchange in the plan is
+    the final per-segment rollup. At 100 TB this converts every recurring
+    orders-by-customer query from two full shuffles into zero.
+    """
+    ot, ct = (
+        _bucket_table_name("orders", sf_dir),
+        _bucket_table_name("customer", sf_dir),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # External tables at a fresh temp path: the catalog entry is per-JVM
+    # while spark-warehouse/ persists, so a managed table from an earlier
+    # session would collide on location (LOCATION_ALREADY_EXISTS).
+    tmp = tempfile.mkdtemp(prefix="bkt_")
+    spark.sql(f"DROP TABLE IF EXISTS {ot}")
+    spark.sql(f"DROP TABLE IF EXISTS {ct}")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{tmp}/orders")
+        .saveAsTable(ot)
+    )
+    (
+        customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{tmp}/customer")
+        .saveAsTable(ct)
+    )
+    j = spark.table(ot).hint("merge").join(
+        spark.table(ct), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join via bin equi-keys: each lineitem carries a derived
+# validity interval [l_shipdate, l_shipdate + 1..28 days] (the fixture has
+# no receiptdate; the width is a deterministic function of the row). A
+# probe set of dates must count the intervals covering each date. Naive
+# Spark planning of `d BETWEEN lo AND hi` with no equi-key is a nested
+# loop over the full fact table; binning the time axis (32-day bins >= max
+# interval width) makes it an equi-join on the bin with BETWEEN as a
+# residual filter, and each interval lands in at most 2 bins.
+
+_WIDTH_SPARK = "CAST((l_orderkey * 7 + l_linenumber) % 28 + 1 AS INT)"
+_WIDTH_DUCK = "CAST((l_orderkey * 7 + l_linenumber) % 28 + 1 AS INT)"
+_BIN_DAYS = 32
+
+
+@query(
+    "rel_interval_bin_join",
+    oracle=f"""
+        WITH iv AS (
+            SELECT l_shipdate AS lo,
+                   l_shipdate + INTERVAL ({_WIDTH_DUCK}) DAY AS hi,
+                   l_quantity
+            FROM lineitem
+        ),
+        pts AS (
+            SELECT DISTINCT o_orderdate AS d FROM orders
+            WHERE o_orderkey % 97 = 0
+        )
+        SELECT p.d AS probe_date,
+               COUNT(*) AS n_covering,
+               CAST(SUM(CAST(iv.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   AS qty_covered
+        FROM pts p JOIN iv
+          ON p.d >= iv.lo AND p.d <= CAST(iv.hi AS DATE)
+        GROUP BY p.d
+    """,
+)
+def rel_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_shipdate").alias("lo"),
+        F.expr(f"date_add(l_shipdate, {_WIDTH_SPARK})").alias("hi"),
+        "l_quantity",
+    )
+    # Explode each interval over the (at most 2) bins it touches; the bin
+    # is epoch-day // 32, wider than any interval, so fan-out is bounded.
+    binned = iv.select(
+        "lo",
+        "hi",
+        "l_quantity",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST(datediff(lo, DATE '1970-01-01') AS BIGINT) div {_BIN_DAYS}"),
+                F.expr(f"CAST(datediff(hi, DATE '1970-01-01') AS BIGINT) div {_BIN_DAYS}"),
+            )
+        ).alias("bin"),
+    )
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderkey % 97 = 0"))
+        .select(F.col("o_orderdate").alias("d"))
+        .distinct()
+        .withColumn(
+            "bin",
+            F.expr(f"CAST(datediff(d, DATE '1970-01-01') AS BIGINT) div {_BIN_DAYS}"),
+        )
+    )
+    j = pts.join(binned, "bin").filter(
+        (F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi"))
+    )
+    return j.groupBy(F.col("d").alias("probe_date")).agg(
+        F.count("*").alias("n_covering"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("qty_covered"),
+    )

@@ -182,6 +182,7 @@ def _load_operator_modules() -> None:
         dedup,
         events_ops,
         ingestion,
+        layout,
         multimodal,
         relational,
         relational_ext,

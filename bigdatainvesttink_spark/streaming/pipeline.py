@@ -249,3 +249,33 @@ def c_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# C2+D1 as an oracle-checked query: STREAMING exact dedup over an
+# at-least-once wire. The event stream is unioned with itself (every row
+# delivered twice — the worst-case redelivery of the reference's
+# insert-then-ack consumer, from_rabbitmq_to_clickhouse.py:173,194), then
+# dropDuplicatesWithinWatermark collapses redeliveries inside the engine;
+# the landed rows must equal the exactly-once answer (plain per-type counts
+# over the source table). State is bounded by the watermark horizon,
+# hash-partitioned by key — at 100 TB/day the store holds one horizon of
+# 8-byte keys, not history. The memory sink is the test harness stand-in
+# for the foreachBatch parquet sink (ingest_stream).
+@query(
+    "c_stream_dedup_roundtrip",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+)
+def c_stream_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )
+    # Watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so
+    # the cast is a bijection and the dedup key semantics are unchanged.
+    doubled = doubled.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream_dedup(doubled, ["event_id"], watermark="1 hour")
+    landed = run_to_memory(deduped, "append")
+    return landed.groupBy("event_type").agg(F.count("*").alias("n_events"))

@@ -122,6 +122,31 @@ def rate_wire_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFr
     )
 
 
+def kafka_wire_stream(
+    spark: SparkSession, brokers: str, topic: str
+) -> DataFrame:
+    """Production arm of ``rate_wire_stream`` — THE single swap point.
+
+    Same output contract (``seq`` offset column + string ``value`` body), so
+    every downstream stage (``ingest()`` dispatch/validate, ``queue_ingest``
+    sink, checkpointing) runs unchanged against a real durable queue — the
+    role RabbitMQ plays in the reference
+    (from_rabbitmq_to_clickhouse.py:179-197). Requires the
+    spark-sql-kafka-0-10 package on the classpath (not present in this
+    container; the smoke test skips when the data source can't load).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.col("offset").alias("seq"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def queue_ingest(
     spark: SparkSession,
     checkpoint_dir: str,

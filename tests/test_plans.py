@@ -221,6 +221,34 @@ def test_simhash_bits_single_pass_no_inflation(spark):
             assert "0, 3" in line, line  # band fan-out only (constant 4)
 
 
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    # both tables are bucketed by the join key, so the sort-merge join must
+    # consume the bucket layout directly — the ONLY exchange allowed is the
+    # final per-segment rollup. An exchange on either custkey column means
+    # the bucket metadata was lost and the ingest-time shuffle was wasted.
+    df = _q("fmt_bucketed_join_no_shuffle", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in physical
+    for line in physical.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "custkey" not in line, line
+    assert shuffle_count(df) == 1
+
+
+def test_interval_bin_join_is_equi_not_nested_loop(spark):
+    # the containment join must ride the bin equi-key with BETWEEN as a
+    # residual — a pure range condition would plan as BNLJ/cartesian over
+    # the full fact table, quadratic at scale
+    physical = plan_text(_q("rel_interval_bin_join", spark)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "CartesianProduct" not in physical
+    join_lines = [
+        ln for ln in physical.splitlines() if "Join" in ln and "bin" in ln
+    ]
+    assert join_lines, "join does not use the bin equi-key"
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

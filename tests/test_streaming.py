@@ -263,3 +263,22 @@ def test_streaming_query_on_unconfigured_session(spark):
 
     df = entrymod.queries()["c_stream_tumbling_counts"](fresh, SF_SMALL)
     assert df.limit(1).count() == 1
+
+
+def test_kafka_swap_point_smoke(spark):
+    # queue_source documents a single swap point from the rate-source wire
+    # to a real broker. This smoke test proves the kafka arm constructs the
+    # same (seq, value) contract; it skips when the spark-sql-kafka package
+    # is not on the classpath (this container has no broker or connector).
+    import pytest as _pytest
+
+    from bigdatainvesttink_spark.streaming.queue_source import (
+        kafka_wire_stream,
+    )
+
+    try:
+        sdf = kafka_wire_stream(spark, "localhost:9092", "wire")
+    except Exception as exc:  # DATA_SOURCE_NOT_FOUND etc.
+        _pytest.skip(f"kafka connector unavailable: {type(exc).__name__}")
+    assert [f.name for f in sdf.schema.fields] == ["seq", "value"]
+    assert sdf.isStreaming

@@ -108,10 +108,10 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DF_CAP = 64
 
-# Shared capped-pairs SQL: the shingle -> hot-filter -> self-join chain used
-# by both this oracle and d2_cc_clusters' (curation.py). `corpus` CTE must
-# be in scope.
-JACCARD_PAIRS_SQL = f"""
+# Shared capped-shingles SQL (shingle -> hot-filter chain); `corpus` CTE
+# must be in scope. Used by the Jaccard pairs below, d2_cc_clusters'
+# oracle (curation.py), and d2_containment_pairs.
+SHINGLED_SQL = f"""
     shingled0 AS (
         SELECT doc_id, unnest(sh_set) AS shingle FROM (
             SELECT doc_id,
@@ -126,7 +126,12 @@ JACCARD_PAIRS_SQL = f"""
         SELECT doc_id, shingle,
                COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
         FROM (SELECT * FROM shingled0 ANTI JOIN hot USING (shingle))
-    ), pairs AS (
+    )
+"""
+
+# Shared capped-pairs SQL: shingles + the thresholded Jaccard self-join.
+JACCARD_PAIRS_SQL = f"""
+    {SHINGLED_SQL.strip()}, pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(COUNT(*) AS DOUBLE)
                    / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*)) AS jaccard
@@ -689,4 +694,155 @@ def d1_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         total.alias("sum_value"),
         (total / F.col("n_events")).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D1g: bucket-level table diff (Merkle-style reconciliation) — find WHERE
+# two copies of a table diverge without comparing rows. Each side collapses
+# to 256 (bucket, count, xor-of-row-digest) summaries; a full-outer join of
+# the summaries yields exactly the drifted buckets, so repair then touches
+# only those buckets' rows. This is the replica-audit / backfill-scoping
+# primitive: at 100 TB the exchange is 256 rows per side, not the table.
+# The "replica" here injects deterministic drift (2 corruption classes:
+# mutated event_type on event_id % 1000 = 7, dropped rows on
+# event_id % 5000 = 123); doubles stay out of the digest (engine-specific
+# float formatting — same policy as rel_table_checksum).
+@query(
+    "d1_table_diff_buckets",
+    oracle="""
+        WITH digested AS (
+            SELECT event_id % 256 AS bucket, event_id, user_id, ts,
+                   event_type
+            FROM events
+        ),
+        base AS (
+            SELECT bucket, COUNT(*) AS n_rows,
+                   bit_xor(CAST(CAST('0x' || substr(md5(concat_ws('|',
+                       event_id, user_id, event_type,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S'))), 1, 15)
+                       AS UBIGINT) AS BIGINT)) AS ck
+            FROM digested GROUP BY bucket
+        ),
+        rep_rows AS (
+            SELECT event_id % 256 AS bucket, event_id, user_id, ts,
+                   CASE WHEN event_id % 1000 = 7 THEN 'corrupted'
+                        ELSE event_type END AS event_type
+            FROM events WHERE event_id % 5000 <> 123
+        ),
+        rep AS (
+            SELECT bucket, COUNT(*) AS n_rows,
+                   bit_xor(CAST(CAST('0x' || substr(md5(concat_ws('|',
+                       event_id, user_id, event_type,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S'))), 1, 15)
+                       AS UBIGINT) AS BIGINT)) AS ck
+            FROM rep_rows GROUP BY bucket
+        )
+        SELECT COALESCE(b.bucket, r.bucket) AS bucket,
+               b.n_rows AS base_rows, r.n_rows AS replica_rows,
+               b.ck AS base_checksum, r.ck AS replica_checksum
+        FROM base b FULL OUTER JOIN rep r ON b.bucket = r.bucket
+        WHERE b.ck IS DISTINCT FROM r.ck
+           OR b.n_rows IS DISTINCT FROM r.n_rows
+    """,
+)
+def d1_table_diff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        digest = stable_hash60(
+            F.concat_ws(
+                "|",
+                "event_id",
+                "user_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            )
+        )
+        return df.groupBy((F.col("event_id") % 256).alias("bucket")).agg(
+            F.count("*").alias("n_rows"), F.bit_xor(digest).alias("ck")
+        )
+
+    base = summarize(e)
+    replica = summarize(
+        e.filter(F.col("event_id") % 5000 != 123).withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 1000 == 7, F.lit("corrupted")).otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    b, r = base.alias("b"), replica.alias("r")
+    joined = b.join(r, F.col("b.bucket") == F.col("r.bucket"), "full_outer")
+    differs = ~(
+        F.col("b.ck").eqNullSafe(F.col("r.ck"))
+        & F.col("b.n_rows").eqNullSafe(F.col("r.n_rows"))
+    )
+    return joined.filter(differs).select(
+        F.coalesce(F.col("b.bucket"), F.col("r.bucket")).alias("bucket"),
+        F.col("b.n_rows").alias("base_rows"),
+        F.col("r.n_rows").alias("replica_rows"),
+        F.col("b.ck").alias("base_checksum"),
+        F.col("r.ck").alias("replica_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D2g: asymmetric CONTAINMENT pairs — Jaccard misses subset/superset
+# near-dups (a doc quoted whole inside a longer one scores low on union but
+# 1.0 on containment |A∩B|/|A|). Same inverted-index + hot-shingle-cap
+# machinery as d2_neardup_jaccard (one shingle shuffle, pair work bounded
+# by posting lists), emitting both direction ratios per unordered pair;
+# integer ratios -> bit-exact cross-engine. The fixture's verbatim copies
+# score 1.0 both ways; the one-token mutants score just under 1.
+@query(
+    "d2_containment_pairs",
+    oracle=_oracle(
+        f"""
+        , {SHINGLED_SQL.strip()}
+        , inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter,
+                   MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b
+            FROM shingled a JOIN shingled b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_inter AS DOUBLE) / n_a AS a_in_b,
+               CAST(n_inter AS DOUBLE) / n_b AS b_in_a
+        FROM inter
+        WHERE CAST(n_inter AS DOUBLE) / n_a >= 0.8
+           OR CAST(n_inter AS DOUBLE) / n_b >= 0.8
+        """
+    ),
+)
+def d2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = capped_shingles(corpus(spark, sf_dir))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max("a.n_sh").alias("n_a"),
+            F.max("b.n_sh").alias("n_b"),
+        )
+    )
+    a_in_b = F.col("n_inter").cast("double") / F.col("n_a")
+    b_in_a = F.col("n_inter").cast("double") / F.col("n_b")
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            a_in_b.alias("a_in_b"),
+            b_in_a.alias("b_in_a"),
+        )
+        .filter((F.col("a_in_b") >= 0.8) | (F.col("b_in_a") >= 0.8))
     )

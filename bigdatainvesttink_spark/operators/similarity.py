@@ -166,6 +166,31 @@ def d3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_lsh_bucketed(v: DataFrame) -> DataFrame:
+    """v plus its 8-bit sign-LSH ``bucket`` (shared by search + recall eval)."""
+    p = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p")
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (
+            ((F.col("p") * 64 + d + 1) * 2654435761) % 2001 - 1000
+        ).cast("double"),
+    )
+    proj = v.select("vec_id", "e", p).select(
+        "vec_id", "p", _dot(F.col("e"), weights).alias("dotp")
+    )
+    bucketed = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dotp") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return v.join(bucketed, "vec_id")
+
+
 # --------------------------------------------------------------------------
 # D3c: sign-LSH bucketing (the scale path) — 8 deterministic pseudo-random
 # hyperplanes hash every vector to an 8-bit bucket; queries then rank only
@@ -203,28 +228,7 @@ def d3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d3_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vectors(spark, sf_dir)
-    p = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p")
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda d: (
-            ((F.col("p") * 64 + d + 1) * 2654435761) % 2001 - 1000
-        ).cast("double"),
-    )
-    proj = v.select("vec_id", "e", p).select(
-        "vec_id", "p", _dot(F.col("e"), weights).alias("dotp")
-    )
-    bucketed = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dotp") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"),
-            ).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("bucket")
-    )
-    vv = v.join(bucketed, "vec_id")
+    vv = _sign_lsh_bucketed(_vectors(spark, sf_dir))
     q = vv.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -469,3 +473,96 @@ def d3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return probe.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# D3h: ANN quality evaluation — recall@5 of the sign-LSH candidate stage
+# against the brute-force ground truth. This is the operator a production
+# ANN deployment runs continuously: approximate indexes trade recall for
+# cost, and the trade must be MEASURED, not assumed (the tuning loop for
+# bands/planes/probes). Scale shape: ground truth is computed over a SAMPLE
+# of queries (here every 10th vector, the same probe set the search queries
+# use) — never the full corpus; the candidate join is the same 8-bit-bucket
+# equi-join as d3_ann_lsh_bucketed; the final rollup is per-query then a
+# tiny aggregate. recall = hits/5 is an integer ratio -> bit-exact.
+@query(
+    "d3_ann_recall_eval",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.e, v.e)
+                                          / (q.norm * v.norm), 6) DESC,
+                                    v.vec_id ASC) AS rnk
+                FROM q JOIN v ON v.vec_id <> q.vec_id
+            ) r WHERE rnk <= 5
+        ),
+        proj AS (
+            SELECT vec_id, p,
+                   list_sum([e[d+1] * CAST({_W_FORMULA} AS DOUBLE)
+                             FOR d IN range(64)]) AS dotp
+            FROM v, (SELECT unnest(range(8)) AS p)
+        ),
+        bucketed AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        ),
+        vv AS (SELECT v.*, b.bucket FROM v JOIN bucketed b USING (vec_id)),
+        cand AS (
+            SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM (SELECT * FROM vv WHERE vec_id % 10 = 0) qq
+            JOIN vv c ON c.bucket = qq.bucket AND c.vec_id <> qq.vec_id
+        ),
+        nc AS (SELECT query_id, COUNT(*) AS n_candidates
+               FROM cand GROUP BY query_id)
+        SELECT t.query_id,
+               COALESCE(MAX(nc.n_candidates), 0) AS n_candidates,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / 5.0 AS recall_at_5
+        FROM truth t
+        LEFT JOIN cand c
+          ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        LEFT JOIN nc ON nc.query_id = t.query_id
+        GROUP BY t.query_id
+    """,
+)
+def d3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = d3_ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    vv = _sign_lsh_bucketed(_vectors(spark, sf_dir))
+    q = vv.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        vv.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    nc = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hits = truth.join(
+        cand.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits")
+    )
+    return (
+        per_q.join(nc, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_hits",
+            (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )

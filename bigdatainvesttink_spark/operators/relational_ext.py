@@ -388,3 +388,108 @@ def rel_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"sum_qty": "l_quantity", "sum_price": "l_extendedprice"},
         n_salts=16,
     )
+
+
+# --------------------------------------------------------------------------
+# Salted replicate join — the skew mitigation for JOINS (the aggregation
+# arm is rel_salted_hot_agg). The fact side's join key is massively skewed
+# (l_returnflag: 3 distinct values over the whole table), so a plain
+# shuffle join funnels each key into one reducer. The fix: fact rows get a
+# deterministic salt (l_orderkey % 16), the other side is replicated once
+# per salt value, and the join runs on (key, salt) — every hot key fans
+# out over 16 reducers. The merge hint pins the shuffle join (a 3-row dim
+# would trivially broadcast — the pattern matters when the replicated side
+# is too big to broadcast but far smaller than the fact, e.g. a skewed
+# fact-fact join on a low-cardinality key). AQE's skew-join handles the
+# sorted-merge case adaptively; the salt is the portable, plan-stable form.
+_N_SALT = 16
+
+
+@query(
+    "rel_salted_skew_join",
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT l_returnflag AS flag,
+                   ascii(l_returnflag) AS flag_code
+            FROM lineitem
+        )
+        SELECT d.flag, d.flag_code, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+        GROUP BY d.flag, d.flag_code
+    """,
+)
+def rel_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+        (F.col("l_orderkey") % _N_SALT).alias("__salt"),
+    )
+    dim = (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .withColumn("flag_code", F.ascii("flag"))
+    )
+    dim_rep = dim.select(
+        "flag",
+        "flag_code",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1))).alias("__salt"),
+    )
+    joined = fact.hint("merge").join(dim_rep, ["flag", "__salt"])
+    return joined.groupBy("flag", "flag_code").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth (equi-height) histogram — the optimizer/statistics primitive:
+# bucket boundaries at the exact 10/20/.../90th percentile_disc values
+# (actual data points, bit-exact on both engines — SQL-standard
+# CUME_DIST >= p element), then one broadcast pass bins every row. At
+# 100 TB the boundary step swaps to approx_percentile (the exact form
+# buffers the column per group); the binning pass — the expensive part —
+# is identical either way: scan + tiny broadcast, no shuffle of the fact.
+@query(
+    "rel_equidepth_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_disc(o_totalprice,
+                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+            FROM orders
+        )
+        SELECT len(list_filter(b.bs, x -> o.o_totalprice > x)) AS bucket,
+               COUNT(*) AS n_rows,
+               MIN(o.o_totalprice) AS lo,
+               MAX(o.o_totalprice) AS hi
+        FROM orders o, b
+        GROUP BY 1
+    """,
+)
+def rel_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr(
+            "array("
+            + ",".join(
+                f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY o_totalprice)"
+                for k in range(1, 10)
+            )
+            + ") AS bs"
+        )
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.size(
+            F.filter("bs", lambda x: F.col("o_totalprice") > x)
+        ).alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -343,3 +343,69 @@ def d4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# D4h: bigram language-model scoring — perplexity-style document quality.
+# A maximum-likelihood bigram model is trained ON THE CORPUS ITSELF (count
+# tables, no external model), then every document is scored by its mean
+# bigram log-probability ln(c2(a,b) / c1(a)) where c1 counts token a as a
+# context (non-final position). Low scores flag documents whose token
+# transitions are rare in the corpus — the in-engine form of the
+# "KenLM perplexity filter" step in LLM data pipelines (CCNet and
+# descendants), with the model swap being the only difference.
+# Scale: two count aggregates (shuffled on token / token-pair — the same
+# keys the scoring joins use, so partitioning is reused), then a
+# fact-to-counts join. Floats: each ln term is rounded to 6dp and summed in
+# DECIMAL (order-independent); only the final mean divides in float64.
+@query(
+    "d4_bigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+                       AS ts
+            FROM documents WHERE text <> ''
+        ),
+        bg AS (
+            SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2
+        ),
+        c2 AS (SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b),
+        c1 AS (SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a)
+        SELECT bg.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(ROUND(ln(CAST(c2.n2 AS DOUBLE) / c1.n1), 6)
+                             AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_logprob
+        FROM bg JOIN c2 ON c2.a = bg.a AND c2.b = bg.b
+                JOIN c1 ON c1.a = bg.a
+        GROUP BY bg.doc_id
+    """,
+)
+def d4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    toks = d.select("doc_id", tokenize("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    # element_at is 1-based like the oracle's list indexing.
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> named_struct('a', element_at(ts, i),"
+                "                   'b', element_at(ts, i + 1)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
+    scored = bg.join(c2, ["a", "b"]).join(c1, ["a"])
+    term = F.round(
+        F.log(F.col("n2").cast("double") / F.col("n1")), 6
+    ).cast("decimal(27,6)")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum(term).cast("double") / F.count("*")).alias("avg_logprob"),
+    )

@@ -249,6 +249,31 @@ def test_interval_bin_join_is_equi_not_nested_loop(spark):
     assert join_lines, "join does not use the bin equi-key"
 
 
+def test_salted_skew_join_fans_out_hot_keys(spark):
+    # the join must shuffle on (flag, __salt) — 16 reducers per hot key;
+    # an exchange on flag alone means the salt was optimized away and each
+    # of the 3 hot keys funnels into a single reducer
+    df = _q("rel_salted_skew_join", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    salted = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt" in ln
+    ]
+    assert salted, "no exchange on (flag, __salt)"
+    assert "CartesianProduct" not in physical
+
+
+def test_equidepth_histogram_binning_is_broadcast_pass(spark):
+    # the boundary row must broadcast onto the fact scan — the binning pass
+    # may not shuffle the orders table (only the 10-row bucket rollup does)
+    df = _q("rel_equidepth_histogram", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+    for line in physical.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_totalprice" not in line, line
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

@@ -638,3 +638,67 @@ def d7_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return picked
+
+
+# --------------------------------------------------------------------------
+# D7i: dataset card — the per-source summary a corpus release ships with
+# (docs, token volume, language mix, dominant language): the governance
+# artifact every LLM-data drop needs, generated by the engine instead of a
+# notebook. Scale shape: one aggregate over (source, lang) — a grid of
+# O(sources x langs) rows — then two tiny rollups of that grid; the corpus
+# is scanned exactly once, and nothing larger than the grid shuffles twice.
+# Dominant-language ties break lexicographically (row_number, not max_by,
+# so the answer is deterministic on both engines).
+@query(
+    "d7_dataset_card",
+    oracle="""
+        WITH per AS (
+            SELECT source, lang, COUNT(*) AS n,
+                   SUM(len(list_filter(string_split(text, ' '),
+                                       t -> t <> ''))) AS toks
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (
+            SELECT source, SUM(n) AS n_docs, SUM(toks) AS total_tokens,
+                   COUNT(*) AS n_langs
+            FROM per GROUP BY source
+        ),
+        top AS (
+            SELECT source, lang AS top_lang, n FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY n DESC, lang ASC) AS r
+                FROM per
+            ) x WHERE r = 1
+        )
+        SELECT t.source, t.n_docs, t.total_tokens, t.n_langs, top.top_lang,
+               CAST(top.n AS DOUBLE) / t.n_docs AS top_lang_share
+        FROM tot t JOIN top ON top.source = t.source
+    """,
+)
+def d7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(tokenize("text")).cast("long")).alias("toks"),
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    top = (
+        per.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n")
+    )
+    return tot.join(top, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "top_lang",
+        (F.col("n").cast("double") / F.col("n_docs")).alias("top_lang_share"),
+    )

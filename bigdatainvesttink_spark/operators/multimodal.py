@@ -283,3 +283,45 @@ def dmm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.posexplode("features").alias("j", "feature"),
     ).withColumn("j", F.col("j").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Modality/format inventory — the rollup a multimodal corpus ships with
+# (asset counts, byte volume, dimension ranges per container format). The
+# decode stage is the mapInPandas harness above; the rollup is a plain
+# hash aggregate of its typed-metadata output, so at 100 TB the Python
+# stage streams Arrow batches once and the aggregate shuffles only the
+# per-format partials. The oracle recomputes the fake-decode metadata in
+# SQL and aggregates it the same way.
+@query(
+    "dmm_modality_stats",
+    oracle="""
+        SELECT fmt, COUNT(*) AS n_assets,
+               SUM(n_bytes) AS total_bytes,
+               MIN(width) AS min_width, MAX(width) AS max_width,
+               SUM(n_frames) AS total_frames
+        FROM (
+            SELECT CASE h % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                              ELSE 'webp' END AS fmt,
+                   octet_length(encode(text)) AS n_bytes,
+                   64 + h % 960 AS width,
+                   1 + h % 16 AS n_frames
+            FROM (
+                SELECT text,
+                       CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                            AS BIGINT) AS h
+                FROM documents WHERE text <> ''
+            ) d
+        ) m
+        GROUP BY fmt
+    """,
+)
+def dmm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = dmm_binary_decode_meta(spark, sf_dir)
+    return meta.groupBy("fmt").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.sum("n_frames").alias("total_frames"),
+    )

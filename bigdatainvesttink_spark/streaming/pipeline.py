@@ -31,6 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fixtures import oracle_on_domain
 from ..io import load_table
 from ..registry import query
 from ..session import configure
@@ -279,3 +280,96 @@ def c_stream_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(doubled, ["event_id"], watermark="1 hour")
     landed = run_to_memory(deduped, "append")
     return landed.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# C-series stream-STREAM interval join, oracle-checked: trades and order
+# book arrive as two independent streams; each trade pairs with the book
+# snapshots of the same instrument in the preceding 30 minutes. Both sides
+# carry watermarks, so join state is bounded to one horizon per key — the
+# canonical two-feed correlation the reference would need to relate its
+# trades and order-book queues (it never joins them; ClickHouse gets them
+# as separate tables). The landed pairs are batch-aggregated per instrument
+# and must equal DuckDB's batch interval join over the same fixtures.
+@query(
+    "c_stream_stream_interval_join",
+    oracle=oracle_on_domain(
+        """
+        SELECT t.company_id, COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(b.bid_price AS DECIMAL(27,6))) AS DOUBLE)
+                   AS bid_sum
+        FROM trades t JOIN order_book b
+          ON b.company_id = t.company_id
+         AND b.ts >= t.ts - INTERVAL 30 MINUTE AND b.ts <= t.ts
+        GROUP BY t.company_id
+        """
+    ),
+)
+def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..fixtures import domain_table
+
+    configure(spark)
+    trades = domain_table(spark, sf_dir, "trades").select(
+        "company_id", F.col("ts").cast("timestamp").alias("t_ts"), "price"
+    )
+    book = domain_table(spark, sf_dir, "order_book").select(
+        F.col("company_id").alias("b_company_id"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
+        "bid_price",
+    )
+    tmp = tempfile.mkdtemp(prefix="ssj_")
+    trades.write.mode("overwrite").parquet(f"{tmp}/t")
+    book.write.mode("overwrite").parquet(f"{tmp}/b")
+    st = spark.readStream.schema(trades.schema).parquet(f"{tmp}/t")
+    sb = spark.readStream.schema(book.schema).parquet(f"{tmp}/b")
+    cond = (
+        (F.col("company_id") == F.col("b_company_id"))
+        & (F.col("b_ts") >= F.col("t_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("b_ts") <= F.col("t_ts"))
+    )
+    joined = (
+        st.withWatermark("t_ts", "1 hour")
+        .join(sb.withWatermark("b_ts", "1 hour"), cond)
+        .select("company_id", "bid_price")
+    )
+    landed = run_to_memory(joined, "append")
+    return landed.groupBy("company_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("bid_price").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("bid_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stream-STATIC broadcast enrich, oracle-checked: the unbounded event
+# stream joins the bounded companies dimension (the reference's
+# per-message FIGI lookup, from_parser_to_rabbitmq.py:96-100, done as a
+# broadcast join instead of a per-row dict probe). The static side ships
+# to executors once per micro-batch plan — the stream itself never
+# shuffles for the join; only the per-sector rollup exchanges.
+@query(
+    "c_stream_static_enrich",
+    oracle=oracle_on_domain(
+        """
+        SELECT c.sector, COUNT(*) AS n_events
+        FROM events e JOIN companies c
+          ON c.company_id =
+             'FIGI' || lpad(CAST(e.user_id % 50 AS STRING), 2, '0')
+        GROUP BY c.sector
+        """
+    ),
+)
+def c_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import domain_table
+
+    e = events_stream(spark, sf_dir).withColumn(
+        "company_id",
+        F.expr("'FIGI' || lpad(CAST(user_id % 50 AS STRING), 2, '0')"),
+    )
+    companies = domain_table(spark, sf_dir, "companies")
+    enriched = e.join(F.broadcast(companies), "company_id")
+    agg = enriched.groupBy("sector").agg(F.count("*").alias("n_events"))
+    return run_to_memory(agg, "complete")

@@ -124,3 +124,114 @@ def test_grouped_decimal_sums_equal_total(spark, vals):
         .collect()[0][0]
     )
     assert total_of_groups == total_direct
+
+
+@given(
+    left=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=3600),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=3600),
+            st.one_of(st.none(), finite_price),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference_semantics(spark, left, right):
+    """as_of_join backward-inclusive must agree with the row-at-a-time
+    definition (greatest right ts <= left ts per key; among ties the
+    greatest value tuple) on arbitrary inputs — including duplicate right
+    timestamps and null values."""
+    from bigdatainvesttink_spark.functions import as_of_join
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "k string, ts timestamp_ntz, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), v) for k, s, v in right],
+        "k string, ts timestamp_ntz, px double",
+    )
+    got = {
+        r["lid"]: r["px"]
+        for r in as_of_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    for i, (k, s) in enumerate(left):
+        lt = base + dt.timedelta(seconds=s)
+        matches = [
+            v for (rk, rs, v) in right
+            if rk == k and base + dt.timedelta(seconds=rs) <= lt
+        ]
+        if not matches:
+            assert got[i] is None, (i, k, s)
+        else:
+            best_ts = max(
+                rs for (rk, rs, v) in right
+                if rk == k and base + dt.timedelta(seconds=rs) <= lt
+            )
+            ties = [
+                v for (rk, rs, v) in right if rk == k and rs == best_ts
+            ]
+            # greatest value tuple with nulls-first ordering == max over
+            # (v is not None, v) — one atomic winner row
+            want = max(ties, key=lambda v: (v is not None, v))
+            assert got[i] == want, (i, k, s, ties)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user bucket
+            st.integers(min_value=0, max_value=10**7),  # ts micros offset
+            st.integers(min_value=0, max_value=2**31),  # event_id
+            finite_price,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_compact_latest_decimal_key_is_monotone(spark, rows):
+    """The DECIMAL(38,0)-packed (ts, event_id) ordering used by
+    d1_compact_latest must pick exactly the lexicographic max row."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(microseconds=us), u, "t", v)
+            for (u, us, eid, v) in rows
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    ordering = F.expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))"
+        " * CAST('18446744073709551616' AS DECIMAL(20,0))"
+        " + CAST(event_id AS DECIMAL(38,0))"
+        " + CAST('9223372036854775808' AS DECIMAL(19,0))"
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["eid"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct(F.col("ts"), F.col("event_id").alias("eid")), ordering).alias("m")
+        )
+        .select("user_id", F.col("m.ts").alias("ts"), F.col("m.eid").alias("eid"))
+        .collect()
+    }
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for (u, us, eid, v) in rows:
+        by_user[u].append((base + dt.timedelta(microseconds=us), eid))
+    for u, pairs in by_user.items():
+        assert got[u] == max(pairs), (u, pairs)

@@ -846,3 +846,57 @@ def d2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("a_in_b") >= 0.8) | (F.col("b_in_a") >= 0.8))
     )
+
+
+# --------------------------------------------------------------------------
+# D1h: point-in-time (as-of-T) dimension lookup — "what did the dimension
+# look like on Jan 15?", the query every SCD-2 history exists to answer.
+# The Spark plan is the SCALE-RIGHT formulation: push the ts <= T predicate
+# into the scan, then the same single hash aggregate as d1_compact_latest
+# (max_by over the decimal-packed ordering) — partial-combined, no window,
+# no materialized interval table. The ORACLE deliberately answers from the
+# OTHER formulation: build the SCD-2 validity intervals and pick the row
+# whose [valid_from, valid_to) contains T — so this query cross-proves the
+# two representations agree (zero-width intervals from same-timestamp
+# versions are excluded by the half-open containment, matching the
+# aggregate's (ts, event_id) tiebreak).
+PIT_T = "2024-01-15 00:00:00"
+
+
+@query(
+    "d1_scd2_point_in_time",
+    oracle=f"""
+        SELECT user_id, event_type,
+               attr_value AS value_at_t, version_no
+        FROM (
+            SELECT user_id, event_type, value AS attr_value,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS valid_to,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ASC, event_id ASC)
+                       AS version_no
+            FROM events
+        ) v
+        WHERE valid_from <= TIMESTAMP '{PIT_T}'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '{PIT_T}')
+    """,
+)
+def d1_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit(PIT_T).cast("timestamp_ntz")
+    )
+    ordering = F.expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))"
+        " * CAST('18446744073709551616' AS DECIMAL(20,0))"
+        " + CAST(event_id AS DECIMAL(38,0))"
+        " + CAST('9223372036854775808' AS DECIMAL(19,0))"
+    )
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("value", ordering).alias("value_at_t"),
+            F.count("*").alias("version_no"),
+        )
+        .select("user_id", "event_type", "value_at_t", "version_no")
+    )

@@ -365,6 +365,58 @@ def d3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids(v: DataFrame) -> DataFrame:
+    """(cell, c: dense centroid vector, cnorm) — decimal-exact means per
+    label, shared by the probe search and the recall eval."""
+    ex = v.select("label", F.posexplode("e").alias("pos", "x"))
+    grid = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    return (
+        grid.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("c")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            "c",
+            F.sqrt(_dot(F.col("c"), F.col("c"))).alias("cnorm"),
+        )
+    )
+
+
+def _ivf_assigned(v: DataFrame, modulus: int = 13) -> DataFrame:
+    """(query_id, qe, qnorm, cell): each sampled query assigned to its
+    nearest centroid via the 25-row broadcast cross join."""
+    cent = _ivf_centroids(v)
+    q = v.filter(F.col("vec_id") % modulus == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qe",
+        "qnorm",
+        "cell",
+        F.round(
+            _dot(F.col("qe"), F.col("c")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ).alias("ccos"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") == 1)
+        .select("query_id", "qe", "qnorm", "cell")
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF probe search: the full inverted-file ANN read path. Train = the
 # per-label centroids above; probe = assign each query vector to its nearest
@@ -417,47 +469,7 @@ def d3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
-    ex = v.select("label", F.posexplode("e").alias("pos", "x"))
-    grid = ex.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("x").cast("decimal(27,6)")).cast("double") / F.count("*")
-        ).alias("m")
-    )
-    cent = (
-        grid.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-            ).alias("c")
-        )
-        .select(
-            F.col("label").alias("cell"),
-            "c",
-            F.sqrt(_dot(F.col("c"), F.col("c"))).alias("cnorm"),
-        )
-    )
-    q = v.filter(F.col("vec_id") % 13 == 1).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("norm").alias("qnorm"),
-    )
-    scored = q.crossJoin(F.broadcast(cent)).select(
-        "query_id",
-        "qe",
-        "qnorm",
-        "cell",
-        F.round(
-            _dot(F.col("qe"), F.col("c")) / (F.col("qnorm") * F.col("cnorm")), 6
-        ).alias("ccos"),
-    )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc()
-    )
-    assigned = (
-        scored.withColumn("arnk", F.row_number().over(wa))
-        .filter(F.col("arnk") == 1)
-        .select("query_id", "qe", "qnorm", "cell")
-    )
+    assigned = _ivf_assigned(v)
     probe = v.join(
         F.broadcast(assigned),
         (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
@@ -565,4 +577,112 @@ def d3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# D3i: IVF recall eval — the same measurement as d3_ann_recall_eval for the
+# OTHER index family: how much of the brute-force top-5 survives when the
+# search is restricted to the query's single assigned IVF cell (nprobe=1).
+# Together with the LSH eval this gives the engine's two approximate
+# indexes a continuously-computable quality metric; raising nprobe trades
+# cost for recall and this query is how that knob gets tuned.
+@query(
+    "d3_ivf_recall_eval",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        q AS (SELECT vec_id AS query_id, e AS qe, norm AS qnorm
+              FROM v WHERE vec_id % 13 = 1),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_dot_product(q.qe, v.e)
+                                          / (q.qnorm * v.norm), 6) DESC,
+                                    v.vec_id ASC) AS rnk
+                FROM q JOIN v ON v.vec_id <> q.query_id
+            ) r WHERE rnk <= 5
+        ),
+        cent AS (
+            SELECT label, list(m ORDER BY pos) AS c
+            FROM (
+                SELECT label, i AS pos,
+                       CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                           / COUNT(*) AS m
+                FROM v, (SELECT unnest(range({_DIM})) AS i)
+                GROUP BY label, i
+            ) grid
+            GROUP BY label
+        ),
+        cn AS (SELECT label AS cell, c,
+                      sqrt(list_dot_product(c, c)) AS cnorm FROM cent),
+        assign AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, cn.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_dot_product(q.qe, cn.c)
+                                          / (q.qnorm * cn.cnorm), 6) DESC,
+                                    cn.cell ASC) AS arnk
+                FROM q CROSS JOIN cn
+            ) a WHERE arnk = 1
+        ),
+        cand AS (
+            SELECT a.query_id, v.vec_id AS neighbor_id
+            FROM assign a JOIN v
+              ON v.label = a.cell AND v.vec_id <> a.query_id
+        ),
+        nc AS (SELECT query_id, COUNT(*) AS n_candidates
+               FROM cand GROUP BY query_id)
+        SELECT t.query_id,
+               COALESCE(MAX(nc.n_candidates), 0) AS n_candidates,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / 5.0 AS recall_at_5
+        FROM truth t
+        LEFT JOIN cand c
+          ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        LEFT JOIN nc ON nc.query_id = t.query_id
+        GROUP BY t.query_id
+    """,
+)
+def d3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 13 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+        ).alias("cosine"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        scored.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    assigned = _ivf_assigned(v).select("query_id", "cell")
+    cand = v.join(
+        F.broadcast(assigned),
+        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    nc = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hits = truth.join(
+        cand.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits")
+    )
+    return per_q.join(nc, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
     )

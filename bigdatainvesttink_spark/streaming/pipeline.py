@@ -306,24 +306,22 @@ def c_stream_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..fixtures import domain_table
+    from ..fixtures import FIXTURE_SQL
 
     configure(spark)
-    trades = domain_table(spark, sf_dir, "trades").select(
+    # Both feeds derive from the SAME streaming source with the fixtures'
+    # shared SQL (the reference publishes trades and book from one API
+    # poll): no temp materialization — the per-feed projections run
+    # map-side inside each stream's scan.
+    events_stream(spark, sf_dir).createOrReplaceTempView("events")
+    st = spark.sql(FIXTURE_SQL["trades"]).select(
         "company_id", F.col("ts").cast("timestamp").alias("t_ts"), "price"
     )
-    book = domain_table(spark, sf_dir, "order_book").select(
+    sb = spark.sql(FIXTURE_SQL["order_book"]).select(
         F.col("company_id").alias("b_company_id"),
         F.col("ts").cast("timestamp").alias("b_ts"),
         "bid_price",
     )
-    tmp = tempfile.mkdtemp(prefix="ssj_")
-    trades.write.mode("overwrite").parquet(f"{tmp}/t")
-    book.write.mode("overwrite").parquet(f"{tmp}/b")
-    st = spark.readStream.schema(trades.schema).parquet(f"{tmp}/t")
-    sb = spark.readStream.schema(book.schema).parquet(f"{tmp}/b")
     cond = (
         (F.col("company_id") == F.col("b_company_id"))
         & (F.col("b_ts") >= F.col("t_ts") - F.expr("INTERVAL 30 MINUTES"))

@@ -616,3 +616,49 @@ def b11_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("company_id", "trade_id", "ts", fold.alias("ewma"))
     )
+
+
+# --------------------------------------------------------------------------
+# B12: maximum drawdown — the risk metric every investment dashboard pairs
+# with volatility (reference analytics context, goal №1's sibling): the
+# worst peak-to-trough loss per instrument, from the running maximum of the
+# close price. One shuffle on company_id, two frame passes over the same
+# partitioning (running max, then the max relative gap) — no self-join, no
+# quadratic peak/trough search. The drawdown ratio is rounded to 6dp on
+# both engines (round6 policy: continuous quotient).
+@query(
+    "b12_max_drawdown",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               ROUND(MAX((run_max - close) / run_max), 6) AS max_drawdown,
+               COUNT(*) AS n_candles
+        FROM (
+            SELECT company_id, close,
+                   MAX(close) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run_max
+            FROM candles
+        ) x
+        GROUP BY company_id
+        """
+    ),
+)
+def b12_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = (
+        Window.partitionBy("company_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = c.select(
+        "company_id",
+        (
+            (F.max("close").over(w) - F.col("close")) / F.max("close").over(w)
+        ).alias("drawdown"),
+    )
+    return dd.groupBy("company_id").agg(
+        F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+        F.count("*").alias("n_candles"),
+    )

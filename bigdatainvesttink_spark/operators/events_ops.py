@@ -497,3 +497,57 @@ def d6_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("interp_value"),
         "is_gap",
     )
+
+
+# --------------------------------------------------------------------------
+# D6h: top-k behavior paths — the most frequent 3-step event-type sequences
+# per user stream (the "common user journeys" rollup; generalizes
+# d6_event_transitions' bigram matrix to path mining). Two lead() columns
+# over the per-user order, then one count aggregate onto the (t1, t2, t3)
+# grid; the final ranking is a single-partition window over THAT GRID —
+# bounded by |event types|^3 rows, not by data size, so it stays tiny at
+# any corpus scale. Deterministic ties on the path triple.
+@query(
+    "d6_event_paths_topk",
+    oracle="""
+        SELECT t1, t2, t3, n_paths, rnk FROM (
+            SELECT t1, t2, t3, COUNT(*) AS n_paths,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                      t1 ASC, t2 ASC, t3 ASC) AS rnk
+            FROM (
+                SELECT event_type AS t1,
+                       LEAD(event_type, 1) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS t2,
+                       LEAD(event_type, 2) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS t3
+                FROM events
+            ) p
+            WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+        ) r WHERE rnk <= 15
+    """,
+)
+def d6_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    paths = (
+        e.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    wr = Window.orderBy(
+        F.col("n_paths").desc(),
+        F.col("t1").asc(),
+        F.col("t2").asc(),
+        F.col("t3").asc(),
+    )
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= 15)
+    )

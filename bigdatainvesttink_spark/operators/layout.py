@@ -271,3 +271,56 @@ def rel_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qty_covered"),
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction — the lakehouse maintenance job every streaming
+# ingest needs: micro-batch appends leave thousands of KB-sized files whose
+# per-file open/footer cost eventually dominates scans; compaction
+# rewrites them into few right-sized files WITHOUT changing the data. The
+# query performs the rewrite (32 shards -> 4) and proves identity by
+# emitting the table's per-priority reconciliation checksums from the
+# COMPACTED copy — the oracle computes them from the logical table, so any
+# row lost, duplicated, or mutated by the rewrite breaks the hash match.
+# File counts are pinned by explicit repartition on both writes (the write
+# path is deterministic, so they are assertable cross-engine as literals).
+@query(
+    "fmt_compact_small_files",
+    oracle="""
+        SELECT 32 AS files_before, 4 AS files_after,
+               o_orderpriority, COUNT(*) AS n_rows,
+               bit_xor(CAST(CAST('0x' || substr(md5(concat_ws('|',
+                   o_orderkey, o_custkey, o_orderstatus)), 1, 15)
+                   AS UBIGINT) AS BIGINT)) AS checksum
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def fmt_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from ..functions.text import stable_hash60
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    # the fragmented state a micro-batch ingest leaves behind
+    o.repartition(32).write.mode("overwrite").parquet(f"{tmp}/small")
+    frag = spark.read.parquet(f"{tmp}/small")
+    files_before = len(_glob.glob(f"{tmp}/small/part-*"))
+    # the maintenance rewrite: few large files, data untouched
+    frag.repartition(4).write.mode("overwrite").parquet(f"{tmp}/compacted")
+    files_after = len(_glob.glob(f"{tmp}/compacted/part-*"))
+    compacted = spark.read.parquet(f"{tmp}/compacted")
+    digest = stable_hash60(
+        F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    return compacted.groupBy("o_orderpriority").agg(
+        F.lit(files_before).alias("files_before"),
+        F.lit(files_after).alias("files_after"),
+        F.count("*").alias("n_rows"),
+        F.bit_xor(digest).alias("checksum"),
+    ).select(
+        "files_before", "files_after", "o_orderpriority", "n_rows", "checksum"
+    )

@@ -103,12 +103,12 @@ _FIXED_FIRST: tuple[str, ...] = (
 
 
 # Family-balanced priority within the unchecked group: the driver's check
-# budget covered exactly 50 queries in r1, so the first ~46 unchecked slots
-# decide which FAMILIES get their first driver rows. Zero-row families
-# (formats, streaming) and one representative slice of each other family go
-# first; the long tpch/rel tails follow (their families already have green
-# rows: q1 / 12 rel_* from r1). Names not listed keep registration order
-# after the listed ones.
+# budget covers ~50 queries per round, so this list decides which FAMILIES
+# get their first driver rows when the unchecked set is larger than the
+# budget. Names not listed keep registration order after the listed ones
+# (so newly-added queries land right after this list, before the green
+# tail). As rounds go green, _load_driver_green() rotates verified names
+# out of the unchecked group automatically.
 _UNCHECKED_PRIORITY: tuple[str, ...] = (
     # round-2 additions (new operators need their first row)
     "b5b_depth_imbalance", "d1_dedup_incremental", "d1_scd2_intervals",

@@ -662,3 +662,62 @@ def b12_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("drawdown"), 6).alias("max_drawdown"),
         F.count("*").alias("n_candles"),
     )
+
+
+# --------------------------------------------------------------------------
+# B13: RSI-14 (relative strength index, SMA variant) — the momentum
+# oscillator next to EWMA/drawdown on every trading dashboard. Per-candle
+# diffs split into gain/loss, 14-period windowed sums, then
+# rsi = 100 * gains / (gains + losses). One shuffle on company_id; the
+# gain/loss sums ride DECIMAL(27,6) through the window so the frame's
+# summation order can't produce cross-engine float drift (double->decimal
+# at 6dp is tie-safe per the core.py policy); only the final ratio is
+# float, rounded to 6dp. Rows emit once 14 diffs exist; an all-flat window
+# (gains = losses = 0) reads 50 (neutral) on both engines.
+@query(
+    "b13_rsi_14",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, ts,
+               ROUND(CASE WHEN sg + sl = 0 THEN 50.0
+                          ELSE 100.0 * CAST(sg AS DOUBLE)
+                               / CAST(sg + sl AS DOUBLE) END, 6) AS rsi
+        FROM (
+            SELECT company_id, ts,
+                   SUM(CAST(GREATEST(d, 0) AS DECIMAL(27,6))) OVER w AS sg,
+                   SUM(CAST(GREATEST(-d, 0) AS DECIMAL(27,6))) OVER w AS sl,
+                   COUNT(d) OVER w AS nd
+            FROM (
+                SELECT company_id, ts,
+                       close - LAG(close) OVER (PARTITION BY company_id
+                                                ORDER BY ts ASC) AS d
+                FROM candles
+            ) x
+            WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ) s
+        WHERE nd = 14
+        """
+    ),
+)
+def b13_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    wo = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    w = wo.rowsBetween(-13, 0)
+    d = F.col("close") - F.lag("close").over(wo)
+    diffed = c.select("company_id", "ts", d.alias("d"))
+    sg = F.sum(F.greatest(F.col("d"), F.lit(0)).cast("decimal(27,6)")).over(w)
+    sl = F.sum(F.greatest(-F.col("d"), F.lit(0)).cast("decimal(27,6)")).over(w)
+    scored = diffed.select(
+        "company_id",
+        "ts",
+        sg.alias("sg"),
+        sl.alias("sl"),
+        F.count("d").over(w).alias("nd"),
+    ).filter(F.col("nd") == 14)
+    rsi = F.when(F.col("sg") + F.col("sl") == 0, F.lit(50.0)).otherwise(
+        F.lit(100.0)
+        * F.col("sg").cast("double")
+        / (F.col("sg") + F.col("sl")).cast("double")
+    )
+    return scored.select("company_id", "ts", F.round(rsi, 6).alias("rsi"))

@@ -272,3 +272,67 @@ def a_ingest_rejected_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rejected.groupBy(
         F.lit("trades").alias("table_name"), reason.alias("reason")
     ).agg(F.count("*").alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# Quotation precision-loss audit — quantify the reference's float64 money
+# collapse (from_parser_to_rabbitmq.py:60-63) against the lossless decimal
+# path: a row is "double-rounded" when units + (nano/1e9) computed in
+# float64 (two roundings) lands on a different double than the correctly-
+# rounded decimal value (one rounding). The audit is the data-quality
+# check a migration off the float path runs first: how many stored prices
+# differ at all, per side. Pure map-side arithmetic + one 2-row aggregate;
+# both engines execute the identical operations so the flagged row set is
+# bit-for-bit the same.
+@query(
+    "a_quotation_loss_audit",
+    oracle="""
+        SELECT side, COUNT(*) AS n_rows,
+               SUM(CASE WHEN px_float <> px_exact THEN 1 ELSE 0 END)
+                   AS n_double_rounded
+        FROM (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END
+                       AS side,
+                   CAST(units AS DOUBLE) + CAST(nano AS DOUBLE) / 1e9
+                       AS px_float,
+                   CAST(CAST(units AS DECIMAL(18,9))
+                        + CAST(nano AS DECIMAL(19,0))
+                          * CAST(0.000000001 AS DECIMAL(10,9)) AS DOUBLE)
+                       AS px_exact
+            FROM (
+                SELECT event_id,
+                       event_id % 2000 - 1000 AS units,
+                       CASE WHEN event_id % 100 = 0 THEN 999999999
+                            ELSE (event_id * 7919) % 1000000000 END AS nano
+                FROM events
+            ) q
+        ) a
+        GROUP BY side
+    """,
+)
+def a_quotation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    units = F.col("event_id") % 2000 - 1000
+    nano = F.when(F.col("event_id") % 100 == 0, 999999999).otherwise(
+        (F.col("event_id") * 7919) % 1000000000
+    )
+    px_float = quotation_to_double(units, nano)
+    px_exact = quotation_to_decimal(units, nano).cast("double")
+    return (
+        e.select(
+            F.when(F.col("event_id") % 2 == 0, "buy")
+            .otherwise("sell")
+            .alias("side"),
+            px_float.alias("pf"),
+            px_exact.alias("pe"),
+        )
+        .groupBy("side")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("pf") != F.col("pe"), 1).otherwise(0)
+            ).alias("n_double_rounded"),
+        )
+    )

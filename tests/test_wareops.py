@@ -92,3 +92,75 @@ def test_pii_redactor_leaves_no_matches(spark):
     for r in injected:
         assert r["n_emails"] >= 1 and r["n_phones"] >= 1
         assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+
+
+def test_interval_bin_join_handles_bin_boundaries(spark):
+    # intervals that start/end exactly on 32-day bin boundaries and points
+    # on those boundaries must match exactly like a direct BETWEEN join —
+    # the bin explode is an optimization, never a semantics change
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)  # epoch day 19723; bins are epoch_day//32
+    rows = []
+    for start_off in (0, 1, 30, 31, 32, 33, 63, 64):
+        for width in (0, 1, 28, 31, 32):
+            rows.append(
+                (base + dt.timedelta(days=start_off),
+                 base + dt.timedelta(days=start_off + width))
+            )
+    iv = spark.createDataFrame(rows, "lo date, hi date")
+    pts = spark.createDataFrame(
+        [(base + dt.timedelta(days=d),) for d in range(0, 100)], "d date"
+    )
+    direct = (
+        pts.join(iv, (F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+        .groupBy("d").count()
+    )
+    binned_iv = iv.select(
+        "lo", "hi",
+        F.explode(F.sequence(
+            F.expr("CAST(datediff(lo, DATE '1970-01-01') AS BIGINT) div 32"),
+            F.expr("CAST(datediff(hi, DATE '1970-01-01') AS BIGINT) div 32"),
+        )).alias("bin"),
+    )
+    binned_pts = pts.withColumn(
+        "bin", F.expr("CAST(datediff(d, DATE '1970-01-01') AS BIGINT) div 32")
+    )
+    via_bins = (
+        binned_pts.join(binned_iv, "bin")
+        .filter((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+        .groupBy("d").count()
+    )
+    got = {r["d"]: r["count"] for r in via_bins.collect()}
+    want = {r["d"]: r["count"] for r in direct.collect()}
+    assert got == want
+
+
+def test_zorder_key_roundtrips_both_dimensions(spark):
+    # de-interleaving the Morton key must recover both 16-bit inputs for
+    # boundary and random-ish values — the skipping stats depend on it
+    from pyspark.sql import functions as F
+
+    from bigdatainvesttink_spark.operators.layout import _zkey_spark
+
+    vals = [0, 1, 2, 3, 255, 256, 32767, 32768, 65534, 65535, 12345, 54321]
+    df = spark.createDataFrame(
+        [(a, b) for a in vals for b in vals], "a long, b long"
+    )
+    z = df.select(
+        "a", "b", F.expr(_zkey_spark("a", "b")).alias("zkey")
+    )
+    back_a = " + ".join(
+        f"shiftleft(CAST(shiftright(zkey, {2 * j}) & 1 AS BIGINT), {j})"
+        for j in range(16)
+    )
+    back_b = " + ".join(
+        f"shiftleft(CAST(shiftright(zkey, {2 * j + 1}) & 1 AS BIGINT), {j})"
+        for j in range(16)
+    )
+    bad = z.filter(
+        (F.expr(back_a) != F.col("a")) | (F.expr(back_b) != F.col("b"))
+    ).count()
+    assert bad == 0

@@ -274,6 +274,41 @@ def test_equidepth_histogram_binning_is_broadcast_pass(spark):
             assert "o_totalprice" not in line, line
 
 
+def test_point_in_time_pushes_filter_and_hash_aggregates(spark):
+    # the as-of-T lookup must push ts <= T into the parquet scan and reuse
+    # the compaction's single hash-aggregate shape — scanning history it
+    # can't use, or falling back to a window sort, loses the whole point
+    df = _q("d1_scd2_point_in_time", spark)
+    assert "ts" in pushed_filters(df)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "Window" not in physical
+    assert "partial_max_by" in physical
+    assert shuffle_count(df) == 1
+
+
+def test_rsi_single_shuffle_two_window_passes(spark):
+    # lag + the 14-row frame share ONE bare-(company_id) partitioning —
+    # exactly one exchange belongs to the RSI windows themselves (the other
+    # exchanges in the plan derive the candles fixture, which in production
+    # is a stored table); and no join anywhere
+    df = _q("b13_rsi_14", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    rsi_exchanges = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "_w0" not in ln and "_groupingexpression" not in ln
+    ]
+    assert len(rsi_exchanges) == 1, rsi_exchanges
+    assert "Join" not in physical
+
+
+def test_quotation_loss_audit_is_mapside_plus_rollup(spark):
+    # both price paths are per-row arithmetic; the only exchange is the
+    # 2-row side rollup
+    df = _q("a_quotation_loss_audit", spark)
+    assert shuffle_count(df) == 1
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

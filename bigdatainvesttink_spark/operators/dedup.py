@@ -209,6 +209,48 @@ def d2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over stable-hashed shingles -> 8 band signatures (4 rows each) ->
 # candidate pairs share >=1 band -> estimated similarity = fraction of
 # matching minhashes. Constant-size state per doc; no all-pairs work.
+
+
+def _minhash_parts(c: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(shingled, mh, cand): hashed shingle sets, 32-slot signatures, and
+    LSH band candidates — shared by the search query and the accuracy eval."""
+    shingled = (
+        c.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias(
+                "shingle"
+            ),
+        )
+        .select(
+            "doc_id", (stable_hash60("shingle") % MINHASH_PRIME).alias("s_mod")
+        )
+        .distinct()
+    )
+    i = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASHES - 1))).alias("i")
+    mh = (
+        shingled.select("doc_id", "s_mod", i)
+        .groupBy("doc_id", "i")
+        .agg(F.min(minhash_value(F.col("s_mod"), F.col("i"))).alias("mh"))
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / 4).cast("int").alias("band")
+    ).agg(F.sum(F.col("mh") * band_weight(F.col("i"))).alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return shingled, mh, cand
+
+
 @query(
     "d2_minhash_lsh",
     oracle=_oracle(
@@ -252,40 +294,7 @@ def d2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
-    shingled = (
-        c.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias(
-                "shingle"
-            ),
-        )
-        .select(
-            "doc_id", (stable_hash60("shingle") % MINHASH_PRIME).alias("s_mod")
-        )
-        .distinct()
-    )
-    i = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASHES - 1))).alias("i")
-    mh = (
-        shingled.select("doc_id", "s_mod", i)
-        .groupBy("doc_id", "i")
-        .agg(F.min(minhash_value(F.col("s_mod"), F.col("i"))).alias("mh"))
-    )
-    bands = mh.groupBy(
-        "doc_id", (F.col("i") / 4).cast("int").alias("band")
-    ).agg(F.sum(F.col("mh") * band_weight(F.col("i"))).alias("sig"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    shingled, mh, cand = _minhash_parts(c)
     x, y = mh.alias("x"), mh.alias("y")
     est = F.sum(
         F.when(F.col("x.mh") == F.col("y.mh"), 1).otherwise(0)
@@ -899,4 +908,127 @@ def d1_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("version_no"),
         )
         .select("user_id", "event_type", "value_at_t", "version_no")
+    )
+
+
+# --------------------------------------------------------------------------
+# D2h: MinHash estimator accuracy — for every LSH candidate pair, the
+# signature-agreement estimate vs the EXACT Jaccard over the same hashed
+# shingle sets, with the absolute error. Completes the
+# measure-your-approximations triad (LSH recall, IVF recall, MinHash
+# accuracy): 32 permutations bound the estimator's stderr at
+# sqrt(j(1-j)/32) ~ 0.09, and this query is how that bound is watched in
+# production (a drifting corpus can push band thresholds off). All three
+# columns are integer ratios — bit-exact cross-engine.
+@query(
+    "d2_minhash_accuracy_eval",
+    oracle=_oracle(
+        f"""
+        , shingled AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) AS BIGINT)
+                       % {MINHASH_PRIME} AS s_mod
+            FROM (
+                SELECT doc_id, unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                       FOR i IN range(0, len(toks) - 2)]) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+                WHERE len(toks) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN(((2*i + 1) * s_mod + 7919*(i + 1)) % {MINHASH_PRIME}) AS mh
+            FROM shingled, (SELECT unnest(range({N_MINHASHES})) AS i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   SUM(mh * (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                             WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+            FROM mh GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), est AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                       / {N_MINHASHES} AS est_similarity
+            FROM cand c
+            JOIN mh x ON x.doc_id = c.doc_a
+            JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+            GROUP BY c.doc_a, c.doc_b
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+        ), exact AS (
+            SELECT c.doc_a, c.doc_b,
+                   COUNT(*) AS n_inter
+            FROM cand c
+            JOIN shingled sa ON sa.doc_id = c.doc_a
+            JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.s_mod = sa.s_mod
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.est_similarity,
+               CAST(x.n_inter AS DOUBLE)
+                   / (za.n_sh + zb.n_sh - x.n_inter) AS exact_jaccard,
+               ABS(e.est_similarity
+                   - CAST(x.n_inter AS DOUBLE)
+                     / (za.n_sh + zb.n_sh - x.n_inter)) AS abs_err
+        FROM est e
+        JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+        JOIN sizes za ON za.doc_id = e.doc_a
+        JOIN sizes zb ON zb.doc_id = e.doc_b
+        """
+    ),
+)
+def d2_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    shingled, mh, cand = _minhash_parts(c)
+    x, y = mh.alias("x"), mh.alias("y")
+    est = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.i") == F.col("x.i")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("x.mh") == F.col("y.mh"), 1).otherwise(0)
+                ).cast("double")
+                / F.lit(N_MINHASHES)
+            ).alias("est_similarity")
+        )
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    exact = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.s_mod") == F.col("sa.s_mod")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    zb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_similarity",
+            jac.alias("exact_jaccard"),
+            F.abs(F.col("est_similarity") - jac).alias("abs_err"),
+        )
     )

@@ -551,3 +551,58 @@ def d6_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         paths.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= 15)
     )
+
+
+# --------------------------------------------------------------------------
+# D6i: volume-anomaly detection — flag the days whose event volume sits
+# more than 2 population standard deviations from that event type's daily
+# mean (the monitoring rollup that pages someone when a feed doubles or
+# dies). Two aggregates: daily counts (shuffle on the small (type, day)
+# grid), then per-type moments over that grid; the grid joins back
+# broadcast, so the raw table is scanned once. stddev is intrinsically
+# sequential -> the z-score is ROUND(,6) on both engines (round6 policy);
+# the >= 2 flag compares the ROUNDED value so the boundary decision is
+# identical cross-engine.
+@query(
+    "d6_anomaly_zscore",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(n_events AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS mean_n,
+                   stddev_pop(n_events) AS sd_n
+            FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, d.day, d.n_events,
+               ROUND((d.n_events - s.mean_n) / s.sd_n, 6) AS zscore
+        FROM daily d JOIN stats s ON s.event_type = d.event_type
+        WHERE s.sd_n > 0
+          AND ABS(ROUND((d.n_events - s.mean_n) / s.sd_n, 6)) >= 2.0
+    """,
+)
+def d6_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("n_events").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_n"),
+        F.stddev_pop("n_events").alias("sd_n"),
+    )
+    z = F.round(
+        (F.col("n_events") - F.col("mean_n")) / F.col("sd_n"), 6
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sd_n") > 0)
+        .select("event_type", "day", "n_events", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= 2.0)
+    )

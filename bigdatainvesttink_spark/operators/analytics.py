@@ -721,3 +721,274 @@ def b13_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("sg") + F.col("sl")).cast("double")
     )
     return scored.select("company_id", "ts", F.round(rsi, 6).alias("rsi"))
+
+
+# --------------------------------------------------------------------------
+# B14: Bollinger bands — 20-period rolling mean ± 2σ around the close, with
+# breach flags; the chart overlay paired with RSI/EWMA on the reference's
+# dashboards (visualization layer, /root/reference/compose.yaml:16-28).
+# Float parity: the window's order-sensitive sums ride DECIMAL(18,6)
+# (Σc and Σc² — (18,6)×(18,6) → (37,12) stays exact in both engines), so
+# any frame evaluation order yields identical decimals; mean/variance then
+# evaluate in double with a FIXED op sequence on both sides, and only the
+# continuous outputs are round6'd. One shuffle on company_id; rows emit once
+# the 20-candle frame is full.
+@query(
+    "b14_bollinger",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, ts, close,
+               ROUND(CAST(sm AS DOUBLE) / 20, 6) AS sma20,
+               ROUND(CAST(sm AS DOUBLE) / 20
+                     + 2 * sqrt(greatest(
+                         (CAST(sq AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 20) / 20,
+                         0)), 6) AS upper_band,
+               ROUND(CAST(sm AS DOUBLE) / 20
+                     - 2 * sqrt(greatest(
+                         (CAST(sq AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 20) / 20,
+                         0)), 6) AS lower_band,
+               CAST(close > CAST(sm AS DOUBLE) / 20
+                     + 2 * sqrt(greatest(
+                         (CAST(sq AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 20) / 20,
+                         0)) AS INT) AS breach_up,
+               CAST(close < CAST(sm AS DOUBLE) / 20
+                     - 2 * sqrt(greatest(
+                         (CAST(sq AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 20) / 20,
+                         0)) AS INT) AS breach_down
+        FROM (
+            SELECT company_id, ts, close,
+                   SUM(CAST(close AS DECIMAL(18,6))) OVER w AS sm,
+                   SUM(CAST(close AS DECIMAL(18,6))
+                       * CAST(close AS DECIMAL(18,6))) OVER w AS sq,
+                   COUNT(*) OVER w AS n
+            FROM candles
+            WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ) x
+        WHERE n = 20
+        """
+    ),
+)
+def b14_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = (
+        Window.partitionBy("company_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(-19, 0)
+    )
+    cd = F.col("close").cast("decimal(18,6)")
+    framed = c.select(
+        "company_id",
+        "ts",
+        "close",
+        F.sum(cd).over(w).alias("sm"),
+        F.sum(cd * cd).over(w).alias("sq"),
+        F.count("*").over(w).alias("n"),
+    ).filter(F.col("n") == 20)
+    mean = F.col("sm").cast("double") / 20
+    var = (
+        F.col("sq").cast("double")
+        - F.col("sm").cast("double") * F.col("sm").cast("double") / 20
+    ) / 20
+    sd2 = 2 * F.sqrt(F.greatest(var, F.lit(0.0)))
+    return framed.select(
+        "company_id",
+        "ts",
+        "close",
+        F.round(mean, 6).alias("sma20"),
+        F.round(mean + sd2, 6).alias("upper_band"),
+        F.round(mean - sd2, 6).alias("lower_band"),
+        (F.col("close") > mean + sd2).cast("int").alias("breach_up"),
+        (F.col("close") < mean - sd2).cast("int").alias("breach_down"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B15: MACD — fast/slow bounded-window EWMAs of the close, their difference
+# (macd), a 9-row EWMA of macd (signal), and the histogram. Same bounded
+# windowed-fold formulation as b11 (the unbounded recursive EMA cannot
+# partial-aggregate); decay constants are exact binary doubles (0.8 / 0.9 /
+# 0.75) so pow() agrees across engines. macd is round6'd BEFORE the signal
+# fold on both sides, pinning the second stage's inputs bit-identical.
+# Plan: both window passes share the (company_id, ts) sort order — a single
+# shuffle, no re-sort for the second frame.
+def _ewma_fold(arr_col: str, decay: float, out_digits: int = 6) -> "F.Column":
+    """JVM-side fold: sum(decay^age * x) / sum(decay^age) over an array
+    ordered oldest->newest (oracle mirror: DuckDB list comprehension)."""
+    return F.expr(
+        f"""
+        aggregate(
+            {arr_col},
+            named_struct('i', 0, 's', CAST(0 AS DOUBLE), 'w', CAST(0 AS DOUBLE)),
+            (acc, x) -> named_struct(
+                'i', acc.i + 1,
+                's', acc.s + x * power({decay},
+                        CAST(size({arr_col}) - 1 - acc.i AS DOUBLE)),
+                'w', acc.w + power({decay},
+                        CAST(size({arr_col}) - 1 - acc.i AS DOUBLE))),
+            acc -> round(acc.s / acc.w, {out_digits}))
+        """
+    )
+
+
+def _ewma_list_sql(arr: str, decay: str) -> str:
+    """DuckDB spelling of the same fold (list comprehensions)."""
+    return (
+        f"list_sum([{arr}[k+1] * pow({decay}, len({arr}) - 1 - k)"
+        f" FOR k IN range(0, len({arr}))])"
+        f" / list_sum([pow({decay}, len({arr}) - 1 - k)"
+        f" FOR k IN range(0, len({arr}))])"
+    )
+
+
+@query(
+    "b15_macd",
+    oracle=oracle_on_domain(
+        f"""
+        SELECT company_id, ts, macd,
+               ROUND({_ewma_list_sql("macds", "0.75")}, 6) AS signal,
+               ROUND(macd - ROUND({_ewma_list_sql("macds", "0.75")}, 6), 6)
+                   AS histogram
+        FROM (
+            SELECT company_id, ts, macd,
+                   array_agg(macd) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC
+                       ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS macds
+            FROM (
+                SELECT company_id, ts,
+                       ROUND({_ewma_list_sql("fastw", "0.8")}
+                             - {_ewma_list_sql("sloww", "0.9")}, 6) AS macd
+                FROM (
+                    SELECT company_id, ts,
+                           array_agg(close) OVER (
+                               PARTITION BY company_id ORDER BY ts ASC
+                               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                               AS fastw,
+                           array_agg(close) OVER (
+                               PARTITION BY company_id ORDER BY ts ASC
+                               ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+                               AS sloww
+                    FROM candles
+                ) frames
+            ) macds_rows
+        ) sig
+        """
+    ),
+)
+def b15_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    wo = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    framed = c.select(
+        "company_id",
+        "ts",
+        F.collect_list("close").over(wo.rowsBetween(-11, 0)).alias("fastw"),
+        F.collect_list("close").over(wo.rowsBetween(-25, 0)).alias("sloww"),
+    )
+    macd_rows = framed.select(
+        "company_id",
+        "ts",
+        F.round(
+            F.expr(
+                """
+                aggregate(fastw,
+                    named_struct('i', 0, 's', CAST(0 AS DOUBLE),
+                                 'w', CAST(0 AS DOUBLE)),
+                    (acc, x) -> named_struct('i', acc.i + 1,
+                        's', acc.s + x * power(0.8,
+                                CAST(size(fastw) - 1 - acc.i AS DOUBLE)),
+                        'w', acc.w + power(0.8,
+                                CAST(size(fastw) - 1 - acc.i AS DOUBLE))),
+                    acc -> acc.s / acc.w)
+                - aggregate(sloww,
+                    named_struct('i', 0, 's', CAST(0 AS DOUBLE),
+                                 'w', CAST(0 AS DOUBLE)),
+                    (acc, x) -> named_struct('i', acc.i + 1,
+                        's', acc.s + x * power(0.9,
+                                CAST(size(sloww) - 1 - acc.i AS DOUBLE)),
+                        'w', acc.w + power(0.9,
+                                CAST(size(sloww) - 1 - acc.i AS DOUBLE))),
+                    acc -> acc.s / acc.w)
+                """
+            ),
+            6,
+        ).alias("macd"),
+    )
+    sig_rows = macd_rows.select(
+        "company_id",
+        "ts",
+        "macd",
+        F.collect_list("macd").over(wo.rowsBetween(-8, 0)).alias("macds"),
+    )
+    signal = _ewma_fold("macds", 0.75)
+    return sig_rows.select(
+        "company_id",
+        "ts",
+        "macd",
+        signal.alias("signal"),
+        F.round(F.col("macd") - signal, 6).alias("histogram"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B16: market beta — per-instrument regression slope of hourly close returns
+# against the cross-sectional market return (the portfolio-risk counterpart
+# of goal №1's volatility). Market return per hour is the mean return across
+# instruments, round6'd on both sides BEFORE the covariance so the second
+# stage's inputs are bit-identical. Plan: one window shuffle on company_id
+# for returns, a tiny per-hour aggregate (one row per hour — broadcast back
+# to the fact side), then a partial-aggregated groupBy(company_id). The
+# covar/var quotient is intrinsically order-sensitive -> round6 (core.py
+# policy, same as b4b_trend_slope).
+@query(
+    "b16_market_beta",
+    oracle=oracle_on_domain(
+        """
+        , rets AS (
+            SELECT company_id, ts,
+                   close / LAG(close) OVER (PARTITION BY company_id
+                                            ORDER BY ts ASC) - 1 AS r
+            FROM candles
+        ),
+        market AS (
+            SELECT ts, ROUND(AVG(r), 6) AS rm, COUNT(r) AS n_inst
+            FROM rets GROUP BY ts
+        )
+        SELECT rets.company_id,
+               ROUND(COVAR_POP(rets.r, market.rm)
+                     / VAR_POP(market.rm), 6) AS beta,
+               COUNT(*) AS n_obs
+        FROM rets JOIN market ON rets.ts = market.ts
+        WHERE rets.r IS NOT NULL AND market.n_inst >= 5
+        GROUP BY rets.company_id
+        HAVING VAR_POP(market.rm) > 0 AND COUNT(*) >= 10
+        """
+    ),
+)
+def b16_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    wo = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    rets = c.select(
+        "company_id",
+        "ts",
+        (F.col("close") / F.lag("close").over(wo) - 1).alias("r"),
+    )
+    market = rets.groupBy("ts").agg(
+        F.round(F.avg("r"), 6).alias("rm"), F.count("r").alias("n_inst")
+    )
+    joined = rets.join(F.broadcast(market), "ts").filter(
+        F.col("r").isNotNull() & (F.col("n_inst") >= 5)
+    )
+    return (
+        joined.groupBy("company_id")
+        .agg(
+            F.round(F.covar_pop("r", "rm") / F.var_pop("rm"), 6).alias("beta"),
+            F.count("*").alias("n_obs"),
+            F.var_pop("rm").alias("__vp"),
+        )
+        .filter((F.col("__vp") > 0) & (F.col("n_obs") >= 10))
+        .drop("__vp")
+    )

@@ -10,7 +10,7 @@ adds one hash-shuffle on doc_id from posexplode/groupBy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import stable_hash60, tokenize
@@ -408,4 +408,127 @@ def d4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         (F.sum(term).cast("double") / F.count("*")).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D4h: vocabulary coverage — build the corpus top-500 vocabulary by token
+# frequency (ties broken by token asc: a total order, so the cut is
+# deterministic in both engines) and score every document's out-of-vocab
+# rate. This is the vocabulary-construction + OOV-audit step of a tokenizer
+# training pipeline. Scale: the token-count aggregate shuffles on token
+# (map-side partial combine); the vocabulary itself is ONE 500-element
+# array row broadcast onto the fact scan, so the per-document scoring pass
+# is shuffle-free — no explode, no re-join on doc_id. At vocab sizes where
+# an O(|V|) per-token membership probe stops being cheap (>~10^5), switch
+# to explode + broadcast semi-join; for tokenizer-sized vocabularies the
+# single-pass HOF filter wins.
+@query(
+    "d4_vocab_coverage",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+                       AS ts
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (SELECT unnest(ts) AS tok FROM toks) e
+            GROUP BY tok
+        ),
+        vocab AS (
+            SELECT list_sort(list(tok)) AS v
+            FROM (SELECT tok FROM counts ORDER BY n DESC, tok ASC LIMIT 500) t
+        )
+        SELECT doc_id,
+               len(ts) AS n_tokens,
+               len(ts) - len(list_filter(ts, t -> list_contains(v, t)))
+                   AS n_oov,
+               CAST(len(ts) - len(list_filter(ts, t -> list_contains(v, t)))
+                    AS DOUBLE) / len(ts) AS oov_rate
+        FROM toks CROSS JOIN vocab
+        WHERE len(ts) > 0
+    """,
+)
+def d4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokenize("text").alias("ts")
+    )
+    counts = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(500)
+        .agg(F.sort_array(F.collect_list("tok")).alias("v"))
+    )
+    n_tokens = F.size("ts")
+    n_in = F.size(F.filter("ts", lambda t: F.array_contains(F.col("v"), t)))
+    return (
+        toks.filter(n_tokens > 0)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (n_tokens - n_in).alias("n_oov"),
+            ((n_tokens - n_in).cast("double") / n_tokens).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D4i: Zipf rank-frequency fit — OLS slope of ln(freq) on ln(rank) over the
+# top-1000 terms; natural-language corpora sit near slope -1, so a drifting
+# slope is a cheap corpus-health monitor (boilerplate-heavy or synthetic
+# text flattens the head). Rank is a total order (n DESC, token ASC); the
+# top-1000 cut plans as TakeOrderedAndProject (no global sort shuffle) and
+# the regression runs on a bounded 1000-row side regardless of corpus size.
+# covar/var quotients are intrinsically order-sensitive -> round6 on both
+# engines (core.py policy, b4b precedent).
+@query(
+    "d4_zipf_slope",
+    oracle="""
+        WITH counts AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS tok
+                FROM documents
+            ) e
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC)
+                           AS DOUBLE)) AS lx,
+                   ln(CAST(n AS DOUBLE)) AS ly
+            FROM (SELECT tok, n FROM counts ORDER BY n DESC, tok ASC
+                  LIMIT 1000) t
+        )
+        SELECT COUNT(*) AS n_terms,
+               ROUND(COVAR_POP(lx, ly) / VAR_POP(lx), 6) AS zipf_slope,
+               ROUND(AVG(ly) - COVAR_POP(lx, ly) / VAR_POP(lx) * AVG(lx), 6)
+                   AS intercept
+        FROM ranked
+    """,
+)
+def d4_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(1000)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("ly") - slope * F.avg("lx"), 6).alias("intercept"),
     )

@@ -309,6 +309,45 @@ def test_quotation_loss_audit_is_mapside_plus_rollup(spark):
     assert shuffle_count(df) == 1
 
 
+def test_bollinger_single_shuffle_no_join(spark):
+    # Σc/Σc² ride one (company_id) window partitioning — exactly one
+    # exchange belongs to the band computation (fixture-derivation
+    # exchanges excluded as in the RSI audit), and no join anywhere
+    df = _q("b14_bollinger", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    own = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "_w0" not in ln and "_groupingexpression" not in ln
+    ]
+    assert len(own) == 1, own
+    assert "Join" not in physical
+
+
+def test_macd_two_window_passes_share_one_shuffle(spark):
+    # fast/slow frames and the 9-row signal frame all partition on bare
+    # company_id ordered by ts — the second pass must reuse the first's
+    # exchange, not re-shuffle
+    df = _q("b15_macd", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    own = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "_w0" not in ln and "_groupingexpression" not in ln
+    ]
+    assert len(own) == 1, own
+    assert "Join" not in physical
+
+
+def test_market_beta_broadcasts_market_side(spark):
+    # the per-hour market table is one row per hour — it must broadcast
+    # onto the fact side; an SMJ here would shuffle every return row on ts
+    df = _q("b16_market_beta", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

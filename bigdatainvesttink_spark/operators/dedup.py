@@ -1032,3 +1032,48 @@ def d2_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_similarity") - jac).alias("abs_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D1g: dedup savings report — duplicate-group size histogram with document
+# and character savings, the "what did dedup buy us" audit every corpus
+# curation run reports next to the dedup itself. Stage 1 is the exact-dedup
+# hash aggregate (shuffle on the 60-bit text hash with text as the
+# collision tiebreak, same key as d1_dedup_exact so the partitioning
+# strategy is shared); stage 2 collapses to one row per distinct group
+# size — a few dozen rows at any corpus scale. All-integer arithmetic:
+# bit-exact cross-engine.
+@query(
+    "d1_dedup_stats",
+    oracle=_oracle(
+        f"""
+        SELECT n_copies AS group_size,
+               COUNT(*) AS n_groups,
+               n_copies * COUNT(*) AS n_docs,
+               (n_copies - 1) * COUNT(*) AS dup_docs,
+               SUM((n_copies - 1) * n_chars) AS chars_dropped
+        FROM (
+            SELECT {_ORACLE_HASH60} AS h, text,
+                   COUNT(*) AS n_copies,
+                   MIN(length(text)) AS n_chars
+            FROM corpus
+            GROUP BY {_ORACLE_HASH60}, text
+        ) groups
+        GROUP BY n_copies
+        """
+    ),
+)
+def d1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir).withColumn("__h", stable_hash60("text"))
+    groups = c.groupBy("__h", "text").agg(
+        F.count("*").alias("n_copies"),
+        F.min(F.length("text")).alias("n_chars"),
+    )
+    return groups.groupBy(F.col("n_copies").alias("group_size")).agg(
+        F.count("*").alias("n_groups"),
+        (F.col("group_size") * F.count("*")).alias("n_docs"),
+        ((F.col("group_size") - 1) * F.count("*")).alias("dup_docs"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_chars")).alias(
+            "chars_dropped"
+        ),
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
+from .dedup import CORPUS_SQL
 
 META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, fmt string, width bigint, height bigint, "
@@ -324,4 +325,108 @@ def dmm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("width").alias("max_width"),
         F.sum("n_frames").alias("total_frames"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-dup over the binary column: the image-dedup path of
+# a multimodal curation pipeline. The fingerprint is computed in Python
+# over the raw bytes through the same Arrow mapInPandas harness as the
+# decoders (a real DCT pHash drops in by replacing _fake_phash — the
+# md5-derived stand-in keeps the oracle exact, same stubbing policy as
+# decode_image); everything after the fingerprint is JVM-side: 6 bands of
+# 10 bits via exact integer div/mod (no engine-specific shifts), a banded
+# self-equi-join for candidates, then bit_count(xor) <= 8 as the hamming
+# verify. With random stand-in bits only identical payloads pass (hamming
+# 0) — the corpus view injects exact duplicates so the path is exercised;
+# real pHash bits make the same plan catch visual near-dups. Scale: the
+# band join is the constant-signature LSH shape (candidates per bucket,
+# never all-pairs), the verify is O(candidates).
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+PHASH_BANDS = 6
+_BAND_DIVS = [1024 ** k for k in range(PHASH_BANDS)]
+PHASH_MAX_HAMMING = 8
+
+
+def compute_phash(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas fingerprint harness (doc_id, content) -> (doc_id, phash)."""
+
+    def _fake_phash(content: bytes) -> int:
+        return int(hashlib.md5(content).hexdigest()[:15], 16)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [_fake_phash(c) for c in pdf["content"]],
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+@query(
+    "dmm_phash_neardup",
+    oracle=f"""
+        WITH corpus AS ({CORPUS_SQL}),
+        ph AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                        AS BIGINT) AS phash
+            FROM corpus
+        ),
+        bands AS (
+            SELECT doc_id, phash, k, (phash // d) % 1024 AS bval
+            FROM ph CROSS JOIN (VALUES {", ".join(f"({k}, {d})" for k, d in enumerate(_BAND_DIVS))}) AS b(k, d)
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.phash AS ha, b.phash AS hb
+            FROM bands a
+            JOIN bands b ON a.k = b.k AND a.bval = b.bval
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+        FROM cands
+        WHERE bit_count(xor(ha, hb)) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def dmm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import corpus
+
+    c = corpus(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    ph = compute_phash(c)
+    # All 6 band values in ONE pass (posexplode of an array expression) —
+    # a per-band union would re-evaluate the Python fingerprint stage once
+    # per band per join side. `div` is exact integer division — float `/`
+    # would round the 60-bit hash above 2^53.
+    band_arr = F.array(
+        *[(F.expr(f"phash div {d}") % 1024) for d in _BAND_DIVS]
+    )
+    bands = ph.select(
+        "doc_id", "phash", F.posexplode(band_arr).alias("k", "bval")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.filter(hamming <= PHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
     )

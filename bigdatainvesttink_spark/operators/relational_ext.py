@@ -493,3 +493,58 @@ def rel_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps and islands: contiguous runs of daily activity per user — the
+# classic sequential-SQL pattern (streaks, outage windows, coverage spans)
+# the reference's warehouse would answer with ClickHouse window funcs. The
+# island key is daynum - row_number(): constant within a consecutive run,
+# jumps at every gap — pure integer arithmetic, bit-exact cross-engine
+# (days are ints; no date rendering in the output). Plan: the distinct-day
+# aggregate shuffles on (user, day) with map-side partial combine (events
+# >> active days), then the window + island rollup share one (user_id)
+# partitioning; both post-distinct stages work on the compacted day set,
+# so the expensive cardinality never shuffles twice.
+@query(
+    "rel_gaps_islands",
+    oracle="""
+        SELECT user_id,
+               daynum - rn AS island_key,
+               MIN(daynum) AS start_day,
+               MAX(daynum) AS end_day,
+               COUNT(*) AS island_len
+        FROM (
+            SELECT user_id, daynum,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY daynum ASC) AS rn
+            FROM (
+                SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS daynum
+                FROM events
+            ) days
+        ) seq
+        GROUP BY user_id, daynum - rn
+    """,
+)
+def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("daynum"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("daynum").asc())
+    seq = days.withColumn(
+        "island_key", F.col("daynum") - F.row_number().over(w)
+    )
+    return seq.groupBy("user_id", "island_key").agg(
+        F.min("daynum").alias("start_day"),
+        F.max("daynum").alias("end_day"),
+        F.count("*").alias("island_len"),
+    )

@@ -348,6 +348,42 @@ def test_market_beta_broadcasts_market_side(spark):
     assert "SortMergeJoin" not in physical
 
 
+def test_phash_neardup_banded_join_no_cartesian(spark):
+    # the candidate join must be equi on (band, band-value) — a cartesian
+    # or pure-inequality join is the all-pairs blowup banding exists to
+    # avoid
+    df = _q("dmm_phash_neardup", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    join_keys = [
+        ln for ln in physical.splitlines()
+        if "Join" in ln and "bval" in ln
+    ]
+    assert join_keys, "candidate join does not use the band equi-key"
+
+
+def test_gaps_islands_two_shuffles_no_join(spark):
+    # distinct-days on (user, day) then window+rollup on user: exactly two
+    # exchanges and no join — the events table itself never shuffles twice
+    df = _q("rel_gaps_islands", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert shuffle_count(df) == 2
+
+
+def test_dedup_stats_shuffles_on_hash(spark):
+    # stage-1 grouping must include the 60-bit hash key (same strategy as
+    # d1_dedup_exact: never shuffle on raw text alone)
+    df = _q("d1_dedup_stats", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    hashed = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln and "__h" in ln
+    ]
+    assert hashed, "no exchange on the text-hash key"
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

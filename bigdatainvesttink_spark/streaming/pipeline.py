@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import oracle_on_domain
@@ -371,3 +371,44 @@ def c_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = e.join(F.broadcast(companies), "company_id")
     agg = enriched.groupBy("sector").agg(F.count("*").alias("n_events"))
     return run_to_memory(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# Top-k per completed window: the "trending instruments" panel of the
+# reference's dashboard layer as a streaming query. Ranking is not a
+# streaming-supported operator (it needs the window CLOSED), so the shape
+# is the canonical two-stage one: the STREAMING engine maintains the
+# windowed counts incrementally (bounded state, watermark-evictable in
+# production), and the rank-and-cut runs as a tiny batch pass over the
+# drained final state — at scale that second stage touches only
+# (n_windows x n_types) aggregate rows, never the raw stream.
+@query(
+    "c_stream_topk_hourly",
+    oracle="""
+        SELECT window_start, event_type, n_events, rnk
+        FROM (
+            SELECT window_start, event_type, n_events,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type ASC) AS rnk
+            FROM (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                           AS window_start,
+                       event_type, COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ) counts
+        ) ranked
+        WHERE rnk <= 3
+    """,
+)
+def c_stream_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_counts(events_stream(spark, sf_dir), "1 hour")
+    final = run_to_memory(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        final.select("window_start", "event_type", "n_events")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -1077,3 +1077,69 @@ def d1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_dropped"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D2h: n-gram duplication coverage — for every document, the fraction of
+# its distinct 3-gram shingles that also occur in at least one OTHER
+# document: the fine-grained duplication audit modern web-corpus pipelines
+# (CCNet/RefinedWeb-style) run alongside whole-document near-dedup, since
+# heavy partial overlap degrades training data even when full-document
+# Jaccard stays under threshold. Reuses the capped-shingle chain (hot
+# shingles dropped by broadcast anti-join BEFORE any df work, on both
+# engines). Plan: shingle df is one partial-aggregated shuffle on shingle;
+# the join back is co-partitioned on the same key, so the posting lists
+# never move twice; the per-doc rollup is the only doc_id shuffle.
+@query(
+    "d2_dup_ngram_coverage",
+    oracle=_oracle(
+        f"""
+        , {SHINGLED_SQL.strip()},
+        df AS (
+            SELECT shingle, COUNT(*) AS n_docs
+            FROM shingled GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared,
+               CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS dup_coverage
+        FROM shingled s JOIN df ON df.shingle = s.shingle
+        GROUP BY s.doc_id
+        """
+    ),
+)
+def d2_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One df aggregate serves BOTH the hot-shingle cap and the coverage
+    # counts (dropping a hot shingle removes it from every doc, so the
+    # survivors' df values are unchanged) — capped_shingles() would build
+    # the hot list with its own second shuffle of the exploded rows.
+    c = corpus(spark, sf_dir)
+    sh0 = (
+        c.select(
+            "doc_id",
+            F.array_distinct(shingles(tokenize("text"), 3)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    df = sh0.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    hot = df.filter(F.col("n_docs") > DF_CAP).select("shingle")
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    shared = (F.col("n_docs") >= 2).cast("long")
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(shared).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles")).alias(
+                "dup_coverage"
+            ),
+        )
+    )

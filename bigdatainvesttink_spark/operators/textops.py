@@ -532,3 +532,104 @@ def d4_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(F.avg("ly") - slope * F.avg("lx"), 6).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# D4j: Count-Min sketch heavy-hitter audit — the streaming/distributed
+# frequency sketch, built EXACTLY: depth-4 x width-1024 counters where
+# hash_j is the same Mersenne-prime permutation family as the minhash
+# (functions/text.py — integer arithmetic, bit-exact cross-engine), so the
+# sketch (and its overcount error) is deterministic and oracle-checkable,
+# not merely approximate. Scale: counters build with map-side partial
+# aggregation onto a FIXED 4096-cell grid (sketch merge = cell-wise sum —
+# the reason CMS exists); the probe side recomputes the 4 buckets for the
+# top-20 true tokens (80 rows) and broadcasts against the sketch.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_PRIME = 2_147_483_647
+
+
+def _cms_bucket_sql(tok_expr: str, j: int) -> str:
+    s60 = (
+        f"CAST(CAST('0x' || substr(md5({tok_expr}), 1, 15) AS UBIGINT)"
+        " AS BIGINT)"
+    )
+    return (
+        f"((({2 * j + 1} * ({s60} % {_CMS_PRIME}) + {7919 * (j + 1)})"
+        f" % {_CMS_PRIME}) % {CMS_WIDTH})"
+    )
+
+
+def _cms_bucket_col(tok: str, j: int):
+    s_mod = stable_hash60(tok) % _CMS_PRIME
+    return ((2 * j + 1) * s_mod + 7919 * (j + 1)) % _CMS_PRIME % CMS_WIDTH
+
+
+@query(
+    "d4_cms_heavy_hitters",
+    oracle=f"""
+        WITH counts AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS tok
+                FROM documents
+            ) e
+            GROUP BY tok
+        ),
+        sketch AS (
+            SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS c
+            FROM (
+                SELECT n, j,
+                       CASE j {"".join(f"WHEN {j} THEN {_cms_bucket_sql('tok', j)} " for j in range(CMS_DEPTH))}END AS bucket
+                FROM counts
+                CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(CMS_DEPTH))}) AS d(j)
+            ) h
+            GROUP BY j, bucket
+        ),
+        top20 AS (
+            SELECT tok, n FROM counts ORDER BY n DESC, tok ASC LIMIT 20
+        ),
+        probes AS (
+            SELECT tok, n, j,
+                   CASE j {"".join(f"WHEN {j} THEN {_cms_bucket_sql('tok', j)} " for j in range(CMS_DEPTH))}END AS bucket
+            FROM top20
+            CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(CMS_DEPTH))}) AS d(j)
+        )
+        SELECT p.tok AS token, p.n AS true_count,
+               MIN(s.c) AS cms_estimate,
+               MIN(s.c) - p.n AS overcount
+        FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+        GROUP BY p.tok, p.n
+    """,
+)
+def d4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    buckets = F.array(
+        *[_cms_bucket_col("tok", j) for j in range(CMS_DEPTH)]
+    )
+    sketch = (
+        counts.select("n", F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("c"))
+    )
+    top20 = counts.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    probes = top20.select(
+        "tok", "n", F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(F.col("tok").alias("token"), F.col("n").alias("true_count"))
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "token",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+        )
+    )

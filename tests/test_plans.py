@@ -384,6 +384,31 @@ def test_dedup_stats_shuffles_on_hash(spark):
     assert hashed, "no exchange on the text-hash key"
 
 
+def test_cms_sketch_partial_aggregates_onto_fixed_grid(spark):
+    # the 4x1024 counter build must partial-combine map-side (that IS the
+    # sketch's merge property); the probe side joins broadcast
+    df = _q("d4_cms_heavy_hitters", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "partial_sum" in physical
+    assert "BroadcastHashJoin" in physical
+
+
+def test_dup_ngram_df_join_copartitions_on_shingle(spark):
+    # the df aggregate and the posting-list join share the shingle
+    # partitioning — the exploded shingle rows must not exchange twice on
+    # the same key (once for the agg, again for the join)
+    df = _q("d2_dup_ngram_coverage", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    shingle_exchanges = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln and "shingle" in ln
+        and "doc_id" not in ln
+    ]
+    # one per join input (both sides derive from the same exploded scan);
+    # a third would mean the join re-partitioned the agg output
+    assert len(shingle_exchanges) <= 2, shingle_exchanges
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

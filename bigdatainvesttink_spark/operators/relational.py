@@ -721,3 +721,53 @@ def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("side"),
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit — orphan counts across every FK edge of the
+# schema, the data-quality gate a warehouse runs after each load (the
+# reference's ClickHouse tables have no FK enforcement, so this check is
+# the only way its schema integrity is ever verified). Each edge is a
+# LEFT ANTI probe of the child against the parent key set: Spark plans the
+# small-parent edges (nation/region/customer at TPC-H ratios) as broadcast
+# anti-joins, so the fact tables never shuffle; the result is one row per
+# edge — constant-size output at any SF. All counts are exact integers.
+_FK_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+@query(
+    "rel_fk_orphan_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{edge}' AS edge,
+               (SELECT COUNT(*) FROM {child}) AS n_child,
+               (SELECT COUNT(*) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pkey} = c.{ckey})) AS n_orphans
+        """
+        for edge, child, ckey, parent, pkey in _FK_EDGES
+    ),
+)
+def rel_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for edge, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        orphans = (
+            c.join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        row = (
+            c.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans)
+            .select(F.lit(edge).alias("edge"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

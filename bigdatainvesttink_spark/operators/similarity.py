@@ -686,3 +686,128 @@ def d3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) codebook assignment — the memory-compression
+# layer under disk-scale ANN (IVF-PQ): each 64-dim vector becomes 4 codes,
+# one per 16-dim subspace, pointing at the nearest codeword. Codewords here
+# are the label-conditioned subspace centroids (decimal-exact means — the
+# same deterministic stand-in for k-means codebooks the IVF family uses,
+# so the oracle can rebuild them bit-identically; swap in trained
+# centroids in production). Distances fold left-to-right in both engines
+# and are ROUND(,6)'d BEFORE the argmin with label as tiebreak, making the
+# assignment decision itself deterministic cross-engine. Plan: the
+# codebook is 40 rows — broadcast; the scored candidates are
+# (sampled vectors x 10 codewords) per subspace, pruned by a 10-row
+# window; the vector corpus shuffles only for that per-(vector, subspace)
+# ranking.
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # _DIM / PQ_SUBSPACES
+
+
+@query(
+    "d3_pq_codebook_assign",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        grid AS (
+            SELECT label, i,
+                   CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM v, (SELECT unnest(range({_DIM})) AS i)
+            GROUP BY label, i
+        ),
+        cb AS (
+            SELECT label, i // {PQ_SUBDIM} AS s,
+                   list(m ORDER BY i ASC) AS c
+            FROM grid GROUP BY label, i // {PQ_SUBDIM}
+        ),
+        q AS (
+            SELECT vec_id, s,
+                   e[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}]
+                       AS sub
+            FROM v, (SELECT unnest(range({PQ_SUBSPACES})) AS s)
+            WHERE vec_id % 5 = 2
+        ),
+        scored AS (
+            SELECT q.vec_id, q.s, cb.label,
+                   ROUND(list_sum([
+                       (q.sub[k + 1] - cb.c[k + 1])
+                       * (q.sub[k + 1] - cb.c[k + 1])
+                       FOR k IN range({PQ_SUBDIM})]), 6) AS d6
+            FROM q JOIN cb ON cb.s = q.s
+        )
+        SELECT vec_id, CAST(s AS BIGINT) AS subspace,
+               label AS code, d6 AS qerr
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY d6 ASC, label ASC) AS rn
+            FROM scored
+        ) r WHERE rn = 1
+    """,
+)
+def d3_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    grid = v.select("label", F.posexplode("e").alias("pos", "x")).groupBy(
+        "label", "pos"
+    ).agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    cb = (
+        grid.withColumn("s", F.expr(f"pos div {PQ_SUBDIM}"))
+        .groupBy("label", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda r: r.m,
+            ).alias("c")
+        )
+    )
+    q = (
+        v.filter(F.col("vec_id") % 5 == 2)
+        .select(
+            "vec_id",
+            "e",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])
+            ).alias("s"),
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.expr(f"slice(e, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "sub"
+            ),
+        )
+    )
+    scored = q.join(F.broadcast(cb), "s").select(
+        "vec_id",
+        "s",
+        "label",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "sub", "c", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d6"),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d6").asc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").cast("long").alias("subspace"),
+            F.col("label").alias("code"),
+            F.col("d6").alias("qerr"),
+        )
+    )

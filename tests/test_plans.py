@@ -409,6 +409,24 @@ def test_dup_ngram_df_join_copartitions_on_shingle(spark):
     assert len(shingle_exchanges) <= 2, shingle_exchanges
 
 
+def test_pq_codebook_broadcasts_and_prunes_with_window(spark):
+    # the 40-row codebook must broadcast onto the sampled vector side; the
+    # argmin is a bounded 10-row-per-group window, never a re-join
+    df = _q("d3_pq_codebook_assign", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+
+
+def test_fk_orphan_audit_uses_anti_joins(spark):
+    # every edge probes with LEFT ANTI; no edge may degrade to an inner
+    # join + null-filter (which would materialize the match set)
+    df = _q("rel_fk_orphan_audit", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "LeftAnti" in physical
+    assert "CartesianProduct" not in physical
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

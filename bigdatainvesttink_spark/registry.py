@@ -110,35 +110,44 @@ _FIXED_FIRST: tuple[str, ...] = (
 # tail). As rounds go green, _load_driver_green() rotates verified names
 # out of the unchecked group automatically.
 _UNCHECKED_PRIORITY: tuple[str, ...] = (
-    # round-2 additions (new operators need their first row)
-    "b5b_depth_imbalance", "d1_dedup_incremental", "d1_scd2_intervals",
-    "d1_cdc_apply", "d7_decontaminate",
-    "d7_corpus_mix", "a_quotation_decimal", "a_ingest_rejected_counts",
-    # formats family: zero driver rows ever
-    "fmt_partitioned_pruned_scan", "fmt_orc_roundtrip",
-    "fmt_csv_json_roundtrip",
-    # streaming family: zero driver rows ever
-    "c_stream_tumbling_counts", "c_stream_sliding_counts",
-    "c_stream_session_counts", "c_queue_wire_roundtrip",
-    # tpch: join-heavy diagnostic picks (family proxy q1 is green)
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items", "tpch_q18_large_volume",
-    "tpch_q21_waiting_suppliers",
-    # similarity: full slice (only a rows-only kmeans row exists)
-    "d3_ann_bruteforce_topk", "d3_embedding_neardup", "d3_ann_lsh_bucketed",
-    "d3_embedding_normalize", "d3_embedding_quantize", "d3_label_centroids",
-    "d3_ivf_probe_topk",
-    # text analysis: full slice
-    "d4_text_quality", "d4_lang_id", "d4_token_count", "d4_fingerprint",
-    "d4_tfidf_top_terms", "d4_pii_redact",
-    # relational tail (12 rel_* already green from r1)
-    "rel_salted_hot_agg", "rel_window_lag_lead", "rel_set_ops",
-    "rel_sort_limit",
-    "rel_agg_percentile", "rel_array_suite", "rel_table_checksum",
-    "rel_profile_orders", "rel_histogram_price", "rel_join_full_outer",
-    "rel_range_join", "rel_pivot", "rel_window_analytics",
+    # --- round-3 head: the 50 queries unchecked at round-3 start fill the
+    # budget exactly (VERDICT r2 top ask: the TPC-H/rel-ext tail first);
+    # round-3 session additions queue behind them for the next round. ---
+    # rel-ext tail (local-pass since r1/r2, never driver-checked)
     "rel_window_range_frame", "rel_correlated_scalar_subquery",
     "rel_in_subquery_conditional_agg", "rel_approx_aggs",
+    "rel_scalar_suite", "rel_datetime_suite", "rel_set_ops_all",
+    "rel_unpivot",
+    # TPC-H tail (16 of 22 without driver rows)
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q12_priority_split",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_diversity",
+    "tpch_q17_small_quantity", "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock", "tpch_q22_sales_opportunity",
+    # streaming additions from early round 3
+    "c_stream_dedup_roundtrip", "c_stream_stream_interval_join",
+    "c_stream_static_enrich",
+    # early-round-3 operators (analytics / warehouse / curation / eval)
+    "b11_ewma_price", "b12_max_drawdown", "b13_rsi_14",
+    "d1_incremental_agg_merge", "d1_table_diff_buckets",
+    "d1_scd2_point_in_time", "d2_containment_pairs",
+    "d2_minhash_accuracy_eval", "d7_dataset_card",
+    "d6_gapfill_linear_interp", "d6_event_paths_topk", "d6_anomaly_zscore",
+    "a_quotation_loss_audit", "fmt_zorder_layout",
+    "fmt_bucketed_join_no_shuffle", "fmt_compact_small_files",
+    "rel_interval_bin_join", "rel_salted_skew_join",
+    "rel_equidepth_histogram", "dmm_modality_stats",
+    "d3_ann_recall_eval", "d3_ivf_recall_eval", "d4_bigram_logprob",
+    # --- late-round-3 additions: positions 51+, first driver rows next
+    # round (all local-oracle-green at sf0.01 and sf0.1) ---
+    "b14_bollinger", "b15_macd", "b16_market_beta",
+    "d4_vocab_coverage", "d4_zipf_slope", "d4_cms_heavy_hitters",
+    "d1_dedup_stats", "d2_dup_ngram_coverage", "rel_gaps_islands",
+    "dmm_phash_neardup", "rel_fk_orphan_audit", "d3_pq_codebook_assign",
+    "c_stream_topk_hourly",
 )
 
 

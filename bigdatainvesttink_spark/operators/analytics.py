@@ -992,3 +992,123 @@ def b16_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__vp") > 0) & (F.col("n_obs") >= 10))
         .drop("__vp")
     )
+
+
+# --------------------------------------------------------------------------
+# B17: bid/ask spread statistics — the liquidity metric next to imbalance
+# (goal №4) on the reference's order-book feed: relative spread
+# (ask - bid) / mid per snapshot, aggregated per instrument. The per-row
+# spread is a fixed double op sequence (identical cross-engine); the mean
+# rides the decimal-routed sum (order-independent), min/max are exact.
+# One partial-aggregated shuffle on company_id; constant output.
+@query(
+    "b17_spread_stats",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               COUNT(*) AS n_snapshots,
+               CAST(SUM(CAST((ask_price - bid_price)
+                             / ((ask_price + bid_price) / 2)
+                             AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_rel_spread,
+               MIN((ask_price - bid_price) / ((ask_price + bid_price) / 2))
+                   AS min_rel_spread,
+               MAX((ask_price - bid_price) / ((ask_price + bid_price) / 2))
+                   AS max_rel_spread
+        FROM order_book
+        GROUP BY company_id
+        """
+    ),
+)
+def b17_spread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = domain_table(spark, sf_dir, "order_book")
+    rel = (F.col("ask_price") - F.col("bid_price")) / (
+        (F.col("ask_price") + F.col("bid_price")) / 2
+    )
+    return ob.groupBy("company_id").agg(
+        F.count("*").alias("n_snapshots"),
+        (
+            F.sum(rel.cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("avg_rel_spread"),
+        F.min(rel).alias("min_rel_spread"),
+        F.max(rel).alias("max_rel_spread"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B18: tick-rule order flow — classify each trade as buyer- or
+# seller-initiated by the tick rule (up-tick = buy, down-tick = sell,
+# zero-tick inherits the previous non-zero direction via
+# last(ignorenulls)), then roll hourly signed-volume imbalance per
+# instrument — the order-flow toxicity input (VPIN et al.) the reference's
+# trade feed exists to support. Price comparisons and the carried sign are
+# exact; the imbalance is an integer-ratio double. One shuffle on
+# company_id serves the lag and the carry window; the hourly rollup
+# partial-aggregates on (company_id, hour).
+@query(
+    "b18_tick_rule_flow",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CASE WHEN dir = 1 THEN volume ELSE 0 END)
+                    AS BIGINT) AS buy_volume,
+               CAST(SUM(CASE WHEN dir = -1 THEN volume ELSE 0 END)
+                    AS BIGINT) AS sell_volume,
+               CAST(SUM(dir * volume) AS DOUBLE)
+                   / SUM(volume) AS flow_imbalance
+        FROM (
+            SELECT company_id, ts, volume,
+                   last_value(tick IGNORE NULLS) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS dir
+            FROM (
+                SELECT company_id, ts, trade_id, volume,
+                       CASE WHEN price > LAG(price) OVER w THEN 1
+                            WHEN price < LAG(price) OVER w THEN -1
+                            ELSE NULL END AS tick
+                FROM trades
+                WINDOW w AS (PARTITION BY company_id
+                             ORDER BY ts ASC, trade_id ASC)
+            ) ticked
+        ) signed
+        WHERE dir IS NOT NULL
+        GROUP BY company_id, date_trunc('hour', ts)
+        """
+    ),
+)
+def b18_tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    wo = Window.partitionBy("company_id").orderBy(
+        F.col("ts").asc(), F.col("trade_id").asc()
+    )
+    lagp = F.lag("price").over(wo)
+    tick = (
+        F.when(F.col("price") > lagp, 1)
+        .when(F.col("price") < lagp, -1)
+        .otherwise(F.lit(None))
+    )
+    ticked = t.select(
+        "company_id", "ts", "trade_id", "volume", tick.alias("tick")
+    ).withColumn(
+        "dir",
+        F.last("tick", ignorenulls=True).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    signed = ticked.filter(F.col("dir").isNotNull())
+    return signed.groupBy(
+        "company_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.when(F.col("dir") == 1, F.col("volume")).otherwise(0))
+        .cast("long")
+        .alias("buy_volume"),
+        F.sum(F.when(F.col("dir") == -1, F.col("volume")).otherwise(0))
+        .cast("long")
+        .alias("sell_volume"),
+        (
+            F.sum(F.col("dir") * F.col("volume")).cast("double")
+            / F.sum("volume")
+        ).alias("flow_imbalance"),
+    )

@@ -147,7 +147,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d4_vocab_coverage", "d4_zipf_slope", "d4_cms_heavy_hitters",
     "d1_dedup_stats", "d2_dup_ngram_coverage", "rel_gaps_islands",
     "dmm_phash_neardup", "rel_fk_orphan_audit", "d3_pq_codebook_assign",
-    "c_stream_topk_hourly",
+    "c_stream_topk_hourly", "b17_spread_stats", "b18_tick_rule_flow",
 )
 
 

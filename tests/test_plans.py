@@ -427,6 +427,22 @@ def test_fk_orphan_audit_uses_anti_joins(spark):
     assert "CartesianProduct" not in physical
 
 
+def test_tick_rule_windows_share_one_shuffle(spark):
+    # the lag window and the sign-carry window both partition on bare
+    # company_id with the same order — exactly one exchange belongs to
+    # them (fixture-derivation exchanges excluded), plus the hourly rollup
+    df = _q("b18_tick_rule_flow", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    own = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "_w0" not in ln and "_groupingexpression" not in ln
+        and "hour" not in ln
+    ]
+    assert len(own) == 1, own
+    assert "Join" not in physical
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

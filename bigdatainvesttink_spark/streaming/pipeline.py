@@ -412,3 +412,47 @@ def c_stream_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# C5's CUSTOM-state operator as an oracle-checked query: the
+# applyInPandasWithState running VWAP (streaming/stateful.py) drained with
+# availableNow; the final state row per instrument (the one carrying the
+# full cumulative volume) must equal DuckDB's batch VWAP over the same
+# trades. Update mode emits one row per key per micro-batch, so the final
+# row is selected by max total_volume (volumes are strictly positive —
+# the cumulative count is a total order per key). The quotient of two
+# order-sensitive float sums rounds to 6dp on both engines (core.py
+# policy); state is O(1) per key at any scale.
+@query(
+    "c_stream_vwap_stateful",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id,
+               ROUND(SUM(price * volume) / SUM(volume), 6) AS vwap,
+               CAST(SUM(volume) AS BIGINT) AS total_volume
+        FROM trades
+        GROUP BY company_id
+        """
+    ),
+)
+def c_stream_vwap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import FIXTURE_SQL
+    from .stateful import running_vwap
+
+    configure(spark)
+    events_stream(spark, sf_dir).createOrReplaceTempView("events")
+    st = spark.sql(FIXTURE_SQL["trades"]).select(
+        "company_id", "price", "volume"
+    )
+    landed = run_to_memory(running_vwap(st), "update")
+    w = Window.partitionBy("company_id").orderBy(F.desc("total_volume"))
+    return (
+        landed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "company_id",
+            F.round("vwap", 6).alias("vwap"),
+            "total_volume",
+        )
+    )

@@ -702,3 +702,73 @@ def d7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         (F.col("n").cast("double") / F.col("n_docs")).alias("top_lang_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Packing-efficiency report — the shard-level audit a training-data team
+# reads after d7_sequence_packing: pack counts, fill rate against the
+# PACK_BUDGET grid, and how many documents straddle a pack boundary (each
+# straddle is a truncation/cross-attention decision downstream). Same
+# per-shard prefix-sum shape as the packing itself (no global sort); the
+# rollup is one row per shard. All-integer arithmetic plus one exact ratio.
+@query(
+    "d7_pack_efficiency",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tok
+            FROM documents WHERE text <> ''
+        ), offs AS (
+            SELECT shard, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS start_off
+            FROM t
+        )
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST((SUM(n_tok) - 1) // {PACK_BUDGET} + 1 AS BIGINT)
+                   AS n_packs,
+               CAST(SUM(n_tok) AS DOUBLE)
+                   / (((SUM(n_tok) - 1) // {PACK_BUDGET} + 1)
+                      * {PACK_BUDGET}) AS fill_rate,
+               CAST(SUM(CASE WHEN start_off // {PACK_BUDGET}
+                             != (start_off + n_tok - 1) // {PACK_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        FROM offs
+        GROUP BY shard
+    """,
+)
+def d7_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    straddles = F.expr(
+        f"CASE WHEN start_off div {PACK_BUDGET}"
+        f" != (start_off + n_tok - 1) div {PACK_BUDGET}"
+        " THEN 1 ELSE 0 END"
+    )
+    return offs.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.expr(f"(sum(n_tok) - 1) div {PACK_BUDGET} + 1").alias("n_packs"),
+        (
+            F.sum("n_tok").cast("double")
+            / (
+                (F.expr(f"(sum(n_tok) - 1) div {PACK_BUDGET} + 1"))
+                * PACK_BUDGET
+            )
+        ).alias("fill_rate"),
+        F.sum(straddles).cast("long").alias("n_straddling"),
+    )

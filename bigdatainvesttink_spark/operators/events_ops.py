@@ -606,3 +606,69 @@ def d6_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_events", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) >= 2.0)
     )
+
+
+# --------------------------------------------------------------------------
+# D6j: funnel conversion + time-to-convert rollup — the one-row summary a
+# product dashboard renders above d6_funnel_steps' per-user detail:
+# stage-to-stage conversion rates and mean transition latencies. Composes
+# the funnel operator itself (same three co-partitioned aggregates), then
+# collapses to a single row — conversion rates are exact integer ratios,
+# and the mean latencies ride the decimal-routed sum over exact epoch
+# microsecond differences (order-independent), divided down to seconds in
+# a fixed op sequence on both engines.
+@query(
+    "d6_funnel_conversion",
+    oracle="""
+        WITH v AS (SELECT user_id, MIN(ts) AS t_view
+                   FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+              FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+              FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        f AS (
+            SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+            FROM v LEFT JOIN c ON c.user_id = v.user_id
+                   LEFT JOIN p ON p.user_id = v.user_id
+        )
+        SELECT COUNT(*) AS n_entered,
+               COUNT(t_click) AS n_clicked,
+               COUNT(t_purchase) AS n_purchased,
+               CAST(COUNT(t_click) AS DOUBLE) / COUNT(*) AS click_rate,
+               CAST(COUNT(t_purchase) AS DOUBLE)
+                   / COUNT(t_click) AS purchase_rate,
+               CAST(SUM(CAST(epoch_us(t_click) - epoch_us(t_view)
+                             AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(t_click) / 1000000 AS avg_view_to_click_s,
+               CAST(SUM(CAST(epoch_us(t_purchase) - epoch_us(t_click)
+                             AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(t_purchase) / 1000000 AS avg_click_to_purchase_s
+        FROM f
+    """,
+)
+def d6_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .events_ops import d6_funnel_steps  # self-module: composition
+
+    steps = d6_funnel_steps(spark, sf_dir)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d_vc = (us("t_click") - us("t_view")).cast("decimal(27,6)")
+    d_cp = (us("t_purchase") - us("t_click")).cast("decimal(27,6)")
+    return steps.agg(
+        F.count("*").alias("n_entered"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        (F.count("t_click").cast("double") / F.count("*")).alias(
+            "click_rate"
+        ),
+        (
+            F.count("t_purchase").cast("double") / F.count("t_click")
+        ).alias("purchase_rate"),
+        (
+            F.sum(d_vc).cast("double") / F.count("t_click") / 1000000
+        ).alias("avg_view_to_click_s"),
+        (
+            F.sum(d_cp).cast("double") / F.count("t_purchase") / 1000000
+        ).alias("avg_click_to_purchase_s"),
+    )

@@ -148,7 +148,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d1_dedup_stats", "d2_dup_ngram_coverage", "rel_gaps_islands",
     "dmm_phash_neardup", "rel_fk_orphan_audit", "d3_pq_codebook_assign",
     "c_stream_topk_hourly", "b17_spread_stats", "b18_tick_rule_flow",
-    "c_stream_vwap_stateful",
+    "c_stream_vwap_stateful", "d7_pack_efficiency", "d6_funnel_conversion",
 )
 
 

@@ -548,3 +548,66 @@ def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("daynum").alias("end_day"),
         F.count("*").alias("island_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-counting distinct estimation — the bitmap-occupancy sketch
+# (Whang et al.), the deterministic cousin of HLL: bucket = md5-hash mod m,
+# estimate = -m * ln(1 - occupied/m). Because the hash is the engine-
+# portable 60-bit md5 prefix (functions/text.py spelling), the sketch and
+# its error are bit-reproducible and oracle-EXACT — unlike
+# approx_count_distinct (rel_approx_aggs), which is rows-only-checkable.
+# Scale: the (group, bucket) grid is bounded by m per group and partial-
+# aggregates map-side; m sizes with expected cardinality (65536 here keeps
+# occupancy < 25% through sf1 — at higher cardinality widen m or shard the
+# hash space, same plan). ln() of the same double on both engines; round6.
+_LC_M = 65536
+
+
+@query(
+    "rel_linear_counting_distinct",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS true_distinct,
+               COUNT(DISTINCT bucket) AS occupied,
+               ROUND(-{_LC_M} * ln(1 - CAST(COUNT(DISTINCT bucket) AS DOUBLE)
+                                       / {_LC_M}), 6) AS lc_estimate,
+               ROUND(ABS(-{_LC_M} * ln(1 - CAST(COUNT(DISTINCT bucket)
+                                                AS DOUBLE) / {_LC_M})
+                         - COUNT(DISTINCT o_custkey))
+                     / COUNT(DISTINCT o_custkey), 6) AS abs_rel_err
+        FROM (
+            SELECT o_orderstatus, o_custkey,
+                   CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                            1, 15) AS UBIGINT) AS BIGINT)
+                       % {_LC_M} AS bucket
+            FROM orders
+        ) h
+        GROUP BY o_orderstatus
+    """,
+)
+def rel_linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stable_hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        "o_orderstatus",
+        "o_custkey",
+        (stable_hash60(F.col("o_custkey").cast("string")) % _LC_M).alias(
+            "bucket"
+        ),
+    )
+    occ = F.countDistinct("bucket")
+    est = -F.lit(float(_LC_M)) * F.log(
+        1 - occ.cast("double") / _LC_M
+    )
+    return h.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("true_distinct"),
+        occ.alias("occupied"),
+        F.round(est, 6).alias("lc_estimate"),
+        F.round(
+            F.abs(est - F.countDistinct("o_custkey"))
+            / F.countDistinct("o_custkey"),
+            6,
+        ).alias("abs_rel_err"),
+    )

@@ -672,3 +672,55 @@ def d6_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d_cp).cast("double") / F.count("t_purchase") / 1000000
         ).alias("avg_click_to_purchase_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# D5b: malformed-JSON tolerance audit — the engine-side counterpart of the
+# ingest path's PERMISSIVE decode (A12): a deterministically corrupted
+# variant of every 10th props payload (closing brace dropped) must parse
+# to NULL, not fail the job, and the valid remainder must still aggregate
+# exactly. Spark's get_json_object returns NULL on invalid JSON natively;
+# the oracle gates extraction behind json_valid() for the same outcome.
+# Single scan + one partial-aggregated shuffle on event_type.
+@query(
+    "d5_json_malformed_audit",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(k) AS n_valid,
+               COUNT(*) - COUNT(k) AS n_invalid,
+               CAST(SUM(CAST(k AS DECIMAL(27,6))) AS DOUBLE) / COUNT(k)
+                   AS avg_k_valid
+        FROM (
+            SELECT event_type,
+                   CASE WHEN json_valid(p) THEN
+                       CAST(json_extract_string(p, '$.k') AS INT)
+                   END AS k
+            FROM (
+                SELECT event_type,
+                       CASE WHEN event_id % 10 = 0
+                            THEN substr(props, 1, length(props) - 1)
+                            ELSE props END AS p
+                FROM events
+            ) corrupted
+        ) parsed
+        GROUP BY event_type
+    """,
+)
+def d5_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(p, "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k").alias("n_valid"),
+            (F.count("*") - F.count("k")).alias("n_invalid"),
+            davg("k", "avg_k_valid"),
+        )
+    )

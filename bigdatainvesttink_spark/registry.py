@@ -149,7 +149,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "dmm_phash_neardup", "rel_fk_orphan_audit", "d3_pq_codebook_assign",
     "c_stream_topk_hourly", "b17_spread_stats", "b18_tick_rule_flow",
     "c_stream_vwap_stateful", "d7_pack_efficiency", "d6_funnel_conversion",
-    "rel_linear_counting_distinct",
+    "rel_linear_counting_distinct", "d5_json_malformed_audit",
 )
 
 

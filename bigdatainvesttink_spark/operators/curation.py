@@ -772,3 +772,77 @@ def d7_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_rate"),
         F.sum(straddles).cast("long").alias("n_straddling"),
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum phasing — order the corpus into training phases by a
+# difficulty proxy (mean token length — swap in any scored column) and
+# report per-phase volume: the "easy-to-hard" data-ordering step of a
+# curriculum-learning pipeline. Phase boundaries are exact quartile
+# percentile_disc values (actual data points, bit-identical cross-engine)
+# binned via one broadcast pass — the same boundary-broadcast shape as
+# rel_equidepth_histogram, so the corpus scan never shuffles for binning;
+# only the 4-row phase rollup exchanges. At 100 TB the boundary step swaps
+# to approx_percentile; the binning pass is identical either way.
+@query(
+    "d7_curriculum_phases",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tok,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '),
+                                         t -> t <> '')) AS difficulty
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+        ),
+        b AS (
+            SELECT quantile_disc(difficulty, [0.25, 0.5, 0.75]) AS bs
+            FROM scored
+        )
+        SELECT len(list_filter(b.bs, x -> s.difficulty > x)) AS phase,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(difficulty AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_difficulty
+        FROM scored s, b
+        GROUP BY 1
+    """,
+)
+def d7_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(toks)
+        ).alias("difficulty"),
+    ).filter(F.col("n_tok") > 0)
+    bounds = scored.agg(
+        F.expr(
+            "array("
+            + ",".join(
+                f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY difficulty)"
+                for q in (25, 50, 75)
+            )
+            + ") AS bs"
+        )
+    )
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        "n_tok",
+        "difficulty",
+        F.size(
+            F.filter("bs", lambda x: F.col("difficulty") > x)
+        ).alias("phase"),
+    )
+    return binned.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (
+            F.sum(F.col("difficulty").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_difficulty"),
+    )

@@ -771,3 +771,41 @@ def rel_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Partition-skew audit — the diagnostic that decides WHEN the salted-join /
+# salted-agg machinery (rel_salted_hot_agg, rel_salted_skew_join) is worth
+# deploying: per-key row counts reduced to key count, max, skew ratio
+# (max / mean — an exact integer ratio, no rounding needed), and the
+# hottest key with deterministic tie-break (lexicographic max of
+# (count, key)). Two aggregates: the per-key counts shuffle once with
+# map-side partial combine, the stats rollup is a single row.
+@query(
+    "rel_partition_skew_audit",
+    oracle="""
+        WITH c AS (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS total_rows,
+               MAX(n) AS max_per_key,
+               CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) AS skew_ratio,
+               (SELECT o_custkey FROM c
+                ORDER BY n DESC, o_custkey DESC LIMIT 1) AS hottest_key
+        FROM c
+    """,
+)
+def rel_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        (
+            F.max("n").cast("double") * F.count("*") / F.sum("n")
+        ).alias("skew_ratio"),
+        F.max(F.struct("n", "o_custkey"))["o_custkey"].alias("hottest_key"),
+    )

@@ -150,6 +150,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "c_stream_topk_hourly", "b17_spread_stats", "b18_tick_rule_flow",
     "c_stream_vwap_stateful", "d7_pack_efficiency", "d6_funnel_conversion",
     "rel_linear_counting_distinct", "d5_json_malformed_audit",
+    "d7_curriculum_phases", "rel_partition_skew_audit",
 )
 
 

@@ -443,6 +443,18 @@ def test_tick_rule_windows_share_one_shuffle(spark):
     assert "Join" not in physical
 
 
+def test_curriculum_binning_is_broadcast_pass(spark):
+    # quartile boundaries broadcast onto the corpus scan; the binning pass
+    # may not shuffle the documents table (only the 4-row phase rollup
+    # exchanges) — same contract as the equidepth histogram
+    df = _q("d7_curriculum_phases", spark)
+    physical = plan_text(df).split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+    for line in physical.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "difficulty" not in line, line
+
+
 def test_connected_components_never_broadcasts_labels(spark):
     # large-star/small-star rounds must not force-broadcast any side — the
     # label/edge tables are all-nodes-sized at scale. Forced hints show up

@@ -1112,3 +1112,70 @@ def b18_tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("volume")
         ).alias("flow_imbalance"),
     )
+
+
+# --------------------------------------------------------------------------
+# B19: running-VWAP deviation alerts — flag trades executing more than 2%
+# away from their instrument's running VWAP at that moment (the in-engine
+# form of an execution-quality / manipulation alert; the batch twin of the
+# stateful streaming VWAP, c_stream_vwap_stateful). The running VWAP rides
+# DECIMAL(38,6) cumulative sums of price*volume and volume — exact at any
+# frame evaluation order — and only the final ratio is float, so the 2%
+# decision is bit-identical cross-engine. One shuffle on company_id; the
+# alert filter is map-side after the window.
+@query(
+    "b19_vwap_deviation",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, trade_id, ts, price,
+               ROUND(CAST(run_pv AS DOUBLE) / CAST(run_v AS DOUBLE), 6)
+                   AS run_vwap,
+               ROUND((price - CAST(run_pv AS DOUBLE) / CAST(run_v AS DOUBLE))
+                     / (CAST(run_pv AS DOUBLE) / CAST(run_v AS DOUBLE)),
+                     6) AS deviation
+        FROM (
+            SELECT company_id, trade_id, ts, price,
+                   SUM(CAST(price AS DECIMAL(27,6))
+                       * CAST(volume AS DECIMAL(11,0))) OVER w AS run_pv,
+                   SUM(CAST(volume AS DECIMAL(27,6))) OVER w AS run_v
+            FROM trades
+            WINDOW w AS (PARTITION BY company_id
+                         ORDER BY ts ASC, trade_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) r
+        WHERE ABS((price - CAST(run_pv AS DOUBLE) / CAST(run_v AS DOUBLE))
+                  / (CAST(run_pv AS DOUBLE) / CAST(run_v AS DOUBLE)))
+              > 0.02
+        """
+    ),
+)
+def b19_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    w = (
+        Window.partitionBy("company_id")
+        .orderBy(F.col("ts").asc(), F.col("trade_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_pv = F.sum(
+        F.col("price").cast("decimal(27,6)")
+        * F.col("volume").cast("decimal(11,0)")
+    ).over(w)
+    run_v = F.sum(F.col("volume").cast("decimal(27,6)")).over(w)
+    framed = t.select(
+        "company_id",
+        "trade_id",
+        "ts",
+        "price",
+        run_pv.alias("run_pv"),
+        run_v.alias("run_v"),
+    )
+    vwap = F.col("run_pv").cast("double") / F.col("run_v").cast("double")
+    dev = (F.col("price") - vwap) / vwap
+    return framed.filter(F.abs(dev) > 0.02).select(
+        "company_id",
+        "trade_id",
+        "ts",
+        "price",
+        F.round(vwap, 6).alias("run_vwap"),
+        F.round(dev, 6).alias("deviation"),
+    )

@@ -809,3 +809,64 @@ def rel_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         F.max(F.struct("n", "o_custkey"))["o_custkey"].alias("hottest_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# Delete-cascade (right-to-be-forgotten) audit — given a deletion set of
+# customers (deterministic here: every 97th key), measure the blast radius
+# BEFORE executing: rows to purge per table along the FK chain
+# (customer -> orders -> lineitem) and what remains. The probe chain is
+# semi-joins keyed exactly like the FK edges, so the big tables shuffle on
+# their join keys once each and the deletion set stays a broadcast; at
+# 100 TB this plan IS the delete plan (anti-join rewrite), so the audit
+# costs what one dry run costs. All counts exact.
+@query(
+    "rel_delete_cascade_audit",
+    oracle="""
+        WITH del AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ),
+        del_orders AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del)
+        )
+        SELECT 'customer' AS tbl,
+               (SELECT COUNT(*) FROM del) AS n_delete,
+               (SELECT COUNT(*) FROM customer) AS n_total
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM del_orders),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+               (SELECT COUNT(*) FROM lineitem)
+    """,
+)
+def rel_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_c = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = orders.join(
+        F.broadcast(del_c),
+        orders["o_custkey"] == del_c["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    del_l = li.join(
+        del_o, li["l_orderkey"] == del_o["o_orderkey"], "left_semi"
+    )
+
+    def row(tbl, deleted, total):
+        return (
+            deleted.agg(F.count("*").alias("n_delete"))
+            .crossJoin(total.agg(F.count("*").alias("n_total")))
+            .select(F.lit(tbl).alias("tbl"), "n_delete", "n_total")
+        )
+
+    return (
+        row("customer", del_c, cust)
+        .unionByName(row("orders", del_o, orders))
+        .unionByName(row("lineitem", del_l, li))
+    )

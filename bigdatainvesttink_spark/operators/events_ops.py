@@ -724,3 +724,71 @@ def d5_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("k", "avg_k_valid"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D6k: A/B experiment read-out — deterministic variant assignment
+# (user_id parity stands in for the experiment's hash bucket), per-metric
+# group means via decimal-routed sums (exact), lift as their ratio, and
+# Welch's t-statistic for unequal variances. Means are bit-exact; the
+# variance-bearing t-stat is intrinsically order-sensitive -> round6 on
+# both engines (core.py policy). One scan, one partial-aggregated shuffle
+# on (event_type, variant), then a 2-row-per-metric pivot join.
+@query(
+    "d6_ab_test_readout",
+    oracle="""
+        WITH assigned AS (
+            SELECT event_type, value,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, variant,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS mean_v,
+                   var_samp(value) AS var_v
+            FROM assigned GROUP BY event_type, variant
+        )
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               a.mean_v AS mean_a, b.mean_v AS mean_b,
+               b.mean_v / a.mean_v - 1 AS rel_lift,
+               ROUND((b.mean_v - a.mean_v)
+                     / sqrt(a.var_v / a.n + b.var_v / b.n), 6) AS welch_t
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type
+         AND a.variant = 'A' AND b.variant = 'B'
+    """,
+)
+def d6_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+    )
+    g = assigned.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+    )
+    a = g.filter(F.col("variant") == "A").alias("a")
+    b = g.filter(F.col("variant") == "B").alias("b")
+    welch = (F.col("b.mean_v") - F.col("a.mean_v")) / F.sqrt(
+        F.col("a.var_v") / F.col("a.n") + F.col("b.var_v") / F.col("b.n")
+    )
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean_v").alias("mean_a"),
+        F.col("b.mean_v").alias("mean_b"),
+        (F.col("b.mean_v") / F.col("a.mean_v") - 1).alias("rel_lift"),
+        F.round(welch, 6).alias("welch_t"),
+    )

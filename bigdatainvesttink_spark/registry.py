@@ -151,7 +151,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "c_stream_vwap_stateful", "d7_pack_efficiency", "d6_funnel_conversion",
     "rel_linear_counting_distinct", "d5_json_malformed_audit",
     "d7_curriculum_phases", "rel_partition_skew_audit",
-    "rel_delete_cascade_audit", "b19_vwap_deviation",
+    "rel_delete_cascade_audit", "b19_vwap_deviation", "d6_ab_test_readout",
 )
 
 

@@ -1179,3 +1179,112 @@ def b19_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vwap, 6).alias("run_vwap"),
         F.round(dev, 6).alias("deviation"),
     )
+
+
+# --------------------------------------------------------------------------
+# B20: Kyle's lambda — the microstructure price-impact coefficient:
+# regress per-interval price change on signed order flow (tick-rule signed
+# volume, B18's classifier) per instrument. A larger lambda means thinner
+# depth: the quantity goal №2 (large-trade impact) ultimately estimates.
+# Flow aggregates are exact integers; the price change per hour is
+# last-minus-first under a total order; the regression quotient is
+# order-sensitive -> round6 (b4b precedent). One company_id shuffle for
+# the windows, partial-aggregated hourly rollup, then a per-instrument
+# covar/var over the small hourly grid.
+@query(
+    "b20_kyle_lambda",
+    oracle=oracle_on_domain(
+        """
+        , signed AS (
+            SELECT company_id, ts, volume,
+                   last_value(tick IGNORE NULLS) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS dir,
+                   first_value(price) OVER (
+                       PARTITION BY company_id, date_trunc('hour', ts)
+                       ORDER BY ts ASC, trade_id ASC) AS p_open,
+                   first_value(price) OVER (
+                       PARTITION BY company_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, trade_id DESC) AS p_close
+            FROM (
+                SELECT company_id, ts, trade_id, price, volume,
+                       CASE WHEN price > LAG(price) OVER w THEN 1
+                            WHEN price < LAG(price) OVER w THEN -1
+                            ELSE NULL END AS tick
+                FROM trades
+                WINDOW w AS (PARTITION BY company_id
+                             ORDER BY ts ASC, trade_id ASC)
+            ) ticked
+        ),
+        hourly AS (
+            SELECT company_id, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(COALESCE(dir, 0) * volume) AS DOUBLE)
+                       AS signed_flow,
+                   MAX(p_close) - MAX(p_open) AS dp
+            FROM signed
+            GROUP BY company_id, date_trunc('hour', ts)
+        )
+        SELECT company_id,
+               ROUND(COVAR_POP(signed_flow, dp)
+                     / VAR_POP(signed_flow), 6) AS kyle_lambda,
+               COUNT(*) AS n_intervals
+        FROM hourly
+        GROUP BY company_id
+        HAVING VAR_POP(signed_flow) > 0 AND COUNT(*) >= 10
+        """
+    ),
+)
+def b20_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    wo = Window.partitionBy("company_id").orderBy(
+        F.col("ts").asc(), F.col("trade_id").asc()
+    )
+    lagp = F.lag("price").over(wo)
+    tick = (
+        F.when(F.col("price") > lagp, 1)
+        .when(F.col("price") < lagp, -1)
+        .otherwise(F.lit(None))
+    )
+    ticked = t.select(
+        "company_id", "ts", "trade_id", "price", "volume",
+        tick.alias("tick"),
+    )
+    hour_w_open = Window.partitionBy(
+        "company_id", F.date_trunc("hour", "ts")
+    ).orderBy(F.col("ts").asc(), F.col("trade_id").asc())
+    hour_w_close = Window.partitionBy(
+        "company_id", F.date_trunc("hour", "ts")
+    ).orderBy(F.col("ts").desc(), F.col("trade_id").desc())
+    signed = ticked.select(
+        "company_id",
+        "ts",
+        "volume",
+        F.last("tick", ignorenulls=True)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("dir"),
+        F.first("price").over(hour_w_open).alias("p_open"),
+        F.first("price").over(hour_w_close).alias("p_close"),
+    )
+    hourly = signed.groupBy(
+        "company_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.coalesce(F.col("dir"), F.lit(0)) * F.col("volume"))
+        .cast("double")
+        .alias("signed_flow"),
+        (F.max("p_close") - F.max("p_open")).alias("dp"),
+    )
+    return (
+        hourly.groupBy("company_id")
+        .agg(
+            F.round(
+                F.covar_pop("signed_flow", "dp") / F.var_pop("signed_flow"),
+                6,
+            ).alias("kyle_lambda"),
+            F.count("*").alias("n_intervals"),
+            F.var_pop("signed_flow").alias("__vp"),
+        )
+        .filter((F.col("__vp") > 0) & (F.col("n_intervals") >= 10))
+        .drop("__vp")
+    )

@@ -811,3 +811,86 @@ def d3_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d6").alias("qerr"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF centroid drift — the index-maintenance stability metric: rebuild the
+# per-label centroids from two disjoint halves of the corpus (even / odd
+# vec_ids — the deterministic stand-in for "yesterday's index vs today's
+# delta") and measure per-label L2 drift and cosine agreement. High drift
+# flags cells whose centroid no longer represents its population — the
+# signal that triggers an IVF re-train at scale. Both half-centroids are
+# decimal-exact means on a (label, dim) grid (one shuffle each, map-side
+# partial); the drift fold runs left-to-right identically in both engines
+# and rounds to 6dp.
+@query(
+    "d3_centroid_drift",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        grid AS (
+            SELECT label, i, vec_id % 2 AS half,
+                   CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS m,
+                   COUNT(*) AS n
+            FROM v, (SELECT unnest(range({_DIM})) AS i)
+            GROUP BY label, i, vec_id % 2
+        ),
+        halves AS (
+            SELECT label, half, list(m ORDER BY i ASC) AS c,
+                   MIN(n) AS n_vectors
+            FROM grid GROUP BY label, half
+        )
+        SELECT a.label,
+               a.n_vectors AS n_even, b.n_vectors AS n_odd,
+               ROUND(sqrt(list_sum([
+                   (a.c[k + 1] - b.c[k + 1]) * (a.c[k + 1] - b.c[k + 1])
+                   FOR k IN range({_DIM})])), 6) AS l2_drift,
+               ROUND(list_dot_product(a.c, b.c)
+                     / (sqrt(list_dot_product(a.c, a.c))
+                        * sqrt(list_dot_product(b.c, b.c))), 6)
+                   AS cosine_agreement
+        FROM halves a JOIN halves b
+          ON a.label = b.label AND a.half = 0 AND b.half = 1
+    """,
+)
+def d3_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    grid = (
+        v.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("e").alias("pos", "x"),
+        )
+        .groupBy("label", "half", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                / F.count("*")
+            ).alias("m"),
+            F.count("*").alias("n"),
+        )
+    )
+    halves = grid.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda r: r.m
+        ).alias("c"),
+        F.min("n").alias("n_vectors"),
+    )
+    a = halves.filter(F.col("half") == 0).alias("a")
+    b = halves.filter(F.col("half") == 1).alias("b")
+    diff2 = F.aggregate(
+        F.zip_with(F.col("a.c"), F.col("b.c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = _dot(F.col("a.c"), F.col("b.c")) / (
+        F.sqrt(_dot(F.col("a.c"), F.col("a.c")))
+        * F.sqrt(_dot(F.col("b.c"), F.col("b.c")))
+    )
+    return a.join(b, F.col("a.label") == F.col("b.label")).select(
+        F.col("a.label").alias("label"),
+        F.col("a.n_vectors").alias("n_even"),
+        F.col("b.n_vectors").alias("n_odd"),
+        F.round(F.sqrt(diff2), 6).alias("l2_drift"),
+        F.round(cos, 6).alias("cosine_agreement"),
+    )

@@ -846,3 +846,105 @@ def d7_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_difficulty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-iteration PageRank — the second graph-analytics operator next to
+# connected components, and a template for Pregel-style iteration on
+# DataFrames WITH an exact oracle: because each iteration re-rounds ranks
+# to 6dp and sums contributions in DECIMAL (order-independent), the entire
+# 8-iteration fixed point is bit-identical cross-engine, so unlike the
+# usual "iterative => rows-only" concession this one is value-checked
+# (the oracle unrolls the same 8 iterations as chained CTEs). The graph is
+# a deterministic LCG expansion over the dense user-id space (3 out-edges
+# per node, self-loops dropped). Per iteration: one shuffle on edge source
+# (rank join), one partial-aggregated shuffle on destination — the
+# canonical iterate-join-aggregate shape; lineage is truncated every
+# ITERS/2 rounds (reliable checkpoint, same policy as CC) so planning
+# stays O(1) per round at any graph size.
+PR_ITERS = 8
+PR_DAMPING = 0.85
+_PR_KS = (1, 2, 3)
+
+
+def _pagerank_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in _PR_KS)
+    sql = f"""
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        edges AS (
+            SELECT DISTINCT u, (u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES {ks}) AS ks(k)
+            WHERE (u * 48271 + k * 7919) % nn.n <> u
+        ),
+        odeg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+        r0 AS (
+            SELECT u, ROUND(1.0 / (SELECT n FROM nn), 6) AS r FROM nodes
+        )"""
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+        r{i} AS (
+            SELECT nodes.u,
+                   ROUND(0.15 / (SELECT n FROM nn)
+                         + {PR_DAMPING} * CAST(COALESCE(SUM(
+                               CAST(ROUND(p.r / odeg.d, 6)
+                                    AS DECIMAL(27,6))), 0) AS DOUBLE),
+                         6) AS r
+            FROM nodes
+            LEFT JOIN (
+                edges JOIN r{i - 1} p ON p.u = edges.u
+                      JOIN odeg ON odeg.u = edges.u
+            ) ON edges.v = nodes.u
+            GROUP BY nodes.u
+        )"""
+    return sql + f"\nSELECT u AS user_id, r AS pagerank FROM r{PR_ITERS}"
+
+
+@query("d2_pagerank_fixed", oracle=_pagerank_oracle())
+def d2_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in _PR_KS])).alias("k")
+    edges = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .select(
+            "u", ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    odeg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    r = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", F.round(F.lit(1.0) / F.col("n"), 6).alias("r"))
+    )
+    for i in range(1, PR_ITERS + 1):
+        contrib = (
+            edges.join(r, "u")
+            .join(odeg, "u")
+            .select(
+                "v",
+                F.round(F.col("r") / F.col("d"), 6)
+                .cast("decimal(27,6)")
+                .alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("v").agg(F.sum("c").alias("sc"))
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(incoming, nodes["u"] == incoming["v"], "left")
+            .select(
+                "u",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + PR_DAMPING
+                    * F.coalesce(F.col("sc"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("r"),
+            )
+        )
+        if i % (PR_ITERS // 2) == 0 and i < PR_ITERS:
+            r = checkpointed(r)
+    return r.select("u", "r").toDF("user_id", "pagerank")

@@ -108,3 +108,13 @@ def test_vocab_coverage_oov_bounds(spark):
         | (F.col("n_oov") > F.col("n_tokens"))
     )
     assert bad.count() == 0
+
+
+def test_pagerank_is_a_probability_distribution(spark):
+    # ranks positive, total mass ~1 (up to the per-iteration 6dp rounding
+    # and the teleport term over N nodes)
+    df = _q("d2_pagerank_fixed", spark)
+    rows = df.collect()
+    assert all(r["pagerank"] > 0 for r in rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 0.05, total

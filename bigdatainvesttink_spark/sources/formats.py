@@ -97,3 +97,37 @@ def fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="fmt_orc_")
     companies.write.mode("overwrite").orc(f"{tmp}/orc")
     return spark.read.orc(f"{tmp}/orc")
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: a v1 write without the sector column and a widened v2
+# write land in the same dataset; mergeSchema read-back unifies them with
+# NULLs backfilling the legacy rows — the additive-column evolution every
+# long-lived parquet dataset goes through. (Column renames/drops need a
+# table format — the has_delta() upgrade path above.) The rollup groups by
+# the evolved column, so the NULL bucket counts exactly the v1 rows.
+@query(
+    "fmt_schema_evolution",
+    oracle=oracle_on_domain(
+        """
+        SELECT sector, COUNT(*) AS n_rows
+        FROM (
+            SELECT NULL AS sector FROM companies
+            UNION ALL
+            SELECT sector FROM companies
+        ) evolved
+        GROUP BY sector
+        """
+    ),
+)
+def fmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    companies = domain_table(spark, sf_dir, "companies")
+    tmp = tempfile.mkdtemp(prefix="fmt_evo_")
+    companies.select("company_id", "name").write.mode("overwrite").parquet(
+        f"{tmp}/ds/v=1"
+    )
+    companies.select("company_id", "name", "sector").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/ds/v=2")
+    evolved = spark.read.option("mergeSchema", True).parquet(f"{tmp}/ds")
+    return evolved.groupBy("sector").agg(F.count("*").alias("n_rows"))

@@ -1288,3 +1288,80 @@ def b20_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__vp") > 0) & (F.col("n_intervals") >= 10))
         .drop("__vp")
     )
+
+
+# --------------------------------------------------------------------------
+# B21: pairwise return-correlation screen — the cross-sectional scan
+# behind pairs trading and portfolio-diversification checks: hourly close
+# returns self-joined on the hour (both sides co-partitioned on the time
+# key), Pearson correlation per instrument pair, ranked by |corr|. The
+# pair space is |instruments|^2-bounded, NOT data-sized — at 10k+
+# instruments you block the join by sector or beta bucket first (same
+# banding idea as the near-dedup family); the fixture's 50 instruments
+# need no blocking. corr is order-sensitive -> round6; ranking uses the
+# rounded value with the (a, b) pair as tiebreak, so the top-k cut is
+# deterministic cross-engine.
+@query(
+    "b21_pairwise_correlation",
+    oracle=oracle_on_domain(
+        """
+        , rets AS (
+            SELECT company_id, ts,
+                   close / LAG(close) OVER (PARTITION BY company_id
+                                            ORDER BY ts ASC) - 1 AS r
+            FROM candles
+        ),
+        pairs AS (
+            SELECT a.company_id AS com_a, b.company_id AS com_b,
+                   ROUND(CORR(a.r, b.r), 6) AS corr_ab,
+                   COUNT(*) AS n_hours
+            FROM rets a JOIN rets b
+              ON a.ts = b.ts AND a.company_id < b.company_id
+            WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+            GROUP BY a.company_id, b.company_id
+            HAVING COUNT(*) >= 20
+        )
+        SELECT com_a, com_b, corr_ab, n_hours, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY ABS(corr_ab) DESC, com_a ASC, com_b ASC) AS rnk
+            FROM pairs
+        ) ranked
+        WHERE rnk <= 25
+        """
+    ),
+)
+def b21_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    wo = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    rets = c.select(
+        "company_id",
+        "ts",
+        (F.col("close") / F.lag("close").over(wo) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    a = rets.alias("a")
+    b = rets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ts") == F.col("b.ts"))
+            & (F.col("a.company_id") < F.col("b.company_id")),
+        )
+        .groupBy(
+            F.col("a.company_id").alias("com_a"),
+            F.col("b.company_id").alias("com_b"),
+        )
+        .agg(
+            F.round(F.corr("a.r", "b.r"), 6).alias("corr_ab"),
+            F.count("*").alias("n_hours"),
+        )
+        .filter(F.col("n_hours") >= 20)
+    )
+    wr = Window.orderBy(
+        F.abs(F.col("corr_ab")).desc(),
+        F.col("com_a").asc(),
+        F.col("com_b").asc(),
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 25)
+    )

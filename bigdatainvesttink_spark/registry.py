@@ -154,6 +154,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "rel_delete_cascade_audit", "b19_vwap_deviation", "d6_ab_test_readout",
     "b20_kyle_lambda", "d3_centroid_drift", "d2_pagerank_fixed",
     "fmt_schema_evolution", "b21_pairwise_correlation",
+    "c_stream_backpressure_roundtrip",
 )
 
 

@@ -456,3 +456,58 @@ def c_stream_vwap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_volume",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C7 (backpressure) as an oracle-checked query: the trades wire split into
+# four source files, consumed at maxFilesPerTrigger=1 — four throttled
+# micro-batches through the checkpointed ingest pipeline — must land
+# exactly the batch answer. Throttling changes the batch boundaries, never
+# the result; the exactly-once foreachBatch sink makes that equivalence
+# hold under any trigger cadence (the property the reference's rate-limit
+# sleeps could not guarantee around its ack window,
+# from_parser_to_rabbitmq.py:181 / from_rabbitmq_to_clickhouse.py:173).
+@query(
+    "c_stream_backpressure_roundtrip",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, COUNT(*) AS n_trades,
+               CAST(SUM(volume) AS BIGINT) AS total_volume
+        FROM trades
+        WHERE trade_id % 5 = 2
+        GROUP BY company_id
+        """
+    ),
+)
+def c_stream_backpressure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..fixtures import domain_table
+    from ..sources.ingest import serialize
+
+    configure(spark)
+    tmp = tempfile.mkdtemp(prefix="c_bp_")
+    # A 1-in-5 slice keeps the wire write proportional to what the
+    # equivalence proof needs — the batch-boundary property is the same at
+    # any volume (the full-wire path is exercised by a_ingest_*).
+    t = (
+        domain_table(spark, sf_dir, "trades")
+        .filter(F.col("trade_id") % 5 == 2)
+        .withColumnRenamed("ts", "timestamp")
+        .drop("trade_id")
+    )
+    wire = serialize(t, "trades")
+    wire.repartition(4).write.mode("overwrite").text(f"{tmp}/src")
+    q = ingest_stream(
+        spark,
+        f"{tmp}/src",
+        f"{tmp}/ckpt",
+        f"{tmp}/out",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(f"{tmp}/out/trades")
+    return landed.groupBy("company_id").agg(
+        F.count("*").alias("n_trades"),
+        F.sum("volume").cast("bigint").alias("total_volume"),
+    )

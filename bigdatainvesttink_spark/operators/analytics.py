@@ -1365,3 +1365,101 @@ def b21_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 25)
     )
+
+
+# --------------------------------------------------------------------------
+# B3c: NEAREST as-of join — the third direction the as-of family supports
+# beyond backward (b3) and forward (b3b): each trade pairs with whichever
+# book snapshot is closer in time, before or after (ties -> the backward
+# match, the price actually quotable at execution). Composed from the
+# library operator run both ways — two single-shuffle passes on the same
+# company_id key — with the pick as a per-row CASE on the epoch-microsecond
+# distances (exact integers). The oracle mirrors with DuckDB's native ASOF
+# in both directions. A 1-in-7 trade slice bounds the two-pass cost.
+@query(
+    "b3c_nearest_book_snapshot",
+    oracle=oracle_on_domain(
+        """
+        , t AS (SELECT * FROM trades WHERE trade_id % 7 = 3),
+        bwd AS (
+            SELECT t.company_id, t.trade_id, t.ts, t.price,
+                   b.ts AS b_ts, b.bid_price AS b_bid
+            FROM t ASOF LEFT JOIN order_book b
+              ON t.company_id = b.company_id AND t.ts >= b.ts
+        ),
+        fwd AS (
+            SELECT t.company_id, t.trade_id,
+                   b.ts AS f_ts, b.bid_price AS f_bid
+            FROM t ASOF LEFT JOIN order_book b
+              ON t.company_id = b.company_id AND t.ts <= b.ts
+        )
+        SELECT bwd.company_id, bwd.trade_id, bwd.ts, bwd.price,
+               CASE WHEN f_ts IS NULL THEN b_ts
+                    WHEN b_ts IS NULL THEN f_ts
+                    WHEN epoch_us(bwd.ts) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(bwd.ts) THEN b_ts
+                    ELSE f_ts END AS book_ts,
+               CASE WHEN f_ts IS NULL THEN b_bid
+                    WHEN b_ts IS NULL THEN f_bid
+                    WHEN epoch_us(bwd.ts) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(bwd.ts) THEN b_bid
+                    ELSE f_bid END AS bid_price
+        FROM bwd JOIN fwd
+          ON fwd.company_id = bwd.company_id AND fwd.trade_id = bwd.trade_id
+        """
+    ),
+)
+def b3c_nearest_book_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = domain_table(spark, sf_dir, "trades").filter(
+        F.col("trade_id") % 7 == 3
+    )
+    book = domain_table(spark, sf_dir, "order_book").select(
+        "company_id", "ts", "bid_price"
+    )
+    bwd = as_of_join(
+        trades,
+        book,
+        on="company_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["bid_price"],
+        direction="backward",
+        matched_ts_col="b_ts",
+    ).select(
+        "company_id", "trade_id", "ts", "price",
+        "b_ts", F.col("bid_price").alias("b_bid"),
+    )
+    fwd = as_of_join(
+        trades,
+        book,
+        on="company_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["bid_price"],
+        direction="forward",
+        matched_ts_col="f_ts",
+    ).select(
+        "company_id", "trade_id",
+        "f_ts", F.col("bid_price").alias("f_bid"),
+    )
+    j = bwd.join(fwd, ["company_id", "trade_id"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    back_wins = (
+        F.col("f_ts").isNull()
+        | (
+            F.col("b_ts").isNotNull()
+            & (us("ts") - us("b_ts") <= us("f_ts") - us("ts"))
+        )
+    )
+    return j.select(
+        "company_id",
+        "trade_id",
+        "ts",
+        "price",
+        F.when(back_wins, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "book_ts"
+        ),
+        F.when(back_wins, F.col("b_bid")).otherwise(F.col("f_bid")).alias(
+            "bid_price"
+        ),
+    )

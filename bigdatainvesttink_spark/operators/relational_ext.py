@@ -611,3 +611,48 @@ def rel_linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("abs_rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed DISTINCT aggregate — COUNT(DISTINCT) over a moving frame, which
+# Spark's window functions reject outright ("Distinct window functions are
+# not supported"): expressed instead as size(array_distinct(collect_list))
+# over the frame. Correct for BOUNDED frames (the 20-row frame here
+# carries <= 20 values per row); an unbounded-frame distinct would buffer
+# the whole partition — use the groupBy path then. The oracle uses
+# DuckDB's list machinery over the same frame. Exact integers; one
+# shuffle on the partition key.
+@query(
+    "rel_window_distinct_count",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               len(list_distinct(statuses)) AS distinct_statuses_20,
+               len(statuses) AS frame_rows
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   array_agg(o_orderstatus) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                       AS statuses
+            FROM orders
+        ) framed
+    """,
+)
+def rel_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").asc())
+        .rowsBetween(-19, 0)
+    )
+    framed = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.collect_list("o_orderstatus").over(w).alias("statuses"),
+    )
+    return framed.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.array_distinct("statuses")).alias("distinct_statuses_20"),
+        F.size("statuses").alias("frame_rows"),
+    )

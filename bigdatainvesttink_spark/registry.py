@@ -154,7 +154,8 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "rel_delete_cascade_audit", "b19_vwap_deviation", "d6_ab_test_readout",
     "b20_kyle_lambda", "d3_centroid_drift", "d2_pagerank_fixed",
     "fmt_schema_evolution", "b21_pairwise_correlation",
-    "c_stream_backpressure_roundtrip",
+    "c_stream_backpressure_roundtrip", "b3c_nearest_book_snapshot",
+    "rel_window_distinct_count",
 )
 
 

@@ -656,3 +656,80 @@ def rel_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("statuses")).alias("distinct_statuses_20"),
         F.size("statuses").alias("frame_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchy traversal + subtree rollup — the recursive-CTE workload
+# (org charts, BOM explosion, category trees) Spark lacks a native
+# operator for: a parent-pointer table (parent(k) = k div 10, a 5-level
+# tree over the part keys — an arbitrary adjacency list works the same)
+# walked root-ward by ITERATED JOINS against the parent table, unrolled to
+# the fixture's max depth +1; the oracle is DuckDB's native WITH RECURSIVE
+# on the identical adjacency. Each round joins the frontier to the parent
+# table on the current ancestor (broadcast — the parent table is the
+# dimension itself) and stops moving once a root is reached, so the
+# per-round work only shrinks. Rollup: per root subtree, part count, max
+# depth, decimal-routed retail value.
+_HIER_ROUNDS = 6
+
+
+@query(
+    "rel_hierarchy_rollup",
+    oracle="""
+        WITH RECURSIVE walk(k, anc, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part
+            UNION ALL
+            SELECT w.k, w.anc // 10, w.depth + 1
+            FROM walk w WHERE w.anc >= 10
+        ),
+        rooted AS (
+            SELECT k, anc AS root, depth
+            FROM walk WHERE anc < 10
+        )
+        SELECT r.root,
+               COUNT(*) AS n_parts,
+               MAX(r.depth) AS max_depth,
+               CAST(SUM(CAST(p.p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS subtree_retail
+        FROM rooted r JOIN part p ON p.p_partkey = r.k
+        GROUP BY r.root
+    """,
+)
+def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    parents = p.select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 10").alias("parent"),
+    )
+    walk = p.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_partkey").alias("anc"),
+        F.lit(0).alias("depth"),
+    )
+    for _ in range(_HIER_ROUNDS):
+        walk = (
+            walk.join(
+                F.broadcast(parents),
+                walk["anc"] == parents["child"],
+                "left",
+            )
+            .select(
+                "k",
+                F.when(F.col("anc") >= 10, F.col("parent"))
+                .otherwise(F.col("anc"))
+                .alias("anc"),
+                F.when(F.col("anc") >= 10, F.col("depth") + 1)
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+            )
+        )
+    rooted = walk.filter(F.col("anc") < 10)
+    return (
+        rooted.join(p, rooted["k"] == p["p_partkey"])
+        .groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.max("depth").alias("max_depth"),
+            dsum("p_retailprice", "subtree_retail"),
+        )
+    )

@@ -155,7 +155,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "b20_kyle_lambda", "d3_centroid_drift", "d2_pagerank_fixed",
     "fmt_schema_evolution", "b21_pairwise_correlation",
     "c_stream_backpressure_roundtrip", "b3c_nearest_book_snapshot",
-    "rel_window_distinct_count",
+    "rel_window_distinct_count", "rel_hierarchy_rollup",
 )
 
 

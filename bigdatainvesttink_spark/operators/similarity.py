@@ -894,3 +894,66 @@ def d3_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(diff2), 6).alias("l2_drift"),
         F.round(cos, 6).alias("cosine_agreement"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup — the embedding-space analog of the text
+# near-dedup chain (Abbas et al.'s SemDeDup shape): cosine near-dup pairs
+# (d3_embedding_neardup's label-blocked candidates) resolved into clusters
+# by the same large-star/small-star connected components the Jaccard path
+# uses, with the minimum vec_id as the canonical keeper per cluster. The
+# oracle rebuilds the identical pairs and closes them with a recursive
+# CTE. Non-clustered vectors are implicitly kept (not emitted — the
+# output is the duplicate-cluster map, same contract as d2_cc_clusters).
+@query(
+    "d3_semantic_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE v AS ({_O_VEC}),
+        nxt AS (
+            SELECT a.vec_id, a.label,
+                   [3.0 * a.e[i+1] + b.e[i+1] FOR i IN range(64)] AS e
+            FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+        ),
+        aug AS (
+            SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v
+            UNION ALL
+            SELECT vec_id + 100000, label, e, sqrt(list_dot_product(e, e)) FROM nxt
+        ),
+        prs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+                  >= 0.9
+        ),
+        edges AS (
+            SELECT vec_a AS u, vec_b AS v FROM prs
+            UNION ALL
+            SELECT vec_b AS u, vec_a AS v FROM prs
+        ),
+        reach(src, node) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT src AS vec_id, MIN(node) AS cluster_id,
+               COUNT(DISTINCT node) AS cluster_size,
+               CAST(src = MIN(node) AS INT) AS is_canonical
+        FROM reach GROUP BY src
+    """,
+)
+def d3_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import connected_components
+
+    pairs = d3_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).cast("int").alias(
+            "is_canonical"
+        ),
+    )

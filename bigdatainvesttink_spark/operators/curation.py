@@ -948,3 +948,63 @@ def d2_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % (PR_ITERS // 2) == 0 and i < PR_ITERS:
             r = checkpointed(r)
     return r.select("u", "r").toDF("user_id", "pagerank")
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffling — the training-order generator: each epoch
+# re-orders the corpus by a reproducible per-(doc, epoch) hash key, so any
+# worker can recompute its read order without coordination or a stored
+# permutation. The order is materialized as (shard, rank-within-shard) —
+# a per-shard window over the hash key — NEVER a global row_number (a
+# single-partition sort at corpus scale); readers consume shards
+# independently, which is exactly how a distributed loader wants it.
+# Engine-portable md5 arithmetic; ranks are exact integers.
+N_SHUFFLE_SHARDS = 64
+N_EPOCHS = 2
+
+
+@query(
+    "d7_epoch_shuffle",
+    oracle=f"""
+        SELECT epoch, doc_id, shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY epoch, shard
+                   ORDER BY skey ASC, doc_id ASC) AS shuffle_rank
+        FROM (
+            SELECT epoch, doc_id,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':' || CAST(epoch AS VARCHAR)),
+                                            1, 15) AS UBIGINT) AS BIGINT)
+                       AS skey,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':' || CAST(epoch AS VARCHAR)),
+                                            1, 15) AS UBIGINT) AS BIGINT)
+                       % {N_SHUFFLE_SHARDS} AS shard
+            FROM documents
+            CROSS JOIN (VALUES {", ".join(f"({e})" for e in range(N_EPOCHS))}) AS es(epoch)
+            WHERE text <> ''
+        ) keyed
+    """,
+)
+def d7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(N_EPOCHS)])
+    ).alias("epoch")
+    keyed = d.select("doc_id", epochs).select(
+        "epoch",
+        "doc_id",
+        stable_hash60(
+            F.concat_ws(":", F.col("doc_id"), F.col("epoch"))
+        ).alias("skey"),
+    )
+    keyed = keyed.withColumn("shard", F.col("skey") % N_SHUFFLE_SHARDS)
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("skey").asc(), F.col("doc_id").asc()
+    )
+    return keyed.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("shuffle_rank"),
+    )

@@ -1143,3 +1143,53 @@ def d2_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D1h: normalization-aware exact dedup — canonicalize text (lowercase,
+# collapse whitespace runs, trim) BEFORE hashing, so trivially-reformatted
+# copies collapse into one group: the middle ground between byte-exact
+# dedup (d1) and shingled near-dedup (d2) that production corpus pipelines
+# (Dolma-style) run as their first pass. Same hash-groupBy scale shape as
+# d1_dedup_exact — the shuffle key is the 60-bit hash of the CANONICAL
+# text; the canonical form itself is computed map-side and carried only as
+# the collision tiebreak.
+@query(
+    "d1_dedup_normalized",
+    oracle=_oracle(
+        """
+        SELECT doc_id, canon_hash, n_copies FROM (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(canon), 1, 15) AS UBIGINT)
+                        AS BIGINT) AS canon_hash,
+                   COUNT(*) OVER (PARTITION BY canon) AS n_copies
+            FROM (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), ' +', ' ', 'g'))
+                           AS canon
+                FROM corpus
+            ) c
+        ) g
+        WHERE n_copies >= 2
+        """
+    ),
+)
+def d1_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir).select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), " +", " ")
+        ).alias("canon"),
+    )
+    hashed = c.select(
+        "doc_id", "canon", stable_hash60("canon").alias("canon_hash")
+    )
+    w = Window.partitionBy("canon_hash", "canon")
+    return (
+        hashed.select(
+            "doc_id",
+            "canon_hash",
+            F.count("*").over(w).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -156,7 +156,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "fmt_schema_evolution", "b21_pairwise_correlation",
     "c_stream_backpressure_roundtrip", "b3c_nearest_book_snapshot",
     "rel_window_distinct_count", "rel_hierarchy_rollup",
-    "d3_semantic_dedup_clusters",
+    "d3_semantic_dedup_clusters", "d1_dedup_normalized", "d7_epoch_shuffle",
 )
 
 

@@ -958,7 +958,9 @@ def d2_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a per-shard window over the hash key — NEVER a global row_number (a
 # single-partition sort at corpus scale); readers consume shards
 # independently, which is exactly how a distributed loader wants it.
-# Engine-portable md5 arithmetic; ranks are exact integers.
+# Engine-portable md5 arithmetic; ranks are exact integers. Each shard's
+# rank window sorts in one task, so N_SHUFFLE_SHARDS sizes with the
+# corpus (target ~executor-memory-sized shards); 64 fits the fixture.
 N_SHUFFLE_SHARDS = 64
 N_EPOCHS = 2
 

@@ -706,10 +706,14 @@ def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("anc"),
         F.lit(0).alias("depth"),
     )
+    # No broadcast hint: a parent table is dimension-sized for org charts
+    # but fact-sized for catalog/BOM hierarchies — AQE picks broadcast when
+    # it fits and a co-partitioned shuffle join (stable anc key across
+    # rounds) when it doesn't.
     for _ in range(_HIER_ROUNDS):
         walk = (
             walk.join(
-                F.broadcast(parents),
+                parents,
                 walk["anc"] == parents["child"],
                 "left",
             )

@@ -792,3 +792,64 @@ def d6_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b.mean_v") / F.col("a.mean_v") - 1).alias("rel_lift"),
         F.round(welch, 6).alias("welch_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6l: last-touch attribution — every purchase credited to the user's most
+# recent preceding view (the as-of join applied to behavioral data: the
+# same library operator the market-data paths use, keyed on user instead
+# of instrument — one shuffle on user_id). Purchases with no preceding
+# view stay unattributed (left-outer, counted). The rollup reports
+# attributed revenue per touch hour — exact integers and decimal-routed
+# value sums.
+@query(
+    "d6_attribution_last_touch",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        views AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        attributed AS (
+            SELECT p.user_id, p.ts, p.value, v.ts AS touch_ts
+            FROM purchases p ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        )
+        SELECT date_trunc('hour', touch_ts) AS touch_hour,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS attributed_value
+        FROM attributed
+        GROUP BY date_trunc('hour', touch_ts)
+    """,
+)
+def d6_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    attributed = as_of_join(
+        purchases,
+        views.select("user_id", "ts", "view_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_ts"],
+        direction="backward",
+        matched_ts_col="touch_ts",
+    )
+    return attributed.groupBy(
+        F.date_trunc("hour", "touch_ts").alias("touch_hour")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -1463,3 +1463,41 @@ def b3c_nearest_book_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bid_price"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B22: intraday seasonality profile — average traded volume and trade
+# count by hour-of-day per sector: the market-microstructure U-shape
+# chart, and the capacity-planning input for the reference's 15-min
+# polling cadence (from_parser_to_rabbitmq.py:181 — WHEN to poll harder).
+# Companies dimension broadcast onto the trades scan; one
+# partial-aggregated shuffle on the constant (sector, hour) grid. Counts
+# exact; the mean volume is an exact integer ratio.
+@query(
+    "b22_intraday_seasonality",
+    oracle=oracle_on_domain(
+        """
+        SELECT c.sector,
+               EXTRACT(hour FROM t.ts) AS hour_of_day,
+               COUNT(*) AS n_trades,
+               CAST(SUM(t.volume) AS BIGINT) AS total_volume,
+               CAST(SUM(t.volume) AS DOUBLE) / COUNT(*) AS avg_volume
+        FROM trades t JOIN companies c ON c.company_id = t.company_id
+        GROUP BY c.sector, EXTRACT(hour FROM t.ts)
+        """
+    ),
+)
+def b22_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    c = domain_table(spark, sf_dir, "companies")
+    return (
+        t.join(F.broadcast(c), "company_id")
+        .groupBy("sector", F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum("volume").cast("bigint").alias("total_volume"),
+            (F.sum("volume").cast("double") / F.count("*")).alias(
+                "avg_volume"
+            ),
+        )
+    )

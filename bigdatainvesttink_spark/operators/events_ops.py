@@ -853,3 +853,85 @@ def d6_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6m: RFM segmentation — the classic customer-value grid: per-user
+# Recency (days since last event, vs the corpus max day), Frequency
+# (event count), Monetary (decimal-routed value sum), each cut at exact
+# median boundaries (percentile_disc — actual data points) broadcast onto
+# the user rollup, yielding a 3-bit segment code. Shapes: one
+# partial-aggregated shuffle on user_id for the rollup; the boundary row
+# is a broadcast (same pattern as the equidepth/curriculum binning); the
+# segment grid output is constant-size. All comparisons happen on exact
+# integers/decimals -> bit-identical segment assignment cross-engine.
+@query(
+    "d6_rfm_segments",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   date_diff('day', CAST(MAX(ts) AS DATE),
+                             (SELECT CAST(MAX(ts) AS DATE) FROM events))
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS monetary
+            FROM events GROUP BY user_id
+        ),
+        b AS (
+            SELECT quantile_disc(recency_days, 0.5) AS r_med,
+                   quantile_disc(frequency, 0.5) AS f_med,
+                   quantile_disc(monetary, 0.5) AS m_med
+            FROM per_user
+        )
+        SELECT CAST(recency_days <= b.r_med AS INT) AS r_hi,
+               CAST(frequency > b.f_med AS INT) AS f_hi,
+               CAST(monetary > b.m_med AS INT) AS m_hi,
+               COUNT(*) AS n_users,
+               CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE)
+                   AS segment_value
+        FROM per_user, b
+        GROUP BY 1, 2, 3
+    """,
+)
+def d6_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    maxday = e.agg(F.max(F.to_date("ts")).alias("__maxd"))
+    per_user = (
+        e.crossJoin(F.broadcast(maxday))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("__maxd"), F.max(F.to_date("ts"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    bounds = per_user.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days)"
+        ).alias("r_med"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency)"
+        ).alias("f_med"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary)"
+        ).alias("m_med"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("recency_days") <= F.col("r_med")).cast("int").alias("r_hi"),
+            (F.col("frequency") > F.col("f_med")).cast("int").alias("f_hi"),
+            (F.col("monetary") > F.col("m_med")).cast("int").alias("m_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("monetary").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("segment_value"),
+        )
+    )

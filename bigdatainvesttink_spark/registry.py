@@ -157,7 +157,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "c_stream_backpressure_roundtrip", "b3c_nearest_book_snapshot",
     "rel_window_distinct_count", "rel_hierarchy_rollup",
     "d3_semantic_dedup_clusters", "d1_dedup_normalized", "d7_epoch_shuffle",
-    "d6_attribution_last_touch",
+    "d6_attribution_last_touch", "d6_rfm_segments", "b22_intraday_seasonality",
 )
 
 

@@ -1501,3 +1501,183 @@ def b22_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B23: TWAP — time-weighted average price per instrument per day: each
+# tick's price weighted by the microseconds until the next tick of the
+# same (company, day); the execution-quality benchmark that complements
+# b19's VWAP (volume weights). One shuffle on (company_id, day) for the
+# lead() window; the aggregation reuses the same partitioning, so no
+# second exchange. Weighted sums route through exact decimals
+# (price DECIMAL(18,6) x weight DECIMAL(12,0) <= 31 digits on both
+# engines), so the ratio is order-independent; zero-span groups (all
+# ticks at one timestamp) are filtered, not divided.
+@query(
+    "b23_twap",
+    oracle=oracle_on_domain(
+        """
+        , seq AS (
+            SELECT company_id, ts, price,
+                   date_trunc('day', ts) AS day,
+                   LEAD(ts) OVER (
+                       PARTITION BY company_id, date_trunc('day', ts)
+                       ORDER BY ts ASC, trade_id ASC) AS nts
+            FROM trades
+        ),
+        wgt AS (
+            SELECT company_id, day,
+                   CAST(CAST(price AS DECIMAL(18,6)) * 1000000
+                        AS BIGINT) AS pm,
+                   CAST((epoch_us(nts) - epoch_us(ts)) // 1000
+                        AS BIGINT) AS w_ms
+            FROM seq WHERE nts IS NOT NULL
+        )
+        SELECT company_id, CAST(day AS TIMESTAMP) AS day,
+               CAST(SUM(pm * w_ms) AS DOUBLE)
+                   / CAST(SUM(w_ms) AS DOUBLE) / 1000000.0 AS twap_price,
+               COUNT(*) AS n_intervals,
+               CAST(SUM(w_ms) AS BIGINT) AS span_ms
+        FROM wgt
+        GROUP BY company_id, day
+        HAVING SUM(w_ms) > 0
+        """
+    ),
+)
+def b23_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    w = Window.partitionBy("company_id", "day").orderBy(
+        F.col("ts").asc(), F.col("trade_id").asc()
+    )
+    seq = t.select("company_id", "ts", "price", "trade_id", day).withColumn(
+        "nts", F.lead("ts").over(w)
+    )
+    # Exact integer path: price in micro-units (<= 5.7e8 for the fixture
+    # range), tick span in ms (<= 8.64e7/day) -> products and per-day sums
+    # stay far under int64, identically on both engines.
+    pm = (F.col("price").cast("decimal(18,6)") * 1000000).cast("bigint")
+    w_ms = F.expr(
+        "CAST((unix_micros(CAST(nts AS TIMESTAMP))"
+        " - unix_micros(CAST(ts AS TIMESTAMP))) div 1000 AS BIGINT)"
+    )
+    return (
+        seq.filter(F.col("nts").isNotNull())
+        .select("company_id", "day", pm.alias("pm"), w_ms.alias("w_ms"))
+        .groupBy("company_id", F.col("day").cast("timestamp").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("pm") * F.col("w_ms")).cast("double")
+                / F.sum("w_ms").cast("double")
+                / F.lit(1000000.0)
+            ).alias("twap_price"),
+            F.count("*").alias("n_intervals"),
+            F.sum("w_ms").cast("bigint").alias("span_ms"),
+        )
+        .filter(F.col("span_ms") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# B24: CUSUM drift detection — per instrument, the cumulative sum of
+# standardized daily mean closes; a large |CUSUM| excursion marks a
+# regime change (price drifting away from its long-run mean), the batch
+# twin of streaming drift monitors. Numeric policy: daily means route
+# through exact decimal sums, are rounded to 6dp, and re-enter decimal so
+# the per-company moment sums (s1, s2) are exact; z-scores are then pure
+# deterministic double scalar ops, and the running CUSUM adds them in the
+# total (day ASC) order on both engines — bit-identical without any
+# end rounding. Plan: partial-agg shuffle to (company, day) grain, a
+# broadcast-sized stats join, one window pass per company.
+@query(
+    "b24_cusum_drift",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(ROUND(
+                       CAST(SUM(CAST(close AS DECIMAL(27,6))) AS DOUBLE)
+                           / COUNT(*), 6) AS DECIMAL(18,6)) AS m6
+            FROM candles GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT company_id, COUNT(*) AS n_days,
+                   CAST(SUM(m6) AS DOUBLE) AS s1,
+                   CAST(SUM(m6 * m6) AS DOUBLE) AS s2
+            FROM daily GROUP BY company_id
+        ),
+        z AS (
+            SELECT d.company_id, d.day, s.n_days,
+                   (CAST(d.m6 AS DOUBLE) - s.s1 / s.n_days)
+                     / sqrt(s.s2 / s.n_days
+                            - (s.s1 / s.n_days) * (s.s1 / s.n_days)) AS zval
+            FROM daily d JOIN stats s ON s.company_id = d.company_id
+            WHERE s.s2 / s.n_days
+                  - (s.s1 / s.n_days) * (s.s1 / s.n_days) > 0
+        ),
+        cu AS (
+            SELECT company_id, day, n_days,
+                   SUM(zval) OVER (PARTITION BY company_id
+                                   ORDER BY day ASC) AS cusum
+            FROM z
+        )
+        SELECT company_id, n_days,
+               ROUND(ABS(cusum), 6) AS max_cusum, day AS drift_day
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY company_id
+                ORDER BY ABS(cusum) DESC, day ASC) AS rn
+            FROM cu
+        ) ranked
+        WHERE rn = 1
+        """
+    ),
+)
+def b24_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.col("close").cast(_DEC)).cast("double") / F.count("*"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("m6")
+    )
+    stats = daily.groupBy("company_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum("m6").cast("double").alias("s1"),
+        F.sum(F.col("m6") * F.col("m6")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = F.col("s2") / F.col("n_days") - mean * mean
+    z = (
+        daily.join(stats, "company_id")
+        .filter(var > 0)
+        .select(
+            "company_id",
+            "day",
+            "n_days",
+            ((F.col("m6").cast("double") - mean) / F.sqrt(var)).alias(
+                "zval"
+            ),
+        )
+    )
+    wc = Window.partitionBy("company_id").orderBy(F.col("day").asc())
+    cu = z.withColumn("cusum", F.sum("zval").over(wc))
+    wr = Window.partitionBy("company_id").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        cu.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "company_id",
+            "n_days",
+            F.round(F.abs(F.col("cusum")), 6).alias("max_cusum"),
+            F.col("day").alias("drift_day"),
+        )
+    )

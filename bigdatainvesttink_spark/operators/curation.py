@@ -1010,3 +1010,95 @@ def d7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).alias("shuffle_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting — the third graph-analytics operator (after connected
+# components and PageRank): per-node triangle participation over the same
+# deterministic LCG graph family PageRank uses (3 out-edges per node on
+# the Z_n id space, undirected-ified as distinct (least, greatest) pairs).
+# The Spark side runs the SCALE-CORRECT algorithm — every edge oriented
+# from its lower-(degree, id) endpoint, wedges built only at low-degree
+# centers, closed against the oriented edge set — which bounds per-node
+# wedge work by oriented out-degree O(sqrt(m)) instead of max degree (the
+# hub that kills the naive enumeration at 100 TB: a 10M-degree node makes
+# 10^14 wedges undirected, but its oriented out-degree stays ~sqrt(m)).
+# The oracle enumerates naively with a<b<c — orientation changes the
+# work, never the count, so per-node results match exactly.
+@query(
+    "d2_triangle_count",
+    oracle="""
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        raw AS (
+            SELECT u, (u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES (1), (2), (3)) AS ks(k)
+        ),
+        edges AS (
+            SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw WHERE u <> v
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, COUNT(*) AS n_triangles
+        FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) m
+        GROUP BY node
+    """,
+)
+def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
+    raw = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .select("u", ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    # Degree per endpoint, then orient each undirected edge from the
+    # endpoint with the smaller (degree, id) — a total order, so exactly
+    # one direction per edge and wedge centers are always the "light" end.
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    a_light = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_light, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_light, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "u").filter(F.col("v") != F.col("w"))
+    closer = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    # A wedge (u; v, w) closes iff the oriented edge v->w or w->v exists;
+    # keeping only v-as-src halves the wedge set (each unordered {v, w}
+    # appears in both orders exactly once across the two wedge rows).
+    tri = wedges.join(closer, ["v", "w"])
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count("*").alias("n_triangles"))

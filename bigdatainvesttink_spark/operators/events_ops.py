@@ -935,3 +935,97 @@ def d6_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("segment_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D6: market-basket co-occurrence — which event types happen together in
+# the same (user, day) basket, with the lift score that separates "popular
+# with everything" from genuinely associated pairs. The pair space is
+# |vocabulary|^2-bounded (never data-sized): baskets are reduced to
+# DISTINCT items first, the self-join co-partitions both sides on the
+# basket key (one shuffle, items-per-basket bounded by the type
+# vocabulary), and item supports join back broadcast. At a 1M-item
+# catalog you'd cap basket width and prefilter items by a min-support
+# pass (same hot-key cap the near-dedup family uses); the fixture's
+# single-digit vocabulary needs neither. All supports are exact counts;
+# lift is one deterministic double expression over exact integers.
+@query(
+    "d6_cooccurrence_pairs",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+                   event_type
+            FROM events
+        ),
+        nb AS (
+            SELECT COUNT(*) AS n_baskets
+            FROM (SELECT DISTINCT user_id, day FROM b) x
+        ),
+        item AS (SELECT event_type, COUNT(*) AS n_item FROM b GROUP BY 1),
+        pair AS (
+            SELECT x.event_type AS item_a, y.event_type AS item_b,
+                   COUNT(*) AS n_ab
+            FROM b x JOIN b y
+              ON y.user_id = x.user_id AND y.day = x.day
+             AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST(n_ab AS DOUBLE) * nb.n_baskets / ia.n_item / ib.n_item
+                   AS lift
+        FROM pair
+        JOIN item ia ON ia.event_type = item_a
+        JOIN item ib ON ib.event_type = item_b
+        CROSS JOIN nb
+    """,
+)
+def d6_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).distinct()
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    item = b.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("y.user_id") == F.col("x.user_id"))
+            & (F.col("y.day") == F.col("x.day"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("item_a"),
+            F.col("y.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("event_type").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / F.col("n_a")
+                / F.col("n_b")
+            ).alias("lift"),
+        )
+    )

@@ -737,3 +737,146 @@ def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_retailprice", "subtree_retail"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval concurrency — how many orders are "open" on any
+# given day, treating each order as a 30-day interval from o_orderdate.
+# The scale-defining choice: NOT an interval self-join (O(n * k) pairs)
+# and NOT a row-level global sort. Start/end events are first
+# partial-aggregated to per-day deltas — a map-side-combined shuffle that
+# collapses any data volume to the calendar grain (~2.5k rows for seven
+# years) — and only that constant-bounded series flows through the
+# running-sum window. The same two-level trick (coarse pre-aggregation,
+# then an ordered scan of a bounded series) is how a 100 TB event table
+# gets a concurrency profile without a global sort of raw rows.
+@query(
+    "rel_interval_sweep",
+    oracle="""
+        WITH deltas AS (
+            SELECT day, SUM(delta) AS delta FROM (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                           AS day,
+                       1 AS delta
+                FROM orders
+                UNION ALL
+                SELECT CAST(date_trunc('day', o_orderdate)
+                            + INTERVAL 30 DAY AS TIMESTAMP) AS day,
+                       -1 AS delta
+                FROM orders
+            ) ev
+            GROUP BY day
+        )
+        SELECT day, CAST(delta AS BIGINT) AS net_change,
+               CAST(SUM(delta) OVER (ORDER BY day ASC) AS BIGINT)
+                   AS n_open
+        FROM deltas
+    """,
+)
+def rel_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate")).cast("timestamp")
+    starts = o.select(day.alias("day"), F.lit(1).alias("delta"))
+    ends = o.select(
+        F.date_trunc("day", F.col("o_orderdate"))
+        .cast("timestamp")
+        .alias("d0"),
+        F.lit(-1).alias("delta"),
+    ).select(
+        (F.col("d0") + F.expr("INTERVAL 30 DAYS")).alias("day"), "delta"
+    )
+    deltas = (
+        starts.unionAll(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy(F.col("day").asc())
+    return deltas.select(
+        "day",
+        F.col("delta").cast("bigint").alias("net_change"),
+        F.sum("delta").over(w).cast("bigint").alias("n_open"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations report — the declarative check suite a
+# warehouse runs before publishing a table: row volume, null keys, value
+# ranges, domain membership, key uniqueness, and referential integrity,
+# emitted as one long-format (check, n_violations, passed) report. Plan
+# shape: every per-row check folds into ONE conditional-aggregate scan of
+# orders (no per-check passes over the fact table); the FK orphan check
+# is the only join — a LEFT ANTI against the customer dimension that AQE
+# broadcasts, counted by the same single-row aggregate. At 100 TB this is
+# one fact scan + one broadcast anti-join, total.
+@query(
+    "rel_expectations_report",
+    oracle="""
+        WITH scan AS (
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_cust,
+                   COUNT(*) FILTER (WHERE o_totalprice <= 0) AS bad_price,
+                   COUNT(*) FILTER (
+                       WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                       AS bad_status,
+                   COUNT(*) FILTER (
+                       WHERE o_orderdate < TIMESTAMP '1992-01-01'
+                          OR o_orderdate >= TIMESTAMP '1999-01-01')
+                       AS bad_date,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys
+            FROM orders
+        ),
+        orphans AS (
+            SELECT COUNT(*) AS n FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+        )
+        SELECT chk AS check_name, n_violations,
+               n_violations = 0 AS passed
+        FROM (
+            SELECT 'null_custkey' AS chk, null_cust AS n_violations
+            FROM scan
+            UNION ALL SELECT 'nonpositive_totalprice', bad_price FROM scan
+            UNION ALL SELECT 'unknown_orderstatus', bad_status FROM scan
+            UNION ALL SELECT 'orderdate_out_of_range', bad_date FROM scan
+            UNION ALL SELECT 'duplicate_orderkey', dup_keys FROM scan
+            UNION ALL SELECT 'orphan_custkey', n FROM orphans
+        ) checks
+    """,
+)
+def rel_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cnt = lambda cond: F.count_if(cond)  # noqa: E731
+    scan = o.agg(
+        cnt(F.col("o_custkey").isNull()).alias("null_cust"),
+        cnt(F.col("o_totalprice") <= 0).alias("bad_price"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "bad_status"
+        ),
+        cnt(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (
+                F.col("o_orderdate")
+                >= F.lit("1999-01-01").cast("timestamp")
+            )
+        ).alias("bad_date"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+    )
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orphan_custkey").alias("chk"), F.col("n"))
+    )
+    checks = scan.selectExpr(
+        """stack(5,
+            'null_custkey', null_cust,
+            'nonpositive_totalprice', bad_price,
+            'unknown_orderstatus', bad_status,
+            'orderdate_out_of_range', bad_date,
+            'duplicate_orderkey', dup_keys) AS (chk, n_violations)"""
+    ).unionAll(orphans.toDF("chk", "n_violations"))
+    return checks.select(
+        F.col("chk").alias("check_name"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -957,3 +957,101 @@ def d3_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D3: k-NN classification eval — the standard embedding-quality probe:
+# every 10th vector is held out and classified by majority vote of its 5
+# nearest training neighbors (cosine), reported as per-class accuracy.
+# Same plan skeleton as the brute-force top-k (broadcast query side, one
+# corpus scan, per-query ranking window); the vote and the accuracy
+# rollup touch only Q*k rows. At scale the neighbor stage swaps to the
+# IVF probe (d3_ivf_probe_topk) with this exact vote/rollup tail — the
+# eval is scan-strategy-agnostic. Votes tie-break on (count DESC, label
+# ASC); accuracy is an exact-integer ratio, so no rounding is needed.
+@query(
+    "d3_knn_classify",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        t AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS true_label,
+                   t.label AS n_label,
+                   round(list_dot_product(q.e, t.e) / (q.norm * t.norm), 6)
+                       AS cosine,
+                   t.vec_id AS neighbor_id
+            FROM q JOIN t ON TRUE
+        ),
+        top5 AS (
+            SELECT query_id, true_label, n_label FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+                FROM scored
+            ) r WHERE rnk <= 5
+        ),
+        votes AS (
+            SELECT query_id, true_label, n_label, COUNT(*) AS n_votes
+            FROM top5 GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT query_id, true_label, n_label AS pred_label FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_votes DESC, n_label ASC) AS vr
+                FROM votes
+            ) r WHERE vr = 1
+        )
+        SELECT true_label, COUNT(*) AS n_queries,
+               COUNT(*) FILTER (WHERE pred_label = true_label)
+                   AS n_correct,
+               CAST(COUNT(*) FILTER (WHERE pred_label = true_label)
+                    AS DOUBLE) / COUNT(*) AS accuracy
+        FROM pred GROUP BY true_label
+    """,
+)
+def d3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    t = v.filter(F.col("vec_id") % 10 != 0)
+    scored = t.join(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("n_label"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")),
+            6,
+        ).alias("cosine"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "true_label", "n_label")
+    )
+    votes = top5.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    correct = F.count_if(F.col("pred_label") == F.col("true_label"))
+    return pred.groupBy("true_label").agg(
+        F.count("*").alias("n_queries"),
+        correct.alias("n_correct"),
+        (correct.cast("double") / F.count("*")).alias("accuracy"),
+    )

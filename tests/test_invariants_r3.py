@@ -118,3 +118,110 @@ def test_pagerank_is_a_probability_distribution(spark):
     assert all(r["pagerank"] > 0 for r in rows)
     total = sum(r["pagerank"] for r in rows)
     assert abs(total - 1.0) < 0.05, total
+
+
+def test_twap_within_tick_price_range(spark):
+    # a time-weighted mean must lie inside [min, max] tick price per group
+    from bigdatainvesttink_spark.fixtures import domain_table
+
+    twap = _q("b23_twap", spark)
+    bounds = (
+        domain_table(spark, SF_SMALL, "trades")
+        .groupBy("company_id", F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+    )
+    j = twap.join(bounds, ["company_id", "day"])
+    assert j.count() == twap.count()
+    bad = j.filter(
+        (F.col("twap_price") < F.col("lo") - 1e-6)
+        | (F.col("twap_price") > F.col("hi") + 1e-6)
+    )
+    assert bad.count() == 0
+
+
+def test_twap_single_shuffle(spark):
+    # the day-grain aggregation must reuse the lead-window partitioning
+    plan = (
+        _q("b23_twap", spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_cusum_drift_day_in_candle_span(spark):
+    from bigdatainvesttink_spark.fixtures import domain_table
+
+    cu = _q("b24_cusum_drift", spark)
+    span = (
+        domain_table(spark, SF_SMALL, "candles")
+        .groupBy("company_id")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    j = cu.join(span, "company_id")
+    assert j.filter(
+        (F.col("drift_day") < F.date_trunc("day", "lo"))
+        | (F.col("drift_day") > F.col("hi"))
+    ).count() == 0
+    assert cu.filter(F.col("max_cusum") < 0).count() == 0
+
+
+def test_triangle_participation_is_three_per_triangle(spark):
+    # sum of per-node participation counts = 3 * total triangles exactly
+    df = _q("d2_triangle_count", spark)
+    total = df.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total is not None and total > 0 and total % 3 == 0
+    assert df.filter(F.col("n_triangles") <= 0).count() == 0
+
+
+def test_cooccurrence_support_bounds(spark):
+    # pair support can never exceed either item's basket support
+    df = _q("d6_cooccurrence_pairs", spark)
+    assert df.count() > 0
+    bad = df.filter(
+        (F.col("n_ab") > F.col("n_a"))
+        | (F.col("n_ab") > F.col("n_b"))
+        | (F.col("lift") <= 0)
+        | (F.col("item_a") >= F.col("item_b"))
+    )
+    assert bad.count() == 0
+
+
+def test_interval_sweep_conservation(spark):
+    # every opened interval closes: the final running count returns to 0,
+    # and the peak concurrency is positive
+    df = _q("rel_interval_sweep", spark).orderBy(F.col("day").asc())
+    rows = df.collect()
+    assert rows[-1].n_open == 0
+    assert max(r.n_open for r in rows) > 0
+    assert all(r.n_open >= 0 for r in rows)
+    # n_open is the prefix sum of net_change
+    acc = 0
+    for r in rows:
+        acc += r.net_change
+        assert acc == r.n_open
+
+
+def test_expectations_report_checks(spark):
+    df = _q("rel_expectations_report", spark)
+    rows = {r.check_name: r for r in df.collect()}
+    assert len(rows) == 6
+    # the fixture's orders are key-clean and FK-closed...
+    for chk in ("null_custkey", "duplicate_orderkey", "orphan_custkey"):
+        assert rows[chk].passed and rows[chk].n_violations == 0
+    # ...but deliberately extend past the classic TPC-H date horizon,
+    # which the report must surface, not mask
+    assert not rows["orderdate_out_of_range"].passed
+    assert all((r.n_violations == 0) == r.passed for r in rows.values())
+
+
+def test_knn_accuracy_bounds(spark):
+    df = _q("d3_knn_classify", spark)
+    assert df.count() > 0
+    bad = df.filter(
+        (F.col("n_correct") > F.col("n_queries"))
+        | (F.col("accuracy") < 0)
+        | (F.col("accuracy") > 1)
+    )
+    assert bad.count() == 0

@@ -83,3 +83,34 @@ def get_spark(app_name: str = "bigdatainvesttink-spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)
+
+
+def enable_runtime_bloom_pruning(
+    spark: SparkSession,
+    application_side_threshold: str = "10MB",
+    creation_side_threshold: str = "10MB",
+) -> SparkSession:
+    """Turn on Catalyst's runtime Bloom-filter join pruning aggressively.
+
+    The 100 TB semi-join pattern: when a join's small side is filtered
+    (e.g. a dimension slice), the optimizer builds a Bloom filter over its
+    join keys at runtime and injects it as a scan-side predicate on the
+    fact table — rows that cannot match are dropped BEFORE the shuffle,
+    which is most of the cost of a selective fact⋈dim join. Spark ships
+    this on (``spark.sql.optimizer.runtime.bloomFilter.enabled``) but
+    gated behind a 10 GB application-side scan threshold that local tests
+    and mid-size tables never reach; this helper lowers the gates so the
+    pattern is exercised (and plan-asserted in
+    tests/test_scale_patterns.py::test_runtime_bloom_filter_prunes_fact_scan).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
+    return spark

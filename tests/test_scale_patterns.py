@@ -235,3 +235,51 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     want = {tuple(r) for r in trades.join(book, cond).select(
         "company_id", "t_ts", "b_ts", "price", "bid_price").collect()}
     assert got == want and len(got) > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """A selective dim slice must inject a runtime Bloom filter on the
+    fact side (rows dropped before the shuffle), and the filtered join
+    must return exactly the unfiltered join's rows."""
+    from bigdatainvesttink_spark.session import enable_runtime_bloom_pruning
+
+    fact_dir, dim_dir = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 200000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    ).write.parquet(fact_dir)
+    spark.range(0, 200000).filter(F.col("id") % 1000 == 0).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+    ).write.parquet(dim_dir)
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom_pruning(spark, "1KB", "10MB")
+        # force a shuffle join: broadcast joins bypass bloom injection
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).filter(F.col("w") < 5)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        got = sorted((r.k, r.v, r.w) for r in j.collect())
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        fact2 = spark.read.parquet(fact_dir)
+        dim2 = spark.read.parquet(dim_dir).filter(F.col("w") < 5)
+        want = sorted((r.k, r.v, r.w) for r in fact2.join(dim2, "k").collect())
+        assert got == want and len(got) > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

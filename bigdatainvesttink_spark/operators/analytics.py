@@ -1681,3 +1681,64 @@ def b24_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("drift_day"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B25: liquidity depth profile — the "depth curve" behind an order-book
+# panel: average resting volume per book level per instrument, plus the
+# cumulative share of total depth reached by each level (how far down the
+# book you must sweep to fill X% of displayed liquidity). All volume math
+# is exact int64 (fixture volumes are integers; per-level averages are
+# exact-integer ratios; the cumulative share divides two exact integer
+# sums), so no rounding policy is involved anywhere. Plan: one
+# partial-agg shuffle to the (company, lvl) grid — 50x20 rows — and a
+# 20-row-per-partition running window on that constant-bounded grid; the
+# raw book stream is touched exactly once.
+@query(
+    "b25_depth_profile",
+    oracle=oracle_on_domain(
+        """
+        , per_level AS (
+            SELECT company_id, lvl,
+                   COUNT(*) AS n_snapshots,
+                   CAST(SUM(bid_volume) AS BIGINT) AS bid_vol,
+                   CAST(SUM(ask_volume) AS BIGINT) AS ask_vol
+            FROM book_levels
+            GROUP BY company_id, lvl
+        )
+        SELECT company_id, lvl,
+               CAST(bid_vol AS DOUBLE) / n_snapshots AS avg_bid_vol,
+               CAST(ask_vol AS DOUBLE) / n_snapshots AS avg_ask_vol,
+               CAST(SUM(bid_vol + ask_vol) OVER (
+                        PARTITION BY company_id ORDER BY lvl ASC)
+                    AS DOUBLE)
+                   / SUM(bid_vol + ask_vol) OVER (PARTITION BY company_id)
+                   AS cum_depth_share
+        FROM per_level
+        """
+    ),
+)
+def b25_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lv = domain_table(spark, sf_dir, "book_levels")
+    per_level = lv.groupBy("company_id", "lvl").agg(
+        F.count("*").alias("n_snapshots"),
+        F.sum("bid_volume").cast("bigint").alias("bid_vol"),
+        F.sum("ask_volume").cast("bigint").alias("ask_vol"),
+    )
+    total = F.col("bid_vol") + F.col("ask_vol")
+    w_run = Window.partitionBy("company_id").orderBy(F.col("lvl").asc())
+    w_all = Window.partitionBy("company_id")
+    return per_level.select(
+        "company_id",
+        "lvl",
+        (F.col("bid_vol").cast("double") / F.col("n_snapshots")).alias(
+            "avg_bid_vol"
+        ),
+        (F.col("ask_vol").cast("double") / F.col("n_snapshots")).alias(
+            "avg_ask_vol"
+        ),
+        (
+            F.sum(total).over(w_run).cast("double")
+            / F.sum(total).over(w_all)
+        ).alias("cum_depth_share"),
+    )

@@ -1025,9 +1025,9 @@ def d7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10^14 wedges undirected, but its oriented out-degree stays ~sqrt(m)).
 # The oracle enumerates naively with a<b<c — orientation changes the
 # work, never the count, so per-node results match exactly.
-@query(
-    "d2_triangle_count",
-    oracle="""
+# Shared oracle prelude: the LCG graph (distinct undirected edges) and its
+# naive a<b<c triangle enumeration — reused by both graph-metric oracles.
+_GRAPH_SQL = """
         WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
         nn AS (SELECT COUNT(*) AS n FROM nodes),
         raw AS (
@@ -1043,17 +1043,21 @@ def d7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM edges e1
             JOIN edges e2 ON e2.a = e1.b
             JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tri_nodes AS (
+            SELECT node, COUNT(*) AS n_triangles
+            FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) m
+            GROUP BY node
         )
-        SELECT node, COUNT(*) AS n_triangles
-        FROM (
-            SELECT x AS node FROM tri
-            UNION ALL SELECT y FROM tri
-            UNION ALL SELECT z FROM tri
-        ) m
-        GROUP BY node
-    """,
-)
-def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _lcg_undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (a < b) edges of the deterministic LCG graph."""
     e = load_table(spark, sf_dir, "events")
     nodes = e.select(F.col("user_id").alias("u")).distinct()
     nn = nodes.agg(F.count("*").alias("n"))
@@ -1061,21 +1065,28 @@ def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         nodes.crossJoin(F.broadcast(nn))
         .select("u", "n", ks)
-        .select("u", ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias("v"))
+        .select(
+            "u",
+            ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
     )
-    edges = raw.select(
+    return raw.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
-    # Degree per endpoint, then orient each undirected edge from the
-    # endpoint with the smaller (degree, id) — a total order, so exactly
-    # one direction per edge and wedge centers are always the "light" end.
-    deg = (
+
+
+def _node_degrees(edges: DataFrame) -> DataFrame:
+    return (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+
+
+def _triangle_members(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle participation via degree-oriented wedge closure."""
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     with_deg = edges.join(da, "a").join(db, "b")
@@ -1089,9 +1100,7 @@ def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     wedges = o1.join(o2, "u").filter(F.col("v") != F.col("w"))
-    closer = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    )
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     # A wedge (u; v, w) closes iff the oriented edge v->w or w->v exists;
     # keeping only v-as-src halves the wedge set (each unordered {v, w}
     # appears in both orders exactly once across the two wedge rows).
@@ -1102,3 +1111,58 @@ def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("w").alias("node")))
     )
     return members.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+@query(
+    "d2_triangle_count",
+    oracle=_GRAPH_SQL + "SELECT node, n_triangles FROM tri_nodes",
+)
+def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    return _triangle_members(edges, _node_degrees(edges))
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient — "how interconnected is each node's
+# neighborhood": 2 * triangles(v) / (deg(v) * (deg(v) - 1)) over the same
+# LCG graph. Builds on the degree-oriented triangle machinery above (the
+# degree table is computed once and shared); cost beyond triangles is one
+# key-join of two node-sized tables. The coefficient is an exact-integer
+# ratio evaluated once per node — deterministic cross-engine with no
+# rounding policy needed.
+@query(
+    "d2_clustering_coefficient",
+    oracle=_GRAPH_SQL
+    + """
+        , deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM edges
+                UNION ALL SELECT b FROM edges
+            ) m GROUP BY node
+        )
+        SELECT deg.node, deg.d AS degree,
+               COALESCE(t.n_triangles, 0) AS n_triangles,
+               2.0 * COALESCE(t.n_triangles, 0)
+                   / (deg.d * (deg.d - 1)) AS clustering_coeff
+        FROM deg LEFT JOIN tri_nodes t ON t.node = deg.node
+        WHERE deg.d >= 2
+    """,
+)
+def d2_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    deg = _node_degrees(edges)
+    tri = _triangle_members(edges, deg)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -633,3 +633,102 @@ def d4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D4: PMI collocations — corpus-level bigram association mining: which
+# token pairs co-occur far more than their marginal frequencies predict
+# (the classic collocation-extraction step for tokenizer merges and
+# phrase vocabularies). PMI = ln(n_ab * N / (n_first_a * n_second_b)),
+# position-specific marginals. Scale: three count aggregates over the
+# bigram stream (shuffled on pair / first / second — each with map-side
+# partial combine), then key-joins of count tables; nothing is ever
+# data-sized except the bigram stream itself. The min-support cut (>= 5)
+# happens BEFORE the marginal joins, so the scored set is
+# vocabulary-sized. ln is engine-libm; 6dp rounding + full (pmi, a, b)
+# tiebreak makes the top-50 cut deterministic (d4_bigram_logprob policy).
+@query(
+    "d4_collocations_pmi",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+                       AS ts
+            FROM documents WHERE text <> ''
+        ),
+        bg AS (
+            SELECT ts[i] AS a, ts[i+1] AS b
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2
+        ),
+        nb AS (SELECT COUNT(*) AS total FROM bg),
+        c2 AS (
+            SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY a, b
+            HAVING COUNT(*) >= 5
+        ),
+        cf AS (SELECT a, COUNT(*) AS n_first FROM bg GROUP BY a),
+        cs AS (SELECT b, COUNT(*) AS n_second FROM bg GROUP BY b),
+        scored AS (
+            SELECT c2.a AS w_a, c2.b AS w_b, n_ab, n_first, n_second,
+                   ROUND(ln(CAST(n_ab AS DOUBLE) * nb.total
+                            / n_first / n_second), 6) AS pmi
+            FROM c2 JOIN cf ON cf.a = c2.a
+                    JOIN cs ON cs.b = c2.b
+                    CROSS JOIN nb
+        )
+        SELECT w_a, w_b, n_ab, n_first, n_second, pmi, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY pmi DESC, w_a ASC, w_b ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 50
+    """,
+)
+def d4_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    toks = d.select("doc_id", tokenize("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> named_struct('a', element_at(ts, i),"
+                "                   'b', element_at(ts, i + 1)))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    nb = bg.agg(F.count("*").alias("total"))
+    c2 = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    cf = bg.groupBy("a").agg(F.count("*").alias("n_first"))
+    cs = bg.groupBy("b").agg(F.count("*").alias("n_second"))
+    scored = (
+        c2.join(cf, "a")
+        .join(cs, "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("a").alias("w_a"),
+            F.col("b").alias("w_b"),
+            "n_ab",
+            "n_first",
+            "n_second",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("total")
+                    / F.col("n_first")
+                    / F.col("n_second")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("pmi").desc(), F.col("w_a").asc(), F.col("w_b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+    )

@@ -225,3 +225,44 @@ def test_knn_accuracy_bounds(spark):
         | (F.col("accuracy") > 1)
     )
     assert bad.count() == 0
+
+
+def test_pmi_support_bounds_and_rank(spark):
+    df = _q("d4_collocations_pmi", spark)
+    rows = df.collect()
+    assert 0 < len(rows) <= 50
+    assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    assert all(
+        r.n_ab >= 5 and r.n_ab <= r.n_first and r.n_ab <= r.n_second
+        for r in rows
+    )
+
+
+def test_clustering_coefficient_bounds(spark):
+    cc = _q("d2_clustering_coefficient", spark)
+    bad = cc.filter(
+        (F.col("clustering_coeff") < 0) | (F.col("clustering_coeff") > 1)
+    )
+    assert bad.count() == 0
+    # triangle participation agrees with the standalone triangle query
+    tri = _q("d2_triangle_count", spark)
+    j = cc.filter(F.col("n_triangles") > 0).join(
+        tri.withColumnRenamed("n_triangles", "t2"), "node"
+    )
+    assert j.filter(F.col("n_triangles") != F.col("t2")).count() == 0
+
+
+def test_depth_profile_monotone_share(spark):
+    df = _q("b25_depth_profile", spark).orderBy("company_id", "lvl")
+    from collections import defaultdict
+
+    by_company = defaultdict(list)
+    for r in df.collect():
+        by_company[r.company_id].append(r)
+    assert by_company
+    for rows in by_company.values():
+        shares = [r.cum_depth_share for r in rows]
+        assert all(b >= a for a, b in zip(shares, shares[1:]))
+        assert abs(shares[-1] - 1.0) < 1e-12
+        assert all(1 <= r.avg_bid_vol <= 499 and 1 <= r.avg_ask_vol <= 499
+                   for r in rows)

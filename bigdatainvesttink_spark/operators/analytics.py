@@ -1742,3 +1742,78 @@ def b25_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(total).over(w_all)
         ).alias("cum_depth_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# B26: range-based volatility estimators — Parkinson (high/low range) and
+# Garman-Klass (range + open/close) daily variance from hourly OHLC bars:
+# the standard quant upgrades over b2's close-to-close estimator, using
+# 5-8x more of each bar's information. Per-bar squared-log terms are
+# rounded to 6dp and summed in DECIMAL (order-independent); the constants
+# 1/(4 ln 2) and (2 ln 2 - 1) are spelled as identical double literals on
+# both engines rather than evaluated. One partial-agg shuffle to
+# (company, day); the candle derivation's window pass dominates.
+@query(
+    "b26_range_volatility",
+    oracle=oracle_on_domain(
+        """
+        , lns AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ROUND(ln(high / low), 6) AS lhl,
+                   ROUND(ln(close / open), 6) AS lco
+            FROM candles
+        ),
+        terms AS (
+            SELECT company_id, day,
+                   ROUND(lhl * lhl, 6) AS hl2,
+                   ROUND(0.5 * lhl * lhl
+                         - 0.3862943611198906 * lco * lco, 6) AS gk
+            FROM lns
+        )
+        SELECT company_id, day, COUNT(*) AS n_bars,
+               0.3606737602222409
+                   * (CAST(SUM(CAST(hl2 AS DECIMAL(27,6))) AS DOUBLE)
+                      / COUNT(*)) AS parkinson_var,
+               CAST(SUM(CAST(gk AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS garman_klass_var
+        FROM terms
+        GROUP BY company_id, day
+        """
+    ),
+)
+def b26_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    # ln is engine-libm (last-ulp divergence possible): round the log
+    # values themselves to the 6dp grid first, so every later multiply /
+    # combine runs on bit-identical doubles (functions/core.py policy).
+    ln_hl = F.round(F.log(F.col("high") / F.col("low")), 6)
+    ln_co = F.round(F.log(F.col("close") / F.col("open")), 6)
+    terms = c.select(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+        ln_hl.alias("lhl"),
+        ln_co.alias("lco"),
+    ).select(
+        "company_id",
+        "day",
+        F.round(F.col("lhl") * F.col("lhl"), 6).alias("hl2"),
+        F.round(
+            0.5 * F.col("lhl") * F.col("lhl")
+            - 0.3862943611198906 * F.col("lco") * F.col("lco"),
+            6,
+        ).alias("gk"),
+    )
+    return terms.groupBy("company_id", "day").agg(
+        F.count("*").alias("n_bars"),
+        # no outer rounding: the means are exact-decimal sums divided in
+        # double — already bit-identical cross-engine, and a final ROUND
+        # would re-introduce the half-boundary disagreement it avoids
+        (
+            F.lit(0.3606737602222409)
+            * (F.sum(F.col("hl2").cast(_DEC)).cast("double") / F.count("*"))
+        ).alias("parkinson_var"),
+        (
+            F.sum(F.col("gk").cast(_DEC)).cast("double") / F.count("*")
+        ).alias("garman_klass_var"),
+    )

@@ -1029,3 +1029,96 @@ def d6_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D6: Kaplan-Meier survival curve — time-to-churn estimation with
+# right-censoring: users whose last event precedes the (global max - 24h)
+# cutoff are churn events at their observed activity span; everyone else
+# is censored (still alive when observation ended). The estimator
+# S(t) = prod_{t_i<=t} (1 - d_i/n_i) runs entirely on the duration GRID
+# (distinct hourly spans — bounded by the observation window, never
+# user-count-sized): the risk set n_i is a reverse-ordered running sum
+# over the grid, and the product becomes exp(running sum of ln terms),
+# with each ln term rounded to 6dp and accumulated in DECIMAL so the
+# running sum is order-independently exact (the d4_bigram_logprob
+# policy). Terms with d_i = n_i (everyone at risk dies) would be ln(0);
+# the curve is emitted up to, not through, that point.
+@query(
+    "d6_survival_km",
+    oracle="""
+        WITH span AS (
+            SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY user_id
+        ),
+        cutoff AS (SELECT MAX(ts) - INTERVAL 24 HOUR AS co FROM events),
+        obs AS (
+            SELECT user_id,
+                   (epoch_us(last_ts) - epoch_us(first_ts))
+                       // 3600000000 AS duration_h,
+                   CASE WHEN last_ts < cutoff.co THEN 1 ELSE 0 END
+                       AS churned
+            FROM span, cutoff
+        ),
+        grid AS (
+            SELECT duration_h, COUNT(*) AS n_users,
+                   CAST(SUM(churned) AS BIGINT) AS d
+            FROM obs GROUP BY duration_h
+        ),
+        risk AS (
+            SELECT duration_h, d,
+                   CAST(SUM(n_users) OVER (ORDER BY duration_h DESC)
+                        AS BIGINT) AS n_at_risk
+            FROM grid
+        ),
+        km AS (
+            SELECT duration_h, d, n_at_risk,
+                   ROUND(exp(CAST(SUM(CAST(ROUND(
+                       ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 6)
+                       AS DECIMAL(27,6))) OVER (ORDER BY duration_h ASC)
+                       AS DOUBLE)), 6) AS survival
+            FROM risk WHERE d > 0 AND d < n_at_risk
+        )
+        SELECT duration_h, d AS n_churned, n_at_risk, survival FROM km
+    """,
+)
+def d6_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("co")
+    )
+    obs = span.crossJoin(F.broadcast(cutoff)).select(
+        F.expr(
+            "(unix_micros(CAST(last_ts AS TIMESTAMP))"
+            " - unix_micros(CAST(first_ts AS TIMESTAMP)))"
+            " div 3600000000"
+        ).alias("duration_h"),
+        F.when(F.col("last_ts") < F.col("co"), 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    grid = obs.groupBy("duration_h").agg(
+        F.count("*").alias("n_users"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("duration_h").desc())
+    risk = grid.select(
+        "duration_h",
+        "d",
+        F.sum("n_users").over(w_desc).cast("bigint").alias("n_at_risk"),
+    ).filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
+    term = F.round(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), 6
+    ).cast("decimal(27,6)")
+    w_asc = Window.orderBy(F.col("duration_h").asc())
+    return risk.select(
+        "duration_h",
+        F.col("d").alias("n_churned"),
+        "n_at_risk",
+        F.round(F.exp(F.sum(term).over(w_asc).cast("double")), 6).alias(
+            "survival"
+        ),
+    )

@@ -266,3 +266,30 @@ def test_depth_profile_monotone_share(spark):
         assert abs(shares[-1] - 1.0) < 1e-12
         assert all(1 <= r.avg_bid_vol <= 499 and 1 <= r.avg_ask_vol <= 499
                    for r in rows)
+
+
+def test_survival_curve_monotone_nonincreasing(spark):
+    rows = (
+        _q("d6_survival_km", spark)
+        .orderBy(F.col("duration_h").asc())
+        .collect()
+    )
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(0 < s_val < 1 for s_val in surv)
+    assert all(b <= a for a, b in zip(surv, surv[1:]))
+    # the risk set shrinks as duration grows
+    risk = [r.n_at_risk for r in rows]
+    assert all(b < a for a, b in zip(risk, risk[1:]))
+    assert all(0 < r.n_churned < r.n_at_risk for r in rows)
+
+
+def test_range_volatility_nonnegative_parkinson(spark):
+    df = _q("b26_range_volatility", spark)
+    assert df.count() > 0
+    # Parkinson variance is a mean of squares — never negative
+    assert df.filter(F.col("parkinson_var") < 0).count() == 0
+    # flat bars (high == low == open == close) contribute zero, so any
+    # all-flat day must read exactly 0 for both estimators
+    flat = df.filter(F.col("parkinson_var") == 0)
+    assert flat.filter(F.abs(F.col("garman_klass_var")) > 1e-12).count() == 0

@@ -1817,3 +1817,103 @@ def b26_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("gk").cast(_DEC)).cast("double") / F.count("*")
         ).alias("garman_klass_var"),
     )
+
+
+# --------------------------------------------------------------------------
+# B27: microprice — the volume-weighted fair-value estimator
+# (bid*askVol + ask*bidVol) / (bidVol + askVol), which leans toward the
+# side with LESS resting size (price is about to move through it), and
+# its bias vs the naive midpoint, averaged per instrument per day. The
+# per-snapshot expression is one deterministic double formula over
+# (double, int64) inputs written with identical structure on both
+# engines; per-snapshot values are 6dp-rounded and averaged under the
+# decimal-sum policy. One scan of the book stream, one partial-agg
+# shuffle to (company, day).
+@query(
+    "b27_microprice",
+    oracle=oracle_on_domain(
+        """
+        , pm AS (
+            SELECT company_id, ts, bid_volume, ask_volume,
+                   CAST(CAST(bid_price AS DECIMAL(18,6)) * 1000000
+                        AS BIGINT) AS pmb,
+                   CAST(CAST(ask_price AS DECIMAL(18,6)) * 1000000
+                        AS BIGINT) AS pma
+            FROM order_book
+        ),
+        snap AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(FLOOR(CAST(pmb * ask_volume + pma * bid_volume
+                                   AS DOUBLE)
+                              / (bid_volume + ask_volume) + 0.5)
+                        AS BIGINT) AS micro_units,
+                   bid_volume, ask_volume, pmb, pma
+            FROM pm
+        )
+        SELECT company_id, day, COUNT(*) AS n_snapshots,
+               CAST(SUM(micro_units) AS DOUBLE) / COUNT(*) / 1000000.0
+                   AS avg_microprice,
+               CAST(SUM(2 * micro_units - (pmb + pma)) AS DOUBLE)
+                   / COUNT(*) / 2000000.0 AS avg_micro_mid_bias
+        FROM snap
+        GROUP BY company_id, day
+        """
+    ),
+)
+def b27_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = domain_table(spark, sf_dir, "order_book")
+    # Exact-integer numerator (price in micro-units): a raw
+    # double mul-add chain here is FMA-contractable on one engine and not
+    # the other (observed 1-ulp divergence at a 6dp rounding boundary);
+    # int64 products + fixed-order double divisions are bit-identical.
+    pm = b.select(
+        "company_id",
+        "ts",
+        "bid_volume",
+        "ask_volume",
+        (F.col("bid_price").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("pmb"),
+        (F.col("ask_price").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("pma"),
+    )
+    # Nearest-micro-unit quantization via floor(x + 0.5) — ROUND()
+    # itself disagrees across engines at exact .5 boundaries (Spark
+    # HALF_UPs the shortest decimal repr; DuckDB rounds the binary
+    # value), and integer micro-prices hit exact halves routinely. The
+    # quantized microprice and the half-unit bias are then exact int64,
+    # so the per-day averages need no float policy at all.
+    micro_units = (
+        F.floor(
+            (
+                F.col("pmb") * F.col("ask_volume")
+                + F.col("pma") * F.col("bid_volume")
+            ).cast("double")
+            / (F.col("bid_volume") + F.col("ask_volume"))
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    snap = pm.select(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+        micro_units.alias("micro_units"),
+        "pmb",
+        "pma",
+    )
+    return snap.groupBy("company_id", "day").agg(
+        F.count("*").alias("n_snapshots"),
+        (
+            F.sum("micro_units").cast("double")
+            / F.count("*")
+            / F.lit(1000000.0)
+        ).alias("avg_microprice"),
+        (
+            F.sum(
+                2 * F.col("micro_units") - (F.col("pmb") + F.col("pma"))
+            ).cast("double")
+            / F.count("*")
+            / F.lit(2000000.0)
+        ).alias("avg_micro_mid_bias"),
+    )

@@ -1122,3 +1122,65 @@ def d6_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: DAU / WAU / stickiness — daily and trailing-7-day active users with
+# the DAU/WAU engagement ratio. The scale-defining choice: WAU is NOT a
+# range join of the activity table against the day grid (a BNLJ at any
+# size) — each distinct (user, day) activity row is exploded into the <=7
+# window days it contributes to, deduped, and counted: pure equi-key
+# shuffles with map-side combine, data-sized only in the bounded x7
+# intermediate. The oracle uses the naive range-join formulation; the
+# explode path is semi-joined back to observed days so both sides count
+# the same grid. All outputs are exact integers + one deterministic
+# ratio.
+@query(
+    "d6_active_users",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        grid AS (SELECT DISTINCT day FROM ud),
+        wau AS (
+            SELECT g.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM grid g JOIN ud u
+              ON u.day <= g.day AND u.day > g.day - INTERVAL 7 DAY
+            GROUP BY g.day
+        )
+        SELECT dau.day, dau.dau, wau.wau,
+               CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def d6_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    grid = ud.select("day").distinct()
+    offsets = F.explode(
+        F.array(*[F.lit(i) for i in range(7)])
+    ).alias("off")
+    contrib = ud.select("user_id", "day", offsets).select(
+        "user_id",
+        (F.col("day") + F.make_interval(days=F.col("off"))).alias("wday"),
+    )
+    wau = (
+        contrib.join(grid.withColumnRenamed("day", "wday"), "wday")
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count("*").alias("wau"))
+        .withColumnRenamed("wday", "day")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )

@@ -293,3 +293,35 @@ def test_range_volatility_nonnegative_parkinson(spark):
     # all-flat day must read exactly 0 for both estimators
     flat = df.filter(F.col("parkinson_var") == 0)
     assert flat.filter(F.abs(F.col("garman_klass_var")) > 1e-12).count() == 0
+
+
+def test_active_users_wau_bounds(spark):
+    rows = _q("d6_active_users", spark).collect()
+    assert rows
+    for r in rows:
+        # a day's actives are a subset of its trailing week's actives
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_microprice_between_bid_and_ask(spark):
+    from bigdatainvesttink_spark.fixtures import domain_table
+
+    mp = _q("b27_microprice", spark)
+    book = (
+        domain_table(spark, SF_SMALL, "order_book")
+        .groupBy(
+            "company_id",
+            F.date_trunc("day", "ts").cast("timestamp").alias("day"),
+        )
+        .agg(F.min("bid_price").alias("lo"), F.max("ask_price").alias("hi"))
+    )
+    j = mp.join(book, ["company_id", "day"])
+    assert j.count() == mp.count() and mp.count() > 0
+    bad = j.filter(
+        (F.col("avg_microprice") < F.col("lo") - 1e-6)
+        | (F.col("avg_microprice") > F.col("hi") + 1e-6)
+    )
+    assert bad.count() == 0
+    # bias is bounded by the half-spread (0.1% of mid in the fixture)
+    assert mp.filter(F.abs("avg_micro_mid_bias") > 1.0).count() == 0

@@ -59,21 +59,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+# Stateful-operator partition count: every state-store partition carries
+# fixed per-micro-batch overhead (store instantiation, commit, snapshot),
+# so streaming stages are sized to expected STATE VOLUME, not core count —
+# at the fixtures' state sizes 8 partitions halves stream-stream join wall
+# time vs 32 with identical results. Production raises this with state
+# volume (it is baked into the checkpoint on first run, as Spark pins
+# state partitioning for a query's lifetime).
+import os
+
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
 def run_to_memory(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
     """Drive a streaming frame to completion with availableNow and return
     the memory-sink table (synchronous; used by queries() and tests)."""
     name = name or f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # availableNow is synchronous, so the batch tail (aggregations over
+        # the landed memory table) runs under the restored setting.
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -283,3 +283,44 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """With static size estimates unusable (threshold -1), the initial
+    plan is a sort-merge join; AQE must observe the filtered side's true
+    shuffle size at runtime and re-plan it as a broadcast join — the
+    mechanism that saves a 100 TB fact shuffle when a dimension slice
+    turns out tiny only AFTER its filter runs."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB"
+        )
+        fact = spark.range(0, 300000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        dim = (
+            spark.range(0, 300000)
+            .select(F.col("id").alias("k"), (F.col("id") % 997).alias("w"))
+            .filter(F.col("w") == 3)
+        )
+        j = fact.join(dim, "k")
+        pre = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in pre and "BroadcastHashJoin" not in pre
+        rows = j.collect()  # executes THIS plan instance so AQE finalizes it
+        post = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in post
+        assert len(rows) == sum(1 for i in range(300000) if i % 997 == 3)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

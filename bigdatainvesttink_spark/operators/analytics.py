@@ -1917,3 +1917,94 @@ def b27_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(2000000.0)
         ).alias("avg_micro_mid_bias"),
     )
+
+
+# --------------------------------------------------------------------------
+# B28: Amihud illiquidity — |daily return| per unit of dollar volume,
+# the standard price-impact-per-traded-dollar ratio. Daily closes come
+# from the last hourly candle per day (row_number over the in-partition
+# (company, day) order — no extra shuffle beyond the candle derivation);
+# dollar volume routes through exact int64 micro-units (the b27 policy),
+# so the only float ops are the return ratio and the final division,
+# both 6dp-gridded before the decimal-summed per-company mean.
+@query(
+    "b28_amihud_illiquidity",
+    oracle=oracle_on_domain(
+        """
+        , dclose AS (
+            SELECT company_id, day, close AS d_close FROM (
+                SELECT company_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       close,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY company_id, date_trunc('day', ts)
+                           ORDER BY ts DESC) AS rn
+                FROM candles
+            ) x WHERE rn = 1
+        ),
+        dvol AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(SUM(CAST(CAST(price AS DECIMAL(18,6)) * 1000000
+                                 AS BIGINT) * volume) AS BIGINT) AS dv_micro
+            FROM trades
+            GROUP BY company_id, date_trunc('day', ts)
+        ),
+        terms AS (
+            SELECT c.company_id,
+                   ROUND(ABS(c.d_close / LAG(c.d_close) OVER (
+                              PARTITION BY c.company_id ORDER BY c.day ASC)
+                             - 1.0)
+                         / (CAST(v.dv_micro AS DOUBLE) / 1000000.0),
+                         6) AS illiq
+            FROM dclose c JOIN dvol v
+              ON v.company_id = c.company_id AND v.day = c.day
+        )
+        SELECT company_id, COUNT(illiq) AS n_days,
+               CAST(SUM(CAST(illiq AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(illiq) AS amihud_illiq
+        FROM terms
+        WHERE illiq IS NOT NULL
+        GROUP BY company_id
+        """
+    ),
+)
+def b28_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    t = domain_table(spark, sf_dir, "trades")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day")
+    w_rn = Window.partitionBy(
+        "company_id", F.date_trunc("day", F.col("ts"))
+    ).orderBy(F.col("ts").desc())
+    dclose = (
+        c.select("company_id", day, "close", F.col("ts"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select("company_id", "day", F.col("close").alias("d_close"))
+    )
+    pm = (F.col("price").cast("decimal(18,6)") * 1000000).cast("bigint")
+    dvol = (
+        t.select("company_id", day, (pm * F.col("volume")).alias("pv"))
+        .groupBy("company_id", "day")
+        .agg(F.sum("pv").cast("bigint").alias("dv_micro"))
+    )
+    w_lag = Window.partitionBy("company_id").orderBy(F.col("day").asc())
+    terms = dclose.join(dvol, ["company_id", "day"]).select(
+        "company_id",
+        F.round(
+            F.abs(F.col("d_close") / F.lag("d_close").over(w_lag) - 1.0)
+            / (F.col("dv_micro").cast("double") / F.lit(1000000.0)),
+            6,
+        ).alias("illiq"),
+    )
+    return (
+        terms.filter(F.col("illiq").isNotNull())
+        .groupBy("company_id")
+        .agg(
+            F.count("illiq").alias("n_days"),
+            (
+                F.sum(F.col("illiq").cast(_DEC)).cast("double")
+                / F.count("illiq")
+            ).alias("amihud_illiq"),
+        )
+    )

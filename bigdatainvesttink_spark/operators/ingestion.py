@@ -12,7 +12,7 @@ semantics (reference from_rabbitmq_to_clickhouse.py:136-139,158-159,169,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import domain_table, oracle_on_domain
@@ -336,3 +336,68 @@ def a_quotation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_double_rounded"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A-series: feed-staleness audit — the monitoring query the reference's
+# polling loop implies (from_parser_to_rabbitmq.py:181 polls every 15
+# min; nothing ever checks whether snapshots actually arrive on
+# schedule): per instrument, the max/mean gap between consecutive
+# order-book snapshots. Gaps are exact epoch-microsecond integers (one
+# lag window per company — single shuffle), the mean is an exact-integer
+# ratio, and the worst-gap timestamp is pinned by a (gap, ts) row_number
+# so ties are deterministic.
+@query(
+    "a_snapshot_staleness",
+    oracle=oracle_on_domain(
+        """
+        , gaps AS (
+            SELECT company_id, ts,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)) AS gap_us
+            FROM order_book
+        ),
+        ranked AS (
+            SELECT company_id, ts, gap_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY company_id
+                       ORDER BY gap_us DESC, ts ASC) AS rn
+            FROM gaps WHERE gap_us IS NOT NULL
+        ),
+        agg AS (
+            SELECT company_id,
+                   COUNT(*) AS n_gaps,
+                   CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+                   CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+            FROM ranked GROUP BY company_id
+        )
+        SELECT a.company_id, a.n_gaps, a.max_gap_us, a.avg_gap_us,
+               r.ts AS worst_gap_at
+        FROM agg a JOIN ranked r
+          ON r.company_id = a.company_id AND r.rn = 1
+        """
+    ),
+)
+def a_snapshot_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import domain_table
+
+    b = domain_table(spark, sf_dir, "order_book")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gaps = b.select(
+        "company_id", "ts", (us - lag_us).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    w_rank = Window.partitionBy("company_id").orderBy(
+        F.col("gap_us").desc(), F.col("ts").asc()
+    )
+    ranked = gaps.withColumn("rn", F.row_number().over(w_rank))
+    agg = ranked.groupBy("company_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+    )
+    worst = ranked.filter(F.col("rn") == 1).select(
+        "company_id", F.col("ts").alias("worst_gap_at")
+    )
+    return agg.join(worst, "company_id")

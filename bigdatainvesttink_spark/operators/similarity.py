@@ -1055,3 +1055,88 @@ def d3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         (correct.cast("double") / F.count("*")).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# D3: near-dup threshold sweep — the tuning curve for a semantic-dedup
+# rollout: at each candidate cosine threshold, how many same-label pairs
+# and how many distinct documents would be flagged. The label-blocked
+# pair scan runs ONCE (the d3_embedding_neardup blocking discipline — no
+# all-pairs work); the sweep itself is a constant x3 explode of the
+# bounded PAIR set, never of the corpus. Counts are exact integers over
+# 6dp-rounded cosines, so the whole report is rounding-policy-free past
+# the cosine grid.
+@query(
+    "d3_dedup_threshold_sweep",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+                       AS cosine
+            FROM v a JOIN v b
+              ON b.label = a.label AND b.vec_id > a.vec_id
+        ),
+        swept AS (
+            SELECT t.thr, ia, ib
+            FROM pairs
+            JOIN (VALUES (0.30), (0.35), (0.40)) AS t(thr)
+              ON pairs.cosine >= t.thr
+        ),
+        np AS (SELECT thr, COUNT(*) AS n_pairs FROM swept GROUP BY thr),
+        nd AS (
+            SELECT thr, COUNT(DISTINCT vec) AS n_docs_flagged
+            FROM (
+                SELECT thr, ia AS vec FROM swept
+                UNION ALL SELECT thr, ib FROM swept
+            ) m
+            GROUP BY thr
+        )
+        SELECT np.thr AS threshold, np.n_pairs, nd.n_docs_flagged
+        FROM np JOIN nd ON nd.thr = np.thr
+    """,
+)
+def d3_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    a = v.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("e").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("e").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("lb") == F.col("la")) & (F.col("ib") > F.col("ia"))
+    ).select(
+        "ia",
+        "ib",
+        F.round(
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine"),
+    )
+    thr = F.explode(
+        F.array(F.lit(0.30), F.lit(0.35), F.lit(0.40))
+    ).alias("thr")
+    swept = (
+        pairs.select("ia", "ib", "cosine", thr)
+        .filter(F.col("cosine") >= F.col("thr"))
+        .select("thr", "ia", "ib")
+    )
+    members = swept.select("thr", F.col("ia").alias("vec")).unionAll(
+        swept.select("thr", F.col("ib").alias("vec"))
+    )
+    n_pairs = swept.groupBy("thr").agg(F.count("*").alias("n_pairs"))
+    n_docs = members.groupBy("thr").agg(
+        F.countDistinct("vec").alias("n_docs_flagged")
+    )
+    return (
+        n_pairs.join(n_docs, "thr")
+        .select(
+            F.col("thr").alias("threshold"), "n_pairs", "n_docs_flagged"
+        )
+    )

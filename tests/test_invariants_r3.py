@@ -325,3 +325,37 @@ def test_microprice_between_bid_and_ask(spark):
     assert bad.count() == 0
     # bias is bounded by the half-spread (0.1% of mid in the fixture)
     assert mp.filter(F.abs("avg_micro_mid_bias") > 1.0).count() == 0
+
+
+def test_amihud_nonnegative(spark):
+    df = _q("b28_amihud_illiquidity", spark)
+    assert df.count() > 0
+    assert df.filter(F.col("amihud_illiq") < 0).count() == 0
+    assert df.filter(F.col("n_days") <= 0).count() == 0
+
+
+def test_staleness_max_at_least_avg(spark):
+    df = _q("a_snapshot_staleness", spark)
+    assert df.count() > 0
+    bad = df.filter(
+        (F.col("max_gap_us") < F.col("avg_gap_us"))
+        | (F.col("max_gap_us") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = sorted(
+        _q("d3_dedup_threshold_sweep", spark).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert rows
+    # raising the threshold can only shrink the flagged set
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_docs_flagged <= lo.n_docs_flagged
+    for r in rows:
+        # each pair flags at most 2 docs, at least... 2 docs can cover
+        # many pairs, so: n_docs <= 2 * n_pairs and n_docs >= 2 (if any)
+        if r.n_pairs > 0:
+            assert 2 <= r.n_docs_flagged <= 2 * r.n_pairs

@@ -725,10 +725,13 @@ def d4_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # Distributed top-k first (TakeOrderedAndProject — per-partition heaps,
+    # no single-partition window over the vocabulary-sized scored set);
+    # the rank column is then a window over only the 50 survivors.
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w_a").asc(), F.col("w_b").asc()
+    ).limit(50)
     w = Window.orderBy(
         F.col("pmi").desc(), F.col("w_a").asc(), F.col("w_b").asc()
     )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
-    )
+    return top.withColumn("rnk", F.row_number().over(w))

@@ -534,3 +534,48 @@ def c_stream_backpressure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_trades"),
         F.sum("volume").cast("bigint").alias("total_volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming corpus curation — the D7 quality-gate + exact-dedup stage run
+# ON THE WIRE instead of as a batch repass: documents arrive as a stream,
+# short/empty ones are dropped map-side, duplicates are collapsed inside
+# the engine keyed on (source, 60-bit content hash) — state is one 8-byte
+# hash per surviving doc, never the text — and the landed survivors are
+# rolled up per source. The oracle is the batch answer (distinct text per
+# source on the same gate), so this proves the streaming path lands
+# exactly the batch-curation result. Which physical duplicate survives is
+# arrival-order-dependent, but every output column is duplicate-invariant
+# (same text -> same hash, same n_chars), so the answer is deterministic.
+@query(
+    "c_stream_corpus_curation",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_unique_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+            SELECT DISTINCT source, text, n_chars
+            FROM documents
+            WHERE text <> '' AND n_chars >= 200
+        ) kept
+        GROUP BY source
+    """,
+)
+def c_stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stable_hash60
+
+    configure(spark)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = raw.filter((F.col("text") != "") & (F.col("n_chars") >= 200))
+    keyed = gated.withColumn("h", stable_hash60(F.col("text")))
+    deduped = keyed.dropDuplicates(["source", "h"])
+    landed = run_to_memory(deduped, "append")
+    return landed.groupBy("source").agg(
+        F.count("*").alias("n_unique_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -94,8 +94,8 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_nationkey, c_acctbal,
                NTILE(4) OVER w AS quartile,
-               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-               round(CUME_DIST() OVER w, 6) AS cume,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
                FIRST_VALUE(c_custkey) OVER w AS richest_custkey,
                NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
                    ORDER BY c_acctbal DESC, c_custkey ASC
@@ -120,8 +120,12 @@ def rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # no rounding: both are exact-integer-ratio divisions, already
+        # bit-identical cross-engine — round6 actually BROKE parity at
+        # sf0.1 where (rank-1)/(n-1) can be an exactly-representable half
+        # (e.g. 0.5203125), which Spark HALF_UPs and DuckDB rounds down
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.first("c_custkey").over(w).alias("richest_custkey"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_custkey"),
         F.last("c_custkey").over(w_full).alias("poorest_custkey"),

@@ -324,3 +324,27 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """Joining a day-partitioned fact against a filtered dim must inject a
+    runtime partition filter (DPP) on the fact scan — at 100 TB this is
+    the difference between scanning every date partition and only the
+    dates the dim slice selects."""
+    fact_dir, dim_dir = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 100000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") % 7).alias("v"),
+    ).write.partitionBy("day").parquet(fact_dir)
+    spark.range(0, 30).select(
+        F.col("id").alias("day"), (F.col("id") % 5).alias("region")
+    ).write.parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("region") == 2)
+    j = fact.join(dim, "day")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    rows = j.collect()
+    sel_days = {d for d in range(30) if d % 5 == 2}
+    assert len(rows) == sum(1 for i in range(100000) if i % 30 in sel_days)

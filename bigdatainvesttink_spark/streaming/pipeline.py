@@ -579,3 +579,66 @@ def c_stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_unique_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming anomaly alerts — the monitoring tail of the reference's
+# dashboard layer as a streaming query: hourly per-type event counts are
+# maintained by the STREAMING engine (bounded windowed state, the
+# c_stream_topk_hourly two-stage shape), then scored against the
+# per-type baseline (mean/std of hourly volume) and emitted only when
+# |z| > 2. Baseline moments are exact integer sums (counts are ints), so
+# the z-scores are deterministic doubles needing no rounding policy; the
+# scoring stage touches only (n_types x n_hours) aggregate rows.
+@query(
+    "c_stream_anomaly_alerts",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT event_type, COUNT(*) AS n_hours,
+                   CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mu,
+                   CAST(SUM(n_events * n_events) AS DOUBLE) / COUNT(*)
+                       AS m2
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, h.window_start, h.n_events,
+               (h.n_events - b.mu) / sqrt(b.m2 - b.mu * b.mu) AS zscore
+        FROM hourly h JOIN base b ON b.event_type = h.event_type
+        WHERE b.m2 - b.mu * b.mu > 0
+          AND ABS((h.n_events - b.mu) / sqrt(b.m2 - b.mu * b.mu)) > 2.0
+    """,
+)
+def c_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_counts(events_stream(spark, sf_dir), "1 hour")
+    hourly = run_to_memory(agg, "complete").select(
+        "event_type",
+        F.col("window_start"),
+        F.col("n_events"),
+    )
+    # the baseline aggregates the same memory table the scoring joins —
+    # rename its key to keep the self-join reference sets disjoint
+    base = hourly.select(
+        F.col("event_type").alias("bet"), "n_events"
+    ).groupBy("bet").agg(
+        F.count("*").alias("n_hours"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias("mu"),
+        (
+            F.sum(F.col("n_events") * F.col("n_events")).cast("double")
+            / F.count("*")
+        ).alias("m2"),
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    z = (F.col("n_events") - F.col("mu")) / F.sqrt(var)
+    return (
+        hourly.join(
+            F.broadcast(base), F.col("event_type") == F.col("bet")
+        )
+        .filter((var > 0) & (F.abs(z) > 2.0))
+        .select("event_type", "window_start", "n_events", z.alias("zscore"))
+    )

@@ -359,3 +359,34 @@ def test_threshold_sweep_monotone(spark):
         # many pairs, so: n_docs <= 2 * n_pairs and n_docs >= 2 (if any)
         if r.n_pairs > 0:
             assert 2 <= r.n_docs_flagged <= 2 * r.n_pairs
+
+
+def test_stream_corpus_curation_matches_batch(spark):
+    # the streaming curation result must equal the batch dedup+gate answer
+    from bigdatainvesttink_spark.io import load_table
+
+    got = {
+        (r.source): (r.n_unique_docs, r.total_chars)
+        for r in _q("c_stream_corpus_curation", spark).collect()
+    }
+    d = load_table(spark, SF_SMALL, "documents").filter(
+        (F.col("text") != "") & (F.col("n_chars") >= 200)
+    )
+    want = {
+        (r.source): (r.n, r.t)
+        for r in d.select("source", "text", "n_chars")
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_anomaly_alerts_all_exceed_threshold(spark):
+    df = _q("c_stream_anomaly_alerts", spark)
+    assert df.count() > 0
+    assert df.filter(F.abs(F.col("zscore")) <= 2.0).count() == 0

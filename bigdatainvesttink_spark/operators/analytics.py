@@ -2008,3 +2008,167 @@ def b28_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("amihud_illiq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B29: Roll's implied spread — 2*sqrt(-cov(dp_t, dp_{t-1})) from serial
+# covariance of consecutive price changes: the classic way to back an
+# effective bid/ask spread out of trade prices alone (no book needed).
+# Numeric policy: price deltas are 6dp-gridded; the cross-moment sums
+# (sum dp, sum dp*lag, counts) all route through DECIMAL so the
+# covariance assembles from order-independent exact sums — no covar_pop
+# partial-order nondeterminism. Companies whose serial covariance is
+# non-negative (no bounce detected) are reported with a NULL spread
+# rather than dropped — the honest estimator read-out.
+@query(
+    "b29_roll_spread",
+    oracle=oracle_on_domain(
+        """
+        , deltas AS (
+            SELECT company_id,
+                   ROUND(price - LAG(price) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC), 6) AS dp,
+                   ROUND(LAG(price) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC)
+                       - LAG(price, 2) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC), 6) AS dp_prev
+            FROM trades
+        ),
+        moments AS (
+            SELECT company_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(dp AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(dp_prev AS DECIMAL(27,6))) AS DOUBLE)
+                       AS s2,
+                   CAST(SUM(CAST(ROUND(dp * dp_prev, 6)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS s12
+            FROM deltas
+            WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+            GROUP BY company_id
+        )
+        SELECT company_id, n AS n_deltas,
+               s12 / n - (s1 / n) * (s2 / n) AS serial_cov,
+               CASE WHEN s12 / n - (s1 / n) * (s2 / n) < 0
+                    THEN 2.0 * sqrt(-(s12 / n - (s1 / n) * (s2 / n)))
+                    END AS roll_spread
+        FROM moments
+        WHERE n >= 10
+        """
+    ),
+)
+def b29_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    w = Window.partitionBy("company_id").orderBy(
+        F.col("ts").asc(), F.col("trade_id").asc()
+    )
+    dp = F.round(F.col("price") - F.lag("price").over(w), 6)
+    dp_prev = F.round(
+        F.lag("price").over(w) - F.lag("price", 2).over(w), 6
+    )
+    deltas = t.select(
+        "company_id", dp.alias("dp"), dp_prev.alias("dp_prev")
+    ).filter(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
+    moments = deltas.groupBy("company_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dp").cast(_DEC)).cast("double").alias("s1"),
+        F.sum(F.col("dp_prev").cast(_DEC)).cast("double").alias("s2"),
+        F.sum(F.round(F.col("dp") * F.col("dp_prev"), 6).cast(_DEC))
+        .cast("double")
+        .alias("s12"),
+    )
+    cov = F.col("s12") / F.col("n") - (F.col("s1") / F.col("n")) * (
+        F.col("s2") / F.col("n")
+    )
+    return moments.filter(F.col("n") >= 10).select(
+        "company_id",
+        F.col("n").alias("n_deltas"),
+        cov.alias("serial_cov"),
+        F.when(cov < 0, 2.0 * F.sqrt(-cov)).alias("roll_spread"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B30: variance-ratio test — VR(q) = var(q-period returns) /
+# (q * var(1-period returns)) on hourly closes; the Lo-MacKinlay
+# random-walk probe (VR near 1 = efficient, < 1 = mean reversion,
+# > 1 = trending). Same exact-moment discipline as b29: 6dp-gridded log
+# returns, decimal-routed sums of terms and squared terms, variance
+# assembled from exact sums — fully deterministic, no rounding at the
+# output. q-period returns reuse the SAME company-partitioned window
+# (lag(close, q)), so the whole query is one shuffle plus two
+# constant-width aggregates.
+@query(
+    "b30_variance_ratio",
+    oracle=oracle_on_domain(
+        """
+        , rets AS (
+            SELECT company_id,
+                   ROUND(ln(close / LAG(close) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)), 6) AS r1,
+                   ROUND(ln(close / LAG(close, 4) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)), 6) AS r4
+            FROM candles
+        ),
+        m1 AS (
+            SELECT company_id, COUNT(r1) AS n1,
+                   CAST(SUM(CAST(r1 AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(ROUND(r1 * r1, 6) AS DECIMAL(27,6)))
+                        AS DOUBLE) AS q1
+            FROM rets WHERE r1 IS NOT NULL GROUP BY company_id
+        ),
+        m4 AS (
+            SELECT company_id, COUNT(r4) AS n4,
+                   CAST(SUM(CAST(r4 AS DECIMAL(27,6))) AS DOUBLE) AS s4,
+                   CAST(SUM(CAST(ROUND(r4 * r4, 6) AS DECIMAL(27,6)))
+                        AS DOUBLE) AS q4
+            FROM rets WHERE r4 IS NOT NULL GROUP BY company_id
+        )
+        SELECT m1.company_id, m1.n1 AS n_returns,
+               (m4.q4 / m4.n4 - (m4.s4 / m4.n4) * (m4.s4 / m4.n4))
+                   / (4.0 * (m1.q1 / m1.n1 - (m1.s1 / m1.n1)
+                             * (m1.s1 / m1.n1))) AS variance_ratio
+        FROM m1 JOIN m4 ON m4.company_id = m1.company_id
+        WHERE m1.n1 >= 20 AND m4.n4 >= 20
+          AND m1.q1 / m1.n1 - (m1.s1 / m1.n1) * (m1.s1 / m1.n1) > 0
+        """
+    ),
+)
+def b30_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    r1 = F.round(F.log(F.col("close") / F.lag("close").over(w)), 6)
+    r4 = F.round(F.log(F.col("close") / F.lag("close", 4).over(w)), 6)
+    rets = c.select("company_id", r1.alias("r1"), r4.alias("r4"))
+
+    def mom(col, n_a, s_a, q_a):
+        return (
+            rets.filter(F.col(col).isNotNull())
+            .groupBy("company_id")
+            .agg(
+                F.count(col).alias(n_a),
+                F.sum(F.col(col).cast(_DEC)).cast("double").alias(s_a),
+                F.sum(
+                    F.round(F.col(col) * F.col(col), 6).cast(_DEC)
+                ).cast("double").alias(q_a),
+            )
+        )
+
+    m1 = mom("r1", "n1", "s1", "q1")
+    m4 = mom("r4", "n4", "s4", "q4")
+    v1 = F.col("q1") / F.col("n1") - (F.col("s1") / F.col("n1")) * (
+        F.col("s1") / F.col("n1")
+    )
+    v4 = F.col("q4") / F.col("n4") - (F.col("s4") / F.col("n4")) * (
+        F.col("s4") / F.col("n4")
+    )
+    return (
+        m1.join(m4, "company_id")
+        .filter((F.col("n1") >= 20) & (F.col("n4") >= 20) & (v1 > 0))
+        .select(
+            "company_id",
+            F.col("n1").alias("n_returns"),
+            (v4 / (4.0 * v1)).alias("variance_ratio"),
+        )
+    )

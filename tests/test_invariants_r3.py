@@ -390,3 +390,21 @@ def test_anomaly_alerts_all_exceed_threshold(spark):
     df = _q("c_stream_anomaly_alerts", spark)
     assert df.count() > 0
     assert df.filter(F.abs(F.col("zscore")) <= 2.0).count() == 0
+
+
+def test_roll_spread_sign_convention(spark):
+    rows = _q("b29_roll_spread", spark).collect()
+    assert rows
+    for r in rows:
+        if r.serial_cov < 0:
+            assert r.roll_spread is not None and r.roll_spread > 0
+            # spread^2 / 4 == -cov to float precision
+            assert abs(r.roll_spread**2 / 4 + r.serial_cov) < 1e-9
+        else:
+            assert r.roll_spread is None
+
+
+def test_variance_ratio_positive(spark):
+    df = _q("b30_variance_ratio", spark)
+    assert df.count() > 0
+    assert df.filter(F.col("variance_ratio") <= 0).count() == 0

@@ -1166,3 +1166,126 @@ def d2_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture sampling — the multilingual-corpus balancing
+# rule (sample language i with probability proportional to its natural
+# share raised to alpha < 1), which upsamples low-resource slices without
+# flattening the head. Design math runs on the language GRID (never
+# data-sized): exact integer token totals, pow(p, 0.7) per language
+# 6dp-gridded then normalized through a DECIMAL sum (engine-libm pow
+# feeds a rounded grid, so the normalizer is order-independent), and the
+# per-language sampling rate is an integer ppm. Doc-level resampling then
+# reuses the d7_corpus_mix hash-threshold discipline (deterministic
+# 60-bit content hash vs rate_ppm — a map-side filter, no shuffle beyond
+# the final rollup).
+TEMP_ALPHA = 0.7
+
+
+@query(
+    "d7_temperature_mix",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok,
+                   CAST(CAST('0x' || substr(md5('tmix:' || doc_id || '|' || text),
+                        1, 15) AS UBIGINT) AS BIGINT) % 1000000 AS h
+            FROM documents WHERE text <> ''
+        ),
+        tot AS (
+            SELECT lang, CAST(SUM(tok) AS BIGINT) AS natural_tokens
+            FROM d GROUP BY lang
+        ),
+        grand AS (
+            SELECT CAST(SUM(natural_tokens) AS BIGINT) AS t_total FROM tot
+        ),
+        q AS (
+            SELECT lang, natural_tokens,
+                   ROUND(POWER(CAST(natural_tokens AS DOUBLE) / g.t_total,
+                               0.7), 6) AS q6,
+                   g.t_total
+            FROM tot CROSS JOIN grand g
+        ),
+        z AS (
+            SELECT CAST(SUM(CAST(q6 AS DECIMAL(27,6))) AS DOUBLE) AS zn
+            FROM q
+        ),
+        rates AS (
+            SELECT lang, natural_tokens, t_total,
+                   q6 / z.zn AS temp_share,
+                   LEAST(1000000,
+                         CAST(FLOOR(q6 / z.zn * t_total * 1000000.0
+                                    / natural_tokens + 0.5) AS BIGINT))
+                       AS rate_ppm
+            FROM q CROSS JOIN z
+        )
+        SELECT r.lang, r.natural_tokens, r.temp_share, r.rate_ppm,
+               COUNT(*) AS sampled_docs,
+               CAST(SUM(d.tok) AS BIGINT) AS sampled_tokens
+        FROM d JOIN rates r ON d.lang = r.lang AND d.h < r.rate_ppm
+        GROUP BY r.lang, r.natural_tokens, r.temp_share, r.rate_ppm
+    """,
+)
+def d7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = docs.select(
+        "lang",
+        F.size(tokenize("text")).alias("tok"),
+        (
+            stable_hash60(
+                F.concat(
+                    F.lit("tmix:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("text"),
+                )
+            )
+            % 1_000_000
+        ).alias("h"),
+    )
+    tot = d.groupBy("lang").agg(
+        F.sum("tok").cast("long").alias("natural_tokens")
+    )
+    grand = tot.agg(F.sum("natural_tokens").cast("long").alias("t_total"))
+    q = tot.crossJoin(F.broadcast(grand)).select(
+        "lang",
+        "natural_tokens",
+        "t_total",
+        F.round(
+            F.pow(
+                F.col("natural_tokens").cast("double") / F.col("t_total"),
+                TEMP_ALPHA,
+            ),
+            6,
+        ).alias("q6"),
+    )
+    z = q.agg(
+        F.sum(F.col("q6").cast("decimal(27,6)")).cast("double").alias("zn")
+    )
+    rates = q.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "natural_tokens",
+        (F.col("q6") / F.col("zn")).alias("temp_share"),
+        F.least(
+            F.lit(1000000),
+            F.floor(
+                F.col("q6")
+                / F.col("zn")
+                * F.col("t_total")
+                * F.lit(1000000.0)
+                / F.col("natural_tokens")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(F.col("h") < F.col("rate_ppm"))
+        .groupBy("lang", "natural_tokens", "temp_share", "rate_ppm")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.sum("tok").cast("long").alias("sampled_tokens"),
+        )
+    )

@@ -1184,3 +1184,72 @@ def d6_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# D5: nested-JSON construction + path extraction — the schema-on-read
+# round-trip for PAYLOADS WITH STRUCTURE: each event is serialized into a
+# nested JSON document (scalar + object + array fields), then consumed
+# back through JSON-path extraction and array explosion, per-type
+# aggregated. Both engines build their own JSON text independently (the
+# strings differ in formatting; the EXTRACTED VALUES must round-trip
+# bit-exactly — doubles survive shortest-repr serialization on both).
+# Paths are 0-indexed on both engines. The explode stage is bounded x2
+# per row; everything else is map-side until the final rollup.
+@query(
+    "d6_json_nested_roundtrip",
+    oracle="""
+        WITH built AS (
+            SELECT event_type,
+                   json_object(
+                       't', event_type,
+                       'meta', json_object('uid', user_id),
+                       'vals', [value, value * 2.0]
+                   ) AS j
+            FROM events
+        ),
+        extracted AS (
+            SELECT event_type,
+                   CAST(json_extract_string(j, '$.meta.uid') AS BIGINT)
+                       AS uid,
+                   CAST(json_extract_string(j, '$.vals[1]') AS DOUBLE)
+                       AS second_val
+            FROM built
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(second_val AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sum_doubled,
+               CAST(SUM(uid) AS BIGINT) AS uid_sum
+        FROM extracted
+        GROUP BY event_type
+    """,
+)
+def d6_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    built = e.select(
+        "event_type",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.struct(F.col("user_id").alias("uid")).alias("meta"),
+                F.array(F.col("value"), F.col("value") * 2.0).alias(
+                    "vals"
+                ),
+            )
+        ).alias("j"),
+    )
+    extracted = built.select(
+        "event_type",
+        F.get_json_object("j", "$.meta.uid").cast("bigint").alias("uid"),
+        F.get_json_object("j", "$.vals[1]")
+        .cast("double")
+        .alias("second_val"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("second_val").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_doubled"),
+        F.sum("uid").cast("bigint").alias("uid_sum"),
+    )

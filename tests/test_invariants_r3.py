@@ -408,3 +408,45 @@ def test_variance_ratio_positive(spark):
     df = _q("b30_variance_ratio", spark)
     assert df.count() > 0
     assert df.filter(F.col("variance_ratio") <= 0).count() == 0
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    rows = _q("d7_temperature_mix", spark).collect()
+    assert rows
+    total = sum(r.natural_tokens for r in rows)
+    for r in rows:
+        assert 0 < r.temp_share < 1
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert r.sampled_docs > 0 and r.sampled_tokens > 0
+        # alpha < 1 compresses toward uniform: low-resource langs get a
+        # larger share than natural, high-resource a smaller one
+        natural = r.natural_tokens / total
+        if natural < 1.0 / len(rows):
+            assert r.temp_share > natural
+        elif natural > 1.0 / len(rows):
+            assert r.temp_share < natural
+    # shares normalize
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+
+
+def test_json_nested_roundtrip_preserves_sums(spark):
+    from bigdatainvesttink_spark.io import load_table
+
+    got = {
+        r.event_type: (r.n_events, r.sum_doubled, r.uid_sum)
+        for r in _q("d6_json_nested_roundtrip", spark).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.s, r.u)
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") * 2.0).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("s"),
+            F.sum("user_id").cast("bigint").alias("u"),
+        )
+        .collect()
+    }
+    assert got == want and got

@@ -2172,3 +2172,88 @@ def b30_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (v4 / (4.0 * v1)).alias("variance_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B31: VPIN order-flow toxicity — Easley/Lopez de Prado/O'Hara's
+# volume-synchronized probability of informed trading: trades are cut
+# into equal-VOLUME buckets (clock = traded volume, not wall time), each
+# bucket scores |buy - sell| / total, and VPIN is the per-instrument mean
+# toxicity. The volume clock is an exact int64 running sum (one shuffle
+# on company_id, same window the bucket assignment reuses); every bucket
+# statistic is exact-integer, so only the per-bucket ratio touches
+# floats (6dp-gridded, decimal-averaged). Trades are assigned to the
+# bucket their cumulative volume STARTS in — the whole-trade
+# simplification of the classic straddle split, identical on both
+# engines.
+VPIN_BUCKET_VOLUME = 20000
+
+
+@query(
+    "b31_vpin_toxicity",
+    oracle=oracle_on_domain(
+        f"""
+        , clocked AS (
+            SELECT company_id, side, volume,
+                   (SUM(volume) OVER (
+                        PARTITION BY company_id
+                        ORDER BY ts ASC, trade_id ASC) - volume)
+                       // {VPIN_BUCKET_VOLUME} AS bucket
+            FROM trades
+        ),
+        buckets AS (
+            SELECT company_id, bucket,
+                   CAST(SUM(CASE WHEN side = 'buy' THEN volume ELSE 0 END)
+                        AS BIGINT) AS v_buy,
+                   CAST(SUM(CASE WHEN side = 'sell' THEN volume ELSE 0 END)
+                        AS BIGINT) AS v_sell
+            FROM clocked
+            GROUP BY company_id, bucket
+        )
+        SELECT company_id, COUNT(*) AS n_buckets,
+               CAST(SUM(CAST(ROUND(
+                   CAST(ABS(v_buy - v_sell) AS DOUBLE) / (v_buy + v_sell),
+                   6) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS vpin
+        FROM buckets
+        GROUP BY company_id
+        """
+    ),
+)
+def b31_vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    clocked = t.select(
+        "company_id",
+        "side",
+        "volume",
+        F.expr(
+            f"(SUM(volume) OVER (PARTITION BY company_id"
+            f" ORDER BY ts ASC, trade_id ASC) - volume)"
+            f" div {VPIN_BUCKET_VOLUME}"
+        ).alias("bucket"),
+    )
+    buckets = clocked.groupBy("company_id", "bucket").agg(
+        F.sum(F.when(F.col("side") == "buy", F.col("volume")).otherwise(0))
+        .cast("bigint")
+        .alias("v_buy"),
+        F.sum(
+            F.when(F.col("side") == "sell", F.col("volume")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_sell"),
+    )
+    tox = F.round(
+        F.abs(F.col("v_buy") - F.col("v_sell")).cast("double")
+        / (F.col("v_buy") + F.col("v_sell")),
+        6,
+    )
+    return (
+        buckets.select("company_id", tox.alias("tox"))
+        .groupBy("company_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            (
+                F.sum(F.col("tox").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("vpin"),
+        )
+    )

@@ -1193,3 +1193,73 @@ def d1_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# D1: golden-record survivorship merge — the MDM upgrade over
+# d1_compact_latest: instead of taking the whole latest row, each FIELD
+# independently survives from the latest version where it was non-null
+# (real feeds null out fields intermittently; whole-row latest loses
+# data). Nulls are injected deterministically (value gaps on
+# event_id % 7, prop gaps on event_id % 5) since the fixture is
+# null-free. Per-column survivorship is one max_by(struct) per field
+# inside a single hash aggregate — partial+final, no window sort, the
+# same plan shape the compaction uses; at 100 TB the map-side combine
+# keeps only one struct per (key, field) in flight.
+@query(
+    "d1_golden_record",
+    oracle="""
+        WITH versions AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_id % 7 <> 0 THEN value END AS v_value,
+                   CASE WHEN event_id % 5 <> 0 THEN
+                       CAST(json_extract_string(props, '$.k') AS INT)
+                   END AS v_k
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_versions,
+               MAX(CASE WHEN v_value IS NOT NULL THEN
+                   {'ts': ts, 'eid': event_id, 'v': v_value} END).v
+                   AS golden_value,
+               MAX(CASE WHEN v_k IS NOT NULL THEN
+                   {'ts': ts, 'eid': event_id, 'v': v_k} END).v
+                   AS golden_k,
+               COUNT(v_value) AS n_value_versions,
+               COUNT(v_k) AS n_k_versions
+        FROM versions
+        GROUP BY user_id
+    """,
+)
+def d1_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    versions = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 != 0, F.col("value")
+        ).alias("v_value"),
+        F.when(
+            F.col("event_id") % 5 != 0,
+            F.get_json_object("props", "$.k").cast("int"),
+        ).alias("v_k"),
+    )
+
+    def survive(col):
+        # latest non-null: max over (ts, event_id) structs, null rows
+        # excluded by the CASE; (ts, event_id) is a total order
+        return F.max(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(F.col("ts"), F.col("event_id"), F.col(col)),
+            )
+        )[col]
+
+    return versions.groupBy("user_id").agg(
+        F.count("*").alias("n_versions"),
+        survive("v_value").alias("golden_value"),
+        survive("v_k").alias("golden_k"),
+        F.count("v_value").alias("n_value_versions"),
+        F.count("v_k").alias("n_k_versions"),
+    )

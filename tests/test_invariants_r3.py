@@ -450,3 +450,27 @@ def test_json_nested_roundtrip_preserves_sums(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_golden_record_fields_survive_nulls(spark):
+    # survivorship must never produce a null field for a key that has at
+    # least one non-null version, and counts must be consistent
+    df = _q("d1_golden_record", spark)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_value_versions <= r.n_versions
+        assert r.n_k_versions <= r.n_versions
+        if r.n_value_versions > 0:
+            assert r.golden_value is not None
+        if r.n_k_versions > 0:
+            assert r.golden_k is not None
+
+
+def test_vpin_bounds(spark):
+    df = _q("b31_vpin_toxicity", spark)
+    assert df.count() > 0
+    bad = df.filter(
+        (F.col("vpin") < 0) | (F.col("vpin") > 1) | (F.col("n_buckets") <= 0)
+    )
+    assert bad.count() == 0

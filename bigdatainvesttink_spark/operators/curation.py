@@ -1289,3 +1289,212 @@ def d7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("long").alias("sampled_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity — do high-degree nodes attach to high-degree
+# nodes? Pearson correlation of endpoint degrees over every edge (both
+# orientations), the standard one-number mixing summary. All moments are
+# exact integer sums over the edge list (degrees are ints; the directed
+# edge view is bounded 2m), so the coefficient assembles from exact
+# sums with zero rounding policy — same discipline as b29/b30. Reuses
+# the shared LCG graph + degree machinery.
+# NOTE: the shared LCG graph is degree-REGULAR (each affine map is a
+# bijection of Z_n, so every node has out 3 + in 3 = degree 6) — its
+# degree variance is zero and assortativity is undefined on it. This
+# query therefore derives a variable-degree variant: node u emits
+# 1 + (u % 3) out-edges, which yields a genuine degree distribution.
+_VARDEG_SQL = """
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        raw AS (
+            SELECT u, (u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES (1), (2), (3)) AS ks(k)
+            WHERE k <= 1 + (u % 3)
+        ),
+        edges AS (
+            SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw WHERE u <> v
+        )
+"""
+
+
+@query(
+    "d2_degree_assortativity",
+    oracle=_VARDEG_SQL
+    + """
+        , deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM edges
+                UNION ALL SELECT b FROM edges
+            ) m GROUP BY node
+        ),
+        dedges AS (
+            SELECT da.d AS dx, db.d AS dy
+            FROM edges e
+            JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+            UNION ALL
+            SELECT db.d, da.d
+            FROM edges e
+            JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        ),
+        mom AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                   CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM dedges
+        )
+        SELECT n AS n_directed_edges,
+               (CAST(sxy AS DOUBLE) / n
+                - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               / sqrt((CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n)
+                         * (CAST(sx AS DOUBLE) / n))
+                      * (CAST(syy AS DOUBLE) / n
+                         - (CAST(sy AS DOUBLE) / n)
+                           * (CAST(sy AS DOUBLE) / n)))
+                   AS assortativity
+        FROM mom
+    """,
+)
+def d2_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
+    raw = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .filter(F.col("k") <= 1 + F.col("u") % 3)
+        .select(
+            "u",
+            ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias(
+                "v"
+            ),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    deg = _node_degrees(edges)
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dda"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("ddb"))
+    j = edges.join(da, "a").join(db, "b")
+    dedges = j.select(
+        F.col("dda").alias("dx"), F.col("ddb").alias("dy")
+    ).unionAll(j.select(F.col("ddb").alias("dx"), F.col("dda").alias("dy")))
+    mom = dedges.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - mx * my
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    return mom.select(
+        n.alias("n_directed_edges"),
+        (cov / F.sqrt(vx * vy)).alias("assortativity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch packing — the OTHER packing strategy next to
+# d7_sequence_packing's concat-and-chunk: docs are routed to
+# power-of-two length buckets, each pack holds seq_len/cap same-bucket
+# docs (no document ever splits across packs — the property
+# concat-and-chunk gives up), and the report prices the padding that
+# buys: packs, padded slots, wasted tokens, fill rate per bucket. Pure
+# integer arithmetic end to end (ceil-div as (n + d - 1) // d); one
+# shuffle to the constant bucket grid. At 100 TB this is a map-side
+# bucket assignment + a tiny rollup — the pack materialization itself
+# would reuse d7_epoch_shuffle's shard-local ordering.
+PACK_SEQ_LEN = 1024
+
+
+@query(
+    "d7_length_bucket_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tok
+            FROM documents WHERE text <> ''
+        ),
+        bucketed AS (
+            SELECT n_tok,
+                   CASE WHEN n_tok <= 32 THEN 32
+                        WHEN n_tok <= 64 THEN 64
+                        WHEN n_tok <= 128 THEN 128
+                        WHEN n_tok <= 256 THEN 256
+                        WHEN n_tok <= 512 THEN 512
+                        ELSE {PACK_SEQ_LEN} END AS cap
+            FROM toks
+            WHERE n_tok > 0 AND n_tok <= {PACK_SEQ_LEN}
+        ),
+        grid AS (
+            SELECT cap, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   {PACK_SEQ_LEN} // cap AS docs_per_pack
+            FROM bucketed GROUP BY cap
+        )
+        SELECT cap, n_docs, docs_per_pack,
+               (n_docs + docs_per_pack - 1) // docs_per_pack AS n_packs,
+               ((n_docs + docs_per_pack - 1) // docs_per_pack)
+                   * docs_per_pack - n_docs AS padded_slots,
+               ((n_docs + docs_per_pack - 1) // docs_per_pack)
+                   * {PACK_SEQ_LEN} - total_tokens AS wasted_tokens,
+               CAST(total_tokens AS DOUBLE)
+                   / (((n_docs + docs_per_pack - 1) // docs_per_pack)
+                      * {PACK_SEQ_LEN}) AS fill_rate
+        FROM grid
+    """,
+)
+def d7_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = docs.select(F.size(tokenize("text")).alias("n_tok")).filter(
+        (F.col("n_tok") > 0) & (F.col("n_tok") <= PACK_SEQ_LEN)
+    )
+    cap = (
+        F.when(F.col("n_tok") <= 32, 32)
+        .when(F.col("n_tok") <= 64, 64)
+        .when(F.col("n_tok") <= 128, 128)
+        .when(F.col("n_tok") <= 256, 256)
+        .when(F.col("n_tok") <= 512, 512)
+        .otherwise(PACK_SEQ_LEN)
+    )
+    grid = (
+        toks.select("n_tok", cap.alias("cap"))
+        .groupBy("cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn("docs_per_pack", F.expr(f"{PACK_SEQ_LEN} div cap"))
+    )
+    n_packs = F.expr("(n_docs + docs_per_pack - 1) div docs_per_pack")
+    return grid.select(
+        "cap",
+        "n_docs",
+        "docs_per_pack",
+        n_packs.alias("n_packs"),
+        (n_packs * F.col("docs_per_pack") - F.col("n_docs")).alias(
+            "padded_slots"
+        ),
+        (n_packs * PACK_SEQ_LEN - F.col("total_tokens")).alias(
+            "wasted_tokens"
+        ),
+        (
+            F.col("total_tokens").cast("double")
+            / (n_packs * PACK_SEQ_LEN)
+        ).alias("fill_rate"),
+    )

@@ -474,3 +474,24 @@ def test_vpin_bounds(spark):
         (F.col("vpin") < 0) | (F.col("vpin") > 1) | (F.col("n_buckets") <= 0)
     )
     assert bad.count() == 0
+
+
+def test_assortativity_in_valid_range(spark):
+    rows = _q("d2_degree_assortativity", spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    assert r.n_directed_edges > 0 and r.n_directed_edges % 2 == 0
+
+
+def test_length_bucket_packing_accounting(spark):
+    rows = _q("d7_length_bucket_packing", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.docs_per_pack >= 1
+        assert r.n_packs * r.docs_per_pack >= r.n_docs
+        assert 0 <= r.padded_slots < r.docs_per_pack
+        assert r.wasted_tokens >= 0
+        assert 0 < r.fill_rate <= 1.0
+        # a doc in bucket cap uses at most cap tokens of its slot
+        assert r.n_docs <= r.n_packs * r.docs_per_pack

@@ -2257,3 +2257,74 @@ def b31_vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vpin"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B32: forecast backtest — the evaluation harness for the reference's
+# declared prediction goal (№3): walk-forward one-step backtests of the
+# two standard baselines every forecaster must beat — naive (last close)
+# and seasonal-naive (close 24 hours ago) — scored by MAE per
+# instrument, with the winner called per row. Errors are 6dp-gridded
+# absolute differences, averaged under the decimal-sum policy; both
+# baselines share one company-partitioned window, so the whole backtest
+# is a single shuffle.
+@query(
+    "b32_forecast_backtest",
+    oracle=oracle_on_domain(
+        """
+        , preds AS (
+            SELECT company_id,
+                   ROUND(ABS(close - LAG(close) OVER w), 6) AS e_naive,
+                   ROUND(ABS(close - LAG(close, 24) OVER w), 6)
+                       AS e_seasonal
+            FROM candles
+            WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC)
+        )
+        SELECT company_id,
+               COUNT(e_seasonal) AS n_forecasts,
+               CAST(SUM(CAST(e_naive AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(e_naive) AS mae_naive,
+               CAST(SUM(CAST(e_seasonal AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(e_seasonal) AS mae_seasonal,
+               CASE WHEN CAST(SUM(CAST(e_naive AS DECIMAL(27,6)))
+                             AS DOUBLE) / COUNT(e_naive)
+                         <= CAST(SUM(CAST(e_seasonal AS DECIMAL(27,6)))
+                                 AS DOUBLE) / COUNT(e_seasonal)
+                    THEN 'naive' ELSE 'seasonal' END AS winner
+        FROM preds
+        WHERE e_naive IS NOT NULL AND e_seasonal IS NOT NULL
+        GROUP BY company_id
+        HAVING COUNT(e_seasonal) >= 24
+        """
+    ),
+)
+def b32_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    preds = c.select(
+        "company_id",
+        F.round(F.abs(F.col("close") - F.lag("close").over(w)), 6).alias(
+            "e_naive"
+        ),
+        F.round(
+            F.abs(F.col("close") - F.lag("close", 24).over(w)), 6
+        ).alias("e_seasonal"),
+    ).filter(F.col("e_naive").isNotNull() & F.col("e_seasonal").isNotNull())
+    mae_n = F.sum(F.col("e_naive").cast(_DEC)).cast("double") / F.count(
+        "e_naive"
+    )
+    mae_s = F.sum(F.col("e_seasonal").cast(_DEC)).cast("double") / F.count(
+        "e_seasonal"
+    )
+    return (
+        preds.groupBy("company_id")
+        .agg(
+            F.count("e_seasonal").alias("n_forecasts"),
+            mae_n.alias("mae_naive"),
+            mae_s.alias("mae_seasonal"),
+            F.when(mae_n <= mae_s, F.lit("naive"))
+            .otherwise(F.lit("seasonal"))
+            .alias("winner"),
+        )
+        .filter(F.col("n_forecasts") >= 24)
+    )

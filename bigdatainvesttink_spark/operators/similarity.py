@@ -1140,3 +1140,106 @@ def d3_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("thr").alias("threshold"), "n_pairs", "n_docs_flagged"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D3: dimension-truncation recall — the Matryoshka-representation
+# question: how much ANN quality survives if you rank with only the
+# FIRST 16 of 64 dimensions (4x cheaper scan, 4x smaller index)? Truth
+# is the full-dimension brute-force top-5; the candidate ranking re-runs
+# the same top-5 with sliced vectors (slice + renormalize, all JVM-side
+# HOFs); the report is per-query hits and recall@5 — same eval tail as
+# the LSH/IVF recall rows, so all three index strategies read on one
+# scale. Exact-integer hit counts; only the cosines are 6dp-gridded.
+TRUNC_DIMS = 16
+
+
+@query(
+    "d3_truncation_recall_eval",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        vt AS (
+            SELECT vec_id, e[1:{TRUNC_DIMS}] AS et,
+                   sqrt(list_dot_product(e[1:{TRUNC_DIMS}],
+                                         e[1:{TRUNC_DIMS}])) AS normt
+            FROM v
+        ),
+        q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        qt AS (SELECT * FROM vt WHERE vec_id % 10 = 0),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.e, v.e)
+                                          / (q.norm * v.norm), 6) DESC,
+                                    v.vec_id ASC) AS rnk
+                FROM q JOIN v ON v.vec_id <> q.vec_id
+            ) r WHERE rnk <= 5
+        ),
+        trunc_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qt.vec_id AS query_id, vt.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qt.vec_id
+                           ORDER BY round(list_dot_product(qt.et, vt.et)
+                                          / (qt.normt * vt.normt), 6) DESC,
+                                    vt.vec_id ASC) AS rnk
+                FROM qt JOIN vt ON vt.vec_id <> qt.vec_id
+            ) r WHERE rnk <= 5
+        )
+        SELECT t.query_id,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / 5.0 AS recall_at_5
+        FROM truth t
+        LEFT JOIN trunc_top c
+          ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    """,
+)
+def d3_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = d3_ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    v = _vectors(spark, sf_dir)
+    et = F.slice("e", 1, TRUNC_DIMS)
+    vt = v.select(
+        "vec_id",
+        et.alias("et"),
+        F.sqrt(_dot(et, et)).alias("normt"),
+    )
+    qt = vt.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("et").alias("qet"),
+        F.col("normt").alias("qnormt"),
+    )
+    scored = vt.join(
+        F.broadcast(qt), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qet"), F.col("et"))
+            / (F.col("qnormt") * F.col("normt")),
+            6,
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    trunc_top = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hit = trunc_top.withColumn("hit", F.lit(1))
+    return (
+        truth.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+    )

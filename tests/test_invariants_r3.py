@@ -495,3 +495,21 @@ def test_length_bucket_packing_accounting(spark):
         assert 0 < r.fill_rate <= 1.0
         # a doc in bucket cap uses at most cap tokens of its slot
         assert r.n_docs <= r.n_packs * r.docs_per_pack
+
+
+def test_forecast_backtest_mae_nonnegative(spark):
+    rows = _q("b32_forecast_backtest", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.mae_naive >= 0 and r.mae_seasonal >= 0
+        want = "naive" if r.mae_naive <= r.mae_seasonal else "seasonal"
+        assert r.winner == want
+
+
+def test_truncation_recall_bounds(spark):
+    df = _q("d3_truncation_recall_eval", spark)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-12

@@ -2328,3 +2328,115 @@ def b32_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_forecasts") >= 24)
     )
+
+
+# --------------------------------------------------------------------------
+# B33: candlestick pattern scan — the rule-engine classifier behind
+# charting overlays: per candle, flag doji (tiny body), hammer (long
+# lower shadow), shooting star (long upper shadow), and bullish/bearish
+# engulfing (body swallows the previous candle's), then count pattern
+# hits per instrument. Every rule is a comparison of doubles both
+# engines computed identically from the same OHLC values — comparisons
+# are exact, so no rounding policy is involved. One lag window
+# (engulfing needs the prior candle), then a partial-agg rollup to the
+# (company, pattern) grid.
+@query(
+    "b33_candle_patterns",
+    oracle=oracle_on_domain(
+        """
+        , c AS (
+            SELECT company_id, ts, open, high, low, close,
+                   LAG(open) OVER w AS p_open,
+                   LAG(close) OVER w AS p_close
+            FROM candles
+            WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC)
+        ),
+        flags AS (
+            SELECT company_id,
+                   CASE WHEN ABS(close - open) <= 0.1 * (high - low)
+                         AND high > low THEN 1 ELSE 0 END AS doji,
+                   CASE WHEN (LEAST(open, close) - low)
+                             >= 2.0 * ABS(close - open)
+                         AND (high - GREATEST(open, close))
+                             <= ABS(close - open)
+                         AND ABS(close - open) > 0 THEN 1 ELSE 0 END
+                       AS hammer,
+                   CASE WHEN (high - GREATEST(open, close))
+                             >= 2.0 * ABS(close - open)
+                         AND (LEAST(open, close) - low)
+                             <= ABS(close - open)
+                         AND ABS(close - open) > 0 THEN 1 ELSE 0 END
+                       AS shooting_star,
+                   CASE WHEN p_close IS NOT NULL AND close > open
+                         AND p_close < p_open
+                         AND open <= p_close AND close >= p_open
+                        THEN 1 ELSE 0 END AS bull_engulf,
+                   CASE WHEN p_close IS NOT NULL AND close < open
+                         AND p_close > p_open
+                         AND open >= p_close AND close <= p_open
+                        THEN 1 ELSE 0 END AS bear_engulf
+            FROM c
+        )
+        SELECT company_id,
+               COUNT(*) AS n_candles,
+               CAST(SUM(doji) AS BIGINT) AS n_doji,
+               CAST(SUM(hammer) AS BIGINT) AS n_hammer,
+               CAST(SUM(shooting_star) AS BIGINT) AS n_shooting_star,
+               CAST(SUM(bull_engulf) AS BIGINT) AS n_bull_engulf,
+               CAST(SUM(bear_engulf) AS BIGINT) AS n_bear_engulf
+        FROM flags
+        GROUP BY company_id
+        """
+    ),
+)
+def b33_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    c = cd.select(
+        "company_id",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+    )
+    body = F.abs(F.col("close") - F.col("open"))
+    lower = F.least("open", "close") - F.col("low")
+    upper = F.col("high") - F.greatest("open", "close")
+    flag = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+    flags = c.select(
+        "company_id",
+        flag(
+            (body <= 0.1 * (F.col("high") - F.col("low")))
+            & (F.col("high") > F.col("low"))
+        ).alias("doji"),
+        flag((lower >= 2.0 * body) & (upper <= body) & (body > 0)).alias(
+            "hammer"
+        ),
+        flag((upper >= 2.0 * body) & (lower <= body) & (body > 0)).alias(
+            "shooting_star"
+        ),
+        flag(
+            F.col("p_close").isNotNull()
+            & (F.col("close") > F.col("open"))
+            & (F.col("p_close") < F.col("p_open"))
+            & (F.col("open") <= F.col("p_close"))
+            & (F.col("close") >= F.col("p_open"))
+        ).alias("bull_engulf"),
+        flag(
+            F.col("p_close").isNotNull()
+            & (F.col("close") < F.col("open"))
+            & (F.col("p_close") > F.col("p_open"))
+            & (F.col("open") >= F.col("p_close"))
+            & (F.col("close") <= F.col("p_open"))
+        ).alias("bear_engulf"),
+    )
+    return flags.groupBy("company_id").agg(
+        F.count("*").alias("n_candles"),
+        F.sum("doji").cast("bigint").alias("n_doji"),
+        F.sum("hammer").cast("bigint").alias("n_hammer"),
+        F.sum("shooting_star").cast("bigint").alias("n_shooting_star"),
+        F.sum("bull_engulf").cast("bigint").alias("n_bull_engulf"),
+        F.sum("bear_engulf").cast("bigint").alias("n_bear_engulf"),
+    )

@@ -735,3 +735,96 @@ def d4_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pmi").desc(), F.col("w_a").asc(), F.col("w_b").asc()
     )
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# D4: KS drift test — the two-sample Kolmogorov-Smirnov statistic of each
+# source's document-length distribution against the rest of the corpus:
+# the standard "did this feed's shape drift?" monitor for text
+# pipelines. The whole computation lives on the (source x distinct
+# length) GRID, never on documents: per-cell counts, per-source running
+# sums over the global length grid (densified by a bounded
+# grid-x-sources cross join — at 100 TB you quantize lengths into
+# buckets first, same grid bound), and ECDF ratios that are exact
+# integer divisions — the max |ECDF_s - ECDF_rest| needs no rounding
+# policy at all.
+@query(
+    "d4_ks_length_drift",
+    oracle="""
+        WITH lens AS (
+            SELECT source, n_chars AS val FROM documents WHERE text <> ''
+        ),
+        counts AS (
+            SELECT source, val, COUNT(*) AS c FROM lens GROUP BY 1, 2
+        ),
+        srcs AS (
+            SELECT source, COUNT(*) AS n_s FROM lens GROUP BY source
+        ),
+        tot AS (SELECT COUNT(*) AS n_all FROM lens),
+        grid AS (SELECT DISTINCT val FROM lens),
+        dense AS (
+            SELECT s.source, g.val, s.n_s, COALESCE(c.c, 0) AS c
+            FROM grid g CROSS JOIN srcs s
+            LEFT JOIN counts c ON c.source = s.source AND c.val = g.val
+        ),
+        cum AS (
+            SELECT source, val, n_s,
+                   SUM(c) OVER (PARTITION BY source ORDER BY val ASC)
+                       AS cum_s,
+                   SUM(c) OVER (ORDER BY val ASC
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_all
+            FROM dense
+        )
+        SELECT source, MAX(n_s) AS n_docs,
+               MAX(ABS(CAST(cum_s AS DOUBLE) / n_s
+                       - CAST(cum_all - cum_s AS DOUBLE)
+                         / ((SELECT n_all FROM tot) - n_s))) AS ks_stat
+        FROM cum
+        GROUP BY source
+    """,
+)
+def d4_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    lens = d.select("source", F.col("n_chars").alias("val"))
+    counts = lens.groupBy("source", "val").agg(F.count("*").alias("c"))
+    srcs = lens.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = lens.agg(F.count("*").alias("n_all"))
+    grid = lens.select("val").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "val"], "left")
+        .select(
+            "source", "val", "n_s", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    w_s = Window.partitionBy("source").orderBy(F.col("val").asc())
+    # global cumulative: RANGE frame so every row at value v sees the
+    # total of ALL sources' counts up to and including v
+    w_all = Window.orderBy(F.col("val").asc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dense.select(
+        "source",
+        "n_s",
+        F.sum("c").over(w_s).alias("cum_s"),
+        F.sum("c").over(w_all).alias("cum_all"),
+    )
+    ks = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.abs(
+                F.col("cum_s").cast("double") / F.col("n_s")
+                - (F.col("cum_all") - F.col("cum_s")).cast("double")
+                / (F.col("n_all") - F.col("n_s"))
+            ).alias("diff"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.max("diff").alias("ks_stat"),
+        )
+    )
+    return ks

@@ -513,3 +513,26 @@ def test_truncation_recall_bounds(spark):
     for r in rows:
         assert 0 <= r.n_hits <= 5
         assert abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-12
+
+
+def test_candle_patterns_counts_bounded(spark):
+    rows = _q("b33_candle_patterns", spark).collect()
+    assert rows
+    for r in rows:
+        for col in ("n_doji", "n_hammer", "n_shooting_star",
+                    "n_bull_engulf", "n_bear_engulf"):
+            assert 0 <= getattr(r, col) <= r.n_candles
+    # at least one pattern fires somewhere in the fixture
+    assert any(
+        r.n_doji + r.n_hammer + r.n_shooting_star
+        + r.n_bull_engulf + r.n_bear_engulf > 0
+        for r in rows
+    )
+
+
+def test_ks_drift_bounds(spark):
+    rows = _q("d4_ks_length_drift", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ks_stat <= 1.0
+        assert r.n_docs > 0

@@ -2354,7 +2354,7 @@ def b32_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags AS (
             SELECT company_id,
                    CASE WHEN ABS(close - open) <= 0.1 * (high - low)
-                         AND high > low THEN 1 ELSE 0 END AS doji,
+                        THEN 1 ELSE 0 END AS doji,
                    CASE WHEN (LEAST(open, close) - low)
                              >= 2.0 * ABS(close - open)
                          AND (high - GREATEST(open, close))
@@ -2407,10 +2407,9 @@ def b33_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
     flags = c.select(
         "company_id",
-        flag(
-            (body <= 0.1 * (F.col("high") - F.col("low")))
-            & (F.col("high") > F.col("low"))
-        ).alias("doji"),
+        # a flat candle (open=close=high=low) is the degenerate doji —
+        # 0 <= 0.1*0 holds, so no range guard
+        flag(body <= 0.1 * (F.col("high") - F.col("low"))).alias("doji"),
         flag((lower >= 2.0 * body) & (upper <= body) & (body > 0)).alias(
             "hammer"
         ),

@@ -1498,3 +1498,76 @@ def d7_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_packs * PACK_SEQ_LEN)
         ).alias("fill_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-hop BFS reachability — the fourth traversal primitive (after CC,
+# PageRank, triangles): from a deterministic seed set (every 97th node
+# id), expand the frontier 4 hops over the undirected LCG graph and
+# report how many nodes each hop newly reaches — the "blast radius"
+# probe of influence/contagion analyses. Like d2_pagerank_fixed, the
+# FIXED iteration count makes the whole traversal exactly
+# oracle-checkable (the oracle unrolls the same 4 expansions as chained
+# CTEs); per hop: one join frontier->edges (shuffled on node) and one
+# anti-join against the visited set — the canonical distributed BFS
+# round. All counts exact integers.
+BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    sql = _GRAPH_SQL + """
+        , bi AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        reach0 AS (
+            SELECT DISTINCT u AS node FROM bi WHERE u % 97 = 0
+        )"""
+    for i in range(1, BFS_HOPS + 1):
+        prev = f"reach{i - 1}"
+        sql += f""",
+        reach{i} AS (
+            SELECT node FROM {prev}
+            UNION
+            SELECT bi.v AS node
+            FROM {prev} r JOIN bi ON bi.u = r.node
+        )"""
+    parts = [
+        "SELECT 0 AS hop, COUNT(*) AS n_reached, COUNT(*) AS n_new"
+        " FROM reach0"
+    ]
+    for i in range(1, BFS_HOPS + 1):
+        parts.append(
+            f"SELECT {i} AS hop, (SELECT COUNT(*) FROM reach{i}),"
+            f" (SELECT COUNT(*) FROM reach{i})"
+            f" - (SELECT COUNT(*) FROM reach{i - 1})"
+        )
+    return sql + "\n" + "\nUNION ALL ".join(parts)
+
+
+@query("d2_bfs_reach_hops", oracle=_bfs_oracle())
+def d2_bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    bi = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    frontier = (
+        bi.filter(F.col("u") % 97 == 0).select(F.col("u").alias("node"))
+        .distinct()
+    )
+    spark_rows = [(0, frontier.count(), frontier.count())]
+    reached = frontier
+    for hop in range(1, BFS_HOPS + 1):
+        expanded = (
+            reached.join(bi, reached["node"] == bi["u"])
+            .select(F.col("v").alias("node"))
+            .unionAll(reached.select("node"))
+            .distinct()
+        )
+        expanded = checkpointed(expanded) if hop % 2 == 0 else expanded
+        n = expanded.count()
+        spark_rows.append((hop, n, n - spark_rows[-1][1]))
+        reached = expanded
+    return reached.sparkSession.createDataFrame(
+        spark_rows, "hop int, n_reached bigint, n_new bigint"
+    )

@@ -536,3 +536,13 @@ def test_ks_drift_bounds(spark):
     for r in rows:
         assert 0 <= r.ks_stat <= 1.0
         assert r.n_docs > 0
+
+
+def test_bfs_reach_monotone(spark):
+    rows = sorted(_q("d2_bfs_reach_hops", spark).collect(), key=lambda r: r.hop)
+    assert rows and rows[0].hop == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_reached >= prev.n_reached
+        assert cur.n_new == cur.n_reached - prev.n_reached
+        assert cur.n_new >= 0
+    assert rows[0].n_reached == rows[0].n_new > 0

@@ -2439,3 +2439,73 @@ def b33_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bull_engulf").cast("bigint").alias("n_bull_engulf"),
         F.sum("bear_engulf").cast("bigint").alias("n_bear_engulf"),
     )
+
+
+# --------------------------------------------------------------------------
+# B34: overnight gap analysis — the session-boundary study: each day's
+# first trade price vs the previous day's last (daily open vs prior
+# close), classified as gap-up / gap-down with the average gap return.
+# Daily open/close pin to the (ts, trade_id) total order via min/max
+# structs in one aggregate (no window over raw ticks beyond the daily
+# grain); the day-over-day lag runs on the tiny (company, day) grid.
+# Gap returns are deterministic double ratios, 6dp-gridded for the
+# decimal-averaged rollup; the up/down counts are exact.
+@query(
+    "b34_overnight_gaps",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   MIN({'ts': ts, 'tid': trade_id, 'p': price}).p
+                       AS day_open,
+                   MAX({'ts': ts, 'tid': trade_id, 'p': price}).p
+                       AS day_close
+            FROM trades
+            GROUP BY company_id, date_trunc('day', ts)
+        ),
+        gaps AS (
+            SELECT company_id,
+                   ROUND(day_open / LAG(day_close) OVER (
+                       PARTITION BY company_id ORDER BY day ASC) - 1.0,
+                       6) AS gap_ret
+            FROM daily
+        )
+        SELECT company_id,
+               COUNT(gap_ret) AS n_gaps,
+               COUNT(*) FILTER (WHERE gap_ret > 0) AS n_gap_up,
+               COUNT(*) FILTER (WHERE gap_ret < 0) AS n_gap_down,
+               CAST(SUM(CAST(gap_ret AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(gap_ret) AS avg_gap_ret
+        FROM gaps
+        WHERE gap_ret IS NOT NULL
+        GROUP BY company_id
+        """
+    ),
+)
+def b34_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    ver = F.struct(F.col("ts"), F.col("trade_id").alias("tid"), F.col("price").alias("p"))
+    daily = t.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(
+        F.min(ver)["p"].alias("day_open"),
+        F.max(ver)["p"].alias("day_close"),
+    )
+    w = Window.partitionBy("company_id").orderBy(F.col("day").asc())
+    gaps = daily.select(
+        "company_id",
+        F.round(
+            F.col("day_open") / F.lag("day_close").over(w) - 1.0, 6
+        ).alias("gap_ret"),
+    ).filter(F.col("gap_ret").isNotNull())
+    return gaps.groupBy("company_id").agg(
+        F.count("gap_ret").alias("n_gaps"),
+        F.count_if(F.col("gap_ret") > 0).alias("n_gap_up"),
+        F.count_if(F.col("gap_ret") < 0).alias("n_gap_down"),
+        (
+            F.sum(F.col("gap_ret").cast(_DEC)).cast("double")
+            / F.count("gap_ret")
+        ).alias("avg_gap_ret"),
+    )

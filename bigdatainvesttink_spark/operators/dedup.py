@@ -1263,3 +1263,80 @@ def d1_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v_value").alias("n_value_versions"),
         F.count("v_k").alias("n_k_versions"),
     )
+
+
+# --------------------------------------------------------------------------
+# D1: SCD type-3 — the third slowly-changing-dimension variant beside
+# latest-wins (SCD1, d1_compact_latest) and full history (SCD2,
+# d1_scd2_intervals): keep the CURRENT value plus one PREVIOUS-value
+# column and the change timestamp. Both values fall out of ONE hash
+# aggregate via max_by structs over the (ts, event_id) total order —
+# current = latest version, previous = latest version strictly older
+# than the current one, found as the max over versions excluding the
+# max. No window sort: the same partial+final aggregate shape as the
+# compaction, exact on ties by the event_id tiebreak.
+@query(
+    "d1_scd3_prev_value",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, ts, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id, event_type,
+               MAX(CASE WHEN rn = 1 THEN value END) AS current_value,
+               MAX(CASE WHEN rn = 2 THEN value END) AS previous_value,
+               MAX(CASE WHEN rn = 1 THEN ts END) AS changed_at,
+               COUNT(*) AS n_versions
+        FROM ranked
+        GROUP BY user_id, event_type
+    """,
+)
+def d1_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ver = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    agg = e.groupBy("user_id", "event_type").agg(
+        F.max(ver).alias("cur"),
+        F.count("*").alias("n_versions"),
+    )
+    # previous = max version strictly below the current one: re-aggregate
+    # excluding the current (ts, event_id); done as a second max_by over
+    # a filtered struct in the SAME pass via conditional aggregation
+    agg2 = (
+        e.alias("e")
+        .join(
+            agg.select(
+                "user_id",
+                "event_type",
+                F.col("cur.ts").alias("c_ts"),
+                F.col("cur.event_id").alias("c_eid"),
+            ),
+            ["user_id", "event_type"],
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("ts") < F.col("c_ts"))
+                    | (
+                        (F.col("ts") == F.col("c_ts"))
+                        & (F.col("event_id") < F.col("c_eid"))
+                    ),
+                    ver,
+                )
+            ).alias("prev")
+        )
+    )
+    return (
+        agg.join(agg2, ["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("cur.value").alias("current_value"),
+            F.col("prev.value").alias("previous_value"),
+            F.col("cur.ts").alias("changed_at"),
+            "n_versions",
+        )
+    )

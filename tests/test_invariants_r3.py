@@ -546,3 +546,27 @@ def test_bfs_reach_monotone(spark):
         assert cur.n_new == cur.n_reached - prev.n_reached
         assert cur.n_new >= 0
     assert rows[0].n_reached == rows[0].n_new > 0
+
+
+def test_scd3_consistent_with_compaction(spark):
+    # SCD3's current value must equal SCD1's (latest-wins) value
+    scd3 = _q("d1_scd3_prev_value", spark)
+    scd1 = _q("d1_compact_latest", spark)
+    j = scd3.join(scd1, ["user_id", "event_type"])
+    assert j.count() == scd3.count() > 0
+    assert j.filter(F.col("current_value") != F.col("latest_value")).count() == 0
+    # previous exists iff more than one version
+    assert scd3.filter(
+        (F.col("n_versions") >= 2) & F.col("previous_value").isNull()
+    ).count() == 0
+    assert scd3.filter(
+        (F.col("n_versions") == 1) & F.col("previous_value").isNotNull()
+    ).count() == 0
+
+
+def test_overnight_gaps_accounting(spark):
+    rows = _q("b34_overnight_gaps", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gap_up + r.n_gap_down <= r.n_gaps
+        assert r.n_gaps > 0

@@ -348,3 +348,30 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     rows = j.collect()
     sel_days = {d for d in range(30) if d % 5 == 2}
     assert len(rows) == sum(1 for i in range(100000) if i % 30 in sel_days)
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the incoming batch — the idempotent-backfill primitive: a
+    day's re-run rewrites that day and never truncates the table."""
+    out = str(tmp_path / "table")
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("day")
+    )
+    base.write.partitionBy("day").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill day=2 with a corrected, smaller batch
+        fix = spark.range(0, 10).select(
+            (F.col("id") + 100000).alias("k"), F.lit(2).alias("day")
+        )
+        fix.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = spark.read.parquet(out)
+    per_day = {r.day: r.n for r in got.groupBy("day").agg(F.count("*").alias("n")).collect()}
+    assert per_day[2] == 10                      # replaced
+    for d in (0, 1, 3, 4):
+        assert per_day[d] == 200                 # untouched
+    assert got.filter((F.col("day") == 2) & (F.col("k") < 100000)).count() == 0

@@ -1571,3 +1571,83 @@ def d2_bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.sparkSession.createDataFrame(
         spark_rows, "hop int, n_reached bigint, n_new bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction — score non-adjacent node pairs by their
+# shared neighborhood, weighting each common neighbor z by 1/ln(deg z)
+# (rare mutual friends say more): the classic "who connects next"
+# primitive. Plan: wedges are generated AT their center (one self-join
+# of the bidirectional edge list on the center node — bounded by
+# sum(deg^2), the hub cap discussion from d2_triangle_count applies),
+# each contributing its center's 6dp-gridded weight, decimal-summed per
+# pair; existing edges leave via LEFT ANTI; the top-25 cut is a
+# distributed TakeOrdered, not a global window.
+@query(
+    "d2_adamic_adar_topk",
+    oracle=_GRAPH_SQL
+    + """
+        , bi AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        deg AS (SELECT u, COUNT(*) AS d FROM bi GROUP BY u),
+        wedge AS (
+            SELECT e1.v AS pa, e2.v AS pb, e1.u AS z
+            FROM bi e1 JOIN bi e2 ON e2.u = e1.u AND e1.v < e2.v
+        ),
+        scored AS (
+            SELECT pa, pb,
+                   CAST(SUM(CAST(ROUND(1.0 / ln(deg.d), 6)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS aa_score,
+                   COUNT(*) AS n_common
+            FROM wedge JOIN deg ON deg.u = wedge.z
+            WHERE deg.d >= 2
+            GROUP BY pa, pb
+        ),
+        non_edges AS (
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.a = s.pa AND e.b = s.pb)
+        )
+        SELECT pa, pb, n_common, aa_score, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY aa_score DESC, pa ASC, pb ASC) AS rnk
+            FROM non_edges
+        ) r WHERE rnk <= 25
+    """,
+)
+def d2_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    bi = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = bi.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = bi.select(F.col("u").alias("z"), F.col("v").alias("pa"))
+    e2 = bi.select(F.col("u").alias("z"), F.col("v").alias("pb"))
+    wedge = e1.join(e2, "z").filter(F.col("pa") < F.col("pb"))
+    w_z = F.round(F.lit(1.0) / F.log(F.col("d")), 6).cast("decimal(27,6)")
+    scored = (
+        wedge.join(
+            deg.filter(F.col("d") >= 2).withColumnRenamed("u", "z"), "z"
+        )
+        .groupBy("pa", "pb")
+        .agg(
+            F.sum(w_z).cast("double").alias("aa_score"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    non_edges = scored.join(
+        edges,
+        (scored["pa"] == edges["a"]) & (scored["pb"] == edges["b"]),
+        "left_anti",
+    )
+    top = non_edges.orderBy(
+        F.col("aa_score").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(25)
+    w_r = Window.orderBy(
+        F.col("aa_score").desc(), F.col("pa").asc(), F.col("pb").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(w_r)).select(
+        "pa", "pb", "n_common", "aa_score", "rnk"
+    )

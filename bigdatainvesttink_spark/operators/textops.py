@@ -828,3 +828,66 @@ def d4_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ks
+
+
+# --------------------------------------------------------------------------
+# D4: passage chunking — the RAG / pretraining chunker: each document is
+# split into overlapping token windows (width 64, stride 48), emitting
+# one row per chunk with its span and a head-token preview. Everything
+# runs map-side inside one projection (sequence + transform HOFs over
+# the token array — no UDF, no shuffle at all until a consumer
+# aggregates); chunk counts per doc are ceil((len - width)/stride) + 1,
+# so output size is corpus-token-bounded with ~1.33x overlap overhead,
+# exactly the accounting the final columns expose.
+CHUNK_W, CHUNK_S = 64, 48
+
+
+@query(
+    "d4_passage_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents WHERE text <> ''
+        )
+        SELECT doc_id, i AS chunk_idx,
+               i * {CHUNK_S} + 1 AS start_tok,
+               LEAST(len(ts), i * {CHUNK_S} + {CHUNK_W}) AS end_tok,
+               LEAST(len(ts), i * {CHUNK_S} + {CHUNK_W})
+                   - i * {CHUNK_S} AS n_tokens,
+               ts[i * {CHUNK_S} + 1] AS head_token
+        FROM toks,
+             unnest(range(0,
+                 GREATEST(1, 1 + CAST(CEIL(
+                     CAST(len(ts) - {CHUNK_W} AS DOUBLE)
+                     / {CHUNK_S}) AS BIGINT)))) AS u(i)
+        WHERE len(ts) > 0
+    """,
+)
+def d4_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    toks = d.select("doc_id", tokenize("text").alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        1
+        + F.ceil(
+            (F.size("ts") - F.lit(CHUNK_W)).cast("double") / CHUNK_S
+        ).cast("bigint"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "ts",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_S + 1
+    end = F.least(F.size("ts").cast("bigint"), F.col("chunk_idx") * CHUNK_S + CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        end.alias("end_tok"),
+        (end - F.col("chunk_idx") * CHUNK_S).alias("n_tokens"),
+        F.element_at("ts", start.cast("int")).alias("head_token"),
+    )

@@ -570,3 +570,34 @@ def test_overnight_gaps_accounting(spark):
     for r in rows:
         assert r.n_gap_up + r.n_gap_down <= r.n_gaps
         assert r.n_gaps > 0
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    rows = _q("d2_adamic_adar_topk", spark).collect()
+    assert rows
+    assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.pa < r.pb
+        assert r.n_common >= 1
+        assert r.aa_score > 0
+
+
+def test_passage_chunks_cover_and_overlap(spark):
+    from collections import defaultdict
+
+    rows = _q("d4_passage_chunks", spark).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in ch] == list(range(len(ch)))
+        # full coverage: last chunk reaches the doc's end, starts align
+        # to the stride grid, and consecutive chunks overlap (w > s)
+        for c in ch:
+            assert c.start_tok == c.chunk_idx * 48 + 1
+            assert c.n_tokens == c.end_tok - c.start_tok + 1
+            assert c.head_token is not None
+        for a, b in zip(ch, ch[1:]):
+            assert b.start_tok <= a.end_tok + 1

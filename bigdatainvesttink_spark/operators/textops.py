@@ -891,3 +891,67 @@ def d4_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (end - F.col("chunk_idx") * CHUNK_S).alias("n_tokens"),
         F.element_at("ts", start.cast("int")).alias("head_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# D4: blocklist safety filter — the list-based content gate every
+# training corpus passes through (profanity/unsafe-term lists, customer
+# blocklists): documents are scored by blocklisted-token hits and
+# flagged when hits exceed both an absolute floor and a density
+# threshold (hits alone over-flag long docs). The blocklist is a tiny
+# broadcast-able array probed with JVM-side HOFs inside ONE map-side
+# projection — the per-doc scan is shuffle-free; only the per-source
+# rollup exchanges. All decisions are exact-integer comparisons (the
+# density test cross-multiplies instead of dividing), so nothing
+# rounds. Blocklist terms are fixture-vocabulary words standing in for
+# a real unsafe-term list.
+BLOCKLIST = ("slow", "hash", "big")
+
+
+@query(
+    "d4_blocklist_filter",
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({", ".join(f"'{w}'" for w in BLOCKLIST)})))
+                       AS n_hits
+            FROM documents WHERE text <> ''
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (
+                   WHERE n_hits >= 3 AND n_hits * 20 > n_tok)
+                   AS n_flagged,
+               CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+               CAST(COUNT(*) FILTER (
+                   WHERE n_hits >= 3 AND n_hits * 20 > n_tok) AS DOUBLE)
+                   / COUNT(*) AS flag_rate
+        FROM scored
+        GROUP BY source
+    """,
+)
+def d4_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    block = F.array(*[F.lit(w) for w in BLOCKLIST])
+    toks = tokenize("text")
+    scored = d.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: F.array_contains(block, t))).alias(
+            "n_hits"
+        ),
+    )
+    flagged = (F.col("n_hits") >= 3) & (
+        F.col("n_hits") * 20 > F.col("n_tok")
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(flagged).alias("n_flagged"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        (F.count_if(flagged).cast("double") / F.count("*")).alias(
+            "flag_rate"
+        ),
+    )

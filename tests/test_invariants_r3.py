@@ -601,3 +601,12 @@ def test_passage_chunks_cover_and_overlap(spark):
             assert c.head_token is not None
         for a, b in zip(ch, ch[1:]):
             assert b.start_tok <= a.end_tok + 1
+
+
+def test_blocklist_flag_rate_consistent(spark):
+    rows = _q("d4_blocklist_filter", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert abs(r.flag_rate - r.n_flagged / r.n_docs) < 1e-12
+        assert r.total_hits >= r.n_flagged * 3

@@ -469,3 +469,46 @@ def test_connected_components_never_broadcasts_labels(spark):
     for df in (_large_star(e), _small_star(e), _small_star(_large_star(e))):
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "Hint" not in analyzed
+
+
+def test_r3c_map_side_suites_no_shuffle(spark):
+    # chunking and blocklist scoring are pure projections: the per-doc
+    # work must pipeline with zero exchanges before the (tiny) rollup
+    text = plan_text(_q("d4_passage_chunks", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in physical
+
+
+def test_knn_broadcasts_query_side(spark):
+    # the held-out query set must broadcast; the corpus is scanned once,
+    # never shuffled for the scoring join
+    text = plan_text(_q("d3_knn_classify", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical or "BroadcastNestedLoopJoin" in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_interval_sweep_windows_only_after_day_grain(spark):
+    # the global running sum must run on the post-aggregation day grid:
+    # the plan's single-partition window sits above a HashAggregate on
+    # day, never above the raw orders scan
+    text = plan_text(_q("rel_interval_sweep", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    w = physical.find("Window")
+    agg = physical.find("HashAggregate")
+    assert w != -1 and agg != -1
+    # plan prints top-down: the Window node appears before (above) the
+    # day-grain aggregate it consumes
+    assert w < agg
+
+
+def test_cooccurrence_joins_copartition_on_basket(spark):
+    text = plan_text(_q("d6_cooccurrence_pairs", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+
+
+def test_twap_reuses_window_partitioning(spark):
+    # day-grain aggregation reuses the lead-window shuffle: exactly one
+    # exchange in the whole plan
+    assert shuffle_count(_q("b23_twap", spark)) == 1

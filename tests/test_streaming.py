@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -282,3 +285,87 @@ def test_kafka_swap_point_smoke(spark):
         _pytest.skip(f"kafka connector unavailable: {type(exc).__name__}")
     assert [f.name for f in sdf.schema.fields] == ["seq", "value"]
     assert sdf.isStreaming
+
+
+def test_transform_with_state_vwap_matches_legacy(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas (the successor of
+    applyInPandasWithState) must land the same running VWAP. The API
+    needs a working google.protobuf for its state-server wire protocol —
+    absent in this container, so this documents the swap point and runs
+    wherever protobuf exists (same skip discipline as the Kafka smoke)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import json
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    rows = [("A", 10.0, 100), ("A", 20.0, 100), ("B", 5.0, 10)]
+    (src / "w1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"company_id": c, "price": p, "volume": v})
+            for c, p, v in rows
+        )
+    )
+
+    class VwapProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState("acc", "pv double, vv bigint")
+
+        def handleInputRows(self, key, pdfs, timerValues):
+            pv, vv = self.state.get() if self.state.exists() else (0.0, 0)
+            for pdf in pdfs:
+                pv += float((pdf.price * pdf.volume).sum())
+                vv += int(pdf.volume.sum())
+            self.state.update((pv, vv))
+            yield pd.DataFrame(
+                {"company_id": [key[0]], "vwap": [pv / vv],
+                 "total_volume": [vv]}
+            )
+
+        def close(self):
+            pass
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "company_id string, price double, volume long"
+        ).json(str(src))
+        out = stream.groupBy("company_id").transformWithStateInPandas(
+            VwapProcessor(),
+            outputStructType="company_id string, vwap double,"
+            " total_volume bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.company_id: (r.vwap, r.total_volume)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    for key in ("A", "B"):
+        pv = sum(p * v for c, p, v in rows if c == key)
+        vv = sum(v for c, p, v in rows if c == key)
+        assert got[key] == (pv / vv, vv)

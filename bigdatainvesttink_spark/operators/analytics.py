@@ -2509,3 +2509,68 @@ def b34_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("gap_ret")
         ).alias("avg_gap_ret"),
     )
+
+
+# --------------------------------------------------------------------------
+# B35: volume profile / point of control — the market-profile chart:
+# traded volume binned by price level per instrument, the point of
+# control (the level holding the most volume), and each level's share
+# of total volume. Price levels are integer units (floor of price —
+# deterministic on identical doubles); every statistic is exact-integer
+# until the final share ratio; POC ties break on the lower level via
+# the (volume DESC, level ASC) row_number. One partial-agg shuffle to
+# the bounded (company, level) grid, one tiny window on it.
+@query(
+    "b35_volume_profile_poc",
+    oracle=oracle_on_domain(
+        """
+        , binned AS (
+            SELECT company_id,
+                   CAST(FLOOR(price / 50.0) AS BIGINT) AS price_bin,
+                   CAST(SUM(volume) AS BIGINT) AS bin_volume
+            FROM trades
+            GROUP BY company_id, CAST(FLOOR(price / 50.0) AS BIGINT)
+        ),
+        ranked AS (
+            SELECT company_id, price_bin, bin_volume,
+                   SUM(bin_volume) OVER (PARTITION BY company_id)
+                       AS total_volume,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY company_id
+                       ORDER BY bin_volume DESC, price_bin ASC) AS rn
+            FROM binned
+        )
+        SELECT company_id, price_bin AS poc_bin,
+               bin_volume AS poc_volume,
+               CAST(total_volume AS BIGINT) AS total_volume,
+               CAST(bin_volume AS DOUBLE) / total_volume AS poc_share
+        FROM ranked WHERE rn = 1
+        """
+    ),
+)
+def b35_volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    binned = t.groupBy(
+        "company_id",
+        F.floor(F.col("price") / 50.0).cast("bigint").alias("price_bin"),
+    ).agg(F.sum("volume").cast("bigint").alias("bin_volume"))
+    w_tot = Window.partitionBy("company_id")
+    w_rn = Window.partitionBy("company_id").orderBy(
+        F.col("bin_volume").desc(), F.col("price_bin").asc()
+    )
+    ranked = binned.select(
+        "company_id",
+        "price_bin",
+        "bin_volume",
+        F.sum("bin_volume").over(w_tot).alias("total_volume"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "company_id",
+        F.col("price_bin").alias("poc_bin"),
+        F.col("bin_volume").alias("poc_volume"),
+        F.col("total_volume").cast("bigint").alias("total_volume"),
+        (F.col("bin_volume").cast("double") / F.col("total_volume")).alias(
+            "poc_share"
+        ),
+    )

@@ -884,3 +884,82 @@ def rel_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-squared independence test — are order priority and order status
+# independent? The categorical counterpart of the Welch t (d6) and KS
+# (d4) tests: observed cell counts vs marginal-product expectations,
+# summed into the chi2 statistic with its degrees of freedom. The whole
+# computation collapses to the (priorities x statuses) GRID after one
+# conditional-aggregate scan; expectations are exact-integer products
+# divided once in double, and each cell's term is 6dp-gridded before
+# the decimal total so the statistic is order-independent.
+@query(
+    "rel_chi2_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority AS pr, o_orderstatus AS st,
+                   COUNT(*) AS obs
+            FROM orders GROUP BY 1, 2
+        ),
+        rowm AS (SELECT pr, SUM(obs) AS n_pr FROM cells GROUP BY pr),
+        colm AS (SELECT st, SUM(obs) AS n_st FROM cells GROUP BY st),
+        tot AS (SELECT SUM(obs) AS n FROM cells),
+        terms AS (
+            SELECT c.pr, c.st,
+                   ROUND(
+                       (c.obs - CAST(r.n_pr * cl.n_st AS DOUBLE) / t.n)
+                       * (c.obs - CAST(r.n_pr * cl.n_st AS DOUBLE) / t.n)
+                       / (CAST(r.n_pr * cl.n_st AS DOUBLE) / t.n),
+                       6) AS term
+            FROM cells c
+            JOIN rowm r ON r.pr = c.pr
+            JOIN colm cl ON cl.st = c.st
+            CROSS JOIN tot t
+        ),
+        dims AS (
+            SELECT (SELECT COUNT(*) FROM rowm) AS n_rows,
+                   (SELECT COUNT(*) FROM colm) AS n_cols
+        )
+        SELECT CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE) AS chi2,
+               (SELECT (n_rows - 1) * (n_cols - 1) FROM dims) AS dof,
+               COUNT(*) AS n_cells
+        FROM terms
+    """,
+)
+def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").alias("obs"))
+    rowm = cells.groupBy("pr").agg(F.sum("obs").alias("n_pr"))
+    colm = cells.groupBy("st").agg(F.sum("obs").alias("n_st"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp = (F.col("n_pr") * F.col("n_st")).cast("double") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rowm), "pr")
+        .join(F.broadcast(colm), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6
+            ).alias("term")
+        )
+    )
+    dof = (
+        rowm.agg(F.count("*").alias("nr"))
+        .crossJoin(colm.agg(F.count("*").alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"))
+    )
+    return (
+        terms.agg(
+            F.sum(F.col("term").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("chi2"),
+            F.count("*").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("chi2", "dof", "n_cells")
+    )

@@ -610,3 +610,19 @@ def test_blocklist_flag_rate_consistent(spark):
         assert 0 <= r.n_flagged <= r.n_docs
         assert abs(r.flag_rate - r.n_flagged / r.n_docs) < 1e-12
         assert r.total_hits >= r.n_flagged * 3
+
+
+def test_chi2_nonnegative_and_dof(spark):
+    rows = _q("rel_chi2_independence", spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.chi2 >= 0 and r.dof >= 1
+    assert r.n_cells >= r.dof + 1
+
+
+def test_volume_profile_share_bounds(spark):
+    rows = _q("b35_volume_profile_poc", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.poc_share <= 1.0
+        assert 0 < r.poc_volume <= r.total_volume

@@ -1243,3 +1243,163 @@ def d3_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D3: IVF nprobe sweep — the remaining tuning axis after
+# d3_dedup_threshold_sweep (threshold) and d3_truncation_recall_eval
+# (dimensions): recall@5 and candidate cost as the probe widens from 1
+# to 2 to 4 cells. Cell ranking reuses the broadcast centroid
+# machinery; each nprobe tier is a filter on the per-query cell rank
+# (no re-scan per tier — the x3 explode happens on the RANKED CELL
+# list, and the corpus join runs once against the union of probed
+# cells). Recall and cost are exact-integer ratios over the whole
+# query set, so the report needs no rounding policy.
+NPROBES = (1, 2, 4)
+
+
+@query(
+    "d3_ivf_nprobe_sweep",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        cent AS (
+            SELECT label, list(m ORDER BY pos) AS c
+            FROM (
+                SELECT label, i AS pos,
+                       CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                           / COUNT(*) AS m
+                FROM v, (SELECT unnest(range({_DIM})) AS i)
+                GROUP BY label, i
+            ) grid
+            GROUP BY label
+        ),
+        cn AS (SELECT label AS cell, c,
+                      sqrt(list_dot_product(c, c)) AS cnorm FROM cent),
+        q AS (SELECT vec_id AS query_id, e AS qe, norm AS qnorm
+              FROM v WHERE vec_id % 13 = 1),
+        nq AS (SELECT COUNT(*) AS n_queries FROM q),
+        ranked_cells AS (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY round(list_dot_product(qe, c)
+                                      / (qnorm * cnorm), 6) DESC,
+                                cell ASC) AS crnk
+            FROM q CROSS JOIN cn
+        ),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_dot_product(q.qe, v.e)
+                                          / (q.qnorm * v.norm), 6) DESC,
+                                    v.vec_id ASC) AS rnk
+                FROM q JOIN v ON v.vec_id <> q.query_id
+            ) r WHERE rnk <= 5
+        ),
+        cand AS (
+            SELECT rc.query_id, rc.crnk, v.vec_id AS neighbor_id
+            FROM ranked_cells rc
+            JOIN v ON v.label = rc.cell
+            WHERE rc.crnk <= {max(NPROBES)}
+              AND v.vec_id <> rc.query_id
+        ),
+        sweep AS (
+            SELECT np.np, c.query_id, c.neighbor_id
+            FROM cand c
+            JOIN (VALUES {", ".join(f"({p})" for p in NPROBES)}) AS np(np)
+              ON c.crnk <= np.np
+        )
+        SELECT s.np AS nprobe,
+               (SELECT n_queries FROM nq) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN t.query_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN t.query_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / (5 * (SELECT n_queries FROM nq)) AS recall_at_5
+        FROM sweep s
+        LEFT JOIN truth t
+          ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+        GROUP BY s.np
+    """,
+)
+def d3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    cent = _ivf_centroids(v)
+    q = v.filter(F.col("vec_id") % 13 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    nq = q.agg(F.count("*").alias("n_queries"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    ranked_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cell",
+            F.round(
+                _dot(F.col("qe"), F.col("c"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("ccos"),
+        )
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= max(NPROBES))
+        .select("query_id", "cell", "crnk")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    cand = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cell")
+    ).join(F.broadcast(ranked_cells), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    nps = F.explode(
+        F.array(*[F.lit(p) for p in NPROBES])
+    ).alias("nprobe")
+    sweep = (
+        cand.select("query_id", "neighbor_id", "crnk", nps)
+        .filter(F.col("crnk") <= F.col("nprobe"))
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    return (
+        sweep.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_candidates",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / (5 * F.col("n_queries"))
+            ).alias("recall_at_5"),
+        )
+    )

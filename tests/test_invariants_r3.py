@@ -626,3 +626,17 @@ def test_volume_profile_share_bounds(spark):
     for r in rows:
         assert 0 < r.poc_share <= 1.0
         assert 0 < r.poc_volume <= r.total_volume
+
+
+def test_nprobe_sweep_monotone_recall_and_cost(spark):
+    rows = sorted(
+        _q("d3_ivf_nprobe_sweep", spark).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    for lo, hi in zip(rows, rows[1:]):
+        # widening the probe can only add candidates and hits
+        assert hi.n_candidates >= lo.n_candidates
+        assert hi.n_hits >= lo.n_hits
+        assert hi.recall_at_5 >= lo.recall_at_5
+    for r in rows:
+        assert 0 <= r.recall_at_5 <= 1

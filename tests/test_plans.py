@@ -512,3 +512,31 @@ def test_twap_reuses_window_partitioning(spark):
     # day-grain aggregation reuses the lead-window shuffle: exactly one
     # exchange in the whole plan
     assert shuffle_count(_q("b23_twap", spark)) == 1
+
+
+def test_nprobe_sweep_broadcasts_cells_and_queries(spark):
+    # centroid ranking and candidate generation must broadcast the tiny
+    # per-query cell list; the corpus never shuffles for the probe join
+    text = plan_text(_q("d3_ivf_nprobe_sweep", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_chi2_collapses_to_grid_before_joins(spark):
+    # the marginal joins run on the (priority x status) grid — every join
+    # after the first aggregate is broadcast, nothing re-scans orders
+    text = plan_text(_q("rel_chi2_independence", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert physical.count("FileScan") <= 1 or "InMemory" in physical
+    assert "BroadcastHashJoin" in physical or "BroadcastNestedLoopJoin" in physical
+
+
+def test_ks_drift_windows_on_bounded_grid(spark):
+    # the ECDF windows must sit above the (source x value) aggregate,
+    # never above the raw documents scan
+    text = plan_text(_q("d4_ks_length_drift", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    w = physical.find("Window")
+    agg = physical.rfind("HashAggregate")
+    assert w != -1 and agg != -1 and w < agg

@@ -1,0 +1,64 @@
+"""Documentation consistency: the counts and query names the docs claim
+must match the registry — keeps README/COVERAGE from drifting as queries
+land (the failure mode ADVICE r2 flagged)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import __spark_entry__ as entrymod
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_readme_query_counts_match_registry():
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    text = (ROOT / "README.md").read_text()
+    m = re.search(
+        r"(\d+) registered queries \((\d+) with exact DuckDB oracles\)", text
+    )
+    assert m, "README count sentence missing"
+    assert int(m.group(1)) == len(qs), (
+        f"README says {m.group(1)} queries, registry has {len(qs)}"
+    )
+    assert int(m.group(2)) == len(osql), (
+        f"README says {m.group(2)} oracles, registry has {len(osql)}"
+    )
+
+
+def test_coverage_query_names_exist():
+    qs = set(entrymod.queries())
+    text = (ROOT / "COVERAGE.md").read_text()
+    named = set(re.findall(r"`([a-z][a-z0-9_]+)`", text))
+    # backticked identifiers that LOOK like query names must be real ones
+    prefixes = ("q1_", "rel_", "tpch_", "b", "a_", "c_", "d1_", "d2_",
+                "d3_", "d4_", "d5_", "d6_", "d7_", "dmm_", "fmt_")
+    looks_like_query = {
+        n for n in named
+        if n.startswith(prefixes) and re.match(r"^[a-z]\w*_\w+", n)
+        and not n.startswith(("bigdatainvesttink", "bucketBy", "bench"))
+    }
+    ghosts = {
+        n for n in looks_like_query - qs
+        # allow non-query code identifiers referenced in prose
+        if not any(ch in n for ch in (".",)) and n.count("_") >= 1
+        and n not in {
+            # fixture tables / range shorthand used in prose
+            "book_levels", "tpch_q2", "tpch_q22",
+        }
+    }
+    # every ghost is a doc typo or a renamed/removed query
+    assert not ghosts - {
+        # helper/function names legitimately mentioned in COVERAGE
+        n for n in ghosts if n in text and f"`{n}`(" in text
+    }, sorted(ghosts)[:20]
+
+
+def test_every_query_is_documented_in_coverage():
+    qs = set(entrymod.queries())
+    text = (ROOT / "COVERAGE.md").read_text()
+    missing = {n for n in qs if f"`{n}`" not in text}
+    # streaming/pytest-surface rows may appear without backticks; keep the
+    # gate strict but name the misses for a quick doc fix
+    assert not missing, sorted(missing)

@@ -1651,3 +1651,173 @@ def d2_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w_r)).select(
         "pa", "pb", "n_common", "aa_score", "rnk"
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone composition — the full pretraining-data pipeline as ONE
+# oracle-checked report: safety gate (blocklist density + minimum size),
+# exact dedup (min-doc_id survivor per text hash), temperature
+# resampling (alpha=0.7 over post-dedup token mass), and RAG chunking of
+# the sampled survivors, rolled up per language. Every stage reuses the
+# exact formula its standalone operator ships (d4_blocklist_filter,
+# d1-family hash dedup, d7_temperature_mix, d4_passage_chunks), so this
+# row proves the operators COMPOSE without re-deriving any semantics.
+# Scale shape: three map-side gates + one dedup aggregate + the
+# language-grid rate computation + a final rollup — the corpus is
+# scanned once and shuffled twice (dedup key, language grid).
+@query(
+    "d7_pretrain_pipeline_report",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang, text, n_chars,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents WHERE text <> '' AND n_chars >= 200
+        ),
+        gated AS (
+            SELECT doc_id, lang, text, len(ts) AS n_tok
+            FROM base
+            WHERE NOT (len(list_filter(ts, t -> t IN ('slow','hash','big')))
+                           >= 3
+                       AND len(list_filter(ts,
+                               t -> t IN ('slow','hash','big'))) * 20
+                           > len(ts))
+        ),
+        survivors AS (
+            SELECT lang, text, n_tok, MIN(doc_id) AS keeper_id
+            FROM gated GROUP BY lang, text, n_tok
+        ),
+        tot AS (
+            SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS natural_tokens
+            FROM survivors GROUP BY lang
+        ),
+        grand AS (
+            SELECT CAST(SUM(natural_tokens) AS BIGINT) AS t_total FROM tot
+        ),
+        q AS (
+            SELECT lang, natural_tokens, g.t_total,
+                   ROUND(POWER(CAST(natural_tokens AS DOUBLE) / g.t_total,
+                               0.7), 6) AS q6
+            FROM tot CROSS JOIN grand g
+        ),
+        z AS (
+            SELECT CAST(SUM(CAST(q6 AS DECIMAL(27,6))) AS DOUBLE) AS zn
+            FROM q
+        ),
+        rates AS (
+            SELECT lang, natural_tokens,
+                   LEAST(1000000,
+                         CAST(FLOOR(q6 / z.zn * t_total * 1000000.0
+                                    / natural_tokens + 0.5) AS BIGINT))
+                       AS rate_ppm
+            FROM q CROSS JOIN z
+        ),
+        sampled AS (
+            SELECT s.lang, s.n_tok
+            FROM survivors s JOIN rates r ON r.lang = s.lang
+            WHERE CAST(CAST('0x' || substr(md5('pipe:' || s.keeper_id
+                       || '|' || s.text), 1, 15) AS UBIGINT) AS BIGINT)
+                  % 1000000 < r.rate_ppm
+        )
+        SELECT r.lang, r.natural_tokens, r.rate_ppm,
+               COUNT(s.n_tok) AS n_docs_sampled,
+               CAST(COALESCE(SUM(s.n_tok), 0) AS BIGINT)
+                   AS n_tokens_sampled,
+               CAST(COALESCE(SUM(
+                   GREATEST(1, 1 + CAST(CEIL(
+                       CAST(s.n_tok - 64 AS DOUBLE) / 48) AS BIGINT))),
+                   0) AS BIGINT) AS n_chunks
+        FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
+        GROUP BY r.lang, r.natural_tokens, r.rate_ppm
+    """,
+)
+def d7_pretrain_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("text") != "") & (F.col("n_chars") >= 200)
+    )
+    ts = tokenize("text")
+    block = F.array(F.lit("slow"), F.lit("hash"), F.lit("big"))
+    n_hits = F.size(F.filter(ts, lambda t: F.array_contains(block, t)))
+    base = docs.select(
+        "doc_id", "lang", "text", F.size(ts).alias("n_tok"),
+        n_hits.alias("n_hits"),
+    )
+    gated = base.filter(
+        ~((F.col("n_hits") >= 3) & (F.col("n_hits") * 20 > F.col("n_tok")))
+    )
+    survivors = gated.groupBy("lang", "text", "n_tok").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    tot = survivors.groupBy("lang").agg(
+        F.sum("n_tok").cast("long").alias("natural_tokens")
+    )
+    grand = tot.agg(F.sum("natural_tokens").cast("long").alias("t_total"))
+    q = tot.crossJoin(F.broadcast(grand)).select(
+        "lang",
+        "natural_tokens",
+        "t_total",
+        F.round(
+            F.pow(
+                F.col("natural_tokens").cast("double") / F.col("t_total"),
+                0.7,
+            ),
+            6,
+        ).alias("q6"),
+    )
+    z = q.agg(
+        F.sum(F.col("q6").cast("decimal(27,6)")).cast("double").alias("zn")
+    )
+    rates = q.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "natural_tokens",
+        F.least(
+            F.lit(1000000),
+            F.floor(
+                F.col("q6") / F.col("zn") * F.col("t_total")
+                * F.lit(1000000.0) / F.col("natural_tokens")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    h = (
+        stable_hash60(
+            F.concat(
+                F.lit("pipe:"),
+                F.col("keeper_id").cast("string"),
+                F.lit("|"),
+                F.col("text"),
+            )
+        )
+        % 1_000_000
+    )
+    sampled = (
+        survivors.join(F.broadcast(rates.select("lang", "rate_ppm")), "lang")
+        .filter(h < F.col("rate_ppm"))
+        .select("lang", "n_tok")
+    )
+    n_chunks_doc = F.greatest(
+        F.lit(1),
+        1
+        + F.ceil((F.col("n_tok") - 64).cast("double") / 48).cast("bigint"),
+    )
+    per_lang = sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs_sampled"),
+        F.sum("n_tok").cast("long").alias("n_tokens_sampled"),
+        F.sum(n_chunks_doc).cast("long").alias("n_chunks"),
+    )
+    return (
+        rates.join(per_lang, "lang", "left")
+        .select(
+            "lang",
+            "natural_tokens",
+            "rate_ppm",
+            F.coalesce(F.col("n_docs_sampled"), F.lit(0)).alias(
+                "n_docs_sampled"
+            ),
+            F.coalesce(F.col("n_tokens_sampled"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_sampled"),
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks"),
+        )
+    )

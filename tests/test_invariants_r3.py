@@ -640,3 +640,15 @@ def test_nprobe_sweep_monotone_recall_and_cost(spark):
         assert hi.recall_at_5 >= lo.recall_at_5
     for r in rows:
         assert 0 <= r.recall_at_5 <= 1
+
+
+def test_pretrain_pipeline_internally_consistent(spark):
+    rows = _q("d7_pretrain_pipeline_report", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert r.n_tokens_sampled <= r.natural_tokens
+        # every sampled doc yields at least one chunk
+        assert r.n_chunks >= r.n_docs_sampled
+        if r.n_docs_sampled == 0:
+            assert r.n_tokens_sampled == 0 and r.n_chunks == 0

@@ -2574,3 +2574,130 @@ def b35_volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "poc_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B36: on-balance volume — the classic volume-flow indicator: volume
+# adds on up-closes, subtracts on down-closes, cumulatively per
+# instrument. Direction is an exact comparison of identical doubles,
+# volumes are exact int64, and the running total is an integer window
+# sum — the entire indicator is rounding-free. Single shuffle on
+# company_id; emitted at the daily grain to keep output bounded.
+@query(
+    "b36_obv",
+    oracle=oracle_on_domain(
+        """
+        , seq AS (
+            SELECT company_id, ts, volume,
+                   CASE WHEN close > LAG(close) OVER w THEN volume
+                        WHEN close < LAG(close) OVER w THEN -volume
+                        ELSE 0 END AS signed_vol
+            FROM (
+                SELECT company_id, ts, close, volume FROM candles
+            ) c
+            WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC)
+        ),
+        running AS (
+            SELECT company_id, ts,
+                   CAST(SUM(signed_vol) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)
+                       AS BIGINT) AS obv
+            FROM seq
+        )
+        SELECT company_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(MAX_BY(obv, ts) AS BIGINT) AS obv_close,
+               COUNT(*) AS n_bars
+        FROM running
+        GROUP BY company_id, date_trunc('day', ts)
+        """
+    ),
+)
+def b36_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    prev = F.lag("close").over(w)
+    signed = (
+        F.when(F.col("close") > prev, F.col("volume"))
+        .when(F.col("close") < prev, -F.col("volume"))
+        .otherwise(F.lit(0))
+    )
+    running = c.select(
+        "company_id", "ts", signed.alias("signed_vol")
+    ).select(
+        "company_id",
+        "ts",
+        F.sum("signed_vol").over(w).cast("bigint").alias("obv"),
+    )
+    return running.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(
+        F.max_by("obv", "ts").cast("bigint").alias("obv_close"),
+        F.count("*").alias("n_bars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B37: stochastic oscillator — %K = position of the close inside the
+# trailing 14-bar high-low range, %D = its 3-bar mean: the momentum
+# oscillator pair next to RSI (b13) and MACD (b15). The range extremes
+# are exact min/max over a ROWS frame; %K is one deterministic double
+# expression 6dp-gridded; %D averages the gridded %K through DECIMAL
+# over a 3-row frame (sequential, order-fixed). Flat 14-bar ranges
+# (high = low) are emitted as NULL %K, the honest undefined case.
+@query(
+    "b37_stochastic_oscillator",
+    oracle=oracle_on_domain(
+        """
+        , k AS (
+            SELECT company_id, ts,
+                   CASE WHEN MAX(high) OVER w14 > MIN(low) OVER w14
+                        THEN ROUND(100.0 * (close - MIN(low) OVER w14)
+                             / (MAX(high) OVER w14 - MIN(low) OVER w14), 6)
+                        END AS pct_k,
+                   ROW_NUMBER() OVER (PARTITION BY company_id
+                                      ORDER BY ts ASC) AS rn
+            FROM candles
+            WINDOW w14 AS (PARTITION BY company_id ORDER BY ts ASC
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT company_id, ts, pct_k,
+               CAST(SUM(CAST(pct_k AS DECIMAL(27,6))) OVER (
+                        PARTITION BY company_id ORDER BY ts ASC
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / COUNT(pct_k) OVER (
+                        PARTITION BY company_id ORDER BY ts ASC
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS pct_d
+        FROM k
+        WHERE rn >= 14
+        """
+    ),
+)
+def b37_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    w14 = w.rowsBetween(-13, 0)
+    w3 = w.rowsBetween(-2, 0)
+    hi = F.max("high").over(w14)
+    lo = F.min("low").over(w14)
+    k = c.select(
+        "company_id",
+        "ts",
+        F.when(
+            hi > lo,
+            F.round(100.0 * (F.col("close") - lo) / (hi - lo), 6),
+        ).alias("pct_k"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 14)
+    return k.select(
+        "company_id",
+        "ts",
+        "pct_k",
+        (
+            F.sum(F.col("pct_k").cast(_DEC)).over(w3).cast("double")
+            / F.count("pct_k").over(w3)
+        ).alias("pct_d"),
+    )

@@ -1253,3 +1253,52 @@ def d6_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_doubled"),
         F.sum("uid").cast("bigint").alias("uid_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: new vs returning actives — the DAU decomposition every growth
+# dashboard pairs with d6_active_users: per day, how many actives are
+# seen for the FIRST time vs returning. First-seen day is one
+# min-aggregate per user; the classification is an exact timestamp
+# comparison; everything else is integer counting on the day grid.
+@query(
+    "d6_new_vs_returning",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+        )
+        SELECT ud.day,
+               COUNT(*) AS dau,
+               COUNT(*) FILTER (WHERE ud.day = f.first_day) AS new_users,
+               COUNT(*) FILTER (WHERE ud.day > f.first_day)
+                   AS returning_users,
+               CAST(COUNT(*) FILTER (WHERE ud.day = f.first_day)
+                    AS DOUBLE) / COUNT(*) AS new_share
+        FROM ud JOIN first_seen f ON f.user_id = ud.user_id
+        GROUP BY ud.day
+    """,
+)
+def d6_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(first_seen, "user_id")
+    is_new = F.col("day") == F.col("first_day")
+    return j.groupBy("day").agg(
+        F.count("*").alias("dau"),
+        F.count_if(is_new).alias("new_users"),
+        F.count_if(F.col("day") > F.col("first_day")).alias(
+            "returning_users"
+        ),
+        (F.count_if(is_new).cast("double") / F.count("*")).alias(
+            "new_share"
+        ),
+    )

@@ -652,3 +652,30 @@ def test_pretrain_pipeline_internally_consistent(spark):
         assert r.n_chunks >= r.n_docs_sampled
         if r.n_docs_sampled == 0:
             assert r.n_tokens_sampled == 0 and r.n_chunks == 0
+
+
+def test_obv_daily_rollup_consistent(spark):
+    df = _q("b36_obv", spark)
+    assert df.count() > 0
+    assert df.filter(F.col("n_bars") <= 0).count() == 0
+
+
+def test_stochastic_bounds(spark):
+    df = _q("b37_stochastic_oscillator", spark)
+    assert df.count() > 0
+    bad = df.filter(
+        (F.col("pct_k") < 0) | (F.col("pct_k") > 100)
+        | (F.col("pct_d") < 0) | (F.col("pct_d") > 100)
+    )
+    assert bad.count() == 0
+
+
+def test_new_returning_partition_dau(spark):
+    rows = _q("d6_new_vs_returning", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.new_users + r.returning_users == r.dau
+        assert 0 <= r.new_share <= 1
+    # the earliest day is all-new
+    first = min(rows, key=lambda r: r.day)
+    assert first.new_users == first.dau

@@ -235,3 +235,110 @@ def test_compact_latest_decimal_key_is_monotone(spark, rows):
         by_user[u].append((base + dt.timedelta(microseconds=us), eid))
     for u, pairs in by_user.items():
         assert got[u] == max(pairs), (u, pairs)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=10**9),       # ts offset us
+            st.integers(min_value=0, max_value=10**6),       # event id
+            st.one_of(st.none(), finite_price),              # nullable value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_golden_record_survivorship_reference(spark, rows):
+    """Per-field latest-non-null survivorship must match a brute-force
+    Python reduction under arbitrary nulls, ts ties, and duplicates."""
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(microseconds=off), eid, val)
+        for u, off, eid, val in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp_ntz, event_id long, v double"
+    )
+    got = {
+        r.user_id: (r.golden, r.n_nonnull)
+        for r in df.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("v").isNotNull(),
+                    F.struct(F.col("ts"), F.col("event_id"), F.col("v")),
+                )
+            )["v"].alias("golden"),
+            F.count("v").alias("n_nonnull"),
+        )
+        .collect()
+    }
+    # brute force: latest (ts, event_id) among non-null values
+    want = {}
+    for u, ts, eid, v in data:
+        cnt = want.get(u, (None, 0))[1]
+        best = want.get(u, (None, 0))[0]
+        if v is not None:
+            cnt += 1
+            if best is None or (ts, eid) > best[:2]:
+                best = (ts, eid, v)
+        want[u] = (best, cnt)
+    for u, (best, cnt) in want.items():
+        assert got[u][1] == cnt
+        assert got[u][0] == (best[2] if best else None)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),            # company
+            st.integers(min_value=0, max_value=86_399_000_000),  # us in day
+            finite_price,
+            st.integers(min_value=0, max_value=10**6),        # trade id
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1], t[3]),
+    )
+)
+@settings(**_SETTINGS)
+def test_twap_weights_sum_to_span(spark, rows):
+    """b23's integer weighting: per (company, day) the kept weights must
+    sum to last_tick - first_tick in ms exactly, for any tick layout."""
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (f"C{c}", base + dt.timedelta(microseconds=us), p, 1, "buy", tid)
+        for c, us, p, tid in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "company_id string, ts timestamp_ntz, price double, volume long,"
+        " side string, trade_id long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("company_id").orderBy(
+        F.col("ts").asc(), F.col("trade_id").asc()
+    )
+    seq = df.withColumn("nts", F.lead("ts").over(w))
+    w_ms = F.expr(
+        "CAST((unix_micros(CAST(nts AS TIMESTAMP))"
+        " - unix_micros(CAST(ts AS TIMESTAMP))) div 1000 AS BIGINT)"
+    )
+    spans = (
+        seq.filter(F.col("nts").isNotNull())
+        .groupBy("company_id")
+        .agg(F.sum(w_ms).alias("span_ms"))
+        .collect()
+    )
+    by_c = {}
+    for c, us, p, tid in rows:
+        by_c.setdefault(c, []).append(us)
+    for r in spans:
+        us_list = sorted(by_c[int(r.company_id[1:])])
+        # sum of floor'd per-gap ms, not floor of the total: the operator
+        # truncates each gap independently
+        want = sum((b - a) // 1000 for a, b in zip(us_list, us_list[1:]))
+        assert r.span_ms == want

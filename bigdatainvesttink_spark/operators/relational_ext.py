@@ -963,3 +963,105 @@ def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("chi2", "dof", "n_cells")
     )
+
+
+# --------------------------------------------------------------------------
+# Relational division — "customers who ordered in EVERY quarter of
+# 1995": the classic FOR-ALL query shape (the one relational operator
+# the basic join/filter/aggregate set can't express directly). Both the
+# count-equality formulation here and the double-NOT-EXISTS are
+# standard; count-equality is the distributed-friendly one (two
+# aggregates and a broadcast of the divisor cardinality — no correlated
+# subquery per row). Exact integers end to end.
+@query(
+    "rel_division_all_quarters",
+    oracle="""
+        WITH quarters AS (
+            SELECT DISTINCT CAST(EXTRACT(quarter FROM o_orderdate) AS INT)
+                       AS q
+            FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        ),
+        cust_q AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q
+            FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        ),
+        nq AS (SELECT COUNT(*) AS n_q FROM quarters)
+        SELECT c.o_custkey AS custkey, COUNT(*) AS n_quarters
+        FROM cust_q c
+        GROUP BY c.o_custkey
+        HAVING COUNT(*) = (SELECT n_q FROM nq)
+    """,
+)
+def rel_division_all_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    cust_q = o.select(
+        "o_custkey", F.quarter("o_orderdate").cast("int").alias("q")
+    ).distinct()
+    nq = cust_q.select("q").distinct().agg(F.count("*").alias("n_q"))
+    return (
+        cust_q.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_quarters"))
+        .crossJoin(F.broadcast(nq))
+        .filter(F.col("n_quarters") == F.col("n_q"))
+        .select(F.col("o_custkey").alias("custkey"), "n_quarters")
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT IN null semantics — the ANSI trap every SQL engine must honor
+# identically: `x NOT IN (subquery)` is UNKNOWN (drops ALL rows) the
+# moment the subquery yields one NULL, while NOT EXISTS / LEFT ANTI
+# ignore the NULL. This row proves the engine keeps all three spellings
+# straight by emitting their counts side by side over a probe list that
+# deliberately contains a NULL. A semantics-parity row, not a
+# performance one; the probe side is grid-sized and broadcast.
+@query(
+    "rel_not_in_null_semantics",
+    oracle="""
+        WITH probe AS (
+            SELECT o_custkey AS k FROM orders WHERE o_orderkey % 100 = 0
+            UNION ALL SELECT NULL
+        )
+        SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM probe))
+                AS n_not_in_with_null,
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM probe
+                                     WHERE k IS NOT NULL))
+                AS n_not_in_filtered,
+            (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM probe p
+                               WHERE p.k = c.c_custkey))
+                AS n_not_exists
+    """,
+)
+def rel_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    probe = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_custkey").alias("k")
+    ).unionAll(
+        o.limit(1).select(F.lit(None).cast("long").alias("k"))
+    )
+    probe.createOrReplaceTempView("probe_keys")
+    c.createOrReplaceTempView("customer_v")
+    return c.sparkSession.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM customer_v
+             WHERE c_custkey NOT IN (SELECT k FROM probe_keys))
+                AS n_not_in_with_null,
+            (SELECT COUNT(*) FROM customer_v
+             WHERE c_custkey NOT IN (SELECT k FROM probe_keys
+                                     WHERE k IS NOT NULL))
+                AS n_not_in_filtered,
+            (SELECT COUNT(*) FROM customer_v c
+             WHERE NOT EXISTS (SELECT 1 FROM probe_keys p
+                               WHERE p.k = c.c_custkey))
+                AS n_not_exists
+        """
+    )

@@ -679,3 +679,18 @@ def test_new_returning_partition_dau(spark):
     # the earliest day is all-new
     first = min(rows, key=lambda r: r.day)
     assert first.new_users == first.dau
+
+
+def test_relational_division_subset_of_buyers(spark):
+    div = _q("rel_division_all_quarters", spark)
+    rows = div.collect()
+    # every qualifying customer covers exactly the full quarter set
+    if rows:
+        n_q = rows[0].n_quarters
+        assert all(r.n_quarters == n_q for r in rows)
+
+
+def test_not_in_null_trap_holds(spark):
+    r = _q("rel_not_in_null_semantics", spark).collect()[0]
+    assert r.n_not_in_with_null == 0            # ANSI: NULL poisons NOT IN
+    assert r.n_not_in_filtered == r.n_not_exists > 0

@@ -955,3 +955,76 @@ def d4_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D4: boilerplate detection — repeated PASSAGES across documents (the
+# headers/footers/templates that survive doc-level dedup because their
+# host documents differ): the corpus is cut into non-overlapping
+# 16-token windows, each window hashed, and windows appearing in 3+
+# DISTINCT documents are reported with their spread. This is the
+# passage-granular complement of d1's doc-level exact dedup and the
+# operator a CommonCrawl-style pipeline runs to strip template text.
+# Hashing shrinks every window to 8 bytes before the shuffle (the d1
+# discipline: shuffle hashes, not text — the sample text rides along
+# only for the tiny flagged tail via max_by).
+BP_W = 16
+
+
+@query(
+    "d4_boilerplate_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        windows AS (
+            SELECT doc_id,
+                   array_to_string(ts[i * {BP_W} + 1 : (i + 1) * {BP_W}],
+                                   ' ') AS w
+            FROM toks, unnest(range(0, len(ts) // {BP_W})) AS u(i)
+            WHERE len(ts) >= {BP_W}
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(w), 1, 15) AS UBIGINT)
+                        AS BIGINT) AS h,
+                   w
+            FROM windows
+        )
+        SELECT h AS chunk_hash,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MAX(w) AS sample_text
+        FROM hashed
+        GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def d4_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    toks = d.select("doc_id", tokenize("text").alias("ts")).filter(
+        F.size("ts") >= BP_W
+    )
+    windows = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(ts) div {BP_W} - 1),"
+                f" i -> array_join(slice(ts, i * {BP_W} + 1, {BP_W}), ' '))"
+            )
+        ).alias("w"),
+    )
+    hashed = windows.select(
+        "doc_id", stable_hash60(F.col("w")).alias("h"), "w"
+    )
+    return (
+        hashed.groupBy(F.col("h").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.max("w").alias("sample_text"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )

@@ -694,3 +694,12 @@ def test_not_in_null_trap_holds(spark):
     r = _q("rel_not_in_null_semantics", spark).collect()[0]
     assert r.n_not_in_with_null == 0            # ANSI: NULL poisons NOT IN
     assert r.n_not_in_filtered == r.n_not_exists > 0
+
+
+def test_boilerplate_spread_bounds(spark):
+    rows = _q("d4_boilerplate_chunks", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= 3
+        assert r.n_occurrences >= r.n_docs
+        assert len(r.sample_text.split(" ")) == 16

@@ -2701,3 +2701,83 @@ def b37_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("pct_k").over(w3)
         ).alias("pct_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# B38: cross-sectional momentum — the factor-research primitive: each
+# day, rank instruments by trailing 5-day return, cut into quintiles
+# (ntile with full tiebreak), and measure the average NEXT-day return
+# per quintile — does past winning predict tomorrow? Trailing/forward
+# returns live on the (company, day) grid (daily closes via max_by
+# structs, one shuffle); the cross-sectional ntile partitions BY DAY on
+# that bounded grid. Returns are 6dp-gridded, quintile means
+# decimal-averaged: deterministic end to end.
+@query(
+    "b38_momentum_quintiles",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   MAX_BY(close, ts) AS d_close
+            FROM candles
+            GROUP BY company_id, date_trunc('day', ts)
+        ),
+        rets AS (
+            SELECT company_id, day,
+                   ROUND(d_close / LAG(d_close, 5) OVER w - 1.0, 6)
+                       AS trail_ret,
+                   ROUND(LEAD(d_close) OVER w / d_close - 1.0, 6)
+                       AS fwd_ret
+            FROM daily
+            WINDOW w AS (PARTITION BY company_id ORDER BY day ASC)
+        ),
+        ranked AS (
+            SELECT day, trail_ret, fwd_ret,
+                   NTILE(5) OVER (PARTITION BY day
+                                  ORDER BY trail_ret ASC, company_id ASC)
+                       AS quintile
+            FROM rets
+            WHERE trail_ret IS NOT NULL AND fwd_ret IS NOT NULL
+        )
+        SELECT quintile,
+               COUNT(*) AS n_obs,
+               CAST(SUM(CAST(trail_ret AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_trailing,
+               CAST(SUM(CAST(fwd_ret AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_forward
+        FROM ranked
+        GROUP BY quintile
+        """
+    ),
+)
+def b38_momentum_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(F.max_by("close", "ts").alias("d_close"))
+    w = Window.partitionBy("company_id").orderBy(F.col("day").asc())
+    rets = daily.select(
+        "company_id",
+        "day",
+        F.round(F.col("d_close") / F.lag("d_close", 5).over(w) - 1.0, 6)
+        .alias("trail_ret"),
+        F.round(F.lead("d_close").over(w) / F.col("d_close") - 1.0, 6)
+        .alias("fwd_ret"),
+    ).filter(F.col("trail_ret").isNotNull() & F.col("fwd_ret").isNotNull())
+    wq = Window.partitionBy("day").orderBy(
+        F.col("trail_ret").asc(), F.col("company_id").asc()
+    )
+    ranked = rets.withColumn("quintile", F.ntile(5).over(wq))
+    return ranked.groupBy("quintile").agg(
+        F.count("*").alias("n_obs"),
+        (
+            F.sum(F.col("trail_ret").cast(_DEC)).cast("double")
+            / F.count("*")
+        ).alias("avg_trailing"),
+        (
+            F.sum(F.col("fwd_ret").cast(_DEC)).cast("double")
+            / F.count("*")
+        ).alias("avg_forward"),
+    )

@@ -36,6 +36,7 @@ from ..functions.text import (
     stable_hash60,
     tokenize,
 )
+from ..fixtures import oracle_on_domain
 from ..io import load_table
 from ..registry import query
 
@@ -1338,5 +1339,72 @@ def d1_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev.value").alias("previous_value"),
             F.col("cur.ts").alias("changed_at"),
             "n_versions",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D1: erasure audit — the right-to-be-forgotten dry run: given a
+# deletion list (user_id % 37 = 0 stands in for the request queue),
+# report the purge blast radius across the raw events table AND a
+# derived table (trades), whose rows tie back to a user only through
+# their originating event (trade_id = event_id) — the lineage walk a
+# real erasure job must do before destroying anything. The derived-side
+# count is a LEFT SEMI probe of trades against the deletion-marked
+# event ids (hash semi-join on the id — the deletion set is data-sized,
+# so no broadcast assumption); output is counts + erased share per
+# table, emitted BEFORE any write. Complements
+# rel_delete_cascade_audit's FK walk on the warehouse side.
+@query(
+    "d1_erasure_audit",
+    oracle=oracle_on_domain(
+        """
+        , del_events AS (
+            SELECT event_id FROM events WHERE user_id % 37 = 0
+        ),
+        ev AS (
+            SELECT COUNT(*) AS n_rows,
+                   (SELECT COUNT(*) FROM del_events) AS n_to_erase
+            FROM events
+        ),
+        tr AS (
+            SELECT (SELECT COUNT(*) FROM trades) AS n_rows,
+                   COUNT(*) AS n_to_erase
+            FROM trades t
+            WHERE t.trade_id IN (SELECT event_id FROM del_events)
+        )
+        SELECT 'events' AS table_name, n_rows, n_to_erase,
+               CAST(n_to_erase AS DOUBLE) / n_rows AS erase_share
+        FROM ev
+        UNION ALL
+        SELECT 'trades', n_rows, n_to_erase,
+               CAST(n_to_erase AS DOUBLE) / n_rows
+        FROM tr
+        """
+    ),
+)
+def d1_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import domain_table
+
+    e = load_table(spark, sf_dir, "events")
+    del_events = e.filter(F.col("user_id") % 37 == 0).select("event_id")
+    ev = e.agg(F.count("*").alias("n_rows")).crossJoin(
+        del_events.agg(F.count("*").alias("n_to_erase"))
+    )
+    t = domain_table(spark, sf_dir, "trades")
+    hit = t.join(
+        del_events, t["trade_id"] == del_events["event_id"], "left_semi"
+    )
+    tr = t.agg(F.count("*").alias("n_rows")).crossJoin(
+        hit.agg(F.count("*").alias("n_to_erase"))
+    )
+    share = (F.col("n_to_erase").cast("double") / F.col("n_rows")).alias(
+        "erase_share"
+    )
+    return ev.select(
+        F.lit("events").alias("table_name"), "n_rows", "n_to_erase", share
+    ).unionAll(
+        tr.select(
+            F.lit("trades").alias("table_name"), "n_rows", "n_to_erase", share
         )
     )

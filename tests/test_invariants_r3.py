@@ -703,3 +703,25 @@ def test_boilerplate_spread_bounds(spark):
         assert r.n_docs >= 3
         assert r.n_occurrences >= r.n_docs
         assert len(r.sample_text.split(" ")) == 16
+
+
+def test_momentum_quintiles_partition(spark):
+    rows = sorted(
+        _q("b38_momentum_quintiles", spark).collect(),
+        key=lambda r: r.quintile,
+    )
+    assert [r.quintile for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 5
+    # trailing means must increase with the quintile by construction
+    trail = [r.avg_trailing for r in rows]
+    assert all(b >= a for a, b in zip(trail, trail[1:]))
+
+
+def test_erasure_audit_shares(spark):
+    rows = {r.table_name: r for r in _q("d1_erasure_audit", spark).collect()}
+    assert set(rows) == {"events", "trades"}
+    for r in rows.values():
+        assert 0 <= r.n_to_erase <= r.n_rows
+        assert abs(r.erase_share - r.n_to_erase / r.n_rows) < 1e-12
+    # trades derive 1:1 from events, so the blast radius matches
+    assert rows["events"].n_to_erase == rows["trades"].n_to_erase

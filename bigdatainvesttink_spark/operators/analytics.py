@@ -2781,3 +2781,92 @@ def b38_momentum_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_forward"),
     )
+
+
+# --------------------------------------------------------------------------
+# B39: return skewness and excess kurtosis — the higher-moment tail
+# profile (crash asymmetry, fat tails) per instrument, assembled from
+# decimal-routed power sums of 6dp-gridded hourly log returns: each
+# r^2 / r^3 / r^4 term is rounded to the grid and summed exactly, so
+# the central-moment algebra runs on identical doubles both engines —
+# the same discipline as b29/b30, extended two moments up. One shuffle,
+# one constant-width aggregate.
+@query(
+    "b39_return_moments",
+    oracle=oracle_on_domain(
+        """
+        , rets AS (
+            SELECT company_id,
+                   ROUND(ln(close / LAG(close) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)), 6) AS r
+            FROM candles
+        ),
+        mom AS (
+            SELECT company_id, COUNT(r) AS n,
+                   CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(ROUND(r * r, 6) AS DECIMAL(27,6)))
+                        AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(ROUND(r * r * r, 6) AS DECIMAL(27,6)))
+                        AS DOUBLE) AS s3,
+                   CAST(SUM(CAST(ROUND(r * r * r * r, 6)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS s4
+            FROM rets WHERE r IS NOT NULL
+            GROUP BY company_id
+        )
+        SELECT company_id, n AS n_returns,
+               (s3 / n - 3 * (s1 / n) * (s2 / n)
+                + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+               (s4 / n - 4 * (s1 / n) * (s3 / n)
+                + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * (s2 / n - (s1 / n) * (s1 / n))) - 3.0
+                   AS excess_kurtosis
+        FROM mom
+        WHERE n >= 30 AND s2 / n - (s1 / n) * (s1 / n) > 0
+        """
+    ),
+)
+def b39_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    r = F.round(F.log(F.col("close") / F.lag("close").over(w)), 6)
+    rets = c.select("company_id", r.alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    mom = rets.groupBy("company_id").agg(
+        F.count("r").alias("n"),
+        F.sum(F.col("r").cast(_DEC)).cast("double").alias("s1"),
+        F.sum(F.round(F.col("r") * F.col("r"), 6).cast(_DEC))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.round(F.col("r") * F.col("r") * F.col("r"), 6).cast(_DEC))
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            F.round(F.col("r") * F.col("r") * F.col("r") * F.col("r"), 6)
+            .cast(_DEC)
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m1 * m1
+    # var * sqrt(var), not pow(var, 1.5): pow is engine-libm (observed
+    # last-ulp divergence); sqrt is IEEE-correctly-rounded everywhere
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    ) / (var * var) - 3.0
+    return mom.filter((n >= 30) & (var > 0)).select(
+        "company_id",
+        n.alias("n_returns"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )

@@ -1821,3 +1821,51 @@ def d7_pretrain_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chunks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-shard manifest — the artifact a distributed data loader
+# actually consumes: for epoch 0 of the deterministic shuffle
+# (d7_epoch_shuffle's keying), each shard's document count, token mass,
+# and an order-insensitive bit_xor integrity checksum over the
+# per-document (shuffle-key ⊕ token-count) words — the same
+# reconciliation discipline as rel_table_checksum, applied to loader
+# shards: any dropped/duplicated/corrupted doc flips the checksum. One
+# shuffle to the shard grid; checksum verification at read time is a
+# per-shard fold needing no coordination.
+@query(
+    "d7_shard_manifest",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tok,
+                   CAST(CAST('0x' || substr(md5(doc_id || ':0'), 1, 15)
+                        AS UBIGINT) AS BIGINT) AS skey
+            FROM documents WHERE text <> ''
+        )
+        SELECT skey % {N_SHUFFLE_SHARDS} AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               BIT_XOR(xor(skey, n_tok)) AS checksum
+        FROM keyed
+        GROUP BY skey % {N_SHUFFLE_SHARDS}
+    """,
+)
+def d7_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    keyed = d.select(
+        F.size(tokenize("text")).alias("n_tok"),
+        stable_hash60(
+            F.concat_ws(":", F.col("doc_id"), F.lit(0))
+        ).alias("skey"),
+    )
+    return keyed.groupBy(
+        (F.col("skey") % N_SHUFFLE_SHARDS).alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.bit_xor(F.col("skey").bitwiseXOR(F.col("n_tok"))).alias(
+            "checksum"
+        ),
+    )

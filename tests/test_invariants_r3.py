@@ -725,3 +725,26 @@ def test_erasure_audit_shares(spark):
         assert abs(r.erase_share - r.n_to_erase / r.n_rows) < 1e-12
     # trades derive 1:1 from events, so the blast radius matches
     assert rows["events"].n_to_erase == rows["trades"].n_to_erase
+
+
+def test_shard_manifest_covers_corpus(spark):
+    from bigdatainvesttink_spark.io import load_table
+
+    rows = _q("d7_shard_manifest", spark).collect()
+    assert rows
+    total = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("text") != ""
+    ).count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(r.total_tokens > 0 for r in rows)
+
+
+def test_return_moments_kurtosis_floor(spark):
+    df = _q("b39_return_moments", spark)
+    assert df.count() > 0
+    # excess kurtosis is bounded below by skew^2 - 2 (Pearson inequality)
+    bad = df.filter(
+        F.col("excess_kurtosis")
+        < F.col("skewness") * F.col("skewness") - 2.0 - 1e-6
+    )
+    assert bad.count() == 0

@@ -56,3 +56,50 @@ def shuffle_count(df: DataFrame) -> int:
         for line in physical.splitlines()
         if "BroadcastExchange" not in line
     )
+
+
+def audit_report(df: DataFrame) -> dict:
+    """One-call structured summary of a plan's scale-relevant properties.
+
+    The programmatic face of this module: everything the individual
+    helpers expose, in one dict a notebook/CI gate can assert on or log —
+    shuffle and join strategy counts, scan count, pushed filters,
+    whole-stage-codegen coverage, and the red flags (cartesian products,
+    row-at-a-time Python evals) that should never appear in this repo's
+    plans.
+    """
+    import re
+
+    text = plan_text(df)
+    physical = text.split("== Physical Plan ==")[-1]
+    if "isFinalPlan=true" in executed_plan(df):
+        # AQE-final operators after a run; the dump appends the initial
+        # plan below a marker — audit only the final tree
+        physical = executed_plan(df).split("+- == Initial Plan ==")[0]
+    lines = physical.splitlines()
+    # codegen spans print as "*(n)" stage markers in the plan dump
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", physical))
+    n_shuffles = sum(
+        line.count("Exchange hashpartitioning")
+        + line.count("Exchange rangepartitioning")
+        for line in lines
+        if "BroadcastExchange" not in line
+    )
+    return {
+        "n_shuffles": n_shuffles,
+        "n_broadcast_joins": physical.count("BroadcastHashJoin"),
+        "n_sort_merge_joins": physical.count("SortMergeJoin"),
+        "n_bnl_joins": physical.count("BroadcastNestedLoopJoin"),
+        "has_cartesian": "CartesianProduct" in physical,
+        "has_python_row_udf": "BatchEvalPython" in physical,
+        "n_arrow_evals": physical.count("ArrowEvalPython")
+        + physical.count("MapInPandas"),
+        "n_scans": sum(line.count("FileScan") for line in lines),
+        "n_codegen_spans": len(codegen_ids)
+        + physical.count("WholeStageCodegen"),
+        "top_k_pushed": "TakeOrderedAndProject" in physical,
+        "pushed_filters": [
+            line.strip() for line in text.splitlines()
+            if "PushedFilters: [" in line and "PushedFilters: []" not in line
+        ],
+    }

@@ -5,6 +5,7 @@ oracle (SURVEY.md §4.2)."""
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 from bigdatainvesttink_spark.plans.audit import (
     plan_text,
     pushed_filters,
@@ -540,3 +541,26 @@ def test_ks_drift_windows_on_bounded_grid(spark):
     w = physical.find("Window")
     agg = physical.rfind("HashAggregate")
     assert w != -1 and agg != -1 and w < agg
+
+
+def test_audit_report_on_flagship(spark):
+    from bigdatainvesttink_spark.plans.audit import audit_report
+
+    df = _q("q1_pricing_summary", spark)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    rpt = audit_report(df)
+    assert rpt["n_shuffles"] == 1
+    assert not rpt["has_cartesian"]
+    assert not rpt["has_python_row_udf"]
+    assert rpt["n_codegen_spans"] >= 1
+    assert rpt["pushed_filters"], "q1 must push its date filter"
+    assert rpt["n_scans"] == 1
+
+
+def test_audit_report_flags_red_patterns(spark):
+    from bigdatainvesttink_spark.plans.audit import audit_report
+
+    a = spark.range(5).select(F.col("id").alias("x"))
+    b = spark.range(3).select(F.col("id").alias("y"))
+    rpt = audit_report(a.crossJoin(b))
+    assert rpt["has_cartesian"] or rpt["n_bnl_joins"] >= 1

@@ -2870,3 +2870,101 @@ def b39_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+# --------------------------------------------------------------------------
+# B40: underwater curve — how LONG drawdowns last, complementing b12's
+# how DEEP: bars strictly below the running peak close are grouped into
+# spells (gaps-and-islands on the underwater flag), and each
+# instrument reports its spell count plus the longest spell's length
+# and bounds. Every comparison runs on identical doubles (running max
+# and close from one window pass), spell ids are integer cumsums, and
+# the longest-spell pick tiebreaks on start time — fully deterministic
+# with no rounding anywhere. One shuffle on company_id; three window
+# passes over the same partitioning (Spark plans them in one exchange).
+@query(
+    "b40_underwater_spells",
+    oracle=oracle_on_domain(
+        """
+        , uw AS (
+            SELECT company_id, ts,
+                   CASE WHEN close < MAX(close) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)
+                        THEN 1 ELSE 0 END AS under
+            FROM candles
+        ),
+        flagged AS (
+            SELECT company_id, ts, under,
+                   CASE WHEN under = 1 AND COALESCE(LAG(under) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC), 0) = 0
+                        THEN 1 ELSE 0 END AS spell_start
+            FROM uw
+        ),
+        spells AS (
+            SELECT company_id, ts,
+                   SUM(spell_start) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC) AS spell_id
+            FROM flagged WHERE under = 1
+        ),
+        sized AS (
+            SELECT company_id, spell_id, COUNT(*) AS n_bars,
+                   MIN(ts) AS spell_start_ts, MAX(ts) AS spell_end_ts
+            FROM spells GROUP BY company_id, spell_id
+        )
+        , ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY company_id
+                ORDER BY n_bars DESC, spell_start_ts ASC) AS rn
+            FROM sized
+        ),
+        agg AS (
+            SELECT company_id, COUNT(*) AS n_spells,
+                   MAX(n_bars) AS longest_bars
+            FROM sized GROUP BY company_id
+        )
+        SELECT a.company_id, a.n_spells, a.longest_bars,
+               r.spell_start_ts AS longest_start,
+               r.spell_end_ts AS longest_end
+        FROM agg a JOIN ranked r
+          ON r.company_id = a.company_id AND r.rn = 1
+        """
+    ),
+)
+def b40_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    run_max = F.max("close").over(w)
+    uw = c.select(
+        "company_id",
+        "ts",
+        F.when(F.col("close") < run_max, 1).otherwise(0).alias("under"),
+    )
+    start = F.when(
+        (F.col("under") == 1)
+        & (F.coalesce(F.lag("under").over(w), F.lit(0)) == 0),
+        1,
+    ).otherwise(0)
+    flagged = uw.withColumn("spell_start", start)
+    spells = (
+        flagged.withColumn("spell_id", F.sum("spell_start").over(w))
+        .filter(F.col("under") == 1)
+    )
+    sized = spells.groupBy("company_id", "spell_id").agg(
+        F.count("*").alias("n_bars"),
+        F.min("ts").alias("spell_start_ts"),
+        F.max("ts").alias("spell_end_ts"),
+    )
+    w_rn = Window.partitionBy("company_id").orderBy(
+        F.col("n_bars").desc(), F.col("spell_start_ts").asc()
+    )
+    ranked = sized.withColumn("rn", F.row_number().over(w_rn))
+    agg = sized.groupBy("company_id").agg(
+        F.count("*").alias("n_spells"),
+        F.max("n_bars").alias("longest_bars"),
+    )
+    longest = ranked.filter(F.col("rn") == 1).select(
+        "company_id",
+        F.col("spell_start_ts").alias("longest_start"),
+        F.col("spell_end_ts").alias("longest_end"),
+    )
+    return agg.join(longest, "company_id")

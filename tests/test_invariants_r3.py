@@ -748,3 +748,12 @@ def test_return_moments_kurtosis_floor(spark):
         < F.col("skewness") * F.col("skewness") - 2.0 - 1e-6
     )
     assert bad.count() == 0
+
+
+def test_underwater_spells_within_series(spark):
+    rows = _q("b40_underwater_spells", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.n_spells >= 1
+        assert r.longest_bars >= 1
+        assert r.longest_start <= r.longest_end

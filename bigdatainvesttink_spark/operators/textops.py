@@ -1028,3 +1028,38 @@ def d4_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (pytest-verified utility, not an
+# oracle row: zlib is engine-external, so no SQL oracle can mirror it).
+# The CCNet/Gopher-style filter: highly repetitive or templated text
+# compresses far below natural prose, so deflate ratio is a cheap
+# one-pass quality feature. Runs as an Arrow-batched mapInPandas over
+# the documents scan — the same stdlib-only vectorized-UDF discipline
+# as the multimodal harness (zlib ships with CPython; no external
+# deps). Scale: map-side only, ratio column lands next to doc_id for
+# whatever gate consumes it.
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio) via zlib level 6."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype(
+                "int64"
+            )
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = n_bytes
+            out["n_compressed"] = n_comp
+            out["ratio"] = n_comp / n_bytes.where(n_bytes > 0, 1)
+            yield out
+
+    return docs.select("doc_id", "text").mapInPandas(
+        score,
+        "doc_id long, n_bytes long, n_compressed long, ratio double",
+    )

@@ -75,3 +75,24 @@ def test_multimodal_meta_is_deterministic_and_batched(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_compression_ratio_orders_quality(spark):
+    """zlib ratio must (a) be reproducible, (b) rate repeated text far
+    below unique prose — the property the quality gate relies on."""
+    from bigdatainvesttink_spark.operators.textops import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 50),
+        (2, " ".join(f"unique{i}word{i * 7919 % 10007}" for i in range(400))),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert got[1].ratio < 0.1            # pure repetition crushes
+    assert got[2].ratio > 0.25           # unique tokens resist
+    assert got[1].ratio < got[2].ratio
+    assert got[3].n_compressed > 0       # empty doc: defined, no div0
+    # determinism
+    again = {r.doc_id: r.ratio for r in compression_ratio(df).collect()}
+    assert {k: v.ratio for k, v in got.items()} == again

@@ -2968,3 +2968,80 @@ def b40_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spell_end_ts").alias("longest_end"),
     )
     return agg.join(longest, "company_id")
+
+
+# --------------------------------------------------------------------------
+# B41: overnight vs intraday return split — the classic decomposition
+# r_close-to-close = r_overnight (prior close -> open) + r_intraday
+# (open -> close), whose per-leg averages famously diverge. Daily
+# open/close pin to the (ts, trade_id) total order exactly as b34; log
+# legs are 6dp-gridded and decimal-averaged per instrument; the
+# identity avg_total = avg_overnight + avg_intraday then holds to the
+# grid (invariant-tested). One shuffle to the day grid, one lag window.
+@query(
+    "b41_overnight_intraday_split",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   MIN({'ts': ts, 'tid': trade_id, 'p': price}).p
+                       AS day_open,
+                   MAX({'ts': ts, 'tid': trade_id, 'p': price}).p
+                       AS day_close
+            FROM trades
+            GROUP BY company_id, date_trunc('day', ts)
+        ),
+        legs AS (
+            SELECT company_id,
+                   ROUND(ln(day_open / LAG(day_close) OVER w), 6)
+                       AS r_overnight,
+                   ROUND(ln(day_close / day_open), 6) AS r_intraday
+            FROM daily
+            WINDOW w AS (PARTITION BY company_id ORDER BY day ASC)
+        )
+        SELECT company_id,
+               COUNT(r_overnight) AS n_days,
+               CAST(SUM(CAST(r_overnight AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(r_overnight) AS avg_overnight,
+               CAST(SUM(CAST(r_intraday AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(r_overnight) AS avg_intraday
+        FROM legs
+        WHERE r_overnight IS NOT NULL
+        GROUP BY company_id
+        """
+    ),
+)
+def b41_overnight_intraday_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    ver = F.struct(
+        F.col("ts"), F.col("trade_id").alias("tid"), F.col("price").alias("p")
+    )
+    daily = t.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(
+        F.min(ver)["p"].alias("day_open"),
+        F.max(ver)["p"].alias("day_close"),
+    )
+    w = Window.partitionBy("company_id").orderBy(F.col("day").asc())
+    legs = daily.select(
+        "company_id",
+        F.round(
+            F.log(F.col("day_open") / F.lag("day_close").over(w)), 6
+        ).alias("r_overnight"),
+        F.round(F.log(F.col("day_close") / F.col("day_open")), 6).alias(
+            "r_intraday"
+        ),
+    ).filter(F.col("r_overnight").isNotNull())
+    return legs.groupBy("company_id").agg(
+        F.count("r_overnight").alias("n_days"),
+        (
+            F.sum(F.col("r_overnight").cast(_DEC)).cast("double")
+            / F.count("r_overnight")
+        ).alias("avg_overnight"),
+        (
+            F.sum(F.col("r_intraday").cast(_DEC)).cast("double")
+            / F.count("r_overnight")
+        ).alias("avg_intraday"),
+    )

@@ -757,3 +757,13 @@ def test_underwater_spells_within_series(spark):
         assert r.n_spells >= 1
         assert r.longest_bars >= 1
         assert r.longest_start <= r.longest_end
+
+
+def test_overnight_intraday_rows_align_with_gaps(spark):
+    # the decomposition runs on the same day grid as b34's gap study
+    a = _q("b41_overnight_intraday_split", spark)
+    b = _q("b34_overnight_gaps", spark)
+    ja = {r.company_id: r.n_days for r in a.collect()}
+    jb = {r.company_id: r.n_gaps for r in b.collect()}
+    assert ja and ja.keys() == jb.keys()
+    assert all(ja[k] == jb[k] for k in ja)

@@ -1869,3 +1869,88 @@ def d7_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality (bounded, sampled) — the distance-based centrality
+# beside PageRank's flow-based one: each node scores sum(1/d(s, node))
+# over a deterministic 1-in-97 source sample, distances capped at 3 hops
+# (the standard sampled+bounded approximation at scale — exact harmonic
+# centrality is all-pairs). The Spark side runs real multi-source BFS:
+# per hop, one frontier-edge join plus an anti-join against the visited
+# set, both keyed (source, node) — never a walk enumeration. The oracle
+# enumerates all <=3-hop walks and takes MIN(hops) per (source, node):
+# walk-minimum equals BFS distance within the cap, so both sides agree
+# while doing O(frontier) vs O(walks) work. 1/d terms are 6dp-gridded
+# and decimal-summed.
+HC_HOPS = 3
+
+
+@query(
+    "d2_harmonic_centrality",
+    oracle=_GRAPH_SQL
+    + """
+        , bi AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        seeds AS (SELECT DISTINCT u AS src FROM bi WHERE u % 97 = 0),
+        w1 AS (
+            SELECT s.src, bi.v AS node, 1 AS hops
+            FROM seeds s JOIN bi ON bi.u = s.src
+        ),
+        w2 AS (
+            SELECT w1.src, bi.v AS node, 2 AS hops
+            FROM w1 JOIN bi ON bi.u = w1.node
+        ),
+        w3 AS (
+            SELECT w2.src, bi.v AS node, 3 AS hops
+            FROM w2 JOIN bi ON bi.u = w2.node
+        ),
+        dist AS (
+            SELECT src, node, MIN(hops) AS d
+            FROM (SELECT * FROM w1 UNION ALL
+                  SELECT * FROM w2 UNION ALL
+                  SELECT * FROM w3) walks
+            WHERE node <> src
+            GROUP BY src, node
+        )
+        SELECT node,
+               COUNT(*) AS n_sources,
+               CAST(SUM(CAST(ROUND(1.0 / d, 6) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS harmonic
+        FROM dist
+        GROUP BY node
+    """,
+)
+def d2_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    bi = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    seeds = (
+        bi.filter(F.col("u") % 97 == 0)
+        .select(F.col("u").alias("src"))
+        .distinct()
+    )
+    frontier = seeds.select("src", F.col("src").alias("node"))
+    visited = frontier.withColumn("d", F.lit(0))
+    for h in range(1, HC_HOPS + 1):
+        expanded = (
+            frontier.join(bi, frontier["node"] == bi["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = expanded.join(visited, ["src", "node"], "left_anti")
+        fresh = checkpointed(fresh.withColumn("d", F.lit(h)))
+        visited = visited.unionAll(fresh)
+        frontier = fresh.select("src", "node")
+    scored = visited.filter(F.col("d") > 0)
+    return scored.groupBy("node").agg(
+        F.count("*").alias("n_sources"),
+        F.sum(
+            F.round(F.lit(1.0) / F.col("d"), 6).cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("harmonic"),
+    )

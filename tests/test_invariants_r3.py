@@ -767,3 +767,12 @@ def test_overnight_intraday_rows_align_with_gaps(spark):
     jb = {r.company_id: r.n_gaps for r in b.collect()}
     assert ja and ja.keys() == jb.keys()
     assert all(ja[k] == jb[k] for k in ja)
+
+
+def test_harmonic_centrality_bounds(spark):
+    rows = _q("d2_harmonic_centrality", spark).collect()
+    assert rows
+    for r in rows:
+        # each source contributes at most 1.0 (distance >= 1)
+        assert 0 < r.harmonic <= r.n_sources + 1e-9
+        assert r.n_sources >= 1

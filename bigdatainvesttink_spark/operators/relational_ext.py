@@ -1065,3 +1065,79 @@ def rel_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS n_not_exists
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery — the schema-profiling probe behind
+# normalization advice and key detection: for each candidate
+# determinant -> dependent pair, does every determinant value map to
+# exactly one dependent value? Violations are measured exactly as
+# count(distinct (det, dep)) - count(distinct det) — zero iff the FD
+# holds. One aggregate per candidate over a single scan each (the
+# candidate list is fixed and tiny; at warehouse scale you'd run the
+# same counts through approx_count_distinct first and confirm exact
+# only on survivors — noted, not needed at fixture truth-set sizes).
+@query(
+    "rel_fd_discovery",
+    oracle="""
+        SELECT 'o_orderkey->o_custkey' AS candidate,
+               COUNT(DISTINCT o_orderkey) AS n_det,
+               COUNT(DISTINCT (o_orderkey, o_custkey)) AS n_pairs,
+               COUNT(DISTINCT (o_orderkey, o_custkey))
+                   - COUNT(DISTINCT o_orderkey) = 0 AS fd_holds
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey->o_orderpriority',
+               COUNT(DISTINCT o_custkey),
+               COUNT(DISTINCT (o_custkey, o_orderpriority)),
+               COUNT(DISTINCT (o_custkey, o_orderpriority))
+                   - COUNT(DISTINCT o_custkey) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'c_custkey->c_nationkey',
+               COUNT(DISTINCT c_custkey),
+               COUNT(DISTINCT (c_custkey, c_nationkey)),
+               COUNT(DISTINCT (c_custkey, c_nationkey))
+                   - COUNT(DISTINCT c_custkey) = 0
+        FROM customer
+        UNION ALL
+        SELECT 'l_orderkey->l_returnflag',
+               COUNT(DISTINCT l_orderkey),
+               COUNT(DISTINCT (l_orderkey, l_returnflag)),
+               COUNT(DISTINCT (l_orderkey, l_returnflag))
+                   - COUNT(DISTINCT l_orderkey) = 0
+        FROM lineitem
+    """,
+)
+def rel_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def probe(df, name, det, dep):
+        return df.agg(
+            F.countDistinct(det).alias("n_det"),
+            F.countDistinct(det, dep).alias("n_pairs"),
+        ).select(
+            F.lit(name).alias("candidate"),
+            "n_det",
+            "n_pairs",
+            (F.col("n_pairs") - F.col("n_det") == 0).alias("fd_holds"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        probe(o, "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(
+            probe(
+                o,
+                "o_custkey->o_orderpriority",
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+        .unionAll(
+            probe(c, "c_custkey->c_nationkey", "c_custkey", "c_nationkey")
+        )
+        .unionAll(
+            probe(l, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag")
+        )
+    )

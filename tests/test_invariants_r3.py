@@ -776,3 +776,13 @@ def test_harmonic_centrality_bounds(spark):
         # each source contributes at most 1.0 (distance >= 1)
         assert 0 < r.harmonic <= r.n_sources + 1e-9
         assert r.n_sources >= 1
+
+
+def test_fd_discovery_known_truths(spark):
+    rows = {r.candidate: r for r in _q("rel_fd_discovery", spark).collect()}
+    # keys determine everything; attributes don't determine keys' range
+    assert rows["o_orderkey->o_custkey"].fd_holds
+    assert rows["c_custkey->c_nationkey"].fd_holds
+    for r in rows.values():
+        assert r.n_pairs >= r.n_det
+        assert r.fd_holds == (r.n_pairs == r.n_det)

@@ -1302,3 +1302,96 @@ def d6_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: Markov steady state — where does the behavior chain settle? The
+# stationary distribution of d6_event_transitions' matrix via 8 unrolled
+# power-iteration rounds (the d2_pagerank_fixed discipline: every
+# per-round product is 6dp-rounded and decimal-summed, so the whole
+# fixed point is bit-identical cross-engine and exactly oracle-checked
+# rather than rows-only). The state space is the event-type vocabulary —
+# a constant grid; every round is one broadcast join + one tiny
+# aggregate. Row-normalized probs are exact-integer ratios rounded to
+# the grid before entering the iteration.
+MK_ITERS = 8
+
+
+def _markov_oracle() -> str:
+    sql = """
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS dst
+            FROM events
+        ),
+        counted AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        p AS (
+            SELECT src, dst,
+                   ROUND(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (PARTITION BY src), 6) AS pr
+            FROM counted
+        ),
+        states AS (SELECT DISTINCT src AS s FROM counted),
+        ns AS (SELECT COUNT(*) AS n FROM states),
+        pi0 AS (
+            SELECT s, ROUND(1.0 / (SELECT n FROM ns), 6) AS w FROM states
+        )"""
+    for i in range(1, MK_ITERS + 1):
+        sql += f""",
+        pi{i} AS (
+            SELECT p.dst AS s,
+                   ROUND(CAST(SUM(CAST(ROUND(prev.w * p.pr, 6)
+                                       AS DECIMAL(27,6))) AS DOUBLE), 6)
+                       AS w
+            FROM pi{i - 1} prev JOIN p ON p.src = prev.s
+            GROUP BY p.dst
+        )"""
+    return sql + f"""
+        SELECT s AS event_type, w AS stationary_prob FROM pi{MK_ITERS}"""
+
+
+@query("d6_markov_stationary", oracle=_markov_oracle())
+def d6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counted = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    p = counted.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src")),
+            6,
+        ).alias("pr"),
+    )
+    states = counted.select(F.col("src").alias("s")).distinct()
+    ns = states.agg(F.count("*").alias("n"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "s", F.round(F.lit(1.0) / F.col("n"), 6).alias("w")
+    )
+    for _ in range(MK_ITERS):
+        pi = (
+            pi.join(F.broadcast(p), pi["s"] == p["src"])
+            .select(
+                F.col("dst").alias("s"),
+                F.round(F.col("w") * F.col("pr"), 6)
+                .cast("decimal(27,6)")
+                .alias("c"),
+            )
+            .groupBy("s")
+            .agg(F.round(F.sum("c").cast("double"), 6).alias("w"))
+        )
+    return pi.select(
+        F.col("s").alias("event_type"), F.col("w").alias("stationary_prob")
+    )

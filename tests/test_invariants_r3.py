@@ -786,3 +786,12 @@ def test_fd_discovery_known_truths(spark):
     for r in rows.values():
         assert r.n_pairs >= r.n_det
         assert r.fd_holds == (r.n_pairs == r.n_det)
+
+
+def test_markov_stationary_is_distribution(spark):
+    rows = _q("d6_markov_stationary", spark).collect()
+    assert rows
+    total = sum(r.stationary_prob for r in rows)
+    # rounded fixed point: sums to 1 within the 6dp grid accumulation
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.stationary_prob > 0 for r in rows)

@@ -3045,3 +3045,56 @@ def b41_overnight_intraday_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("r_overnight")
         ).alias("avg_intraday"),
     )
+
+
+# --------------------------------------------------------------------------
+# B42: price clustering — do trades gravitate to round price levels?
+# The microstructure classic: bucket each trade by its price's
+# fractional remainder against a 0.25 grid (micro-unit modulus — exact
+# int64, the b27 policy), and report each remainder bucket's share plus
+# the integer-price share. Uniform-looking remainders = no clustering;
+# spikes at 0 = round-number attraction. All counts exact; shares are
+# exact-integer ratios.
+@query(
+    "b42_price_clustering",
+    oracle=oracle_on_domain(
+        """
+        , pm AS (
+            SELECT CAST(CAST(price AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS micro
+            FROM trades
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM pm)
+        SELECT (micro % 1000000) // 250000 AS quarter_bucket,
+               COUNT(*) AS n_trades,
+               CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share,
+               COUNT(*) FILTER (WHERE micro % 1000000 = 0)
+                   AS n_exact_integer
+        FROM pm
+        GROUP BY (micro % 1000000) // 250000
+        """
+    ),
+)
+def b42_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    micro = (F.col("price").cast("decimal(18,6)") * 1000000).cast("bigint")
+    pm = t.select(micro.alias("micro"))
+    tot = pm.agg(F.count("*").alias("n"))
+    return (
+        pm.groupBy(
+            F.expr("(micro % 1000000) div 250000").alias("quarter_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.count_if(F.col("micro") % 1000000 == 0).alias(
+                "n_exact_integer"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quarter_bucket",
+            "n_trades",
+            (F.col("n_trades").cast("double") / F.col("n")).alias("share"),
+            "n_exact_integer",
+        )
+    )

@@ -1395,3 +1395,67 @@ def d6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("s").alias("event_type"), F.col("w").alias("stationary_prob")
     )
+
+
+# --------------------------------------------------------------------------
+# D6: burstiness coefficient — Goh-Barabasi B = (sigma - mu)/(sigma + mu)
+# of each user's inter-event gaps: -1 = metronome, 0 = Poisson, ->1 =
+# extreme bursts. Gaps are exact epoch-microsecond integers (one lag
+# window per user); mu and sigma come from exact integer moment sums,
+# so B is one deterministic double expression — no rounding policy.
+# Users need >= 5 gaps for the estimate to mean anything.
+@query(
+    "d6_burstiness",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC)) AS g
+            FROM events
+        ),
+        mom AS (
+            SELECT user_id, COUNT(g) AS n,
+                   CAST(SUM(g) AS BIGINT) AS s1,
+                   SUM(CAST(g AS HUGEINT) * g) AS s2
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n AS n_gaps,
+               (sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                - CAST(s1 AS DOUBLE) / n)
+               / (sqrt(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                  + CAST(s1 AS DOUBLE) / n) AS burstiness
+        FROM mom
+        WHERE n >= 5 AND s1 > 0
+    """,
+)
+def d6_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gaps = e.select("user_id", (us - lag_us).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    # g*g can reach ~7e21 for multi-day gaps — sum in decimal (exact,
+    # matching DuckDB's HUGEINT path) before the double conversion
+    mom = gaps.groupBy("user_id").agg(
+        F.count("g").alias("n"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum((F.col("g") * F.lit(1)).cast("decimal(38,0)") * F.col("g"))
+        .alias("s2"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    sd = F.sqrt(F.col("s2").cast("double") / n - mu * mu)
+    return mom.filter((n >= 5) & (F.col("s1") > 0)).select(
+        "user_id",
+        n.alias("n_gaps"),
+        ((sd - mu) / (sd + mu)).alias("burstiness"),
+    )

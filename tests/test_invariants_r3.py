@@ -795,3 +795,21 @@ def test_markov_stationary_is_distribution(spark):
     # rounded fixed point: sums to 1 within the 6dp grid accumulation
     assert abs(total - 1.0) < 1e-3
     assert all(r.stationary_prob > 0 for r in rows)
+
+
+def test_price_clustering_shares_partition(spark):
+    rows = _q("b42_price_clustering", spark).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert 0 <= r.quarter_bucket <= 3
+        assert r.n_exact_integer <= r.n_trades
+
+
+def test_burstiness_in_range(spark):
+    df = _q("d6_burstiness", spark)
+    assert df.count() > 0
+    bad = df.filter(
+        (F.col("burstiness") <= -1) | (F.col("burstiness") >= 1)
+    )
+    assert bad.count() == 0

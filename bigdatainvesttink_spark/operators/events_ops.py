@@ -1459,3 +1459,65 @@ def d6_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_gaps"),
         ((sd - mu) / (sd + mu)).alias("burstiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: behavioral entropy — Shannon entropy of each user's event-type
+# mix (how specialized vs diverse their behavior is), in bits. Counts
+# are exact; each -p*log2(p) term evaluates on exact-integer ratios and
+# is 6dp-gridded before the decimal sum over the (user, type) grid —
+# the d4_bigram_logprob policy. Diversity also reported as the
+# normalized fraction of the maximum (log2 of the user's distinct-type
+# count), NULL when a user has a single type (zero entropy, undefined
+# normalization).
+@query(
+    "d6_behavior_entropy",
+    oracle="""
+        WITH cnt AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT user_id, CAST(SUM(n) AS BIGINT) AS tn,
+                   COUNT(*) AS n_types
+            FROM cnt GROUP BY user_id
+        ),
+        terms AS (
+            SELECT c.user_id, t.tn, t.n_types,
+                   ROUND(-(CAST(c.n AS DOUBLE) / t.tn)
+                         * log2(CAST(c.n AS DOUBLE) / t.tn), 6) AS term
+            FROM cnt c JOIN tot t ON t.user_id = c.user_id
+        )
+        SELECT user_id, MAX(n_types) AS n_types,
+               CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE)
+                   AS entropy_bits,
+               CASE WHEN MAX(n_types) > 1
+                    THEN CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE)
+                         / log2(CAST(MAX(n_types) AS DOUBLE))
+                    END AS normalized_entropy
+        FROM terms
+        GROUP BY user_id
+    """,
+)
+def d6_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.count("*").alias("n_types"),
+    )
+    p = F.col("n").cast("double") / F.col("tn")
+    terms = cnt.join(tot, "user_id").select(
+        "user_id",
+        "n_types",
+        F.round(-p * F.log2(p), 6).cast("decimal(27,6)").alias("term"),
+    )
+    ent = F.sum("term").cast("double")
+    return terms.groupBy("user_id").agg(
+        F.max("n_types").alias("n_types"),
+        ent.alias("entropy_bits"),
+        F.when(
+            F.max("n_types") > 1,
+            ent / F.log2(F.max("n_types").cast("double")),
+        ).alias("normalized_entropy"),
+    )

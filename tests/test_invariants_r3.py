@@ -813,3 +813,18 @@ def test_burstiness_in_range(spark):
         (F.col("burstiness") <= -1) | (F.col("burstiness") >= 1)
     )
     assert bad.count() == 0
+
+
+def test_behavior_entropy_bounds(spark):
+    rows = _q("d6_behavior_entropy", spark).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r.entropy_bits >= -1e-9
+        assert r.entropy_bits <= math.log2(max(r.n_types, 1)) + 1e-3
+        if r.n_types == 1:
+            assert r.normalized_entropy is None
+            assert abs(r.entropy_bits) < 1e-9
+        else:
+            assert -1e-9 <= r.normalized_entropy <= 1.0 + 1e-3

@@ -642,3 +642,94 @@ def c_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((var > 0) & (F.abs(z) > 2.0))
         .select("event_type", "window_start", "n_events", z.alias("zscore"))
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dead-letter-queue round-trip — A14's rejected side-channel
+# ON THE WIRE: the deterministically corrupted trades feed
+# (a_ingest_rejected_counts' corruption grammar) streams through the
+# checkpointed consumer, which lands CLEAN rows to the warehouse path
+# and REJECTED rows — with their raw payload — to a DLQ path in the
+# same foreachBatch transaction; the report reconciles both landings
+# against the wire total. This is the operational answer to "where did
+# my message go": nothing is dropped silently, every wire line lands
+# exactly once on one of the two sides. Oracle = the batch corruption
+# arithmetic.
+@query(
+    "c_stream_dlq_roundtrip",
+    oracle=oracle_on_domain(
+        """
+        SELECT 'clean' AS disposition, 'landed' AS reason,
+               COUNT(*) AS n_rows
+        FROM trades WHERE trade_id % 97 <> 0 AND trade_id % 89 <> 0
+        UNION ALL
+        SELECT 'rejected', 'missing_required', COUNT(*)
+        FROM trades WHERE trade_id % 97 = 0
+        UNION ALL
+        SELECT 'rejected', 'bad_timestamp', COUNT(*)
+        FROM trades WHERE trade_id % 97 <> 0 AND trade_id % 89 = 0
+        """
+    ),
+)
+def c_stream_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..fixtures import domain_table
+    from ..schemas import TS_FORMAT
+    from ..sources.ingest import dispatch, serialize, validate
+
+    configure(spark)
+    t = domain_table(spark, sf_dir, "trades")
+    bad_req = F.col("trade_id") % 97 == 0
+    bad_ts = F.col("trade_id") % 89 == 0
+    wire_rows = t.select(
+        "company_id",
+        F.when(bad_ts, F.lit("31/12/2024 99:99"))
+        .otherwise(F.date_format("ts", TS_FORMAT))
+        .alias("timestamp"),
+        F.when(bad_req, F.lit(None).cast("double"))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "volume",
+        "side",
+    )
+    wire = serialize(wire_rows, "trades", ts_col=None)
+    tmp = tempfile.mkdtemp(prefix="dlq_")
+    wire.write.mode("overwrite").text(f"{tmp}/wire")
+
+    raw = (
+        spark.readStream.format("text")
+        .load(f"{tmp}/wire")
+    )
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean, rejected = validate(dispatch(batch_df)["trades"], "trades")
+        clean.write.mode("append").parquet(f"{tmp}/warehouse")
+        reason = F.when(
+            F.col("price").isNull(), "missing_required"
+        ).otherwise("bad_timestamp")
+        rejected.withColumn("reason", reason).write.mode("append").parquet(
+            f"{tmp}/dlq"
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(land)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    clean_n = spark.read.parquet(f"{tmp}/warehouse").select(
+        F.lit("clean").alias("disposition"),
+        F.lit("landed").alias("reason"),
+    )
+    dlq_n = spark.read.parquet(f"{tmp}/dlq").select(
+        F.lit("rejected").alias("disposition"), "reason"
+    )
+    return (
+        clean_n.unionAll(dlq_n)
+        .groupBy("disposition", "reason")
+        .agg(F.count("*").alias("n_rows"))
+    )

@@ -828,3 +828,17 @@ def test_behavior_entropy_bounds(spark):
             assert abs(r.entropy_bits) < 1e-9
         else:
             assert -1e-9 <= r.normalized_entropy <= 1.0 + 1e-3
+
+
+def test_dlq_roundtrip_conserves_wire(spark):
+    from bigdatainvesttink_spark.fixtures import domain_table
+
+    rows = {
+        (r.disposition, r.reason): r.n_rows
+        for r in _q("c_stream_dlq_roundtrip", spark).collect()
+    }
+    total = domain_table(spark, SF_SMALL, "trades").count()
+    # every wire line lands exactly once on one side
+    assert sum(rows.values()) == total
+    assert rows[("clean", "landed")] > 0
+    assert rows.get(("rejected", "missing_required"), 0) > 0

@@ -3098,3 +3098,68 @@ def b42_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_integer",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B43: calendar (day-of-week) effect — the "Monday effect" screen: mean
+# daily close-to-close return grouped by day of week, pooled across
+# instruments, with each weekday's share of positive days. Daily
+# returns ride the b38 day grid (max_by closes, one lag window); DOW
+# extraction is exact on both engines (ISO dayofweek); returns are
+# 6dp-gridded and decimal-averaged. The finding itself is noise at
+# fixture scale — the SHAPE (calendar bucketing of a derived series) is
+# the operator.
+@query(
+    "b43_dow_effect",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   MAX_BY(close, ts) AS d_close
+            FROM candles
+            GROUP BY company_id, date_trunc('day', ts)
+        ),
+        rets AS (
+            SELECT day,
+                   ROUND(d_close / LAG(d_close) OVER (
+                       PARTITION BY company_id ORDER BY day ASC) - 1.0, 6)
+                       AS r
+            FROM daily
+        )
+        SELECT CAST(isodow(day) AS INT) AS day_of_week,
+               COUNT(r) AS n_obs,
+               CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / COUNT(r)
+                   AS avg_return,
+               CAST(COUNT(*) FILTER (WHERE r > 0) AS DOUBLE) / COUNT(r)
+                   AS positive_share
+        FROM rets
+        WHERE r IS NOT NULL
+        GROUP BY isodow(day)
+        """
+    ),
+)
+def b43_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(F.max_by("close", "ts").alias("d_close"))
+    w = Window.partitionBy("company_id").orderBy(F.col("day").asc())
+    rets = daily.select(
+        "day",
+        F.round(F.col("d_close") / F.lag("d_close").over(w) - 1.0, 6).alias(
+            "r"
+        ),
+    ).filter(F.col("r").isNotNull())
+    # Spark dayofweek: 1=Sunday; ISO dow: 1=Monday — convert exactly
+    iso = ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
+    return rets.groupBy(iso.alias("day_of_week")).agg(
+        F.count("r").alias("n_obs"),
+        (F.sum(F.col("r").cast(_DEC)).cast("double") / F.count("r")).alias(
+            "avg_return"
+        ),
+        (F.count_if(F.col("r") > 0).cast("double") / F.count("r")).alias(
+            "positive_share"
+        ),
+    )

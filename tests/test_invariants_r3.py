@@ -842,3 +842,23 @@ def test_dlq_roundtrip_conserves_wire(spark):
     assert sum(rows.values()) == total
     assert rows[("clean", "landed")] > 0
     assert rows.get(("rejected", "missing_required"), 0) > 0
+
+
+def test_dow_effect_partitions_days(spark):
+    rows = _q("b43_dow_effect", spark).collect()
+    assert rows
+    assert all(1 <= r.day_of_week <= 7 for r in rows)
+    assert all(0 <= r.positive_share <= 1 for r in rows)
+    # pooled observations = all (company, day) return rows
+    from bigdatainvesttink_spark.fixtures import domain_table
+
+    total = sum(r.n_obs for r in rows)
+    daily = (
+        domain_table(spark, SF_SMALL, "candles")
+        .groupBy("company_id", F.date_trunc("day", "ts"))
+        .count()
+        .groupBy("company_id")
+        .count()
+    )
+    want = sum(r["count"] - 1 for r in daily.collect())
+    assert total == want

@@ -1521,3 +1521,59 @@ def d6_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ent / F.log2(F.max("n_types").cast("double")),
         ).alias("normalized_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: first-touch attribution — the symmetric credit model to
+# d6_attribution_last_touch: each purchase credits the user's EARLIEST
+# view (the touch that started the journey), not the latest before
+# conversion. First-touch is a per-user min over (ts, event_id) structs
+# — one aggregate, no as-of machinery needed — hash-joined onto
+# purchases by user (the view dimension is user-sized, not broadcast). Purchases with no view ever
+# keep NULL touch (credited to 'organic' by the consumer).
+@query(
+    "d6_attribution_first_touch",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        first_view AS (
+            SELECT user_id, MIN(ts) AS first_ts
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        )
+        SELECT date_trunc('hour', f.first_ts) AS touch_hour,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(p.value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS attributed_value
+        FROM purchases p
+        LEFT JOIN first_view f
+          ON f.user_id = p.user_id AND f.first_ts <= p.ts
+        GROUP BY date_trunc('hour', f.first_ts)
+    """,
+)
+def d6_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    attributed = purchases.join(
+        first_view,
+        (purchases["user_id"] == first_view["user_id"])
+        & (first_view["first_ts"] <= purchases["ts"]),
+        "left",
+    )
+    return attributed.groupBy(
+        F.date_trunc("hour", "first_ts").alias("touch_hour")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -862,3 +862,12 @@ def test_dow_effect_partitions_days(spark):
     )
     want = sum(r["count"] - 1 for r in daily.collect())
     assert total == want
+
+
+def test_attribution_models_conserve_purchases(spark):
+    # both credit models must distribute exactly the purchase total
+    ft = _q("d6_attribution_first_touch", spark)
+    lt = _q("d6_attribution_last_touch", spark)
+    n_ft = ft.agg(F.sum("n_purchases")).collect()[0][0]
+    n_lt = lt.agg(F.sum("n_purchases")).collect()[0][0]
+    assert n_ft == n_lt and n_ft > 0

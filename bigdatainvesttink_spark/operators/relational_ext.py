@@ -1141,3 +1141,60 @@ def rel_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe(l, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IQR / Tukey-fence outliers — the robust (non-parametric) counterpart
+# to d6_anomaly_zscore's parametric rule: per order priority, fences at
+# Q1 - 1.5*IQR and Q3 + 1.5*IQR over order totals, counting rows beyond
+# each fence. Exact linear-interpolation quantiles (percentile /
+# quantile_cont agree bit-for-bit, 6dp-gridded per rel_agg_percentile's
+# policy); the fence comparisons then run in a SECOND conditional
+# aggregate joined back by group — two scans total, both partial-agg
+# shuffles. Outlier counts are exact integers.
+@query(
+    "rel_iqr_outliers",
+    oracle="""
+        WITH fences AS (
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderpriority, COUNT(*) AS n_rows,
+               f.q1, f.q3,
+               COUNT(*) FILTER (
+                   WHERE o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1))
+                   AS n_low_outliers,
+               COUNT(*) FILTER (
+                   WHERE o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1))
+                   AS n_high_outliers
+        FROM orders o JOIN fences f
+          ON f.o_orderpriority = o.o_orderpriority
+        GROUP BY o.o_orderpriority, f.q1, f.q3
+    """,
+)
+def rel_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 6).alias("q1"),
+        F.round(F.percentile("o_totalprice", 0.75), 6).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        o.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(
+                F.col("o_totalprice") < F.col("q1") - 1.5 * iqr
+            ).alias("n_low_outliers"),
+            F.count_if(
+                F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+            ).alias("n_high_outliers"),
+        )
+        .select(
+            "o_orderpriority", "n_rows", "q1", "q3",
+            "n_low_outliers", "n_high_outliers",
+        )
+    )

@@ -871,3 +871,13 @@ def test_attribution_models_conserve_purchases(spark):
     n_ft = ft.agg(F.sum("n_purchases")).collect()[0][0]
     n_lt = lt.agg(F.sum("n_purchases")).collect()[0][0]
     assert n_ft == n_lt and n_ft > 0
+
+
+def test_iqr_outliers_sane(spark):
+    rows = _q("rel_iqr_outliers", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.q1 <= r.q3
+        assert r.n_low_outliers + r.n_high_outliers < r.n_rows
+        # fences at 1.5 IQR keep at least half the data inside
+        assert (r.n_low_outliers + r.n_high_outliers) <= r.n_rows // 2

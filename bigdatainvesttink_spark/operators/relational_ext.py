@@ -1198,3 +1198,99 @@ def rel_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_low_outliers", "n_high_outliers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Warehouse health dashboard — the reference's Grafana layer distilled
+# to one long-format query: per-table row volumes and key cardinalities,
+# referential integrity along the FK chain, and data freshness, emitted
+# as (metric, subject, value) rows a panel can pivot. Each table
+# contributes one aggregate scan; the two FK probes are anti-joins that
+# AQE broadcasts. Query #250 of the registry — the dashboard the other
+# 249 queries feed.
+@query(
+    "rel_warehouse_health",
+    oracle="""
+        SELECT 'row_count' AS metric, 'customer' AS subject,
+               COUNT(*) AS value FROM customer
+        UNION ALL
+        SELECT 'row_count', 'orders', COUNT(*) FROM orders
+        UNION ALL
+        SELECT 'row_count', 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'distinct_keys', 'customer', COUNT(DISTINCT c_custkey)
+        FROM customer
+        UNION ALL
+        SELECT 'distinct_keys', 'orders', COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'fk_orphans', 'orders->customer', COUNT(*)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'fk_orphans', 'lineitem->orders', COUNT(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'freshness_epoch_day', 'orders',
+               CAST(epoch(MAX(o_orderdate)) // 86400 AS BIGINT)
+        FROM orders
+    """,
+)
+def rel_warehouse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def row(metric, subject, df_agg):
+        return df_agg.select(
+            F.lit(metric).alias("metric"),
+            F.lit(subject).alias("subject"),
+            F.col("v").cast("bigint").alias("value"),
+        )
+
+    parts = [
+        row("row_count", "customer", c.agg(F.count("*").alias("v"))),
+        row("row_count", "orders", o.agg(F.count("*").alias("v"))),
+        row("row_count", "lineitem", l.agg(F.count("*").alias("v"))),
+        row(
+            "distinct_keys",
+            "customer",
+            c.agg(F.countDistinct("c_custkey").alias("v")),
+        ),
+        row(
+            "distinct_keys",
+            "orders",
+            o.agg(F.countDistinct("o_orderkey").alias("v")),
+        ),
+        row(
+            "fk_orphans",
+            "orders->customer",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+                F.count("*").alias("v")
+            ),
+        ),
+        row(
+            "fk_orphans",
+            "lineitem->orders",
+            l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti").agg(
+                F.count("*").alias("v")
+            ),
+        ),
+        row(
+            "freshness_epoch_day",
+            "orders",
+            o.agg(
+                F.expr(
+                    "unix_seconds(CAST(MAX(o_orderdate) AS TIMESTAMP))"
+                    " div 86400"
+                ).alias("v")
+            ),
+        ),
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out

@@ -881,3 +881,16 @@ def test_iqr_outliers_sane(spark):
         assert r.n_low_outliers + r.n_high_outliers < r.n_rows
         # fences at 1.5 IQR keep at least half the data inside
         assert (r.n_low_outliers + r.n_high_outliers) <= r.n_rows // 2
+
+
+def test_warehouse_health_clean_fixture(spark):
+    rows = {
+        (r.metric, r.subject): r.value
+        for r in _q("rel_warehouse_health", spark).collect()
+    }
+    assert rows[("fk_orphans", "orders->customer")] == 0
+    assert rows[("fk_orphans", "lineitem->orders")] == 0
+    # keys are unique in the fixture
+    assert rows[("row_count", "customer")] == rows[("distinct_keys", "customer")]
+    assert rows[("row_count", "orders")] == rows[("distinct_keys", "orders")]
+    assert rows[("freshness_epoch_day", "orders")] > 0

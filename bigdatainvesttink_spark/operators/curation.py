@@ -1954,3 +1954,125 @@ def d2_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("harmonic"),
     )
+
+
+# --------------------------------------------------------------------------
+# Packing-strategy comparison — the design trade-off behind
+# d7_sequence_packing vs d7_length_bucket_packing, priced on the same
+# corpus in one report: concat-and-chunk wastes almost nothing but
+# splits documents across pack boundaries; bucket packing never splits
+# but pays padding. Both sides of the trade reduce to exact integer
+# arithmetic on the token totals/grid (no re-derivation — the formulas
+# are the two operators', inlined), so a data team can read the
+# fill-rate delta and the split count side by side before choosing.
+@query(
+    "d7_packing_strategy_compare",
+    oracle=f"""
+        WITH toks AS (
+            SELECT len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tok
+            FROM documents WHERE text <> ''
+        ),
+        sized AS (
+            SELECT n_tok FROM toks
+            WHERE n_tok > 0 AND n_tok <= {PACK_SEQ_LEN}
+        ),
+        concat_stats AS (
+            SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS n_docs,
+                   (CAST(SUM(n_tok) AS BIGINT) + {PACK_SEQ_LEN} - 1)
+                       // {PACK_SEQ_LEN} AS n_packs
+            FROM sized
+        ),
+        bucketed AS (
+            SELECT n_tok,
+                   CASE WHEN n_tok <= 32 THEN 32
+                        WHEN n_tok <= 64 THEN 64
+                        WHEN n_tok <= 128 THEN 128
+                        WHEN n_tok <= 256 THEN 256
+                        WHEN n_tok <= 512 THEN 512
+                        ELSE {PACK_SEQ_LEN} END AS cap
+            FROM sized
+        ),
+        bucket_grid AS (
+            SELECT cap, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS t,
+                   {PACK_SEQ_LEN} // cap AS dpp
+            FROM bucketed GROUP BY cap
+        ),
+        bucket_stats AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM((n_docs + dpp - 1) // dpp) AS BIGINT)
+                       AS n_packs
+            FROM bucket_grid
+        )
+        SELECT 'concat_chunk' AS strategy, n_docs, n_packs,
+               n_packs * {PACK_SEQ_LEN} - total_tokens AS wasted_tokens,
+               CAST(total_tokens AS DOUBLE)
+                   / (n_packs * {PACK_SEQ_LEN}) AS fill_rate
+        FROM concat_stats
+        UNION ALL
+        SELECT 'length_bucketed', n_docs, n_packs,
+               n_packs * {PACK_SEQ_LEN} - total_tokens,
+               CAST(total_tokens AS DOUBLE) / (n_packs * {PACK_SEQ_LEN})
+        FROM bucket_stats
+    """,
+)
+def d7_packing_strategy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    sized = docs.select(F.size(tokenize("text")).alias("n_tok")).filter(
+        (F.col("n_tok") > 0) & (F.col("n_tok") <= PACK_SEQ_LEN)
+    )
+    concat_stats = sized.agg(
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    ).select(
+        "total_tokens",
+        "n_docs",
+        F.expr(
+            f"(total_tokens + {PACK_SEQ_LEN} - 1) div {PACK_SEQ_LEN}"
+        ).alias("n_packs"),
+    )
+    cap = (
+        F.when(F.col("n_tok") <= 32, 32)
+        .when(F.col("n_tok") <= 64, 64)
+        .when(F.col("n_tok") <= 128, 128)
+        .when(F.col("n_tok") <= 256, 256)
+        .when(F.col("n_tok") <= 512, 512)
+        .otherwise(PACK_SEQ_LEN)
+    )
+    grid = (
+        sized.select("n_tok", cap.alias("cap"))
+        .groupBy("cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("t"),
+        )
+        .withColumn("dpp", F.expr(f"{PACK_SEQ_LEN} div cap"))
+    )
+    bucket_stats = grid.agg(
+        F.sum("t").cast("bigint").alias("total_tokens"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.expr("(n_docs + dpp - 1) div dpp"))
+        .cast("bigint")
+        .alias("n_packs"),
+    )
+
+    def report(df, name):
+        return df.select(
+            F.lit(name).alias("strategy"),
+            "n_docs",
+            "n_packs",
+            (F.col("n_packs") * PACK_SEQ_LEN - F.col("total_tokens")).alias(
+                "wasted_tokens"
+            ),
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_packs") * PACK_SEQ_LEN)
+            ).alias("fill_rate"),
+        )
+
+    return report(concat_stats, "concat_chunk").unionAll(
+        report(bucket_stats, "length_bucketed")
+    )

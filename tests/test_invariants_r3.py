@@ -894,3 +894,14 @@ def test_warehouse_health_clean_fixture(spark):
     assert rows[("row_count", "customer")] == rows[("distinct_keys", "customer")]
     assert rows[("row_count", "orders")] == rows[("distinct_keys", "orders")]
     assert rows[("freshness_epoch_day", "orders")] > 0
+
+
+def test_packing_compare_tradeoff_direction(spark):
+    rows = {r.strategy: r for r in _q("d7_packing_strategy_compare", spark).collect()}
+    assert set(rows) == {"concat_chunk", "length_bucketed"}
+    cc, lb = rows["concat_chunk"], rows["length_bucketed"]
+    assert cc.n_docs == lb.n_docs
+    # concat-chunk can never waste more than bucketing on the same corpus
+    assert cc.wasted_tokens <= lb.wasted_tokens
+    assert cc.fill_rate >= lb.fill_rate
+    assert cc.n_packs <= lb.n_packs

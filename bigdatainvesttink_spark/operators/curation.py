@@ -2076,3 +2076,130 @@ def d7_packing_strategy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report(concat_stats, "concat_chunk").unionAll(
         report(bucket_stats, "length_bucketed")
     )
+
+
+# --------------------------------------------------------------------------
+# Small-world summary — the one-row network report card combining the
+# graph family's pieces: global clustering (3 * triangles / wedges,
+# exact integers from the degree table), mean shortest-path length over
+# the harmonic-centrality BFS sample (capped at 3 hops — paths longer
+# than the cap are simply not observed, stated in the column name), and
+# the random-graph baselines C_rand = <k>/n those get compared against.
+# Everything reduces to scalar arithmetic on exact integer aggregates;
+# the one double division chain is written identically on both engines.
+@query(
+    "d2_small_world_stats",
+    oracle=_GRAPH_SQL
+    + """
+        , bi AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        deg AS (SELECT u, COUNT(*) AS d FROM bi GROUP BY u),
+        tri_total AS (
+            SELECT CAST(COALESCE(SUM(n_triangles), 0) AS BIGINT) // 3
+                       AS n_tri
+            FROM tri_nodes
+        ),
+        wedges AS (
+            SELECT CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+            FROM deg
+        ),
+        seeds AS (SELECT DISTINCT u AS src FROM bi WHERE u % 97 = 0),
+        w1 AS (
+            SELECT s.src, bi.v AS node, 1 AS hops
+            FROM seeds s JOIN bi ON bi.u = s.src
+        ),
+        w2 AS (
+            SELECT w1.src, bi.v AS node, 2 AS hops
+            FROM w1 JOIN bi ON bi.u = w1.node
+        ),
+        w3 AS (
+            SELECT w2.src, bi.v AS node, 3 AS hops
+            FROM w2 JOIN bi ON bi.u = w2.node
+        ),
+        dist AS (
+            SELECT src, node, MIN(hops) AS d
+            FROM (SELECT * FROM w1 UNION ALL
+                  SELECT * FROM w2 UNION ALL SELECT * FROM w3) walks
+            WHERE node <> src GROUP BY src, node
+        ),
+        pathstats AS (
+            SELECT COUNT(*) AS n_pairs,
+                   CAST(SUM(d) AS BIGINT) AS sum_d
+            FROM dist
+        ),
+        sizes AS (
+            SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+                   (SELECT COUNT(*) FROM edges) AS n_edges
+        )
+        SELECT s.n_nodes, s.n_edges, t.n_tri AS n_triangles,
+               CAST(3 * t.n_tri AS DOUBLE) / w.n_wedges
+                   AS global_clustering,
+               CAST(2 * s.n_edges AS DOUBLE) / s.n_nodes / s.n_nodes
+                   AS c_random_baseline,
+               CAST(p.sum_d AS DOUBLE) / p.n_pairs
+                   AS mean_path_len_capped3
+        FROM sizes s, tri_total t, wedges w, pathstats p
+    """,
+)
+def d2_small_world_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    deg = _node_degrees(edges)
+    tri = _triangle_members(edges, deg)
+    bi = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    tri_total = tri.agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("bigint")
+        .alias("n_tri")
+    )
+    wedges = deg.agg(
+        F.expr("CAST(SUM(d * (d - 1)) AS BIGINT) div 2").alias("n_wedges")
+    )
+    seeds = (
+        bi.filter(F.col("u") % 97 == 0)
+        .select(F.col("u").alias("src"))
+        .distinct()
+    )
+    frontier = seeds.select("src", F.col("src").alias("node"))
+    visited = frontier.withColumn("d", F.lit(0))
+    for h in range(1, HC_HOPS + 1):
+        expanded = (
+            frontier.join(bi, frontier["node"] == bi["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = expanded.join(visited, ["src", "node"], "left_anti")
+        fresh = checkpointed(fresh.withColumn("d", F.lit(h)))
+        visited = visited.unionAll(fresh)
+        frontier = fresh.select("src", "node")
+    pathstats = visited.filter(F.col("d") > 0).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("d").cast("bigint").alias("sum_d"),
+    )
+    sizes = deg.agg(F.count("*").alias("n_nodes")).crossJoin(
+        edges.agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tri_total))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(pathstats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            ((3 * F.col("n_tri")).cast("double") / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+            (
+                (2 * F.col("n_edges")).cast("double")
+                / F.col("n_nodes")
+                / F.col("n_nodes")
+            ).alias("c_random_baseline"),
+            (F.col("sum_d").cast("double") / F.col("n_pairs")).alias(
+                "mean_path_len_capped3"
+            ),
+        )
+    )

@@ -905,3 +905,14 @@ def test_packing_compare_tradeoff_direction(spark):
     assert cc.wasted_tokens <= lb.wasted_tokens
     assert cc.fill_rate >= lb.fill_rate
     assert cc.n_packs <= lb.n_packs
+
+
+def test_small_world_stats_consistency(spark):
+    r = _q("d2_small_world_stats", spark).collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    assert 0 <= r.global_clustering <= 1
+    assert 1.0 <= r.mean_path_len_capped3 <= 3.0
+    # triangles agree with the standalone count
+    tri = _q("d2_triangle_count", spark)
+    total = tri.agg(F.sum("n_triangles")).collect()[0][0]
+    assert r.n_triangles == total // 3

@@ -1063,3 +1063,63 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
         score,
         "doc_id long, n_bytes long, n_compressed long, ratio double",
     )
+
+
+# --------------------------------------------------------------------------
+# D4: corpus unigram entropy — the information content of the token
+# distribution (the number every tokenizer/compression decision is
+# implicitly made against), with its perplexity. Token counts are
+# exact; each -p*log2(p) term is 6dp-gridded and decimal-summed over
+# the token-type grid (vocabulary-sized, partial-agg combined — the
+# d6_behavior_entropy discipline at corpus scope); perplexity
+# re-rounds after the engine-libm exp2. One scan, two tiny aggregates.
+@query(
+    "d4_unigram_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS t
+            FROM documents WHERE text <> ''
+        ),
+        cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, COUNT(*) AS n_types
+                FROM cnt),
+        terms AS (
+            SELECT ROUND(-(CAST(n AS DOUBLE) / tot.tn)
+                         * log2(CAST(n AS DOUBLE) / tot.tn), 6) AS term
+            FROM cnt CROSS JOIN tot
+        )
+        SELECT (SELECT n_types FROM tot) AS n_types,
+               (SELECT tn FROM tot) AS total_tokens,
+               CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE)
+                   AS entropy_bits,
+               ROUND(POWER(2.0, CAST(SUM(CAST(term AS DECIMAL(27,6)))
+                                     AS DOUBLE)), 6) AS perplexity
+        FROM terms
+    """,
+)
+def d4_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    tok = d.select(F.explode(tokenize("text")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("n"))
+    tot = cnt.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.count("*").alias("n_types"),
+    )
+    p = F.col("n").cast("double") / F.col("tn")
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        F.round(-p * F.log2(p), 6).cast("decimal(27,6)").alias("term")
+    )
+    ent = F.sum("term").cast("double")
+    return (
+        terms.agg(ent.alias("entropy_bits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_types",
+            F.col("tn").alias("total_tokens"),
+            "entropy_bits",
+            F.round(F.pow(F.lit(2.0), F.col("entropy_bits")), 6).alias(
+                "perplexity"
+            ),
+        )
+    )

@@ -916,3 +916,12 @@ def test_small_world_stats_consistency(spark):
     tri = _q("d2_triangle_count", spark)
     total = tri.agg(F.sum("n_triangles")).collect()[0][0]
     assert r.n_triangles == total // 3
+
+
+def test_unigram_entropy_bounds(spark):
+    import math
+
+    r = _q("d4_unigram_entropy", spark).collect()[0]
+    assert 0 < r.entropy_bits <= math.log2(r.n_types) + 1e-3
+    assert 1 <= r.perplexity <= r.n_types + 1
+    assert abs(r.perplexity - 2**r.entropy_bits) < 1e-3

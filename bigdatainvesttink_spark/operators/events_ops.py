@@ -1577,3 +1577,46 @@ def d6_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: activity punch-card — the weekday x hour usage grid (the classic
+# punch-card panel): event counts and distinct actives per cell, with
+# each cell's share of total traffic. Exact integers on a constant
+# 7x24 grid after one partial-agg shuffle; ISO weekday conversion is
+# the b43 exact formula.
+@query(
+    "d6_activity_punchcard",
+    oracle="""
+        WITH tot AS (SELECT COUNT(*) AS n FROM events)
+        SELECT CAST(isodow(ts) AS INT) AS day_of_week,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+        FROM events
+        GROUP BY isodow(ts), EXTRACT(hour FROM ts)
+    """,
+)
+def d6_activity_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tot = e.agg(F.count("*").alias("n"))
+    iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        e.groupBy(
+            iso.alias("day_of_week"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day_of_week",
+            "hour_of_day",
+            "n_events",
+            "n_users",
+            (F.col("n_events").cast("double") / F.col("n")).alias("share"),
+        )
+    )

@@ -925,3 +925,16 @@ def test_unigram_entropy_bounds(spark):
     assert 0 < r.entropy_bits <= math.log2(r.n_types) + 1e-3
     assert 1 <= r.perplexity <= r.n_types + 1
     assert abs(r.perplexity - 2**r.entropy_bits) < 1e-3
+
+
+def test_punchcard_covers_all_events(spark):
+    from bigdatainvesttink_spark.io import load_table
+
+    rows = _q("d6_activity_punchcard", spark).collect()
+    assert rows
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 1 <= r.day_of_week <= 7 and 0 <= r.hour_of_day <= 23
+        assert 0 < r.n_users <= r.n_events

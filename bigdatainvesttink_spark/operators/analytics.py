@@ -1596,20 +1596,21 @@ def b23_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         , daily AS (
             SELECT company_id,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   CAST(ROUND(
+                   CAST(floor(
                        CAST(SUM(CAST(close AS DECIMAL(27,6))) AS DOUBLE)
-                           / COUNT(*), 6) AS DECIMAL(18,6)) AS m6
+                           * 1000000 / COUNT(*) + 0.5) AS BIGINT) AS m6u
             FROM candles GROUP BY 1, 2
         ),
         stats AS (
             SELECT company_id, COUNT(*) AS n_days,
-                   CAST(SUM(m6) AS DOUBLE) AS s1,
-                   CAST(SUM(m6 * m6) AS DOUBLE) AS s2
+                   CAST(SUM(m6u) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(m6u AS DECIMAL(19,0))
+                            * CAST(m6u AS DECIMAL(19,0))) AS DOUBLE) AS s2
             FROM daily GROUP BY company_id
         ),
         z AS (
             SELECT d.company_id, d.day, s.n_days,
-                   (CAST(d.m6 AS DOUBLE) - s.s1 / s.n_days)
+                   (CAST(d.m6u AS DOUBLE) - s.s1 / s.n_days)
                      / sqrt(s.s2 / s.n_days
                             - (s.s1 / s.n_days) * (s.s1 / s.n_days)) AS zval
             FROM daily d JOIN stats s ON s.company_id = d.company_id
@@ -1640,17 +1641,20 @@ def b24_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "company_id",
         F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
     ).agg(
-        F.round(
-            F.sum(F.col("close").cast(_DEC)).cast("double") / F.count("*"),
-            6,
+        F.floor(
+            F.sum(F.col("close").cast(_DEC)).cast("double")
+            * F.lit(1000000)
+            / F.count("*")
+            + F.lit(0.5)
         )
-        .cast("decimal(18,6)")
-        .alias("m6")
+        .cast("long")
+        .alias("m6u")
     )
+    m6u_dec = F.col("m6u").cast("decimal(19,0)")
     stats = daily.groupBy("company_id").agg(
         F.count("*").alias("n_days"),
-        F.sum("m6").cast("double").alias("s1"),
-        F.sum(F.col("m6") * F.col("m6")).cast("double").alias("s2"),
+        F.sum("m6u").cast("double").alias("s1"),
+        F.sum(m6u_dec * m6u_dec).cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n_days")
     var = F.col("s2") / F.col("n_days") - mean * mean
@@ -1661,7 +1665,7 @@ def b24_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "company_id",
             "day",
             "n_days",
-            ((F.col("m6").cast("double") - mean) / F.sqrt(var)).alias(
+            ((F.col("m6u").cast("double") - mean) / F.sqrt(var)).alias(
                 "zval"
             ),
         )

@@ -659,7 +659,8 @@ def d7_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents GROUP BY source, lang
         ),
         tot AS (
-            SELECT source, SUM(n) AS n_docs, SUM(toks) AS total_tokens,
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_langs
             FROM per GROUP BY source
         ),

@@ -1052,7 +1052,7 @@ def d2_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_groups,
                n_copies * COUNT(*) AS n_docs,
                (n_copies - 1) * COUNT(*) AS dup_docs,
-               SUM((n_copies - 1) * n_chars) AS chars_dropped
+               CAST(SUM((n_copies - 1) * n_chars) AS BIGINT) AS chars_dropped
         FROM (
             SELECT {_ORACLE_HASH60} AS h, text,
                    COUNT(*) AS n_copies,
@@ -1102,7 +1102,8 @@ def d1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT s.doc_id,
                COUNT(*) AS n_shingles,
-               SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared,
+               CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
                CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
                     AS DOUBLE) / COUNT(*) AS dup_coverage
         FROM shingled s JOIN df ON df.shingle = s.shingle

@@ -1307,13 +1307,16 @@ def d6_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # D6: Markov steady state — where does the behavior chain settle? The
 # stationary distribution of d6_event_transitions' matrix via 8 unrolled
-# power-iteration rounds (the d2_pagerank_fixed discipline: every
-# per-round product is 6dp-rounded and decimal-summed, so the whole
-# fixed point is bit-identical cross-engine and exactly oracle-checked
-# rather than rows-only). The state space is the event-type vocabulary —
-# a constant grid; every round is one broadcast join + one tiny
-# aggregate. Row-normalized probs are exact-integer ratios rounded to
-# the grid before entering the iteration.
+# power-iteration rounds. Everything lives on an integer micro-unit grid
+# (1e-6, stored as BIGINT): transition probs and the uniform start are
+# floor(x * 1e6 + 0.5) half-up quantizations, each iteration's products
+# are re-quantized the same way and summed as exact integers. floor() on
+# an IEEE double is bit-identical cross-engine, unlike ROUND(double, 6),
+# whose decimal-repr-HALF_UP (Spark) vs binary rounding (DuckDB) diverges
+# whenever a ratio lands exactly on a representable half at the 6dp grid
+# (ADVICE r3: n/SUM(n) and 1/n are exact-integer ratios that can). The
+# state space is the event-type vocabulary — a constant grid; every round
+# is one broadcast join + one tiny aggregate.
 MK_ITERS = 8
 
 
@@ -1332,27 +1335,33 @@ def _markov_oracle() -> str:
         ),
         p AS (
             SELECT src, dst,
-                   ROUND(CAST(n AS DOUBLE)
-                         / SUM(n) OVER (PARTITION BY src), 6) AS pr
+                   CAST(floor(CAST(n AS DOUBLE) * 1000000
+                              / SUM(n) OVER (PARTITION BY src)
+                              + 0.5) AS BIGINT) AS pr_u
             FROM counted
         ),
         states AS (SELECT DISTINCT src AS s FROM counted),
         ns AS (SELECT COUNT(*) AS n FROM states),
         pi0 AS (
-            SELECT s, ROUND(1.0 / (SELECT n FROM ns), 6) AS w FROM states
+            SELECT s,
+                   CAST(floor(1000000.0 / (SELECT n FROM ns) + 0.5)
+                        AS BIGINT) AS w_u
+            FROM states
         )"""
     for i in range(1, MK_ITERS + 1):
         sql += f""",
         pi{i} AS (
             SELECT p.dst AS s,
-                   ROUND(CAST(SUM(CAST(ROUND(prev.w * p.pr, 6)
-                                       AS DECIMAL(27,6))) AS DOUBLE), 6)
-                       AS w
+                   CAST(SUM(CAST(floor(CAST(prev.w_u AS DOUBLE) * p.pr_u
+                                       / 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS w_u
             FROM pi{i - 1} prev JOIN p ON p.src = prev.s
             GROUP BY p.dst
         )"""
     return sql + f"""
-        SELECT s AS event_type, w AS stationary_prob FROM pi{MK_ITERS}"""
+        SELECT s AS event_type, CAST(w_u AS DOUBLE) / 1000000
+                   AS stationary_prob
+        FROM pi{MK_ITERS}"""
 
 
 @query("d6_markov_stationary", oracle=_markov_oracle())
@@ -1369,31 +1378,45 @@ def d6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = counted.select(
         "src",
         "dst",
-        F.round(
+        F.floor(
             F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("src")),
-            6,
-        ).alias("pr"),
+            * F.lit(1000000)
+            / F.sum("n").over(Window.partitionBy("src"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pr_u"),
     )
     states = counted.select(F.col("src").alias("s")).distinct()
     ns = states.agg(F.count("*").alias("n"))
     pi = states.crossJoin(F.broadcast(ns)).select(
-        "s", F.round(F.lit(1.0) / F.col("n"), 6).alias("w")
+        "s",
+        F.floor(F.lit(1000000.0) / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("w_u"),
     )
     for _ in range(MK_ITERS):
         pi = (
             pi.join(F.broadcast(p), pi["s"] == p["src"])
             .select(
                 F.col("dst").alias("s"),
-                F.round(F.col("w") * F.col("pr"), 6)
-                .cast("decimal(27,6)")
+                F.floor(
+                    F.col("w_u").cast("double")
+                    * F.col("pr_u")
+                    / F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                .cast("long")
                 .alias("c"),
             )
             .groupBy("s")
-            .agg(F.round(F.sum("c").cast("double"), 6).alias("w"))
+            .agg(F.sum("c").cast("long").alias("w_u"))
         )
     return pi.select(
-        F.col("s").alias("event_type"), F.col("w").alias("stationary_prob")
+        F.col("s").alias("event_type"),
+        (F.col("w_u").cast("double") / F.lit(1000000)).alias(
+            "stationary_prob"
+        ),
     )
 
 

@@ -288,8 +288,8 @@ def a_ingest_rejected_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_quotation_loss_audit",
     oracle="""
         SELECT side, COUNT(*) AS n_rows,
-               SUM(CASE WHEN px_float <> px_exact THEN 1 ELSE 0 END)
-                   AS n_double_rounded
+               CAST(SUM(CASE WHEN px_float <> px_exact THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_double_rounded
         FROM (
             SELECT CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END
                        AS side,

@@ -298,9 +298,9 @@ def dmm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dmm_modality_stats",
     oracle="""
         SELECT fmt, COUNT(*) AS n_assets,
-               SUM(n_bytes) AS total_bytes,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
                MIN(width) AS min_width, MAX(width) AS max_width,
-               SUM(n_frames) AS total_frames
+               CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM (
             SELECT CASE h % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                               ELSE 'webp' END AS fmt,

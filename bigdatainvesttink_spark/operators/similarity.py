@@ -535,8 +535,8 @@ def d3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM cand GROUP BY query_id)
         SELECT t.query_id,
                COALESCE(MAX(nc.n_candidates), 0) AS n_candidates,
-               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                   AS n_hits,
+               CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                    / 5.0 AS recall_at_5
         FROM truth t
@@ -635,8 +635,8 @@ def d3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM cand GROUP BY query_id)
         SELECT t.query_id,
                COALESCE(MAX(nc.n_candidates), 0) AS n_candidates,
-               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                   AS n_hits,
+               CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                    / 5.0 AS recall_at_5
         FROM truth t
@@ -1187,8 +1187,8 @@ TRUNC_DIMS = 16
             ) r WHERE rnk <= 5
         )
         SELECT t.query_id,
-               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                   AS n_hits,
+               CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                    / 5.0 AS recall_at_5
         FROM truth t

@@ -95,8 +95,11 @@ def audit_report(df: DataFrame) -> dict:
         "n_arrow_evals": physical.count("ArrowEvalPython")
         + physical.count("MapInPandas"),
         "n_scans": sum(line.count("FileScan") for line in lines),
+        # "*(n)" ids and "WholeStageCodegen (n)" name the same spans in
+        # dumps that carry both notations — count the literal form only
+        # when no "*(n)" markers exist (ADVICE r3: double-count otherwise)
         "n_codegen_spans": len(codegen_ids)
-        + physical.count("WholeStageCodegen"),
+        or physical.count("WholeStageCodegen"),
         "top_k_pushed": "TakeOrderedAndProject" in physical,
         "pushed_filters": [
             line.strip() for line in text.splitlines()

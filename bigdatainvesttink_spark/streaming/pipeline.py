@@ -26,6 +26,7 @@ exercise (restart, late data, session merge).
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -72,6 +73,15 @@ STREAM_STATE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 )
 
+# Serializes the shuffle-partition override below: spark.conf is
+# session-global, so without this lock a query planned concurrently on the
+# shared SparkSession would silently inherit the streaming setting
+# (ADVICE r3). The driver and pytest drive queries single-threaded, but the
+# lock makes concurrent run_to_memory calls safe too; callers planning
+# BATCH queries from other threads during a streaming drive should use a
+# separate spark.newSession() (own SQLConf, shared context).
+_SHUFFLE_OVERRIDE_LOCK = threading.Lock()
+
 
 def run_to_memory(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
@@ -80,23 +90,24 @@ def run_to_memory(
     the memory-sink table (synchronous; used by queries() and tests)."""
     name = name or f"mem_{uuid.uuid4().hex[:10]}"
     spark = sdf.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-    )
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
+    with _SHUFFLE_OVERRIDE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
         )
-        q.awaitTermination()
-    finally:
-        # availableNow is synchronous, so the batch tail (aggregations over
-        # the landed memory table) runs under the restored setting.
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            # availableNow is synchronous, so the batch tail (aggregations
+            # over the landed memory table) runs under the restored setting.
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

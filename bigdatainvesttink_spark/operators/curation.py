@@ -1320,6 +1320,31 @@ _VARDEG_SQL = """
 """
 
 
+def _vardeg_undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges of the variable-degree LCG variant
+    (node u emits 1 + (u % 3) out-edges — see the _VARDEG_SQL note)."""
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
+    raw = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .filter(F.col("k") <= 1 + F.col("u") % 3)
+        .select(
+            "u",
+            ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias(
+                "v"
+            ),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    return raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+
+
+
 @query(
     "d2_degree_assortativity",
     oracle=_VARDEG_SQL
@@ -1362,25 +1387,7 @@ _VARDEG_SQL = """
     """,
 )
 def d2_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    nodes = e.select(F.col("user_id").alias("u")).distinct()
-    nn = nodes.agg(F.count("*").alias("n"))
-    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
-    raw = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("u", "n", ks)
-        .filter(F.col("k") <= 1 + F.col("u") % 3)
-        .select(
-            "u",
-            ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias(
-                "v"
-            ),
-        )
-        .filter(F.col("u") != F.col("v"))
-    )
-    edges = raw.select(
-        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-    ).distinct()
+    edges = _vardeg_undirected_edges(spark, sf_dir)
     deg = _node_degrees(edges)
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("dda"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("ddb"))
@@ -2203,4 +2210,127 @@ def d2_small_world_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_path_len_capped3"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# D2: k-core decomposition (fixed peeling rounds) — which nodes survive
+# when everyone with fewer than K surviving neighbors is repeatedly
+# removed. The canonical distributed formulation is synchronous peeling:
+# each round recomputes degrees over the surviving edge set and drops
+# nodes below K; a FIXED round count (6) makes the whole decomposition an
+# exactly oracle-checkable unrolled pipeline (the d2_bfs_reach_hops
+# discipline — at 100 TB the same loop runs to convergence with periodic
+# checkpoints; per-round work is one degree aggregate + two semi-joins,
+# never all-pairs). Each round's survivor edge set is cached because the
+# next round references it three times (degree count, edge restriction,
+# audit row) — without the persist the lineage re-derives the base
+# exponentially. The audit output is the per-round (nodes, edges) decay
+# curve, emitted from per-round scalar counts (the BFS per-hop-count
+# discipline). Runs on a QUADRATIC-map graph variant: the shared LCG
+# graph's affine maps are bijections of Z_n, which concentrates degrees
+# so tightly that every K is either a no-op or a total collapse; the
+# u*u*31 term breaks bijectivity, giving a genuine degree spread and a
+# progressive peel that settles on a non-empty 4-core.
+KCORE_K = 4
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    sql = """
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        raw AS (
+            SELECT u, (u * u * 31 + u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES (1), (2), (3), (4), (5)) AS ks(k)
+            WHERE k <= 1 + (u % 5)
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw WHERE u <> v
+        )"""
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM e{r - 1}
+                UNION ALL SELECT b FROM e{r - 1}
+            ) m GROUP BY node
+        ),
+        n{r} AS MATERIALIZED (SELECT node FROM d{r}
+                               WHERE deg >= {KCORE_K}),
+        e{r} AS MATERIALIZED (
+            SELECT a, b FROM e{r - 1}
+            WHERE a IN (SELECT node FROM n{r})
+              AND b IN (SELECT node FROM n{r})
+        )"""
+    rows = "\n        UNION ALL ".join(
+        f"""SELECT {r} AS peel_round,
+               CAST((SELECT COUNT(*) FROM (
+                   SELECT a AS node FROM e{r}
+                   UNION SELECT b FROM e{r}) s) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        for r in range(0, KCORE_ROUNDS + 1)
+    )
+    return sql + "\n        " + rows
+
+
+@query("d2_kcore_peel", oracle=_kcore_oracle())
+def d2_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(e: DataFrame) -> tuple[int, int]:
+        n_nodes = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .distinct()
+            .count()
+        )
+        return n_nodes, e.count()
+
+    # checkpointed() per round: each survivor set feeds three consumers
+    # (degree agg, edge restriction, audit counts) AND the next round
+    # references cur twice through keep — without the lineage cut the
+    # analyzed plan doubles per round and Catalyst's self-join
+    # disambiguation goes super-linear (measured: hangs by round 4).
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4, 5)])).alias("k")
+    raw = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .filter(F.col("k") <= 1 + F.col("u") % 5)
+        .select(
+            "u",
+            (
+                (
+                    F.col("u") * F.col("u") * 31
+                    + F.col("u") * 48271
+                    + F.col("k") * 7919
+                )
+                % F.col("n")
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    cur = checkpointed(edges)
+    rows = [(0, *audit(cur))]
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        cur = checkpointed(
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        rows.append((r, *audit(cur)))
+    return spark.createDataFrame(
+        rows, "peel_round int, n_nodes long, n_edges long"
     )

@@ -205,6 +205,7 @@ def _load_operator_modules() -> None:
         multimodal,
         relational,
         relational_ext,
+        retrieval,
         similarity,
         textops,
         tpch,

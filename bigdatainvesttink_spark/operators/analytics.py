@@ -3167,3 +3167,130 @@ def b43_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "positive_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B44: Holt linear-trend forecast — double exponential smoothing (level +
+# trend) over each instrument's trailing 12 daily closes, the classical
+# next-step forecaster behind the reference's close-price-predictability
+# goal (goal No.3) when a naive/seasonal-naive baseline (b32) is not
+# enough. The recurrence is unrolled to a FIXED 12-step fold so it is one
+# deterministic double expression per company: identical IEEE op sequence
+# on both engines, no rounding policy needed anywhere. Plan shape: one
+# partial-agg shuffle to daily grain, one ranked window per company, a
+# 12-column conditional-agg pivot (bounded width), then pure map-side
+# arithmetic — the raw candle stream is touched once and nothing after
+# the pivot shuffles.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_N = 12
+
+
+def _holt_oracle() -> str:
+    ys = ",\n                   ".join(
+        f"MAX(CASE WHEN rn = {HOLT_N + 1 - i} THEN c END) AS y{i}"
+        for i in range(1, HOLT_N + 1)
+    )
+    sql = f"""
+        , daily AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   MAX({{'ts': ts, 'p': close}}).p AS day_close
+            FROM candles
+            GROUP BY company_id, date_trunc('day', ts)
+        ),
+        ranked AS (
+            SELECT company_id, day_close AS c,
+                   ROW_NUMBER() OVER (PARTITION BY company_id
+                                      ORDER BY day DESC) AS rn
+            FROM daily
+        ),
+        wide AS (
+            SELECT company_id,
+                   {ys}
+            FROM ranked WHERE rn <= {HOLT_N}
+            GROUP BY company_id HAVING COUNT(*) = {HOLT_N}
+        ),
+        h1 AS (
+            SELECT company_id,
+                   {", ".join(f"y{i}" for i in range(2, HOLT_N + 1))},
+                   y1 AS l, y2 - y1 AS b
+            FROM wide
+        )"""
+    a, bta = HOLT_ALPHA, HOLT_BETA
+    for t in range(2, HOLT_N + 1):
+        keep_ys = ", ".join(f"y{i}" for i in range(t + 1, HOLT_N + 1))
+        keep = "company_id" + (", " + keep_ys if keep_ys else "")
+        sql += f""",
+        h{t} AS (
+            SELECT {keep}, lnew AS l,
+                   {bta} * (lnew - l) + {1 - bta} * b AS b
+            FROM (SELECT *, {a} * y{t} + {1 - a} * (l + b) AS lnew
+                  FROM h{t - 1}) s
+        )"""
+    return oracle_on_domain(
+        sql
+        + f"""
+        SELECT company_id, l AS level, b AS trend,
+               l + b AS forecast_h1, l + 5 * b AS forecast_h5
+        FROM h{HOLT_N}
+    """
+    )
+
+
+@query("b44_holt_forecast", oracle=_holt_oracle())
+def b44_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(
+        F.max(F.struct(F.col("ts"), F.col("close").alias("p")))["p"].alias(
+            "day_close"
+        )
+    )
+    wd = Window.partitionBy("company_id").orderBy(F.col("day").desc())
+    ranked = daily.select(
+        "company_id",
+        F.col("day_close").alias("c"),
+        F.row_number().over(wd).alias("rn"),
+    ).filter(F.col("rn") <= HOLT_N)
+    wide = (
+        ranked.groupBy("company_id")
+        .agg(
+            F.count("*").alias("__n"),
+            *[
+                F.max(
+                    F.when(F.col("rn") == HOLT_N + 1 - i, F.col("c"))
+                ).alias(f"y{i}")
+                for i in range(1, HOLT_N + 1)
+            ],
+        )
+        .filter(F.col("__n") == HOLT_N)
+        .drop("__n")
+    )
+    a, bta = HOLT_ALPHA, HOLT_BETA
+    cur = wide.withColumn("l", F.col("y1")).withColumn(
+        "b", F.col("y2") - F.col("y1")
+    )
+    for t in range(2, HOLT_N + 1):
+        cur = cur.withColumn(
+            "lnew",
+            F.lit(a) * F.col(f"y{t}") + F.lit(1 - a) * (F.col("l") + F.col("b")),
+        )
+        cur = (
+            cur.withColumn(
+                "b",
+                F.lit(bta) * (F.col("lnew") - F.col("l"))
+                + F.lit(1 - bta) * F.col("b"),
+            )
+            .withColumn("l", F.col("lnew"))
+            .drop("lnew")
+        )
+    return cur.select(
+        "company_id",
+        F.col("l").alias("level"),
+        F.col("b").alias("trend"),
+        (F.col("l") + F.col("b")).alias("forecast_h1"),
+        (F.col("l") + 5 * F.col("b")).alias("forecast_h5"),
+    )

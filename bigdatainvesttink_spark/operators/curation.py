@@ -2278,13 +2278,19 @@ def _kcore_oracle() -> str:
 @query("d2_kcore_peel", oracle=_kcore_oracle())
 def d2_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(e: DataFrame) -> tuple[int, int]:
-        n_nodes = (
+        # one job per round: each undirected edge contributes exactly two
+        # incidence rows, so n_edges = rows/2 rides the same aggregate as
+        # the distinct-node count
+        r = (
             e.select(F.col("a").alias("node"))
-            .union(e.select(F.col("b").alias("node")))
-            .distinct()
-            .count()
+            .unionAll(e.select(F.col("b").alias("node")))
+            .agg(
+                F.countDistinct("node").alias("nn"),
+                (F.count("*") / 2).cast("long").alias("ne"),
+            )
+            .first()
         )
-        return n_nodes, e.count()
+        return r["nn"], r["ne"]
 
     # checkpointed() per round: each survivor set feeds three consumers
     # (degree agg, edge restriction, audit counts) AND the next round
@@ -2325,11 +2331,16 @@ def d2_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
-        cur = checkpointed(
+        nxt = (
             cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
         )
+        # checkpoint EVERY round: the survivor set is consumed twice more
+        # (audit now, next round's degree+semi-joins) — measured at sf0.01,
+        # skipping alternate checkpoints re-executes those joins and costs
+        # 2x the wall time the saved disk write buys back
+        cur = checkpointed(nxt)
         rows.append((r, *audit(cur)))
     return spark.createDataFrame(
         rows, "peel_round int, n_nodes long, n_edges long"

@@ -1409,3 +1409,111 @@ def d1_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("trades").alias("table_name"), "n_rows", "n_to_erase", share
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D1: content-defined chunk dedup — CDC (rolling/content-hash boundaries)
+# applied at the token level: a token whose stable hash lands in 1/8 of
+# the hash space STARTS a new chunk, so chunk boundaries are a function
+# of content alone and survive insertions/shifts that break fixed-stride
+# chunking (the d4_passage_chunks grid). The dedup report buckets chunk
+# fingerprints by copy count — the storage/compute-savings estimate a
+# CDC-dedup rollout is sized with. Plan: one posexplode to token grain
+# (shuffle on doc_id for the per-doc cumulative-boundary window), one
+# hash agg to chunk grain, a slice-and-hash join back to the bounded doc
+# arrays, then a fingerprint-grain agg — never all-pairs, and chunk text
+# itself is reconstructed only once per (doc, chunk), not per token.
+CDC_MOD = 8
+
+
+@query(
+    "d1_cdc_chunk_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        pos AS (
+            SELECT doc_id, i, ts[i] AS tok,
+                   CASE WHEN CAST(CAST('0x' || substr(md5(ts[i]), 1, 15)
+                                  AS UBIGINT) AS BIGINT) % {CDC_MOD} = 0
+                        THEN 1 ELSE 0 END AS fl
+            FROM toks, unnest(generate_series(1, len(ts))) AS u(i)
+        ),
+        cid AS (
+            SELECT doc_id, i,
+                   SUM(fl) OVER (PARTITION BY doc_id ORDER BY i ASC
+                                 ROWS UNBOUNDED PRECEDING) AS chunk_id
+            FROM pos
+        ),
+        bounds AS (
+            SELECT doc_id, chunk_id, MIN(i) AS p0, MAX(i) AS p1,
+                   COUNT(*) AS n_tok
+            FROM cid GROUP BY doc_id, chunk_id
+        ),
+        fps AS (
+            SELECT b.n_tok,
+                   md5(array_to_string(t.ts[b.p0:b.p1], ' ')) AS fp
+            FROM bounds b JOIN toks t ON t.doc_id = b.doc_id
+        ),
+        grouped AS (
+            SELECT fp, COUNT(*) AS n_copies, MIN(n_tok) AS n_tok
+            FROM fps GROUP BY fp
+        )
+        SELECT n_copies,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(SUM(n_copies) AS BIGINT) AS total_occurrences,
+               CAST(SUM((n_copies - 1) * n_tok) AS BIGINT)
+                   AS tokens_dropped_by_dedup
+        FROM grouped GROUP BY n_copies
+    """,
+)
+def d1_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stable_hash60, tokenize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select("doc_id", tokenize("text").alias("ts"))
+    pos = toks.select(
+        "doc_id", F.posexplode("ts").alias("i0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        F.when(stable_hash60("tok") % CDC_MOD == 0, 1)
+        .otherwise(0)
+        .alias("fl"),
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("i").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cid = pos.select(
+        "doc_id", "i", F.sum("fl").over(wcum).alias("chunk_id")
+    )
+    bounds = cid.groupBy("doc_id", "chunk_id").agg(
+        F.min("i").alias("p0"),
+        F.max("i").alias("p1"),
+        F.count("*").alias("n_tok"),
+    )
+    fps = bounds.join(toks, "doc_id").select(
+        "n_tok",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "ts", F.col("p0").cast("int"), (F.col("p1") - F.col("p0") + 1).cast("int")
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    grouped = fps.groupBy("fp").agg(
+        F.count("*").alias("n_copies"), F.min("n_tok").alias("n_tok")
+    )
+    return grouped.groupBy("n_copies").agg(
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum("n_copies").alias("total_occurrences"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_tok")).alias(
+            "tokens_dropped_by_dedup"
+        ),
+    )

@@ -1294,3 +1294,72 @@ def rel_warehouse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.unionAll(pdf)
     return out
+
+
+# --------------------------------------------------------------------------
+# REL: hierarchy rollup WITHOUT recursion or iteration — the scale-path
+# sibling of rel_hierarchy_rollup's iterated-join walk: subtree
+# aggregates over an
+# implicit binary org-tree (parent(u) = u >> 1, root 0) on the user-id
+# space. The classic warehouse formulation is a recursive CTE (and the
+# oracle could use one), but recursion is exactly what a 100 TB engine
+# avoids: here each user expands its FULL ancestor path ARITHMETICALLY,
+# map-side (<= 41 shifts for a 64-bit id — no joins, no iteration), and
+# one hash aggregate on the exploded (ancestor, metrics) pairs produces
+# every node's subtree rollup at once. O(n log n) shuffled rows replaces
+# O(depth) self-join rounds. Depth itself is the ancestor-list length,
+# pure integer arithmetic. The oracle mirrors the same expansion, so the
+# cross-engine contract stays exact.
+@query(
+    "rel_hierarchy_arith_rollup",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id AS u, COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(27,6))) AS v
+            FROM events GROUP BY user_id
+        ),
+        listed AS (
+            SELECT u, n_events, v,
+                   list_distinct([(u >> i)
+                       FOR i IN generate_series(0, 40)]) AS ancs
+            FROM per_user
+        ),
+        expanded AS (
+            SELECT anc.node AS node, t.u, t.n_events, t.v,
+                   len(t.ancs) - 1 AS u_depth
+            FROM listed t, unnest(t.ancs) AS anc(node)
+        )
+        SELECT node,
+               CAST(MIN(CASE WHEN node = u THEN u_depth END) AS INT)
+                   AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_subtree_users,
+               CAST(SUM(n_events) AS BIGINT) AS subtree_events,
+               CAST(SUM(v) AS DOUBLE) AS subtree_value
+        FROM expanded
+        GROUP BY node
+    """,
+)
+def rel_hierarchy_arith_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy(F.col("user_id").alias("u")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("v"),
+    )
+    anc = F.expr(
+        "array_distinct(transform(sequence(0, 40), i -> shiftright(u, i)))"
+    )
+    expanded = per_user.select(
+        "u",
+        "n_events",
+        "v",
+        (F.size(anc) - 1).alias("u_depth"),
+        F.explode(anc).alias("node"),
+    )
+    return expanded.groupBy("node").agg(
+        F.min(F.when(F.col("node") == F.col("u"), F.col("u_depth")))
+        .cast("int")
+        .alias("depth"),
+        F.count("*").alias("n_subtree_users"),
+        F.sum("n_events").alias("subtree_events"),
+        F.sum("v").cast("double").alias("subtree_value"),
+    )

@@ -1123,3 +1123,190 @@ def d4_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D4: quality-classifier training — 4 unrolled batch-gradient-descent
+# steps of a logistic regression over three document-quality features
+# (mean token length, type-token ratio, stopword ratio) against a
+# deterministic label (doc longer than the median). This is the in-engine
+# form of the fastText/logreg quality gates pretraining pipelines train
+# on curated-vs-crawl corpora — here the full training loop is a Spark
+# plan: per step ONE pass over the cached feature table computing the
+# gradient as an exact integer-micro aggregate, then a broadcast weight
+# update. Exactness: features and sigmoid outputs are floor(x*1e6+0.5)
+# micro-integers (floor on a double is bit-identical cross-engine, unlike
+# ROUND), gradient terms are exact DECIMAL(38,0) products of micro
+# values, and the weight update divides exact sums in a fixed IEEE order
+# — so all 4 weight vectors match DuckDB bit-for-bit. At 100 TB the same
+# shape holds: the feature pass is map-side + one scalar aggregate per
+# step, and the model state (4 doubles) rides a broadcast.
+LOGREG_STEPS = 4
+LOGREG_LR = 0.5
+
+
+def _logreg_oracle() -> str:
+    sql = f"""
+        WITH feats AS MATERIALIZED (
+            SELECT x.*,
+                   CASE WHEN n_chars > m.med THEN 1 ELSE 0 END AS y
+            FROM (
+                SELECT doc_id, n_chars,
+                       CAST(floor(CAST(list_sum([length(t) FOR t IN ts])
+                                       AS DOUBLE) / len(ts) * 1000000
+                                  + 0.5) AS BIGINT) AS x1_u,
+                       CAST(floor(CAST(len(list_distinct(ts)) AS DOUBLE)
+                                  / len(ts) * 1000000 + 0.5) AS BIGINT)
+                           AS x2_u,
+                       CAST(floor(CAST(len(list_filter(ts, t ->
+                                list_contains([{_sql_list(STOPWORDS)}], t)))
+                                       AS DOUBLE)
+                                  / len(ts) * 1000000 + 0.5) AS BIGINT)
+                           AS x3_u
+                FROM (
+                    SELECT doc_id, n_chars,
+                           list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS ts
+                    FROM documents WHERE text <> ''
+                ) q WHERE len(ts) > 0
+            ) x,
+            (SELECT quantile_disc(n_chars, 0.5) AS med
+             FROM documents WHERE text <> '') m
+        ),
+        w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS wl,
+                      CAST(0.0 AS DOUBLE) AS wt, CAST(0.0 AS DOUBLE) AS ws)
+    """
+    for k in range(1, LOGREG_STEPS + 1):
+        sql += f""",
+        g{k} AS (
+            SELECT b, wl, wt, ws, COUNT(*) AS n,
+                   CAST(SUM(d_u) AS DOUBLE) AS g0,
+                   CAST(SUM(CAST(d_u AS DECIMAL(19,0))
+                            * CAST(x1_u AS DECIMAL(19,0))) AS DOUBLE) AS g1,
+                   CAST(SUM(CAST(d_u AS DECIMAL(19,0))
+                            * CAST(x2_u AS DECIMAL(19,0))) AS DOUBLE) AS g2,
+                   CAST(SUM(CAST(d_u AS DECIMAL(19,0))
+                            * CAST(x3_u AS DECIMAL(19,0))) AS DOUBLE) AS g3
+            FROM (
+                SELECT w.b, w.wl, w.wt, w.ws, f.x1_u, f.x2_u, f.x3_u,
+                       CAST(floor(1000000 / (1 + exp(-(w.b
+                           + w.wl * (CAST(f.x1_u AS DOUBLE) / 1000000)
+                           + w.wt * (CAST(f.x2_u AS DOUBLE) / 1000000)
+                           + w.ws * (CAST(f.x3_u AS DOUBLE) / 1000000))))
+                           + 0.5) AS BIGINT) - f.y * 1000000 AS d_u
+                FROM feats f, w{k - 1} w
+            ) s GROUP BY b, wl, wt, ws
+        ),
+        w{k} AS (
+            SELECT b - {LOGREG_LR} * (g0 / n / 1000000.0) AS b,
+                   wl - {LOGREG_LR} * (g1 / n / 1000000000000.0) AS wl,
+                   wt - {LOGREG_LR} * (g2 / n / 1000000000000.0) AS wt,
+                   ws - {LOGREG_LR} * (g3 / n / 1000000000000.0) AS ws
+            FROM g{k}
+        )"""
+    rows = "\n        UNION ALL ".join(
+        f"SELECT {k} AS step, b AS bias, wl AS w_len, wt AS w_ttr,"
+        f" ws AS w_stop FROM w{k}"
+        for k in range(1, LOGREG_STEPS + 1)
+    )
+    return sql + "\n        " + rows
+
+
+@query("d4_quality_logreg", oracle=_logreg_oracle())
+def d4_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    med = d.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med"
+        )
+    )
+    ts = tokenize("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def micro(x):
+        return F.floor(x * F.lit(1000000) + F.lit(0.5)).cast("long")
+
+    base = d.select("doc_id", "n_chars", ts.alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    feats = (
+        base.select(
+            "n_chars",
+            micro(
+                F.aggregate(
+                    F.transform("ts", lambda t: F.length(t)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.size("ts")
+            ).alias("x1_u"),
+            micro(
+                F.size(F.array_distinct("ts")).cast("double")
+                / F.size("ts")
+            ).alias("x2_u"),
+            micro(
+                F.size(
+                    F.filter("ts", lambda t: F.array_contains(stop_arr, t))
+                ).cast("double")
+                / F.size("ts")
+            ).alias("x3_u"),
+        )
+        .crossJoin(F.broadcast(med))
+        .select(
+            "x1_u",
+            "x2_u",
+            "x3_u",
+            F.when(F.col("n_chars") > F.col("med"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .persist()
+    )
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "b double, wl double, wt double, ws double"
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    out = None
+    for k in range(1, LOGREG_STEPS + 1):
+        z = (
+            F.col("b")
+            + F.col("wl") * (F.col("x1_u").cast("double") / F.lit(1000000))
+            + F.col("wt") * (F.col("x2_u").cast("double") / F.lit(1000000))
+            + F.col("ws") * (F.col("x3_u").cast("double") / F.lit(1000000))
+        )
+        s = feats.crossJoin(F.broadcast(w)).select(
+            "b",
+            "wl",
+            "wt",
+            "ws",
+            "x1_u",
+            "x2_u",
+            "x3_u",
+            (
+                F.floor(F.lit(1000000) / (F.lit(1) + F.exp(-z)) + F.lit(0.5))
+                .cast("long")
+                - F.col("y") * F.lit(1000000)
+            ).alias("d_u"),
+        )
+        g = s.groupBy("b", "wl", "wt", "ws").agg(
+            F.count("*").alias("n"),
+            F.sum("d_u").cast("double").alias("g0"),
+            F.sum(dec("d_u") * dec("x1_u")).cast("double").alias("g1"),
+            F.sum(dec("d_u") * dec("x2_u")).cast("double").alias("g2"),
+            F.sum(dec("d_u") * dec("x3_u")).cast("double").alias("g3"),
+        )
+        w = g.select(
+            (F.col("b") - F.lit(LOGREG_LR) * (F.col("g0") / F.col("n") / F.lit(1000000.0))).alias("b"),
+            (F.col("wl") - F.lit(LOGREG_LR) * (F.col("g1") / F.col("n") / F.lit(1000000000000.0))).alias("wl"),
+            (F.col("wt") - F.lit(LOGREG_LR) * (F.col("g2") / F.col("n") / F.lit(1000000000000.0))).alias("wt"),
+            (F.col("ws") - F.lit(LOGREG_LR) * (F.col("g3") / F.col("n") / F.lit(1000000000000.0))).alias("ws"),
+        )
+        row = w.select(
+            F.lit(k).alias("step"),
+            F.col("b").alias("bias"),
+            F.col("wl").alias("w_len"),
+            F.col("wt").alias("w_ttr"),
+            F.col("ws").alias("w_stop"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

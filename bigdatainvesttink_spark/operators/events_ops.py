@@ -1643,3 +1643,179 @@ def d6_activity_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events").cast("double") / F.col("n")).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D6: position-based (U-shaped) attribution — 40% of each purchase's value
+# to the first prior view, 40% to the last, 20% split across the middles
+# (100% / 50-50 for one/two touches). Completes the attribution family's
+# three classic models (first/last/position). Shapes: the purchase-touch
+# pairing is a user-blocked join (co-partitioned on user_id, bounded per
+# user), ranks come from one window per purchase, and credit math runs on
+# integer micro-units — share * value_u is floor-quantized, so per-hour
+# credit sums are exact integer aggregates cross-engine (the conservation
+# residue of the floor is < 1 micro per touch, asserted in tests).
+@query(
+    "d6_attribution_position",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_u
+            FROM events WHERE event_type = 'purchase'
+        ),
+        views AS (
+            SELECT user_id, ts AS vts, event_id AS vid
+            FROM events WHERE event_type = 'view'
+        ),
+        pairs AS (
+            SELECT p.event_id, p.value_u, v.vts, v.vid,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY v.vts ASC, v.vid ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY p.event_id) AS k
+            FROM purchases p JOIN views v
+              ON v.user_id = p.user_id AND v.vts <= p.ts
+        ),
+        credited AS (
+            SELECT vts,
+                   CAST(floor(
+                       CASE WHEN k = 1 THEN 1.0
+                            WHEN k = 2 THEN 0.5
+                            WHEN rn = 1 OR rn = k THEN 0.4
+                            ELSE 0.2 / (k - 2) END * value_u + 0.5)
+                       AS BIGINT) AS credit_u
+            FROM pairs
+        )
+        SELECT CAST(date_trunc('hour', vts) AS TIMESTAMP) AS touch_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_credits,
+               CAST(SUM(credit_u) AS DOUBLE) / 1000000
+                   AS attributed_value
+        FROM credited GROUP BY 1
+    """,
+)
+def d6_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000000) + F.lit(0.5))
+        .cast("long")
+        .alias("value_u"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    pairs = purchases.join(views, "user_id").filter(
+        F.col("vts") <= F.col("ts")
+    )
+    wp = Window.partitionBy("event_id")
+    wr = wp.orderBy(F.col("vts").asc(), F.col("vid").asc())
+    ranked = pairs.select(
+        "vts",
+        "value_u",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).alias("k"),
+    )
+    share = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    credited = ranked.select(
+        "vts",
+        F.floor(share * F.col("value_u") + F.lit(0.5))
+        .cast("long")
+        .alias("credit_u"),
+    )
+    return credited.groupBy(
+        F.date_trunc("hour", F.col("vts"))
+        .cast("timestamp")
+        .alias("touch_hour")
+    ).agg(
+        F.count("*").alias("n_credits"),
+        (F.sum("credit_u").cast("double") / F.lit(1000000)).alias(
+            "attributed_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: A/B power analysis — the companion to d6_ab_test_readout: given the
+# observed per-variant variances and sample sizes, the minimal detectable
+# effect at alpha=0.05 / power=0.8 (two-sided z approximation,
+# z_alpha/2 + z_beta as exact literals both engines parse to the same
+# doubles). This is the "is this experiment even big enough" gate an
+# experimentation platform evaluates before the t-statistic means
+# anything. One hash aggregate over the assignment; everything after is
+# a 2-row join on the bounded event-type grid. MDE is round6-gridded
+# (continuous sqrt), the relative MDE divides by the decimal-exact mean.
+@query(
+    "d6_ab_power_analysis",
+    oracle="""
+        WITH assigned AS (
+            SELECT event_type, value,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, variant,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS mean_v,
+                   var_samp(value) AS var_v
+            FROM assigned GROUP BY event_type, variant
+        )
+        SELECT a.event_type,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               ROUND((1.959964 + 0.841621)
+                     * sqrt(a.var_v / a.n + b.var_v / b.n), 6) AS mde_abs,
+               ROUND((1.959964 + 0.841621)
+                     * sqrt(a.var_v / a.n + b.var_v / b.n) / a.mean_v, 6)
+                   AS mde_rel
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type
+         AND a.variant = 'A' AND b.variant = 'B'
+    """,
+)
+def d6_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+    )
+    g = assigned.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+    )
+    a = g.filter(F.col("variant") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean_v").alias("mean_a"),
+        F.col("var_v").alias("var_a"),
+    )
+    b = g.filter(F.col("variant") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("var_v").alias("var_b"),
+    )
+    z = F.lit(1.959964) + F.lit(0.841621)
+    mde = z * F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mean_a"), 6).alias("mde_rel"),
+    )

@@ -1310,3 +1310,78 @@ def d4_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# D4: language-ID evaluation — the confusion cross-tab between the
+# corpus's labeled language and the marker-dialect the d4_lang_id
+# heuristic predicts, with per-label coverage shares. This is the eval
+# harness any classifier in the curation path ships with (the same shape
+# scores a fastText langid swap-in at 100 TB): one scan computing the
+# prediction map-side, one hash aggregate to the bounded
+# (label x prediction) grid, shares as exact integer ratios against a
+# broadcast per-label total.
+@query(
+    "d4_langid_confusion",
+    oracle=f"""
+        WITH pred AS (
+            SELECT lang,
+                   CASE WHEN s_en = 0 AND s_db = 0 AND s_st = 0
+                             THEN 'unknown'
+                        WHEN s_en >= s_db AND s_en >= s_st THEN 'english'
+                        WHEN s_db >= s_st THEN 'database'
+                        ELSE 'streaming' END AS predicted
+            FROM (
+                SELECT lang,
+                       len(list_filter(toks, t -> list_contains(
+                           [{_sql_list(LANG_MARKERS['english'])}], t))) AS s_en,
+                       len(list_filter(toks, t -> list_contains(
+                           [{_sql_list(LANG_MARKERS['database'])}], t))) AS s_db,
+                       len(list_filter(toks, t -> list_contains(
+                           [{_sql_list(LANG_MARKERS['streaming'])}], t))) AS s_st
+                FROM (
+                    SELECT lang,
+                           list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS toks
+                    FROM documents
+                ) t
+            ) s
+        ),
+        cells AS (
+            SELECT lang, predicted, COUNT(*) AS n
+            FROM pred GROUP BY lang, predicted
+        ),
+        tot AS (SELECT lang, SUM(n) AS tn FROM cells GROUP BY lang)
+        SELECT c.lang, c.predicted, CAST(c.n AS BIGINT) AS n,
+               CAST(c.n AS DOUBLE) / t.tn AS share_of_lang
+        FROM cells c JOIN tot t ON t.lang = c.lang
+    """,
+)
+def d4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokenize("text"))
+
+    def score(words) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+
+    s_en, s_db, s_st = (
+        score(LANG_MARKERS["english"]),
+        score(LANG_MARKERS["database"]),
+        score(LANG_MARKERS["streaming"]),
+    )
+    pred = d.select(
+        "lang",
+        F.when((s_en == 0) & (s_db == 0) & (s_st == 0), "unknown")
+        .when((s_en >= s_db) & (s_en >= s_st), "english")
+        .when(s_db >= s_st, "database")
+        .otherwise("streaming")
+        .alias("predicted"),
+    )
+    cells = pred.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("tn"))
+    return cells.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "predicted",
+        "n",
+        (F.col("n").cast("double") / F.col("tn")).alias("share_of_lang"),
+    )

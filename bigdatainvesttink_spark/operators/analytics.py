@@ -3294,3 +3294,96 @@ def b44_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l") + F.col("b")).alias("forecast_h1"),
         (F.col("l") + 5 * F.col("b")).alias("forecast_h5"),
     )
+
+
+# --------------------------------------------------------------------------
+# B45: realized-volatility signature — realized variance of log returns
+# recomputed at 1h / 2h / 4h sampling grids per instrument, plus the
+# 4h/1h variance ratio (the "signature plot" read-out: microstructure
+# noise inflates RV at the finest grid; a ratio near 1 means the hourly
+# grid is already clean). Returns are round6-gridded ln ratios (the b26
+# log discipline), per-grid sums are decimal-routed, the coarser grids
+# subsample by bar index so all three share ONE ranked window per
+# instrument — one shuffle total, then map-side lags and three
+# conditional decimal sums in a single aggregate.
+@query(
+    "b45_rv_signature",
+    oracle=oracle_on_domain(
+        """
+        , ranked AS (
+            SELECT company_id, close,
+                   ROW_NUMBER() OVER (PARTITION BY company_id
+                                      ORDER BY ts ASC) - 1 AS i
+            FROM candles
+        ),
+        rets AS (
+            SELECT company_id, k,
+                   ROUND(ln(close / LAG(close) OVER (
+                       PARTITION BY company_id, k ORDER BY i ASC)), 6) AS r
+            FROM ranked, (VALUES (1), (2), (4)) AS ks(k)
+            WHERE i % k = 0
+        ),
+        rv AS (
+            SELECT company_id, k, COUNT(r) AS n_obs,
+                   CAST(SUM(CAST(ROUND(r * r, 6) AS DECIMAL(27,6)))
+                        AS DOUBLE) AS rv
+            FROM rets GROUP BY company_id, k
+        )
+        SELECT a.company_id,
+               a.n_obs AS n_1h, a.rv AS rv_1h,
+               b.rv AS rv_2h, c.rv AS rv_4h,
+               c.rv / a.rv AS signature_ratio_4h
+        FROM rv a
+        JOIN rv b ON b.company_id = a.company_id AND b.k = 2
+        JOIN rv c ON c.company_id = a.company_id AND c.k = 4
+        WHERE a.k = 1 AND a.rv > 0
+        """
+    ),
+)
+def b45_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    wr = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    ranked = c.select(
+        "company_id",
+        "close",
+        (F.row_number().over(wr) - 1).alias("i"),
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("k")
+    grids = ranked.select("company_id", "close", "i", ks).filter(
+        F.col("i") % F.col("k") == 0
+    )
+    wl = Window.partitionBy("company_id", "k").orderBy(F.col("i").asc())
+    rets = grids.select(
+        "company_id",
+        "k",
+        F.round(F.log(F.col("close") / F.lag("close").over(wl)), 6).alias(
+            "r"
+        ),
+    )
+    rv = rets.groupBy("company_id", "k").agg(
+        F.count("r").alias("n_obs"),
+        F.sum(F.round(F.col("r") * F.col("r"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("rv"),
+    )
+    a = rv.filter((F.col("k") == 1) & (F.col("rv") > 0)).select(
+        "company_id", F.col("n_obs").alias("n_1h"), F.col("rv").alias("rv_1h")
+    )
+    b = rv.filter(F.col("k") == 2).select(
+        "company_id", F.col("rv").alias("rv_2h")
+    )
+    d = rv.filter(F.col("k") == 4).select(
+        "company_id", F.col("rv").alias("rv_4h")
+    )
+    return (
+        a.join(b, "company_id")
+        .join(d, "company_id")
+        .select(
+            "company_id",
+            "n_1h",
+            "rv_1h",
+            "rv_2h",
+            "rv_4h",
+            (F.col("rv_4h") / F.col("rv_1h")).alias("signature_ratio_4h"),
+        )
+    )

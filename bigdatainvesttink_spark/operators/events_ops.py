@@ -1819,3 +1819,70 @@ def d6_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / F.col("mean_a"), 6).alias("mde_rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: next-event majority baseline — the accuracy a "predict the modal
+# next event" baseline achieves per source event type, THE reference
+# point any sequence model must beat before it earns its compute. Builds
+# on d6_event_transitions' bigram counts: one lead-window pass, one hash
+# aggregate to the bounded type-pair grid, majority pick by deterministic
+# (count DESC, type ASC) ranking, accuracy as an exact integer ratio
+# (never rounded).
+@query(
+    "d6_next_event_baseline",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS dst
+            FROM events
+        ),
+        counted AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        ranked AS (
+            SELECT src, dst, n,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst ASC) AS rn,
+                   SUM(n) OVER (PARTITION BY src) AS total
+            FROM counted
+        )
+        SELECT src AS event_type, dst AS majority_next,
+               CAST(total AS BIGINT) AS n_transitions,
+               CAST(n AS BIGINT) AS n_correct,
+               CAST(n AS DOUBLE) / total AS baseline_accuracy
+        FROM ranked WHERE rn = 1
+    """,
+)
+def d6_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counted = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    ws = Window.partitionBy("src")
+    ranked = counted.select(
+        "src",
+        "dst",
+        "n",
+        F.row_number()
+        .over(ws.orderBy(F.col("n").desc(), F.col("dst").asc()))
+        .alias("rn"),
+        F.sum("n").over(ws).alias("total"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("src").alias("event_type"),
+        F.col("dst").alias("majority_next"),
+        F.col("total").cast("long").alias("n_transitions"),
+        F.col("n").cast("long").alias("n_correct"),
+        (F.col("n").cast("double") / F.col("total")).alias(
+            "baseline_accuracy"
+        ),
+    )

@@ -1403,3 +1403,122 @@ def d3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D3: binary quantization + Hamming re-rank recall — each 64-dim float
+# vector compresses to 64 SIGN BITS packed into two 32-bit halves (8
+# bytes total, a 32x compression), candidate ranking is integer
+# XOR+popcount Hamming distance, and the eval scores Hamming top-5
+# against float-cosine ground truth per query. This is the
+# binary-quantization index path modern vector stores ship (the cheap
+# first-pass filter before float re-ranking); the recall@5 readout is
+# its production tuning metric, joining the LSH/IVF/truncation recall
+# rows on one scale. All distance math is exact integer ops — no
+# rounding policy anywhere past the sign comparison.
+@query(
+    "d3_binary_quant_recall",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.e, v.e)
+                                          / (q.norm * v.norm), 6) DESC,
+                                    v.vec_id ASC) AS rnk
+                FROM q JOIN v ON v.vec_id <> q.vec_id
+            ) r WHERE rnk <= 5
+        ),
+        coded AS (
+            SELECT vec_id,
+                   CAST(list_sum([CASE WHEN e[d + 1] >= 0
+                        THEN (CAST(1 AS BIGINT) << d) ELSE 0 END
+                        FOR d IN range(32)]) AS BIGINT) AS code_lo,
+                   CAST(list_sum([CASE WHEN e[d + 33] >= 0
+                        THEN (CAST(1 AS BIGINT) << d) ELSE 0 END
+                        FOR d IN range(32)]) AS BIGINT) AS code_hi
+            FROM v
+        ),
+        ham AS (
+            SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(qc.code_lo, c.code_lo))
+                   + bit_count(xor(qc.code_hi, c.code_hi)) AS hamming
+            FROM (SELECT * FROM coded WHERE vec_id % 10 = 0) qc
+            JOIN coded c ON c.vec_id <> qc.vec_id
+        ),
+        bq_top AS (
+            SELECT query_id, neighbor_id, hamming FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+                FROM ham
+            ) r WHERE rnk <= 5
+        )
+        SELECT t.query_id,
+               CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / 5.0 AS recall_at_5
+        FROM truth t
+        LEFT JOIN bq_top b
+          ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    """,
+)
+def d3_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = d3_ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    v = _vectors(spark, sf_dir).drop("label", "norm")
+
+    def pack(offset: int) -> Column:
+        return (
+            F.aggregate(
+                F.expr(
+                    f"transform(sequence(0, 31), d -> CASE WHEN"
+                    f" e[d + {offset}] >= 0 THEN shiftleft(1L, d)"
+                    f" ELSE 0L END)"
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).cast("long")
+
+    coded = v.select(
+        "vec_id", pack(0).alias("code_lo"), pack(32).alias("code_hi")
+    )
+    qc = coded.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    ham = coded.crossJoin(F.broadcast(qc)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("q_lo").bitwiseXOR(F.col("code_lo")))
+            + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("code_hi")))
+        ).alias("hamming"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    bq_top = (
+        ham.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = truth.join(bq_top, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce("__hit", F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
+    )

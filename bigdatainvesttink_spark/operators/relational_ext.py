@@ -1363,3 +1363,134 @@ def rel_hierarchy_arith_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("subtree_events"),
         F.sum("v").cast("double").alias("subtree_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# REL: population stability index — the ML-ops drift metric between the
+# early and late halves of the order stream, bucketed on an equi-width
+# price grid. The gate a feature store runs before retraining: PSI > 0.2
+# means the serving distribution moved. Exactness: the date split uses
+# exact percentile_disc; bin ids are floor((p - min)/width) (pure IEEE,
+# identical both engines); shares are Laplace-smoothed exact rationals
+# ((n+1)/(N+bins), so empty bins need no epsilon hacks); each
+# (p-q)*ln(p/q) term is round6-gridded and the total decimal-summed.
+# Plan: two broadcast 1-row stats (split date, price range), one hash
+# aggregate to the constant 10x2 grid, grid-side math after.
+PSI_BINS = 10
+
+
+@query(
+    "rel_psi_drift",
+    oracle=f"""
+        WITH stats AS (
+            SELECT quantile_disc(date_diff('day', DATE '1970-01-01',
+                                           o_orderdate), 0.5) AS med,
+                   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+                   COUNT(*) AS n
+            FROM orders
+        ),
+        binned AS (
+            SELECT CASE WHEN date_diff('day', DATE '1970-01-01',
+                                       o.o_orderdate) <= s.med
+                        THEN 'early' ELSE 'late' END AS half,
+                   LEAST(CAST(floor((o.o_totalprice - s.lo)
+                       / ((s.hi - s.lo) / {PSI_BINS})) AS INT),
+                       {PSI_BINS - 1}) AS bin
+            FROM orders o, stats s
+        ),
+        cells AS (
+            SELECT half, bin, COUNT(*) AS n
+            FROM binned GROUP BY half, bin
+        ),
+        grid AS (
+            SELECT h.half, b.bin, COALESCE(c.n, 0) AS n
+            FROM (SELECT 'early' AS half UNION ALL SELECT 'late') h
+            CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+            LEFT JOIN cells c ON c.half = h.half AND c.bin = b.bin
+        ),
+        tot AS (SELECT half, SUM(n) AS tn FROM grid GROUP BY half),
+        shares AS (
+            SELECT g.bin,
+                   MAX(CASE WHEN g.half = 'early' THEN
+                       CAST(g.n + 1 AS DOUBLE) / (t.tn + {PSI_BINS}) END)
+                       AS p,
+                   MAX(CASE WHEN g.half = 'late' THEN
+                       CAST(g.n + 1 AS DOUBLE) / (t.tn + {PSI_BINS}) END)
+                       AS q,
+                   MAX(CASE WHEN g.half = 'early' THEN g.n END) AS n_early,
+                   MAX(CASE WHEN g.half = 'late' THEN g.n END) AS n_late
+            FROM grid g JOIN tot t ON t.half = g.half
+            GROUP BY g.bin
+        ),
+        terms AS (
+            SELECT bin, CAST(n_early AS BIGINT) AS n_early,
+                   CAST(n_late AS BIGINT) AS n_late,
+                   ROUND((p - q) * ln(p / q), 6) AS psi_term
+            FROM shares
+        )
+        SELECT CAST(t.bin AS INT) AS bin, t.n_early, t.n_late,
+               t.psi_term, tt.total_psi
+        FROM terms t,
+             (SELECT CAST(SUM(CAST(psi_term AS DECIMAL(27,6))) AS DOUBLE)
+                  AS total_psi FROM terms) tt
+    """,
+)
+def rel_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP"
+            " (ORDER BY datediff(o_orderdate, DATE '1970-01-01'))"
+        ).alias("med"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            <= F.col("med"),
+            "early",
+        )
+        .otherwise("late")
+        .alias("half"),
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(PSI_BINS))
+            ).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("half", "bin").agg(F.count("*").alias("n"))
+    halves = spark.createDataFrame([("early",), ("late",)], "half string")
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        halves.crossJoin(bins)
+        .join(cells, ["half", "bin"], "left")
+        .select("half", "bin", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tot = grid.groupBy("half").agg(F.sum("n").alias("tn"))
+    g = grid.join(F.broadcast(tot), "half")
+    share = (F.col("n") + 1).cast("double") / (F.col("tn") + PSI_BINS)
+    shares = g.groupBy("bin").agg(
+        F.max(F.when(F.col("half") == "early", share)).alias("p"),
+        F.max(F.when(F.col("half") == "late", share)).alias("q"),
+        F.max(F.when(F.col("half") == "early", F.col("n"))).alias(
+            "n_early"
+        ),
+        F.max(F.when(F.col("half") == "late", F.col("n"))).alias("n_late"),
+    )
+    terms = shares.select(
+        "bin",
+        F.col("n_early").cast("long").alias("n_early"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+        ).alias("psi_term"),
+    )
+    total = terms.agg(
+        F.sum(F.col("psi_term").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_psi")
+    )
+    return terms.crossJoin(F.broadcast(total))

@@ -1522,3 +1522,78 @@ def d3_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# D3: adaptive index routing — the planner-style decision a vector store
+# makes per query: probe the LSH bucket when it holds a useful, bounded
+# candidate set; fall back to brute force when the bucket is empty (no
+# candidates at all) or overfull (probing would approach a full scan
+# anyway). Pure reuse of the sign-LSH bucket machinery; the output is the
+# routing table (per-query candidate counts + chosen path + the cost the
+# router expects to pay, in scored-vector units) and is what a routing
+# policy is tuned against. One bucket-count aggregate + a broadcast join
+# of the tiny query side — the corpus is never rescanned per query.
+ROUTE_MAX_CANDIDATES = 40
+
+
+@query(
+    "d3_query_routing",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        proj AS (
+            SELECT vec_id, p,
+                   list_sum([e[d+1] * CAST({_W_FORMULA} AS DOUBLE)
+                             FOR d IN range(64)]) AS dotp
+            FROM v, (SELECT unnest(range(8)) AS p)
+        ),
+        bucketed AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        ),
+        sizes AS (
+            SELECT bucket, COUNT(*) AS bn FROM bucketed GROUP BY bucket
+        ),
+        nv AS (SELECT COUNT(*) AS n FROM v),
+        routed AS (
+            SELECT b.vec_id AS query_id,
+                   s.bn - 1 AS n_candidates
+            FROM bucketed b JOIN sizes s ON s.bucket = b.bucket
+            WHERE b.vec_id % 10 = 0
+        )
+        SELECT query_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+               CASE WHEN n_candidates BETWEEN 1 AND {ROUTE_MAX_CANDIDATES}
+                    THEN 'lsh_probe' ELSE 'brute_force' END AS route,
+               CAST(CASE WHEN n_candidates
+                              BETWEEN 1 AND {ROUTE_MAX_CANDIDATES}
+                         THEN n_candidates ELSE nv.n - 1 END AS BIGINT)
+                   AS expected_scored
+        FROM routed, nv
+    """,
+)
+def d3_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    bucketed = _sign_lsh_bucketed(v).select("vec_id", "bucket")
+    sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("bn"))
+    nv = v.agg(F.count("*").alias("n"))
+    routed = (
+        bucketed.filter(F.col("vec_id") % 10 == 0)
+        .join(sizes, "bucket")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("bn") - 1).cast("long").alias("n_candidates"),
+        )
+    )
+    probe = F.col("n_candidates").between(1, ROUTE_MAX_CANDIDATES)
+    return routed.crossJoin(F.broadcast(nv)).select(
+        "query_id",
+        "n_candidates",
+        F.when(probe, "lsh_probe").otherwise("brute_force").alias("route"),
+        F.when(probe, F.col("n_candidates"))
+        .otherwise(F.col("n") - 1)
+        .cast("long")
+        .alias("expected_scored"),
+    )

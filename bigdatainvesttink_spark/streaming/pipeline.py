@@ -744,3 +744,44 @@ def c_stream_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("disposition", "reason")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+# --------------------------------------------------------------------------
+# C-series multi-sink fan-out, oracle-checked: ONE event stream feeds TWO
+# independent aggregations (per-type totals and per-hour totals) landed
+# through separate sinks — the standard topology when a wire feed serves
+# several dashboards/tables at once (the reference fans its four queues
+# into four ClickHouse tables the same way; each Structured Streaming
+# query would own its checkpoint in production, so one sink's failure
+# never stalls the other). Both drained states must equal the batch
+# answers over the same fixture, reported as one long-format frame.
+@query(
+    "c_stream_fanout_sinks",
+    oracle="""
+        SELECT 'type' AS dim, event_type AS key, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'hour' AS dim,
+               CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)
+                   AS key,
+               COUNT(*) AS n_events
+        FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def c_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream(spark, sf_dir)
+    by_type = src.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("n_events")
+    )
+    by_hour = src.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp").alias("hkey")
+    ).agg(F.count("*").alias("n_events"))
+    t = run_to_memory(by_type, "complete").select(
+        F.lit("type").alias("dim"), "key", "n_events"
+    )
+    h = run_to_memory(by_hour, "complete").select(
+        F.lit("hour").alias("dim"),
+        F.col("hkey").cast("string").alias("key"),
+        "n_events",
+    )
+    return t.unionByName(h)

@@ -2345,3 +2345,90 @@ def d2_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "peel_round int, n_nodes long, n_edges long"
     )
+
+
+# --------------------------------------------------------------------------
+# D7: dataset release diff — the release-notes generator between two
+# corpus snapshots: v1 is a deterministic hash-subset of the corpus, v2
+# adds the held-out remainder and "revises" a deterministic slice
+# (simulating re-crawled docs). The report gives per-source added /
+# removed / revised / unchanged counts plus token deltas — what a data
+# card appends per release. Snapshots derive map-side from the one
+# corpus scan (hash arithmetic, no stored copies); the diff is a
+# full-outer join on doc_id in the same per-source hash space; outputs
+# are exact integers.
+@query(
+    "d7_dataset_diff",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS toks,
+                   CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                        AS BIGINT) % 10 AS h
+            FROM documents
+        ),
+        v1 AS (SELECT * FROM base WHERE h < 8),
+        v2 AS (
+            SELECT doc_id, source,
+                   CASE WHEN h % 10 = 3 THEN toks + 7 ELSE toks END AS toks
+            FROM base WHERE h < 9 OR h = 9
+        ),
+        diff AS (
+            SELECT COALESCE(a.source, b.source) AS source,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.toks <> b.toks THEN 'revised'
+                        ELSE 'unchanged' END AS status,
+                   COALESCE(b.toks, 0) - COALESCE(a.toks, 0) AS tok_delta
+            FROM v1 a FULL OUTER JOIN v2 b ON b.doc_id = a.doc_id
+        )
+        SELECT source, status,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+        FROM diff GROUP BY source, status
+    """,
+)
+def d7_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stable_hash60, tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).alias("toks"),
+        (stable_hash60("text") % 10).alias("h"),
+    )
+    v1 = base.filter(F.col("h") < 8).select("doc_id", "source", "toks")
+    v2 = base.select(
+        "doc_id",
+        "source",
+        F.when(F.col("h") % 10 == 3, F.col("toks") + 7)
+        .otherwise(F.col("toks"))
+        .alias("toks"),
+    )
+    a = v1.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.col("toks").alias("a_toks"),
+    )
+    b = v2.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.col("toks").alias("b_toks"),
+    )
+    diff = a.join(b, a["a_id"] == b["b_id"], "full_outer").select(
+        F.coalesce("a_source", "b_source").alias("source"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_toks") != F.col("b_toks"), "revised")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce("b_toks", F.lit(0)) - F.coalesce("a_toks", F.lit(0))
+        ).alias("tok_delta"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok_delta").cast("long").alias("token_delta"),
+    )

@@ -1886,3 +1886,134 @@ def d6_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "baseline_accuracy"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: seasonality scan — sample autocorrelation of the hourly event-count
+# series at lags 1..24 per event type, with the best (highest-ACF) lag
+# called out: the FFT-free periodicity detector a monitoring stack runs
+# to learn a metric's natural cycle before alerting on deviations from
+# it. The raw stream collapses to the bounded (type x hour) grid first
+# (one partial-agg shuffle); lags are a window pass per type over that
+# grid; each lag's ACF comes from exact integer moment sums (counts are
+# integers, so sums/products are exact) with only the final ratio in
+# round6 doubles. The 24-lag fan-out multiplies only the GRID, never raw
+# events.
+SEASON_MAX_LAG = 24
+
+
+@query(
+    "d6_seasonality_scan",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY h ASC) AS i
+            FROM hourly
+        ),
+        lagged AS (
+            SELECT a.event_type, g.lag, a.n AS x, b.n AS y
+            FROM idx a
+            JOIN (SELECT unnest(generate_series(1, {SEASON_MAX_LAG}))
+                      AS lag) g ON TRUE
+            JOIN idx b ON b.event_type = a.event_type
+                      AND b.i = a.i + g.lag
+        ),
+        mom AS (
+            SELECT event_type, lag, COUNT(*) AS np,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM lagged GROUP BY event_type, lag
+        ),
+        acf AS (
+            SELECT event_type, CAST(lag AS INT) AS lag,
+                   ROUND((CAST(sxy AS DOUBLE) / np
+                          - (CAST(sx AS DOUBLE) / np)
+                            * (CAST(sy AS DOUBLE) / np))
+                         / sqrt((CAST(sxx AS DOUBLE) / np
+                                 - (CAST(sx AS DOUBLE) / np)
+                                   * (CAST(sx AS DOUBLE) / np))
+                                * (CAST(syy AS DOUBLE) / np
+                                   - (CAST(sy AS DOUBLE) / np)
+                                     * (CAST(sy AS DOUBLE) / np))), 6)
+                       AS acf
+            FROM mom
+            WHERE sxx * np > sx * sx AND syy * np > sy * sy
+        )
+        SELECT event_type, lag, acf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY acf DESC, lag ASC) = 1 AS BOOLEAN) AS is_best
+        FROM acf
+    """,
+)
+def d6_seasonality_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp").alias("h"),
+    ).agg(F.count("*").alias("n"))
+    wi = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    idx = hourly.select(
+        "event_type", "n", F.row_number().over(wi).alias("i")
+    )
+    lags = spark.range(1, SEASON_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = idx.select(
+        "event_type", F.col("n").alias("x"), F.col("i").alias("ia")
+    )
+    b = idx.select(
+        F.col("event_type").alias("bt"),
+        F.col("n").alias("y"),
+        F.col("i").alias("ib"),
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("ib") == F.col("ia") + F.col("lag")),
+        )
+        .select("event_type", "lag", "x", "y")
+    )
+    mom = lagged.groupBy("event_type", "lag").agg(
+        F.count("*").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    mx, my = sx.cast("double") / np_, sy.cast("double") / np_
+    cov = F.col("sxy").cast("double") / np_ - mx * my
+    vx = F.col("sxx").cast("double") / np_ - mx * mx
+    vy = F.col("syy").cast("double") / np_ - my * my
+    acf = (
+        mom.filter(
+            (F.col("sxx") * np_ > sx * sx) & (F.col("syy") * np_ > sy * sy)
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.round(cov / F.sqrt(vx * vy), 6).alias("acf"),
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("acf").desc(), F.col("lag").asc()
+    )
+    return acf.select(
+        "event_type",
+        "lag",
+        "acf",
+        (F.row_number().over(wb) == 1).alias("is_best"),
+    )

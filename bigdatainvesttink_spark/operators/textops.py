@@ -1385,3 +1385,123 @@ def d4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("tn")).alias("share_of_lang"),
     )
+
+
+# --------------------------------------------------------------------------
+# D3/D4 capstone: RAG corpus preparation report — the end-to-end pass a
+# retrieval corpus ships through before indexing, composed from this
+# repo's proven stages in ONE oracle-checked query: (1) passage chunking
+# on the d4_passage_chunks grid (64-token windows, stride 48), (2)
+# chunk-level exact dedup by content hash (the index should never store
+# the same passage twice), (3) query-term coverage of the SURVIVING
+# chunks for the BM25 query terms — the sanity metric that the dedup
+# didn't hollow out retrieval coverage. One corpus scan feeds the chunk
+# explode; dedup is a hash aggregate on 16-byte chunk fingerprints;
+# coverage is map-side HOF counting on the deduped set. Output is the
+# per-source report a data card embeds.
+@query(
+    "d3_rag_corpus_report",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        chunks AS (
+            SELECT source,
+                   ts[i * {CHUNK_S} + 1 :
+                      LEAST(len(ts), i * {CHUNK_S} + {CHUNK_W})] AS ch
+            FROM toks,
+                 unnest(range(0,
+                     GREATEST(1, 1 + CAST(CEIL(
+                         CAST(len(ts) - {CHUNK_W} AS DOUBLE)
+                         / {CHUNK_S}) AS BIGINT)))) AS u(i)
+            WHERE len(ts) > 0
+        ),
+        fps AS (
+            SELECT source, md5(array_to_string(ch, ' ')) AS fp,
+                   len(list_filter(ch, t -> t = 'table')) AS h_table,
+                   len(list_filter(ch, t -> t = 'join')) AS h_join,
+                   len(list_filter(ch, t -> t = 'stream')) AS h_stream
+            FROM chunks
+        ),
+        uniq AS (
+            SELECT source, fp,
+                   MIN(h_table) AS h_table, MIN(h_join) AS h_join,
+                   MIN(h_stream) AS h_stream, COUNT(*) AS copies
+            FROM fps GROUP BY source, fp
+        )
+        SELECT source,
+               CAST(SUM(copies) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+               1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(copies) AS dup_rate,
+               CAST(SUM(CASE WHEN h_table > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS chunks_with_table,
+               CAST(SUM(CASE WHEN h_join > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS chunks_with_join,
+               CAST(SUM(CASE WHEN h_stream > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS chunks_with_stream
+        FROM uniq GROUP BY source
+    """,
+)
+def d3_rag_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    toks = d.select("doc_id", "source", tokenize("text").alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        1
+        + F.ceil(
+            (F.size("ts") - F.lit(CHUNK_W)).cast("double") / CHUNK_S
+        ).cast("bigint"),
+    )
+    start = F.col("i") * CHUNK_S + 1
+    width = (
+        F.least(
+            F.size("ts").cast("bigint"),
+            F.col("i") * CHUNK_S + F.lit(CHUNK_W),
+        )
+        - F.col("i") * CHUNK_S
+    )
+    chunks = toks.select(
+        "source",
+        "ts",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    ).select(
+        "source",
+        F.slice("ts", start.cast("int"), width.cast("int")).alias("ch"),
+    )
+
+    def hits(term: str):
+        return F.size(F.filter("ch", lambda t: t == F.lit(term)))
+
+    fps = chunks.select(
+        "source",
+        F.md5(F.array_join("ch", " ")).alias("fp"),
+        hits("table").alias("h_table"),
+        hits("join").alias("h_join"),
+        hits("stream").alias("h_stream"),
+    )
+    uniq = fps.groupBy("source", "fp").agg(
+        F.min("h_table").alias("h_table"),
+        F.min("h_join").alias("h_join"),
+        F.min("h_stream").alias("h_stream"),
+        F.count("*").alias("copies"),
+    )
+    return uniq.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_chunks"),
+        F.count("*").alias("n_unique_chunks"),
+        (
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("copies")
+        ).alias("dup_rate"),
+        F.sum(F.when(F.col("h_table") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("chunks_with_table"),
+        F.sum(F.when(F.col("h_join") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("chunks_with_join"),
+        F.sum(F.when(F.col("h_stream") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("chunks_with_stream"),
+    )

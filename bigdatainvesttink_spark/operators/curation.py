@@ -2432,3 +2432,117 @@ def d7_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("tok_delta").cast("long").alias("token_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7: shard -> worker balance plan — assign the d7_shard_manifest shards
+# to a fixed worker pool so every data-loader rank gets near-equal token
+# mass: shards are ranked by size (ties on shard id) and STRIPED
+# boustrophedon (serpentine) across workers — rank 1..W left-to-right,
+# W+1..2W right-to-left — the deterministic one-pass approximation of
+# greedy LPT that needs no iteration at all. The report prices the plan:
+# per-worker token mass, share, and the max/min imbalance ratio every
+# row carries (training-step time is set by the slowest rank). All sizes
+# are exact integers; the plan is pure rank arithmetic over the bounded
+# shard grid.
+N_LOAD_WORKERS = 4
+
+
+@query(
+    "d7_shard_balance_plan",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tok,
+                   CAST(CAST('0x' || substr(md5(doc_id || ':0'), 1, 15)
+                        AS UBIGINT) AS BIGINT) AS skey
+            FROM documents WHERE text <> ''
+        ),
+        shards AS (
+            SELECT skey % {N_SHUFFLE_SHARDS} AS shard,
+                   CAST(SUM(n_tok) AS BIGINT) AS toks
+            FROM keyed GROUP BY skey % {N_SHUFFLE_SHARDS}
+        ),
+        ranked AS (
+            SELECT shard, toks,
+                   ROW_NUMBER() OVER (ORDER BY toks DESC, shard ASC) - 1
+                       AS r
+            FROM shards
+        ),
+        assigned AS (
+            SELECT shard, toks,
+                   CASE WHEN (r // {N_LOAD_WORKERS}) % 2 = 0
+                        THEN r % {N_LOAD_WORKERS}
+                        ELSE {N_LOAD_WORKERS - 1} - r % {N_LOAD_WORKERS}
+                   END AS worker
+            FROM ranked
+        ),
+        per_worker AS (
+            SELECT CAST(worker AS INT) AS worker,
+                   CAST(COUNT(*) AS BIGINT) AS n_shards,
+                   CAST(SUM(toks) AS BIGINT) AS worker_tokens
+            FROM assigned GROUP BY worker
+        ),
+        spread AS (
+            SELECT CAST(SUM(worker_tokens) AS BIGINT) AS total,
+                   CAST(MAX(worker_tokens) AS DOUBLE)
+                       / MIN(worker_tokens) AS imbalance
+            FROM per_worker
+        )
+        SELECT w.worker, w.n_shards, w.worker_tokens,
+               CAST(w.worker_tokens AS DOUBLE) / s.total AS token_share,
+               s.imbalance AS imbalance_ratio
+        FROM per_worker w, spread s
+    """,
+)
+def d7_shard_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    keyed = d.select(
+        F.size(tokenize("text")).alias("n_tok"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("doc_id"), F.lit(":0"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias("skey"),
+    )
+    shards = keyed.groupBy(
+        (F.col("skey") % N_SHUFFLE_SHARDS).alias("shard")
+    ).agg(F.sum("n_tok").cast("long").alias("toks"))
+    wr = Window.orderBy(F.col("toks").desc(), F.col("shard").asc())
+    ranked = shards.select(
+        "shard", "toks", (F.row_number().over(wr) - 1).alias("r")
+    )
+    fwd = (F.col("r") / N_LOAD_WORKERS).cast("long") % 2 == 0
+    assigned = ranked.select(
+        "shard",
+        "toks",
+        F.when(fwd, F.col("r") % N_LOAD_WORKERS)
+        .otherwise(F.lit(N_LOAD_WORKERS - 1) - F.col("r") % N_LOAD_WORKERS)
+        .alias("worker"),
+    )
+    per_worker = assigned.groupBy(
+        F.col("worker").cast("int").alias("worker")
+    ).agg(
+        F.count("*").alias("n_shards"),
+        F.sum("toks").cast("long").alias("worker_tokens"),
+    )
+    spread = per_worker.agg(
+        F.sum("worker_tokens").cast("long").alias("total"),
+        (
+            F.max("worker_tokens").cast("double") / F.min("worker_tokens")
+        ).alias("imbalance_ratio"),
+    )
+    return per_worker.crossJoin(F.broadcast(spread)).select(
+        "worker",
+        "n_shards",
+        "worker_tokens",
+        (F.col("worker_tokens").cast("double") / F.col("total")).alias(
+            "token_share"
+        ),
+        "imbalance_ratio",
+    )

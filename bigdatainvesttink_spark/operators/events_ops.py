@@ -2017,3 +2017,124 @@ def d6_seasonality_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acf",
         (F.row_number().over(wb) == 1).alias("is_best"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: conversion-window sensitivity — last-touch attribution re-run at
+# 1h / 6h / 24h lookback windows in ONE pass: how much credited value
+# and match rate shift with the window choice is the first question any
+# attribution-model review asks. The purchase-view pairing happens once
+# (user-blocked as-of-style join against the LATEST view within the
+# widest window); the three windows are then conditional aggregates over
+# the bounded pair set — the d3_dedup_threshold_sweep discipline (sweep
+# explodes the pair set x3, never the event stream). Value sums ride
+# integer micro-units, so every window's total is exact.
+@query(
+    "d6_attribution_window_sweep",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_u
+            FROM events WHERE event_type = 'purchase'
+        ),
+        views AS (
+            SELECT user_id, ts AS vts, event_id AS vid
+            FROM events WHERE event_type = 'view'
+        ),
+        last_touch AS (
+            SELECT event_id, value_u, gap_s FROM (
+                SELECT p.event_id, p.value_u,
+                       date_diff('second', v.vts, p.ts) AS gap_s,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY v.vts DESC, v.vid DESC) AS rn
+                FROM purchases p JOIN views v
+                  ON v.user_id = p.user_id AND v.vts <= p.ts
+                 AND v.vts >= p.ts - INTERVAL 24 HOUR
+            ) r WHERE rn = 1
+        ),
+        sweep AS (
+            SELECT w.window_h, p.event_id, p.value_u,
+                   CASE WHEN lt.gap_s <= w.window_h * 3600
+                        THEN 1 ELSE 0 END AS matched,
+                   CASE WHEN lt.gap_s <= w.window_h * 3600
+                        THEN lt.value_u ELSE 0 END AS credited_u
+            FROM purchases p
+            CROSS JOIN (VALUES (1), (6), (24)) AS w(window_h)
+            LEFT JOIN last_touch lt ON lt.event_id = p.event_id
+        )
+        SELECT CAST(window_h AS INT) AS window_h,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(COALESCE(matched, 0)) AS BIGINT) AS n_matched,
+               CAST(SUM(COALESCE(matched, 0)) AS DOUBLE) / COUNT(*)
+                   AS match_rate,
+               CAST(SUM(COALESCE(credited_u, 0)) AS DOUBLE) / 1000000
+                   AS credited_value
+        FROM sweep GROUP BY window_h
+    """,
+)
+def d6_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000000) + F.lit(0.5))
+        .cast("long")
+        .alias("value_u"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    pairs = purchases.join(views, "user_id").filter(
+        (F.col("vts") <= F.col("ts"))
+        & (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    wr = Window.partitionBy("event_id").orderBy(
+        F.col("vts").desc(), F.col("vid").desc()
+    )
+    last_touch = (
+        pairs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_id").alias("lt_id"),
+            F.col("value_u").alias("lt_value_u"),
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("vts").cast("timestamp"))
+            ).alias("gap_s"),
+        )
+    )
+    windows = spark.createDataFrame([(1,), (6,), (24,)], "window_h int")
+    sweep = (
+        purchases.crossJoin(F.broadcast(windows))
+        .join(last_touch, F.col("lt_id") == F.col("event_id"), "left")
+        .select(
+            "window_h",
+            "value_u",
+            F.when(
+                F.col("gap_s") <= F.col("window_h") * 3600, 1
+            )
+            .otherwise(0)
+            .alias("matched"),
+            F.when(
+                F.col("gap_s") <= F.col("window_h") * 3600,
+                F.col("lt_value_u"),
+            )
+            .otherwise(0)
+            .alias("credited_u"),
+        )
+    )
+    return sweep.groupBy("window_h").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.coalesce("matched", F.lit(0)))
+        .cast("long")
+        .alias("n_matched"),
+        (
+            F.sum(F.coalesce("matched", F.lit(0))).cast("double")
+            / F.count("*")
+        ).alias("match_rate"),
+        (
+            F.sum(F.coalesce("credited_u", F.lit(0))).cast("double")
+            / F.lit(1000000)
+        ).alias("credited_value"),
+    )

@@ -95,6 +95,16 @@ _DRIVER_GREEN: frozenset[str] = _load_driver_green()
 # Once-red rows after a fix — must land inside the driver's check budget
 # until a green row confirms the fix (then they sort with the green tail).
 _FIXED_FIRST: tuple[str, ...] = (
+    # round-4 dtype-hash fixes (r3 red / latent-red): CAST(SUM AS BIGINT)
+    "d7_dataset_card",
+    "a_quotation_loss_audit",
+    "dmm_modality_stats",
+    "d3_ann_recall_eval",
+    "d3_ivf_recall_eval",
+    "d1_dedup_stats",
+    "d2_dup_ngram_coverage",
+    "d3_truncation_recall_eval",
+    # r2 fixes (driver-green since; kept for provenance, sort green now)
     "d7_sequence_packing",
     "d6_sessionization",
     "d7_curation_pipeline",
@@ -141,23 +151,34 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "rel_interval_bin_join", "rel_salted_skew_join",
     "rel_equidepth_histogram", "dmm_modality_stats",
     "d3_ann_recall_eval", "d3_ivf_recall_eval", "d4_bigram_logprob",
-    # --- late-round-3 additions: positions 51+, first driver rows next
-    # round (all local-oracle-green at sf0.01 and sf0.1) ---
-    "b14_bollinger", "b15_macd", "b16_market_beta",
-    "d4_vocab_coverage", "d4_zipf_slope", "d4_cms_heavy_hitters",
-    "d1_dedup_stats", "d2_dup_ngram_coverage", "rel_gaps_islands",
-    "dmm_phash_neardup", "rel_fk_orphan_audit", "d3_pq_codebook_assign",
-    "c_stream_topk_hourly", "b17_spread_stats", "b18_tick_rule_flow",
-    "c_stream_vwap_stateful", "d7_pack_efficiency", "d6_funnel_conversion",
-    "rel_linear_counting_distinct", "d5_json_malformed_audit",
-    "d7_curriculum_phases", "rel_partition_skew_audit",
-    "rel_delete_cascade_audit", "b19_vwap_deviation", "d6_ab_test_readout",
+    # --- interleaved round-4 additions and late-round-3 tail: both
+    # families split the remaining driver budget (fixes go first via
+    # _FIXED_FIRST; whatever spills rides the next round) ---
+    "d4_bpe_train", "b14_bollinger", "d4_bpe_encode", "b15_macd",
+    "d4_bm25_topk", "b16_market_beta", "d3_rrf_hybrid", "d4_vocab_coverage",
+    "d2_kcore_peel", "d4_zipf_slope", "b44_holt_forecast",
+    "d4_cms_heavy_hitters", "d1_cdc_chunk_dedup", "d1_dedup_stats",
+    "d4_quality_logreg", "d2_dup_ngram_coverage",
+    "rel_hierarchy_arith_rollup", "rel_gaps_islands",
+    "d6_attribution_position", "dmm_phash_neardup", "d6_ab_power_analysis",
+    "rel_fk_orphan_audit", "d4_langid_confusion", "d3_pq_codebook_assign",
+    "d3_binary_quant_recall", "c_stream_topk_hourly", "b45_rv_signature",
+    "b17_spread_stats", "d6_next_event_baseline", "b18_tick_rule_flow",
+    "c_stream_fanout_sinks", "c_stream_vwap_stateful", "rel_psi_drift",
+    "d7_pack_efficiency", "d3_query_routing", "d6_funnel_conversion",
+    "d7_dataset_diff", "rel_linear_counting_distinct", "d6_seasonality_scan",
+    "d5_json_malformed_audit", "d3_rag_corpus_report",
+    "d7_curriculum_phases", "d6_attribution_window_sweep",
+    "rel_partition_skew_audit", "d7_shard_balance_plan",
+    "rel_delete_cascade_audit", "rel_interval_sweep", "b19_vwap_deviation",
+    "d6_markov_stationary", "d6_ab_test_readout", "b24_cusum_drift",
     "b20_kyle_lambda", "d3_centroid_drift", "d2_pagerank_fixed",
     "fmt_schema_evolution", "b21_pairwise_correlation",
     "c_stream_backpressure_roundtrip", "b3c_nearest_book_snapshot",
     "rel_window_distinct_count", "rel_hierarchy_rollup",
     "d3_semantic_dedup_clusters", "d1_dedup_normalized", "d7_epoch_shuffle",
-    "d6_attribution_last_touch", "d6_rfm_segments", "b22_intraday_seasonality",
+    "d6_attribution_last_touch", "d6_rfm_segments",
+    "b22_intraday_seasonality",
 )
 
 

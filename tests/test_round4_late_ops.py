@@ -1,0 +1,149 @@
+"""Late round-4 operators: invariants the oracle equality can't express —
+monotonicity across sweep arms, probability ranges, conservation, and
+plan-shape checks."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from bigdatainvesttink_spark.plans.audit import plan_text
+from tests.conftest import SF_SMALL
+
+
+def _q(name, spark):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_attribution_window_sweep_monotone(spark):
+    rows = {
+        r["window_h"]: r
+        for r in _q("d6_attribution_window_sweep", spark).collect()
+    }
+    assert set(rows) == {1, 6, 24}
+    # a wider lookback can only match MORE purchases and credit MORE value
+    for a, b in ((1, 6), (6, 24)):
+        assert rows[a]["n_matched"] <= rows[b]["n_matched"]
+        assert rows[a]["credited_value"] <= rows[b]["credited_value"] + 1e-9
+    # every arm prices the same purchase population
+    assert len({r["n_purchases"] for r in rows.values()}) == 1
+
+
+def test_position_attribution_conserves_value(spark):
+    import pyspark.sql.functions as F
+
+    from bigdatainvesttink_spark.io import load_table
+
+    credited = (
+        _q("d6_attribution_position", spark)
+        .agg(F.sum("attributed_value"))
+        .collect()[0][0]
+    )
+    e = load_table(spark, SF_SMALL, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    viewers = e.filter(F.col("event_type") == "view").select(
+        "user_id"
+    ).distinct()
+    # total credit == total value of purchases that HAVE at least one prior
+    # view, up to the documented floor-quantization residue (< 1 micro per
+    # credited touch)
+    touchable = (
+        purchases.join(viewers, "user_id", "left_semi")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+        or 0.0
+    )
+    n_credits = (
+        _q("d6_attribution_position", spark)
+        .agg(F.sum("n_credits"))
+        .collect()[0][0]
+    )
+    # purchases whose views are all AFTER them get no credit; allow that
+    # slack downward but never credit MORE than the touchable total
+    assert credited <= touchable + n_credits * 1e-6
+
+
+def test_shard_balance_plan_shares(spark):
+    rows = _q("d7_shard_balance_plan", spark).collect()
+    assert rows
+    total_share = sum(r["token_share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-9
+    ratios = {r["imbalance_ratio"] for r in rows}
+    assert len(ratios) == 1 and min(ratios) >= 1.0
+
+
+def test_seasonality_acf_bounds(spark):
+    rows = _q("d6_seasonality_scan", spark).collect()
+    assert rows
+    for r in rows:
+        assert -1.000001 <= r["acf"] <= 1.000001
+    best = [r for r in rows if r["is_best"]]
+    types = {r["event_type"] for r in rows}
+    assert len(best) == len(types)  # exactly one best lag per type
+
+
+def test_dataset_diff_statuses(spark):
+    rows = _q("d7_dataset_diff", spark).collect()
+    statuses = {r["status"] for r in rows}
+    assert statuses <= {"added", "removed", "revised", "unchanged"}
+    # v2 extends v1, so additions must exist and every 'added' row only
+    # increases tokens
+    assert "added" in statuses
+    for r in rows:
+        if r["status"] == "added":
+            assert r["token_delta"] > 0
+        if r["status"] == "removed":
+            assert r["token_delta"] < 0
+
+
+def test_rag_report_rates(spark):
+    for r in _q("d3_rag_corpus_report", spark).collect():
+        assert 0 <= r["dup_rate"] < 1
+        assert r["n_unique_chunks"] <= r["n_chunks"]
+        for c in ("chunks_with_table", "chunks_with_join",
+                  "chunks_with_stream"):
+            assert 0 <= r[c] <= r["n_unique_chunks"]
+
+
+def test_query_routing_consistency(spark):
+    rows = _q("d3_query_routing", spark).collect()
+    assert rows
+    for r in rows:
+        assert r["route"] in ("lsh_probe", "brute_force")
+        if r["route"] == "lsh_probe":
+            assert 1 <= r["n_candidates"] <= 40
+            assert r["expected_scored"] == r["n_candidates"]
+        else:
+            assert r["expected_scored"] > r["n_candidates"]
+
+
+def test_psi_drift_shape(spark):
+    rows = _q("rel_psi_drift", spark).collect()
+    assert len(rows) == 10  # full bin grid, empty bins smoothed not dropped
+    totals = {r["total_psi"] for r in rows}
+    assert len(totals) == 1
+    assert min(totals) >= 0.0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+
+
+def test_binary_quant_recall_range(spark):
+    for r in _q("d3_binary_quant_recall", spark).collect():
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall_at_5"] - r["n_hits"] / 5.0) < 1e-12
+
+
+def test_fanout_dims_cover_both_sinks(spark):
+    rows = _q("c_stream_fanout_sinks", spark).collect()
+    dims = {r["dim"] for r in rows}
+    assert dims == {"type", "hour"}
+    n_type = sum(r["n_events"] for r in rows if r["dim"] == "type")
+    n_hour = sum(r["n_events"] for r in rows if r["dim"] == "hour")
+    assert n_type == n_hour  # both sinks saw the identical stream
+
+
+def test_late_ops_stay_jvm_side(spark):
+    for name in (
+        "d6_attribution_window_sweep",
+        "d7_shard_balance_plan",
+        "rel_psi_drift",
+        "d3_rag_corpus_report",
+        "d6_seasonality_scan",
+    ):
+        assert "BatchEvalPython" not in plan_text(_q(name, spark)), name

@@ -1505,3 +1505,61 @@ def d3_rag_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunks_with_stream"),
     )
+
+
+# --------------------------------------------------------------------------
+# D4: corpus-driven stopword induction — the data-dependent version of
+# the hand-curated STOPWORDS list above: rank every vocabulary token by
+# document-frequency ratio and flag those present in over 60% of
+# documents. Real pipelines induce their stop list per-corpus exactly
+# like this (a legal corpus stops on "court", not "the"). One scan with
+# per-doc token DEDUP before the explode (array_distinct map-side, so a
+# token counts once per doc), then a vocabulary-sized aggregate joined
+# against a broadcast 1-row doc count; ratios are exact integer
+# divisions.
+STOPWORD_DF_THRESHOLD = 0.6
+
+
+@query(
+    "d4_stopword_discovery",
+    oracle=f"""
+        WITH nd AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+            WHERE text <> ''
+        ),
+        df AS (
+            SELECT tok, COUNT(*) AS doc_freq FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_filter(
+                           string_split(text, ' '), t -> t <> ''))) AS tok
+                FROM documents WHERE text <> ''
+            ) x GROUP BY tok
+        )
+        SELECT tok, CAST(doc_freq AS BIGINT) AS doc_freq,
+               CAST(doc_freq AS DOUBLE) / nd.n_docs AS df_ratio,
+               doc_freq > nd.n_docs * {STOPWORD_DF_THRESHOLD}
+                   AS is_stopword
+        FROM df, nd
+    """,
+)
+def d4_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    nd = d.agg(F.count("*").alias("n_docs"))
+    df = (
+        d.select(
+            F.explode(F.array_distinct(tokenize("text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return df.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        (F.col("doc_freq").cast("double") / F.col("n_docs")).alias(
+            "df_ratio"
+        ),
+        (
+            F.col("doc_freq")
+            > F.col("n_docs") * F.lit(STOPWORD_DF_THRESHOLD)
+        ).alias("is_stopword"),
+    )

@@ -147,3 +147,17 @@ def test_late_ops_stay_jvm_side(spark):
         "d6_seasonality_scan",
     ):
         assert "BatchEvalPython" not in plan_text(_q(name, spark)), name
+
+
+def test_stopword_discovery_invariants(spark):
+    rows = _q("d4_stopword_discovery", spark).collect()
+    assert rows
+    n_docs_implied = {round(r["doc_freq"] / r["df_ratio"]) for r in rows}
+    assert len(n_docs_implied) == 1  # every ratio shares one doc count
+    (n_docs,) = n_docs_implied
+    for r in rows:
+        assert 1 <= r["doc_freq"] <= n_docs  # df is per-doc-deduped
+        assert r["is_stopword"] == (r["doc_freq"] > n_docs * 0.6)
+    # the induced stop list is a strict, non-empty minority of the vocab
+    n_stop = sum(r["is_stopword"] for r in rows)
+    assert 0 < n_stop < len(rows)

@@ -62,3 +62,19 @@ def test_every_query_is_documented_in_coverage():
     # streaming/pytest-surface rows may appear without backticks; keep the
     # gate strict but name the misses for a quick doc fix
     assert not missing, sorted(missing)
+
+
+def test_bench_compare_flags_only_real_regressions():
+    """The r-over-r regression gate: >2x jumps flag only past the noise
+    floor; new/removed queries never flag; totals cover the common set."""
+    from tools.bench_compare import MIN_ABS_DELTA_S, THRESHOLD, compare
+
+    old = {"queries": {"a": 1.0, "b": 0.1, "c": 4.0, "gone": 1.0}}
+    new = {"queries": {"a": 2.6, "b": 0.3, "c": 3.0, "added": 9.9}}
+    r = compare(old, new)
+    assert r["n_common"] == 3 and r["n_only_new"] == 1 and r["n_only_old"] == 1
+    assert r["total_old"] == 5.1 and r["total_new"] == 5.9
+    # "a" regressed 2.6x and +1.6s -> flagged; "b" is 3x but only +0.2s
+    # (sub-noise-floor) -> not flagged; "added" is new -> never flagged
+    assert [f[0] for f in r["flags"]] == ["a"]
+    assert THRESHOLD == 2.0 and MIN_ABS_DELTA_S == 0.5

@@ -375,3 +375,91 @@ def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     for d in (0, 1, 3, 4):
         assert per_day[d] == 200                 # untouched
     assert got.filter((F.col("day") == 2) & (F.col("k") < 100000)).count() == 0
+
+
+def test_stateful_vwap_state_survives_restart(spark, tmp_path):
+    """Crash-restart of the CUSTOM state store (VERDICT r3 ask #6): stop the
+    applyInPandasWithState query after wave 1, start a fresh query from the
+    same checkpoint, feed wave 2 — the post-restart emissions must already
+    include wave-1 sums, proving (sum_pv, sum_v) was reloaded from the
+    checkpointed state store, not recomputed from the source."""
+    from bigdatainvesttink_spark.streaming.stateful import running_vwap
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "vwap_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "vwap_ckpt")
+    out = str(tmp_path / "vwap_out")
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"company_id": c, "price": p, "volume": v})
+                for c, p, v in rows
+            )
+        )
+
+    schema = "company_id string, price double, volume long"
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+        def sink(bdf, bid):  # memory sink can't recover; foreachBatch can
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                "append"
+            ).parquet(out)
+
+        return (
+            running_vwap(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def latest_per_key():
+        rows = (
+            spark.read.parquet(out)
+            .groupBy("company_id")
+            .agg(
+                F.max_by("vwap", "batch_id").alias("vwap"),
+                F.max_by("total_volume", "batch_id").alias("tv"),
+                F.max("batch_id").alias("last_bid"),
+            )
+            .collect()
+        )
+        return {r["company_id"]: r for r in rows}
+
+    wave1 = [("A", 10.0, 100), ("A", 20.0, 100), ("B", 5.0, 10)]
+    wave2 = [("A", 40.0, 200), ("B", 15.0, 30)]
+    write("w1.jsonl", wave1)
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulated crash: query gone, checkpoint + state remain
+    got1 = latest_per_key()
+    assert got1["A"]["tv"] == 200 and got1["B"]["tv"] == 10
+    bid_before = max(r["last_bid"] for r in got1.values())
+
+    write("w2.jsonl", wave2)
+    q2 = start()  # fresh query object, same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = latest_per_key()
+    # post-restart emissions (strictly later batch ids) carry cumulative
+    # totals, which can only come from state restored off the checkpoint
+    all_rows = wave1 + wave2
+    for key in ("A", "B"):
+        pv = sum(p * v for c, p, v in all_rows if c == key)
+        vv = sum(v for c, p, v in all_rows if c == key)
+        assert got2[key]["last_bid"] > bid_before, key
+        assert (got2[key]["vwap"], got2[key]["tv"]) == (pv / vv, vv), key

@@ -1517,3 +1517,138 @@ def d1_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_dropped_by_dedup"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D1: broadcast Bloom-filter dedup prefilter — the 100 TB anti-join
+# accelerator. Probing a billion-row dedup index for "is this new document
+# already known?" is normally a full shuffle of the new batch against the
+# index. A Bloom filter over the index keys turns that into a MAP-SIDE
+# membership test: only Bloom candidates (true dups + the audited
+# false-positive tail) continue to the exact verification join, so the
+# shuffle shrinks from |batch| to |candidates|. Spark's own runtime bloom
+# rewrite (spark.sql.optimizer.runtime.bloomFilter.enabled) does this
+# inside one query; this operator is the cross-JOB form a curation pipeline
+# needs (index built once, probed by every incoming batch) — and unlike the
+# builtin's murmur sketch it is exact-deterministic, so DuckDB reproduces
+# the bitmap bit-for-bit.
+#
+# Construction: m = 8192 bit positions, k = 4 hash functions sliced from
+# disjoint 13-bit windows of the 60-bit md5 key (pure shifts — engine
+# portable). The filter itself is ONE row holding the sorted distinct
+# position set (<= 8192 ints); the probe cross-joins that broadcast row and
+# tests all 4 positions with a HOF — zero probe-side shuffle, exactly how a
+# production broadcast-bitset Bloom behaves. The report audits the filter:
+# false positives are expected (and priced), false negatives are
+# structurally impossible (n_missed is asserted 0 in tests).
+BLOOM_BITS = 8192
+BLOOM_K = 4
+
+
+@query(
+    "d1_bloom_prefilter",
+    oracle=_oracle(
+        f"""
+        , hx AS (
+            SELECT doc_id, text,
+                   {_ORACLE_HASH60} AS h
+            FROM corpus
+        ),
+        idx AS (SELECT DISTINCT h, text FROM hx WHERE doc_id < 1000000),
+        bloom AS (
+            SELECT DISTINCT (h >> (13 * i)) % {BLOOM_BITS} AS pos
+            FROM (SELECT DISTINCT h FROM idx)
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        ),
+        probe AS (
+            SELECT p.doc_id, p.text, p.h,
+                   (SELECT COUNT(*) FROM bloom b WHERE b.pos IN (
+                        (p.h >> 0) % {BLOOM_BITS},
+                        (p.h >> 13) % {BLOOM_BITS},
+                        (p.h >> 26) % {BLOOM_BITS},
+                        (p.h >> 39) % {BLOOM_BITS})) AS n_pos_hit,
+                   EXISTS (SELECT 1 FROM idx i
+                           WHERE i.h = p.h AND i.text = p.text) AS is_dup
+            FROM hx p WHERE p.doc_id >= 1000000
+        ),
+        flagged AS (
+            SELECT is_dup,
+                   n_pos_hit = (SELECT COUNT(DISTINCT (h >> (13 * i))
+                                               % {BLOOM_BITS})
+                                FROM (SELECT probe.h AS h) one
+                                CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+                               ) AS is_candidate
+            FROM probe
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+               CAST(SUM(CASE WHEN is_candidate THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_dups,
+               CAST(SUM(CASE WHEN is_candidate AND NOT is_dup
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_positives,
+               CAST(SUM(CASE WHEN is_dup AND NOT is_candidate
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missed,
+               CAST(SUM(CASE WHEN is_candidate AND NOT is_dup
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END)
+                   AS fp_rate
+        FROM flagged
+        """
+    ),
+)
+def d1_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hx = corpus(spark, sf_dir).withColumn("h", stable_hash60("text"))
+    idx = hx.filter(F.col("doc_id") < 1000000).select("h", "text").distinct()
+
+    def positions(h):
+        return F.array(
+            *[
+                (F.shiftright(h, 13 * i) % BLOOM_BITS)
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    # the filter: one row, the sorted distinct position set (bounded by m)
+    bloom = (
+        idx.select(F.explode(positions(F.col("h"))).alias("pos"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+    )
+
+    probe = hx.filter(F.col("doc_id") >= 1000000)
+    flagged = (
+        probe.crossJoin(F.broadcast(bloom))  # 1-row filter, map-side test
+        .withColumn(
+            "is_candidate",
+            F.forall(
+                positions(F.col("h")),
+                lambda p: F.array_contains("bloom", p),
+            ),
+        )
+        .join(
+            idx.select("h", "text").withColumn("is_dup", F.lit(True)),
+            ["h", "text"],
+            "left",
+        )
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
+    )
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_probe"),
+        F.sum(F.col("is_candidate").cast("long"))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_true_dups"),
+        F.sum((F.col("is_candidate") & ~F.col("is_dup")).cast("long"))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum((F.col("is_dup") & ~F.col("is_candidate")).cast("long"))
+        .cast("long")
+        .alias("n_missed"),
+        (
+            F.sum((F.col("is_candidate") & ~F.col("is_dup")).cast("long"))
+            .cast("double")
+            / F.sum((~F.col("is_dup")).cast("long"))
+        ).alias("fp_rate"),
+    )

@@ -161,3 +161,20 @@ def test_stopword_discovery_invariants(spark):
     # the induced stop list is a strict, non-empty minority of the vocab
     n_stop = sum(r["is_stopword"] for r in rows)
     assert 0 < n_stop < len(rows)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    r = _q("d1_bloom_prefilter", spark).collect()[0]
+    # Bloom filters can false-positive (priced) but NEVER false-negative
+    assert r["n_missed"] == 0
+    assert r["n_candidates"] == r["n_true_dups"] + r["n_false_positives"]
+    assert 0 < r["n_true_dups"] < r["n_probe"]
+    assert 0.0 <= r["fp_rate"] < 0.5  # 8192 bits over ~600 keys stays sparse
+    # the prefilter must actually shrink the verification join
+    assert r["n_candidates"] < r["n_probe"]
+
+
+def test_bloom_membership_is_map_side(spark):
+    text = plan_text(_q("d1_bloom_prefilter", spark))
+    assert "BatchEvalPython" not in text
+    assert "BroadcastNestedLoopJoin" in text  # the 1-row filter row

@@ -1652,3 +1652,188 @@ def d1_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum((~F.col("is_dup")).cast("long"))
         ).alias("fp_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# D2: LSH band-tuning sweep — the (bands, rows) knob is THE precision/recall
+# dial of MinHash LSH (the S-curve P[cand] = 1-(1-j^r)^b), and at 100 TB it
+# is also the shuffle dial: more bands = more candidate pairs into the
+# verify join. This sweep prices three layouts of the SAME 32-slot
+# signature table — (16 bands x 2 rows) recall-heavy, (8 x 4) the engine's
+# shipping default, (4 x 8) precision-heavy — against the exact-Jaccard
+# truth set, completing the index-tuning trio beside d3_ivf_nprobe_sweep
+# and d1_bloom_prefilter. The signatures are computed ONCE and regrouped
+# per arm (3 vocabulary-bounded aggregates, never 3 corpus scans); band
+# signatures fold the in-band minhash run through md5, which cannot
+# overflow for any row count (the 31^k integer fold caps at r=4).
+# Truth = inverted-index Jaccard >= 0.5 on the same s_mod shingle domain
+# the estimator samples, so the sweep measures the LSH stage in isolation.
+_SWEEP_ARMS = (2, 4, 8)  # rows per band; bands = 32 / r
+
+
+def _sweep_arm_sql(r: int) -> str:
+    return f"""
+        sig{r} AS (
+            SELECT doc_id, i // {r} AS band,
+                   md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i))
+                       AS sig
+            FROM mh GROUP BY doc_id, i // {r}
+        ), cand{r} AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig{r} a JOIN sig{r} b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), arm{r} AS (
+            SELECT {N_MINHASHES // r} AS n_bands, {r} AS rows_per_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+                   CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits
+            FROM cand{r} c
+            LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        )"""
+
+
+@query(
+    "d2_lsh_band_sweep",
+    oracle=_oracle(
+        f"""
+        , shingled AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) AS BIGINT)
+                       % {MINHASH_PRIME} AS s_mod
+            FROM (
+                SELECT doc_id, unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                       FOR i IN range(0, len(toks) - 2)]) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+                WHERE len(toks) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN(((2*i + 1) * s_mod + 7919*(i + 1)) % {MINHASH_PRIME}) AS mh
+            FROM shingled, (SELECT unnest(range({N_MINHASHES})) AS i)
+            GROUP BY doc_id, i
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM shingled a JOIN shingled b
+              ON a.s_mod = b.s_mod AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), truth AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE)
+                      / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+        ), nt AS (SELECT COUNT(*) AS n_true FROM truth),
+        {",".join(_sweep_arm_sql(r) for r in _SWEEP_ARMS)}
+        SELECT n_bands, rows_per_band, n_candidate_pairs,
+               CAST(nt.n_true AS BIGINT) AS n_true_pairs, n_hits,
+               CAST(n_hits AS DOUBLE) / n_candidate_pairs AS pair_precision,
+               CAST(n_hits AS DOUBLE) / nt.n_true AS pair_recall
+        FROM ({" UNION ALL ".join(f"SELECT * FROM arm{r}" for r in _SWEEP_ARMS)}) arms, nt
+        """
+    ),
+)
+def d2_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    shingled, mh, _ = _minhash_parts(c)
+    mh = mh.cache()  # vocabulary-bounded (n_docs x 32); reused by 3 arms
+
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.s_mod") == F.col("sb.s_mod"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    nt = truth.agg(F.count("*").alias("n_true"))
+
+    def arm(r: int) -> DataFrame:
+        sig = (
+            mh.groupBy(
+                "doc_id", (F.col("i") / r).cast("int").alias("band")
+            ).agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                            lambda x: x["mh"].cast("string"),
+                        ),
+                        "-",
+                    )
+                ).alias("sig")
+            )
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        return (
+            cand.join(
+                truth.withColumn("is_true", F.lit(True)),
+                ["doc_a", "doc_b"],
+                "left",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_candidate_pairs"),
+                F.sum(F.col("is_true").isNotNull().cast("long"))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(N_MINHASHES // r).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidate_pairs",
+                "n_hits",
+            )
+        )
+
+    arms = arm(_SWEEP_ARMS[0])
+    for r in _SWEEP_ARMS[1:]:
+        arms = arms.unionByName(arm(r))
+    return arms.crossJoin(F.broadcast(nt)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidate_pairs",
+        F.col("n_true").cast("long").alias("n_true_pairs"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_candidate_pairs")).alias(
+            "pair_precision"
+        ),
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias(
+            "pair_recall"
+        ),
+    )

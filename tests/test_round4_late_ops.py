@@ -178,3 +178,26 @@ def test_bloom_membership_is_map_side(spark):
     text = plan_text(_q("d1_bloom_prefilter", spark))
     assert "BatchEvalPython" not in text
     assert "BroadcastNestedLoopJoin" in text  # the 1-row filter row
+
+
+def test_lsh_band_sweep_s_curve(spark):
+    rows = {
+        r["n_bands"]: r for r in _q("d2_lsh_band_sweep", spark).collect()
+    }
+    assert set(rows) == {4, 8, 16}
+    for r in rows.values():
+        assert r["n_bands"] * r["rows_per_band"] == 32
+        assert 0 <= r["n_hits"] <= min(
+            r["n_candidate_pairs"], r["n_true_pairs"]
+        )
+    # every arm prices the same truth set
+    assert len({r["n_true_pairs"] for r in rows.values()}) == 1
+    # the S-curve: fewer rows per band can only ADMIT more candidates
+    # (an (r=2k)-band match implies both halves match at r=k), so both
+    # candidates and hits are monotone in n_bands
+    for lo, hi in ((4, 8), (8, 16)):
+        assert (
+            rows[lo]["n_candidate_pairs"] <= rows[hi]["n_candidate_pairs"]
+        )
+        assert rows[lo]["n_hits"] <= rows[hi]["n_hits"]
+        assert rows[lo]["pair_recall"] <= rows[hi]["pair_recall"] + 1e-12

@@ -1597,3 +1597,326 @@ def d3_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_scored"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed covariance / correlation grid over the embedding dimensions —
+# the PCA / whitening prep step every embedding-curation pipeline runs
+# (SemDeDup-style pipelines PCA-reduce before clustering). Scale shape: the
+# corpus is touched ONCE; each vector emits its d(d+1)/2 = 2080
+# upper-triangle products map-side via nested HOFs (no self-join, no
+# per-doc shuffle), and the hash aggregate's map-side partials collapse
+# every partition to <= 2080 rows before the only shuffle. Everything
+# downstream (dimension sums, n, diagonal) is a grid-sized broadcast.
+# Exactness: inputs quantized to the 6dp integer-micro grid, products are
+# exact int64, sums ride DECIMAL(38,0) (= DuckDB HUGEINT), and the final
+# cov/corr doubles are single correctly-rounded IEEE expressions evaluated
+# in the same order on both engines — the d4_quality_logreg discipline.
+# Reference analog: the reference ships raw columns to ClickHouse/Grafana
+# (app/for_clickhouse/from_rabbitmq_to_clickhouse.py:1); in-engine
+# second-moment analytics replace that external hop.
+
+
+# Shared WITH-body: the integer-micro covariance-numerator grid (upper
+# triangle i <= j; `num` = n*S_ij - S_i*S_j in HUGEINT = Spark DECIMAL(38,0)).
+_COV_GRID_SQL = f"""
+        ex AS (
+            SELECT vec_id, i AS pos,
+                   CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS xu
+            FROM embeddings, (SELECT unnest(range({_DIM})) AS i)
+        ), sums AS (
+            SELECT pos, SUM(CAST(xu AS HUGEINT)) AS s FROM ex GROUP BY pos
+        ), nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        prods AS (
+            SELECT a.pos AS i, b.pos AS j,
+                   SUM(CAST(a.xu AS HUGEINT) * b.xu) AS sij
+            FROM ex a JOIN ex b
+              ON a.vec_id = b.vec_id AND a.pos <= b.pos
+            GROUP BY a.pos, b.pos
+        ), grid AS (
+            SELECT i, j, n,
+                   CAST(n AS HUGEINT) * sij - sa.s * sb.s AS num
+            FROM prods
+            CROSS JOIN nn
+            JOIN sums sa ON sa.pos = prods.i
+            JOIN sums sb ON sb.pos = prods.j
+        )"""
+
+
+_COV_ORACLE = f"""
+        WITH {_COV_GRID_SQL}
+        SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+               CAST(g.n AS BIGINT) AS n_vectors,
+               CAST(g.num AS DOUBLE)
+                   / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+                      * 1000000000000.0) AS cov,
+               CASE WHEN di.num = 0 OR dj.num = 0 THEN NULL
+                    ELSE CAST(g.num AS DOUBLE)
+                         / (sqrt(CAST(di.num AS DOUBLE))
+                            * sqrt(CAST(dj.num AS DOUBLE)))
+               END AS corr
+        FROM grid g
+        JOIN grid di ON di.i = g.i AND di.j = g.i
+        JOIN grid dj ON dj.i = g.j AND dj.j = g.j
+    """
+
+
+def _cov_dec(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
+def _cov_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, n, num) for i <= j — the Spark spelling of _COV_GRID_SQL."""
+    v = load_table(spark, sf_dir, "embeddings")
+    dec = _cov_dec
+
+    def micro(x):
+        return F.floor(x.cast("double") * F.lit(1000000) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    base = v.select("vec_id", F.transform("embedding", micro).alias("xu"))
+
+    # Map-side upper-triangle products: 2080 structs per vector, no join.
+    idx = F.sequence(F.lit(0), F.lit(_DIM - 1))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_DIM - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("xu"), i + 1)
+                        * F.element_at(F.col("xu"), j + 1)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    prods = (
+        base.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.i", "pr.j", "pr.p")
+        .groupBy("i", "j")
+        .agg(F.sum(dec(F.col("p"))).alias("sij"))
+    )
+    sums = (
+        base.select(F.posexplode("xu").alias("pos", "xu_v"))
+        .groupBy("pos")
+        .agg(F.sum(dec(F.col("xu_v"))).alias("s"))
+    )
+    nn = v.agg(F.count("*").alias("n"))
+    grid = (
+        prods.crossJoin(F.broadcast(nn))
+        .join(
+            F.broadcast(
+                sums.select(F.col("pos").alias("i"), F.col("s").alias("si"))
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                sums.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            (dec(F.col("n")) * F.col("sij") - F.col("si") * F.col("sj")).alias(
+                "num"
+            ),
+        )
+    )
+    return grid
+
+
+@query("d3_embedding_covariance", oracle=_COV_ORACLE)
+def d3_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _cov_grid(spark, sf_dir)
+    diag = grid.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("num").alias("dnum")
+    )
+    return (
+        grid.join(
+            F.broadcast(
+                diag.select(F.col("d").alias("i"), F.col("dnum").alias("di_num"))
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                diag.select(F.col("d").alias("j"), F.col("dnum").alias("dj_num"))
+            ),
+            "j",
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("n").cast("long").alias("n_vectors"),
+            (
+                F.col("num").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * F.lit(1000000000000.0)
+                )
+            ).alias("cov"),
+            F.when(
+                (F.col("di_num") == 0) | (F.col("dj_num") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("di_num").cast("double"))
+                    * F.sqrt(F.col("dj_num").cast("double"))
+                )
+            )
+            .alias("corr"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top principal component of the embedding covariance by exactly-unrolled
+# power iteration — the PCA step itself (dimension weights + top-eigenvalue
+# estimate). Iteration state is the 64-entry weight vector on the integer-
+# micro grid (d6_markov_stationary / d2_pagerank_fixed discipline): the
+# matvec y = C_num . w is pure DECIMAL(38,0) x DECIMAL(38,0) integer
+# arithmetic (DuckDB HUGEINT), and the max-abs renormalization requantizes
+# through one correctly-rounded double division + floor, identical on both
+# engines. Everything after the one covariance-grid build is grid-sized:
+# fullm is 64x64 rows, each iteration one broadcast join + tiny agg. The
+# corpus is touched only by the persisted covariance grid. (At extreme row
+# counts the DECIMAL(38,0) matvec headroom shrinks — num ~ n^2 var_u^2;
+# beyond ~1e9 rows rescale the micro grid before iterating.)
+PCA_ITERS = 4
+
+
+def _pca_oracle() -> str:
+    sql = f"""
+        WITH {_COV_GRID_SQL},
+        fullm AS (
+            SELECT i, j, num FROM grid
+            UNION ALL
+            SELECT j AS i, i AS j, num FROM grid WHERE i < j
+        ),
+        w0 AS (
+            SELECT unnest(range({_DIM})) AS pos,
+                   CAST(1000000 AS HUGEINT) AS w_u
+        )"""
+    for k in range(1, PCA_ITERS + 1):
+        sql += f""", y{k} AS (
+            SELECT f.i AS pos, SUM(f.num * w.w_u) AS y
+            FROM fullm f JOIN w{k - 1} w ON w.pos = f.j
+            GROUP BY f.i
+        ), m{k} AS (SELECT MAX(abs(y)) AS m FROM y{k}),
+        w{k} AS (
+            SELECT pos,
+                   CAST(floor(CAST(y AS DOUBLE) * 1000000.0
+                              / CAST(m AS DOUBLE) + 0.5) AS HUGEINT) AS w_u
+            FROM y{k}, m{k}
+        )"""
+    return sql + f"""
+        SELECT CAST(w.pos AS BIGINT) AS pos,
+               CAST(w.w_u AS DOUBLE) / 1000000.0 AS weight,
+               CAST(m.m AS DOUBLE)
+                   / (1000000.0 * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                      * 1000000000000.0) AS eigenvalue_est,
+               CAST(nn.n AS BIGINT) AS n_vectors
+        FROM w{PCA_ITERS} w, m{PCA_ITERS} m, nn"""
+
+
+@query("d3_pca_power_iteration", oracle=_pca_oracle())
+def d3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The iteration runs as single-row HOF linear algebra: the 64x64 grid
+    # folds into one array<array<decimal>> row, so all PCA_ITERS matvec +
+    # renormalize steps are shuffle-free whole-stage-codegen expressions —
+    # the only shuffles are the covariance build and two tiny collects.
+    grid = _cov_grid(spark, sf_dir)
+    fullm = grid.select("i", "j", "num").unionByName(
+        grid.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "num"
+        )
+    )
+    rows = fullm.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "num"))),
+            lambda s: s["num"],
+        ).alias("row")
+    )
+    mat = rows.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "row"))),
+            lambda s: s["row"],
+        ).alias("mat")
+    )
+    nn = grid.agg(F.max("n").alias("n"))
+
+    dz = F.lit(0).cast("decimal(38,0)")
+    df = mat.crossJoin(F.broadcast(nn)).select(
+        "mat",
+        "n",
+        F.array_repeat(F.lit(1000000).cast("decimal(38,0)"), _DIM).alias(
+            "w"
+        ),
+    )
+    for _ in range(PCA_ITERS):
+        df = df.select(
+            "mat",
+            "n",
+            F.transform(
+                "mat",
+                lambda row: F.aggregate(
+                    F.zip_with(row, F.col("w"), lambda a, b: a * b),
+                    dz,
+                    lambda acc, x: acc + x,
+                ),
+            ).alias("y"),
+        )
+        df = df.select(
+            "mat",
+            "n",
+            "y",
+            F.array_max(F.transform("y", F.abs)).alias("mx"),
+        )
+        df = df.select(
+            "mat",
+            "n",
+            "mx",
+            F.transform(
+                "y",
+                lambda yi: F.floor(
+                    yi.cast("double")
+                    * F.lit(1000000.0)
+                    / F.col("mx").cast("double")
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)"),
+            ).alias("w"),
+        ).persist()
+        # The persist is load-bearing, not a cache hint: HOF lambdas
+        # re-evaluate argument expressions per element, so without a
+        # materialization boundary CollapseProject inlines iteration k-1
+        # into k's lambdas and evaluation cost grows 64x per iteration.
+    return df.select(
+        "n",
+        "mx",
+        F.posexplode("w").alias("pos", "w_u"),
+    ).select(
+        F.col("pos").cast("long").alias("pos"),
+        (F.col("w_u").cast("double") / F.lit(1000000.0)).alias("weight"),
+        (
+            F.col("mx").cast("double")
+            / (
+                F.lit(1000000.0)
+                * F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(1000000000000.0)
+            )
+        ).alias("eigenvalue_est"),
+        F.col("n").cast("long").alias("n_vectors"),
+    )

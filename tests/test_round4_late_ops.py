@@ -201,3 +201,66 @@ def test_lsh_band_sweep_s_curve(spark):
         )
         assert rows[lo]["n_hits"] <= rows[hi]["n_hits"]
         assert rows[lo]["pair_recall"] <= rows[hi]["pair_recall"] + 1e-12
+
+
+def _micro_grid(sf_dir):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()["embedding"]
+    con.close()
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+    Xu = np.floor(X * 1e6 + 0.5)
+    n = Xu.shape[0]
+    # exact integer covariance numerators: n*S_ij - S_i*S_j (object dtype
+    # = python ints, so the numpy replica is exact like DECIMAL/HUGEINT)
+    Xi = Xu.astype(object).astype(int)
+    s = Xi.sum(axis=0)
+    num = n * (Xi.T @ Xi) - np.outer(s, s)
+    return num, n
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    num, n = _micro_grid(SF_SMALL)
+    rows = _q("d3_embedding_covariance", spark).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows[:200]:
+        i, j = r["i"], r["j"]
+        assert i <= j and r["n_vectors"] == n
+        expect = float(num[i][j]) / (float(n) * float(n) * 1e12)
+        assert r["cov"] == expect
+    diag = {r["i"]: r for r in rows if r["i"] == r["j"]}
+    assert len(diag) == 64
+    for r in diag.values():
+        assert r["cov"] > 0  # non-degenerate dimensions
+        assert abs(r["corr"] - 1.0) < 1e-12  # sqrt(x)*sqrt(x) ~ x
+    offd = [r for r in rows if r["i"] != r["j"]]
+    assert all(abs(r["corr"]) <= 1.0 + 1e-12 for r in offd)
+
+
+def test_pca_power_iteration_matches_numpy_replica(spark):
+    import numpy as np
+
+    num, n = _micro_grid(SF_SMALL)
+    w = np.full(64, 10**6, dtype=object)
+    m = None
+    for _ in range(4):
+        y = num @ w  # exact int matvec
+        m = max(abs(v) for v in y)
+        w = np.array(
+            [int(np.floor(float(v) * 1e6 / float(m) + 0.5)) for v in y],
+            dtype=object,
+        )
+    lam = float(m) / (1e6 * float(n) * float(n) * 1e12)
+    rows = {r["pos"]: r for r in _q("d3_pca_power_iteration", spark).collect()}
+    assert set(rows) == set(range(64))
+    got_w = np.array([rows[p]["weight"] for p in range(64)])
+    assert np.max(np.abs(got_w)) == 1.0  # max-norm renormalization lands on 1
+    for p in range(64):
+        assert rows[p]["weight"] == float(w[p]) / 1e6
+        assert rows[p]["eigenvalue_est"] == lam
+        assert rows[p]["n_vectors"] == n
+    assert lam > 0

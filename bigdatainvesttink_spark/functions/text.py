@@ -72,3 +72,52 @@ def band_weight(i: Column) -> Column:
         .otherwise(29791)
         .cast("long")
     )
+
+
+def row_minhash(text_col: Column) -> Column:
+    """All 32 minhash slots of one document as a per-row array — the
+    STREAMING-SAFE spelling of ``_minhash_parts``'s groupBy-min (identical
+    values: min over the same permuted shingle hashes). One fold over the
+    distinct shingle set updates every slot via zip_with, so the shingle
+    hashing runs exactly once per row (see the ``shingles`` docstring for
+    why per-index formulations re-evaluate Catalyst-inlined inputs).
+    Documents with no shingle (< 3 tokens) keep the MINHASH_PRIME sentinel
+    in every slot — callers must filter those out, as the batch path drops
+    them by construction."""
+    sh = F.array_distinct(shingles(tokenize(text_col), 3))
+    smods = F.transform(sh, lambda s: stable_hash60(s) % MINHASH_PRIME)
+    init = F.array_repeat(
+        F.lit(MINHASH_PRIME).cast("long"), N_MINHASHES
+    )
+    idxs = F.sequence(F.lit(0), F.lit(N_MINHASHES - 1))
+    return F.aggregate(
+        smods,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            idxs,
+            lambda m, i: F.least(
+                m, ((2 * i + 1) * s + 7919 * (i + 1)) % F.lit(MINHASH_PRIME)
+            ),
+        ),
+    )
+
+
+def row_band_structs(mh_col: Column) -> Column:
+    """8 LSH band signatures from a 32-slot ``row_minhash`` array:
+    array<struct<band:int, sig:long>>, sig = sum(mh[4b+k] * 31^k) — the
+    same weights as ``band_weight``, so row-wise and groupBy band sigs are
+    interchangeable. References mh_col 4x per band: pass a MATERIALIZED
+    column (own select), not an inline expression."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            (
+                F.element_at(mh_col, b * 4 + 1)
+                + F.element_at(mh_col, b * 4 + 2) * 31
+                + F.element_at(mh_col, b * 4 + 3) * 961
+                + F.element_at(mh_col, b * 4 + 4) * 29791
+            ).alias("sig"),
+        ),
+    )

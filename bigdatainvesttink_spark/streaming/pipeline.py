@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import oracle_on_domain
+from ..functions.text import MINHASH_PRIME, N_MINHASHES
 from ..io import load_table
+from ..operators.dedup import _oracle as _dedup_oracle
 from ..registry import query
 from ..session import configure
 from ..sources.ingest import ingest
@@ -785,3 +787,114 @@ def c_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return t.unionByName(h)
+
+
+# --------------------------------------------------------------------------
+# Streaming near-duplicate detection — MinHash LSH at ingest time. Arriving
+# documents get their full 32-slot minhash signature computed IN-FLIGHT as
+# one stateless per-row fold (functions.text.row_minhash — bit-identical to
+# the batch groupBy path, equivalence-tested), explode to 8 band
+# signatures, and stream-static join against the corpus's LSH band index:
+# the flag-before-landing gate every dedup pipeline wants, without waiting
+# for the nightly batch job. The join is stateless equi on (band, sig) —
+# no watermark, no streaming state; the index is broadcast here (120k rows
+# at sf0.1) and becomes an ordinary bucketed shuffle join at index sizes
+# past broadcast range. Oracle: the identical self-join run fully in batch
+# by DuckDB (raw arrivals = the doc_id < 1e6 partition of the corpus,
+# whose +1e6 rows are mutated near-dups and +2e6 rows exact copies — so
+# the match-kind split is a seeded-truth readout, not just a count).
+@query(
+    "c_stream_neardup_flags",
+    oracle=_dedup_oracle(
+        f"""
+        , shingled AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) AS BIGINT)
+                       % {MINHASH_PRIME} AS s_mod
+            FROM (
+                SELECT doc_id, unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                       FOR i IN range(0, len(toks) - 2)]) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+                WHERE len(toks) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN(((2*i + 1) * s_mod + 7919*(i + 1)) % {MINHASH_PRIME}) AS mh
+            FROM shingled, (SELECT unnest(range({N_MINHASHES})) AS i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   SUM(mh * (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                             WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+            FROM mh GROUP BY doc_id, i // 4
+        ), hits AS (
+            SELECT DISTINCT r.doc_id AS doc_id, b.doc_id AS idx_doc
+            FROM bands r JOIN bands b
+              ON r.band = b.band AND r.sig = b.sig
+             AND b.doc_id <> r.doc_id
+            WHERE r.doc_id < 1000000
+        )
+        SELECT CASE WHEN idx_doc >= 2000000 THEN 'exact_copy'
+                    WHEN idx_doc >= 1000000 THEN 'mutated_neardup'
+                    ELSE 'corpus_other' END AS match_kind,
+               CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged
+        FROM hits GROUP BY 1
+        """
+    ),
+)
+def c_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import row_band_structs, row_minhash, tokenize
+    from ..operators.dedup import corpus
+
+    configure(spark)
+
+    def band_rows(df: DataFrame, id_alias: str) -> DataFrame:
+        # two selects on purpose: row_band_structs reads the mh column 4x
+        # per band, so mh must be a materialized column, not inlined
+        return (
+            df.filter(
+                (F.col("text") != "")
+                & (F.size(tokenize("text")) >= 3)
+            )
+            .select(
+                F.col("doc_id").alias(id_alias),
+                row_minhash(F.col("text")).alias("mh"),
+            )
+            .select(
+                id_alias, F.explode(row_band_structs(F.col("mh"))).alias("bs")
+            )
+            .select(id_alias, F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig"))
+        )
+
+    idx_sigs = band_rows(corpus(spark, sf_dir), "idx_doc")
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hits = (
+        band_rows(raw, "doc_id")
+        .join(F.broadcast(idx_sigs), ["band", "sig"])
+        .filter(F.col("idx_doc") != F.col("doc_id"))
+        .select("doc_id", "idx_doc")
+    )
+    landed = run_to_memory(hits, "append")
+    return (
+        landed.distinct()
+        .select(
+            F.when(F.col("idx_doc") >= 2000000, "exact_copy")
+            .when(F.col("idx_doc") >= 1000000, "mutated_neardup")
+            .otherwise("corpus_other")
+            .alias("match_kind"),
+            "doc_id",
+        )
+        .groupBy("match_kind")
+        .agg(
+            F.count("*").cast("long").alias("n_candidate_pairs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs_flagged"),
+        )
+    )

@@ -264,3 +264,40 @@ def test_pca_power_iteration_matches_numpy_replica(spark):
         assert rows[p]["eigenvalue_est"] == lam
         assert rows[p]["n_vectors"] == n
     assert lam > 0
+
+
+def test_stream_neardup_never_misses_exact_copies(spark):
+    import pyspark.sql.functions as F
+
+    from bigdatainvesttink_spark.functions.text import tokenize
+    from bigdatainvesttink_spark.io import load_table
+
+    rows = {
+        r["match_kind"]: r
+        for r in _q("c_stream_neardup_flags", spark).collect()
+    }
+    d = load_table(spark, SF_SMALL, "documents").filter(
+        (F.col("text") != "") & (F.size(tokenize("text")) >= 3)
+    )
+    # every raw doc whose text equals a copied (%20) doc's text MUST be
+    # flagged: identical text -> identical signature -> all 8 bands
+    # collide (LSH has no false negatives at jaccard=1). Text-level
+    # matching (not doc_id%20 alone) because the fixture also seeds
+    # natural duplicate texts, which rightly collide with the copy too.
+    n_copy_text_matches = (
+        d.join(
+            d.filter(F.col("doc_id") % 20 == 0).select("text").distinct(),
+            "text",
+            "left_semi",
+        ).count()
+    )
+    assert rows["exact_copy"]["n_docs_flagged"] >= n_copy_text_matches
+    assert (
+        rows["exact_copy"]["n_candidate_pairs"]
+        >= rows["exact_copy"]["n_docs_flagged"]
+    )
+    # mutated variants (one token changed) keep jaccard high: the banded
+    # index must surface at least some of them at ingest
+    assert rows["mutated_neardup"]["n_docs_flagged"] > 0
+    for r in rows.values():
+        assert r["n_candidate_pairs"] >= r["n_docs_flagged"] > 0

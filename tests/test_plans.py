@@ -564,3 +564,56 @@ def test_audit_report_flags_red_patterns(spark):
     b = spark.range(3).select(F.col("id").alias("y"))
     rpt = audit_report(a.crossJoin(b))
     assert rpt["has_cartesian"] or rpt["n_bnl_joins"] >= 1
+
+
+def test_covariance_products_aggregate_mapside(spark):
+    # the 2080 upper-triangle products per vector must partially aggregate
+    # BEFORE the shuffle (map-side combine collapses every partition to
+    # <= 2080 rows), stay JVM-side, and never self-join the corpus
+    df = _q("d3_embedding_covariance", spark)
+    text = plan_text(df)
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "partial_sum" in physical
+    assert "BatchEvalPython" not in physical
+    assert "CartesianProduct" not in physical
+    # grid-sized sides (sums, n, diagonal) all broadcast
+    assert "SortMergeJoin" not in physical
+
+
+def test_stream_neardup_index_join_is_broadcast(spark):
+    # the stream-static LSH-index join must broadcast the index side (at
+    # broadcast-able index sizes) and stay stateless: no streaming
+    # aggregation state before the sink
+    from bigdatainvesttink_spark.operators.dedup import corpus
+    from bigdatainvesttink_spark.functions.text import (
+        row_band_structs,
+        row_minhash,
+        tokenize,
+    )
+    import pyspark.sql.functions as F
+
+    idx = (
+        corpus(spark, SF_SMALL)
+        .filter(F.size(tokenize("text")) >= 3)
+        .select("doc_id", row_minhash(F.col("text")).alias("mh"))
+        .select(
+            F.col("doc_id").alias("idx_doc"),
+            F.explode(row_band_structs(F.col("mh"))).alias("bs"),
+        )
+        .select("idx_doc", "bs.band", "bs.sig")
+    )
+    probe = (
+        corpus(spark, SF_SMALL)
+        .filter(F.size(tokenize("text")) >= 3)
+        .limit(50)
+        .select("doc_id", row_minhash(F.col("text")).alias("mh"))
+        .select(
+            "doc_id", F.explode(row_band_structs(F.col("mh"))).alias("bs")
+        )
+        .select("doc_id", "bs.band", "bs.sig")
+    )
+    joined = probe.join(F.broadcast(idx), ["band", "sig"])
+    text = plan_text(joined)
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "BatchEvalPython" not in physical

@@ -1494,3 +1494,158 @@ def rel_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_psi")
     )
     return terms.crossJoin(F.broadcast(total))
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style column statistics — the optimizer-stats collection job
+# (`ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` as a query): per
+# column null count, EXACT distinct count, min/max, character volume, and
+# the modal value with a deterministic tiebreak (highest count, then
+# smallest value). Scale shape: all scalar stats come from ONE scan — the
+# multi-column COUNT(DISTINCT) plans as a single Expand + two-stage
+# aggregate (k-way row multiplication, the standard exact-ANALYZE cost; at
+# sizes where exact NDV is not worth it, rel_approx_aggs shows the sketch
+# path) — and each low-cardinality mode is a TakeOrderedAndProject over
+# its tiny count table, never a global sort. Reference analog: ClickHouse
+# table introspection the reference delegates to the warehouse
+# (app/for_clickhouse/from_rabbitmq_to_clickhouse.py:1).
+_PROFILE_NUM = (("l_orderkey", False), ("l_quantity", True), ("l_discount", True))
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    stat_cols, rows = [], []
+    stat_cols.append("COUNT(*) AS n_rows")
+    for c, has_mode in _PROFILE_NUM:
+        stat_cols += [
+            f"COUNT({c}) AS nn_{c}",
+            f"COUNT(DISTINCT {c}) AS nd_{c}",
+            f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}",
+            f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}",
+        ]
+        top_v = f"CAST(m_{c}.v AS VARCHAR)" if has_mode else "CAST(NULL AS VARCHAR)"
+        top_c = f"CAST(m_{c}.c AS BIGINT)" if has_mode else "CAST(NULL AS BIGINT)"
+        rows.append(f"""
+        SELECT '{c}' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_rows - nn_{c} AS BIGINT) AS n_nulls,
+               CAST(nd_{c} AS BIGINT) AS n_distinct,
+               mn_{c} AS min_num, mx_{c} AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str,
+               CAST(NULL AS BIGINT) AS n_chars_total,
+               {top_v} AS top_value, {top_c} AS top_count
+        FROM s{f", m_{c}" if has_mode else ""}""")
+    for c in _PROFILE_STR:
+        stat_cols += [
+            f"COUNT({c}) AS nn_{c}",
+            f"COUNT(DISTINCT {c}) AS nd_{c}",
+            f"MIN({c}) AS mn_{c}",
+            f"MAX({c}) AS mx_{c}",
+            f"CAST(SUM(length({c})) AS BIGINT) AS ch_{c}",
+        ]
+        rows.append(f"""
+        SELECT '{c}', CAST(n_rows AS BIGINT), CAST(n_rows - nn_{c} AS BIGINT),
+               CAST(nd_{c} AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               mn_{c}, mx_{c}, ch_{c},
+               CAST(m_{c}.v AS VARCHAR), CAST(m_{c}.c AS BIGINT)
+        FROM s, m_{c}""")
+    modes = ",\n".join(
+        f"""m_{c} AS (
+            SELECT {c} AS v, COUNT(*) AS c FROM lineitem
+            WHERE {c} IS NOT NULL GROUP BY 1
+            ORDER BY c DESC, v ASC LIMIT 1
+        )"""
+        for c, hm in [*_PROFILE_NUM, *((c, True) for c in _PROFILE_STR)]
+        if hm
+    )
+    return (
+        f"WITH s AS (SELECT {', '.join(stat_cols)} FROM lineitem),\n{modes}\n"
+        + " UNION ALL ".join(rows)
+    )
+
+
+@query("rel_column_profile", oracle=_profile_oracle())
+def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    aggs = [F.count("*").alias("n_rows")]
+    for c, _ in _PROFILE_NUM:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            F.sum(F.length(c)).cast("long").alias(f"ch_{c}"),
+        ]
+    base = li.agg(*aggs)
+
+    mode_cols = [c for c, hm in _PROFILE_NUM if hm] + list(_PROFILE_STR)
+    for c in mode_cols:
+        m = (
+            li.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), F.col(c).asc())
+            .limit(1)
+            .select(
+                F.col(c).cast("string").alias(f"v_{c}"),
+                F.col("c").alias(f"c_{c}"),
+            )
+        )
+        base = base.crossJoin(F.broadcast(m))
+    # Load-bearing persist: the long-format Union below projects a
+    # different column subset per branch, and per-branch pruning would
+    # otherwise re-derive this 1-row plan 5x — splitting the single
+    # Expand multi-distinct scan into one full table scan per column.
+    base = base.persist()
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    parts = []
+    for c, has_mode in _PROFILE_NUM:
+        parts.append(
+            base.select(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_num"),
+                F.col(f"mx_{c}").alias("max_num"),
+                null_s.alias("min_str"),
+                null_s.alias("max_str"),
+                null_l.alias("n_chars_total"),
+                (F.col(f"v_{c}") if has_mode else null_s).alias("top_value"),
+                (
+                    F.col(f"c_{c}").cast("long") if has_mode else null_l
+                ).alias("top_count"),
+            )
+        )
+    for c in _PROFILE_STR:
+        parts.append(
+            base.select(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                null_d.alias("min_num"),
+                null_d.alias("max_num"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+                F.col(f"ch_{c}").alias("n_chars_total"),
+                F.col(f"v_{c}").alias("top_value"),
+                F.col(f"c_{c}").cast("long").alias("top_count"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

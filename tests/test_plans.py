@@ -617,3 +617,21 @@ def test_stream_neardup_index_join_is_broadcast(spark):
     physical = text.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in physical
     assert "BatchEvalPython" not in physical
+
+
+def test_column_profile_single_expand_pass_and_heap_modes(spark):
+    # all NDVs from ONE multi-distinct scan (Expand + two-stage agg), each
+    # mode a TakeOrderedAndProject heap — no global sort, nothing Python
+    df = _q("rel_column_profile", spark)
+    text = plan_text(df)
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "Expand" in physical
+    assert "TakeOrderedAndProject" in physical
+    assert "BatchEvalPython" not in physical
+    rows = {r["col_name"]: r for r in df.collect()}
+    assert rows["l_returnflag"]["n_distinct"] == 3
+    assert rows["l_linestatus"]["n_distinct"] == 2
+    for r in rows.values():
+        assert r["n_nulls"] == 0 and r["n_rows"] > 0
+        if r["top_count"] is not None:
+            assert 0 < r["top_count"] <= r["n_rows"]

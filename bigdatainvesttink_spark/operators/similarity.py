@@ -1621,7 +1621,7 @@ def d3_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle i <= j; `num` = n*S_ij - S_i*S_j in HUGEINT = Spark DECIMAL(38,0)).
 _COV_GRID_SQL = f"""
         ex AS (
-            SELECT vec_id, i AS pos,
+            SELECT vec_id, label, i AS pos,
                    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
                               + 0.5) AS BIGINT) AS xu
             FROM embeddings, (SELECT unnest(range({_DIM})) AS i)
@@ -1797,7 +1797,9 @@ def d3_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 4
 
 
-def _pca_oracle() -> str:
+def _pca_chain_sql() -> str:
+    """WITH-body: covariance grid + the unrolled power iteration, ending at
+    w{PCA_ITERS} (weights, micro units) and m{PCA_ITERS} (last max-abs)."""
     sql = f"""
         WITH {_COV_GRID_SQL},
         fullm AS (
@@ -1821,7 +1823,11 @@ def _pca_oracle() -> str:
                               / CAST(m AS DOUBLE) + 0.5) AS HUGEINT) AS w_u
             FROM y{k}, m{k}
         )"""
-    return sql + f"""
+    return sql
+
+
+def _pca_oracle() -> str:
+    return _pca_chain_sql() + f"""
         SELECT CAST(w.pos AS BIGINT) AS pos,
                CAST(w.w_u AS DOUBLE) / 1000000.0 AS weight,
                CAST(m.m AS DOUBLE)
@@ -1831,12 +1837,12 @@ def _pca_oracle() -> str:
         FROM w{PCA_ITERS} w, m{PCA_ITERS} m, nn"""
 
 
-@query("d3_pca_power_iteration", oracle=_pca_oracle())
-def d3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The iteration runs as single-row HOF linear algebra: the 64x64 grid
     # folds into one array<array<decimal>> row, so all PCA_ITERS matvec +
     # renormalize steps are shuffle-free whole-stage-codegen expressions —
     # the only shuffles are the covariance build and two tiny collects.
+    # Returns the 1-row final state (n, mx, w: array<decimal> micros).
     grid = _cov_grid(spark, sf_dir)
     fullm = grid.select("i", "j", "num").unionByName(
         grid.filter(F.col("i") < F.col("j")).select(
@@ -1902,6 +1908,12 @@ def d3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-evaluate argument expressions per element, so without a
         # materialization boundary CollapseProject inlines iteration k-1
         # into k's lambdas and evaluation cost grows 64x per iteration.
+    return df
+
+
+@query("d3_pca_power_iteration", oracle=_pca_oracle())
+def d3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pca_state(spark, sf_dir)
     return df.select(
         "n",
         "mx",
@@ -1919,4 +1931,74 @@ def d3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("eigenvalue_est"),
         F.col("n").cast("long").alias("n_vectors"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PCA apply — project every embedding onto the learned top component and
+# read out per-label score separation (does the first PC see the label
+# structure?). Completes the train -> apply arc: the component comes from
+# the same unrolled iteration as d3_pca_power_iteration (shared
+# _pca_state / _pca_chain_sql), and each vector's score is one broadcast
+# of the 64-entry weight row + a per-row zip_with/aggregate fold — the
+# corpus is touched once, map-side, after the grid-sized training.
+# Scores are uncentered (w . x, micro^2 units scaled back by 1e12): the
+# per-label COMPARISON is offset-invariant, so centering would only
+# subtract the same constant from every row. All sums are exact integers;
+# the three doubles are single correctly-rounded expressions.
+@query(
+    "d3_pca_project_scores",
+    oracle=_pca_chain_sql()
+    + f""", xv AS (
+            SELECT vec_id, label, SUM(e.xu * w.w_u) AS score_raw
+            FROM ex e JOIN w{PCA_ITERS} w ON w.pos = e.pos
+            GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(score_raw) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0)
+                   AS mean_score,
+               MIN(CAST(score_raw AS DOUBLE) / 1000000000000.0)
+                   AS min_score,
+               MAX(CAST(score_raw AS DOUBLE) / 1000000000000.0)
+                   AS max_score
+        FROM xv GROUP BY label""",
+)
+def d3_pca_project_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _pca_state(spark, sf_dir).select("w")
+    v = load_table(spark, sf_dir, "embeddings")
+    xu = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * F.lit(1000000) + F.lit(0.5)
+        ).cast("long"),
+    )
+    dz = F.lit(0).cast("decimal(38,0)")
+    scored = (
+        v.select("vec_id", "label", xu.alias("xu"))
+        .crossJoin(F.broadcast(w))
+        .select(
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("w"), F.col("xu"), lambda a, b: a * b
+                ),
+                dz,
+                lambda acc, x: acc + x,
+            ).alias("score_raw"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        (
+            F.sum("score_raw").cast("double")
+            / (F.count("*").cast("double") * F.lit(1000000000000.0))
+        ).alias("mean_score"),
+        F.min(
+            F.col("score_raw").cast("double") / F.lit(1000000000000.0)
+        ).alias("min_score"),
+        F.max(
+            F.col("score_raw").cast("double") / F.lit(1000000000000.0)
+        ).alias("max_score"),
     )

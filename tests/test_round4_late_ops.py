@@ -301,3 +301,39 @@ def test_stream_neardup_never_misses_exact_copies(spark):
     assert rows["mutated_neardup"]["n_docs_flagged"] > 0
     for r in rows.values():
         assert r["n_candidate_pairs"] >= r["n_docs_flagged"] > 0
+
+
+def test_pca_projection_matches_numpy_replica(spark):
+    import duckdb
+    import numpy as np
+
+    num, n = _micro_grid(SF_SMALL)
+    w = np.full(64, 10**6, dtype=object)
+    for _ in range(4):
+        y = num @ w
+        m = max(abs(v) for v in y)
+        w = np.array(
+            [int(np.floor(float(v) * 1e6 / float(m) + 0.5)) for v in y],
+            dtype=object,
+        )
+    con = duckdb.connect()
+    rows_np = con.execute(
+        f"SELECT label, embedding FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchall()
+    con.close()
+    by_label = {}
+    for label, emb in rows_np:
+        xu = [int(np.floor(float(x) * 1e6 + 0.5)) for x in emb]
+        s = sum(int(a) * int(b) for a, b in zip(w, xu))  # exact ints
+        by_label.setdefault(label, []).append(s)
+    got = {r["label"]: r for r in _q("d3_pca_project_scores", spark).collect()}
+    assert set(got) == set(by_label)
+    for label, scores in by_label.items():
+        g = got[label]
+        assert g["n_vectors"] == len(scores)
+        assert g["mean_score"] == float(sum(scores)) / (
+            float(len(scores)) * 1e12
+        )
+        assert g["min_score"] == min(float(s) / 1e12 for s in scores)
+        assert g["max_score"] == max(float(s) / 1e12 for s in scores)
+        assert g["min_score"] <= g["mean_score"] <= g["max_score"]

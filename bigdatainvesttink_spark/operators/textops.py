@@ -1563,3 +1563,96 @@ def d4_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("n_docs") * F.lit(STOPWORD_DF_THRESHOLD)
         ).alias("is_stopword"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law vocabulary-growth curve — the companion of d4_zipf_slope:
+# vocabulary size V(N) at the 25/50/75/100% doc_id-prefix cuts of the
+# corpus. The sub-linearity of V in N is what sizes tokenizer vocabularies
+# and dedup hash tables before a full pass. Exact-integer discipline: the
+# cut points are percentile_disc doc_ids (exact), and every arm is a
+# conditional COUNT / COUNT(DISTINCT ...) in ONE scan (Expand-multiplied
+# two-stage aggregate — the same exact-ANALYZE cost shape as
+# rel_column_profile); the long format comes from stack() on the single
+# aggregate row, never a Union that would split the scan per branch. The
+# log-log slope itself is a pytest invariant (numpy), keeping libm ln out
+# of the oracle contract.
+@query(
+    "d4_heaps_law",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE text <> ''
+        ), th AS (
+            SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY doc_id) AS t1,
+                   percentile_disc(0.50) WITHIN GROUP (ORDER BY doc_id) AS t2,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY doc_id) AS t3,
+                   MAX(doc_id) AS t4
+            FROM docs
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM docs
+        ), s AS (
+            SELECT
+              CAST(COUNT(DISTINCT CASE WHEN doc_id <= th.t1 THEN doc_id END) AS BIGINT) AS d1,
+              CAST(SUM(CASE WHEN doc_id <= th.t1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(COUNT(DISTINCT CASE WHEN doc_id <= th.t1 THEN tok END) AS BIGINT) AS v1,
+              CAST(COUNT(DISTINCT CASE WHEN doc_id <= th.t2 THEN doc_id END) AS BIGINT) AS d2,
+              CAST(SUM(CASE WHEN doc_id <= th.t2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(COUNT(DISTINCT CASE WHEN doc_id <= th.t2 THEN tok END) AS BIGINT) AS v2,
+              CAST(COUNT(DISTINCT CASE WHEN doc_id <= th.t3 THEN doc_id END) AS BIGINT) AS d3,
+              CAST(SUM(CASE WHEN doc_id <= th.t3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+              CAST(COUNT(DISTINCT CASE WHEN doc_id <= th.t3 THEN tok END) AS BIGINT) AS v3,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d4,
+              CAST(COUNT(*) AS BIGINT) AS n4,
+              CAST(COUNT(DISTINCT tok) AS BIGINT) AS v4
+            FROM toks, th
+        )
+        SELECT 'q25' AS prefix, d1 AS n_docs, n1 AS n_tokens, v1 AS vocab FROM s
+        UNION ALL SELECT 'q50', d2, n2, v2 FROM s
+        UNION ALL SELECT 'q75', d3, n3, v3 FROM s
+        UNION ALL SELECT 'q100', d4, n4, v4 FROM s
+    """,
+)
+def d4_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    th = d.agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY doc_id)"
+        ).alias("t1"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY doc_id)"
+        ).alias("t2"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY doc_id)"
+        ).alias("t3"),
+    )
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("tok")).crossJoin(
+        F.broadcast(th)
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        cond = F.col("doc_id") <= F.col(f"t{k}")
+        aggs += [
+            F.countDistinct(F.when(cond, F.col("doc_id")))
+            .cast("long")
+            .alias(f"d{k}"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{k}"),
+            F.countDistinct(F.when(cond, F.col("tok")))
+            .cast("long")
+            .alias(f"v{k}"),
+        ]
+    aggs += [
+        F.countDistinct("doc_id").cast("long").alias("d4"),
+        F.count("*").cast("long").alias("n4"),
+        F.countDistinct("tok").cast("long").alias("v4"),
+    ]
+    s = toks.agg(*aggs)
+    return s.selectExpr(
+        """stack(4,
+            'q25',  d1, n1, v1,
+            'q50',  d2, n2, v2,
+            'q75',  d3, n3, v3,
+            'q100', d4, n4, v4) AS (prefix, n_docs, n_tokens, vocab)"""
+    )

@@ -337,3 +337,30 @@ def test_pca_projection_matches_numpy_replica(spark):
         assert g["min_score"] == min(float(s) / 1e12 for s in scores)
         assert g["max_score"] == max(float(s) / 1e12 for s in scores)
         assert g["min_score"] <= g["mean_score"] <= g["max_score"]
+
+
+def test_heaps_law_sublinear_vocab_growth(spark):
+    import math
+
+    rows = {r["prefix"]: r for r in _q("d4_heaps_law", spark).collect()}
+    assert set(rows) == {"q25", "q50", "q75", "q100"}
+    order = ["q25", "q50", "q75", "q100"]
+    for a, b in zip(order, order[1:]):
+        # prefixes nest: every count is monotone
+        assert rows[a]["n_docs"] <= rows[b]["n_docs"]
+        assert rows[a]["n_tokens"] <= rows[b]["n_tokens"]
+        assert rows[a]["vocab"] <= rows[b]["vocab"]
+        # Heaps: vocabulary grows SUB-linearly in corpus size
+        assert (
+            rows[b]["vocab"] * rows[a]["n_tokens"]
+            <= rows[a]["vocab"] * rows[b]["n_tokens"]
+        )
+    for r in rows.values():
+        assert 0 < r["vocab"] <= r["n_tokens"]
+    # the fitted beta (log-log slope q25 -> q100) lands in Heaps range;
+    # the synthetic generator's finite word list saturates V early, so 0
+    # (fully saturated) is legitimate here — strictly sub-linear either way
+    beta = math.log(rows["q100"]["vocab"] / rows["q25"]["vocab"]) / math.log(
+        rows["q100"]["n_tokens"] / rows["q25"]["n_tokens"]
+    )
+    assert 0.0 <= beta < 1.0

@@ -2138,3 +2138,358 @@ def d6_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000)
         ).alias("credited_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: sequenceMatch analog — the reference lands every event stream in
+# ClickHouse (/root/reference/app/for_clickhouse/from_rabbitmq_to_clickhouse.py:117-134),
+# whose dashboard layer exposes sequenceMatch('(?1)(?t<=T)(?2)(?t<=T)(?3)'):
+# does an ordered view -> click -> purchase chain exist for the user with
+# each consecutive step at most T apart?  The distributed form avoids the
+# obvious O(n^3) triple self-join with a two-pass prefix-max recurrence on
+# ONE user_id shuffle:
+#   lv(row)  = latest view strictly before the row;
+#   a click is chain-feasible iff ts - lv <= T  (the latest prior view is
+#   the feasibility-optimal predecessor — any feasible view implies the
+#   latest one is feasible);
+#   lc(row)  = latest feasible click strictly before the row;
+#   a purchase completes the chain iff ts - lc <= T (same argument).
+# Both window passes share (partition, ordering), so Spark plans a single
+# sort + exchange; per-user state is O(1) — the 100 TB shape.  Strict
+# event ordering under timestamp ties comes from the (ts, event_id) sort
+# key and the "1 PRECEDING" frame bound on both engines.
+SEQ_MATCH_GAP_S = 21600  # 6 h between consecutive matched steps
+
+
+@query(
+    "d6_sequence_match",
+    oracle=f"""
+        WITH ord AS (
+            SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS tus,
+                   MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lv
+            FROM events
+        ),
+        ord2 AS (
+            SELECT *,
+                   MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                                 AND tus - lv
+                                     <= CAST({SEQ_MATCH_GAP_S} AS BIGINT)
+                                        * 1000000
+                            THEN tus END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lc
+            FROM ord
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_views,
+               CAST(SUM(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                                  AND tus - lv
+                                      <= CAST({SEQ_MATCH_GAP_S} AS BIGINT)
+                                         * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_feasible_clicks,
+               CAST(MAX(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
+                                  AND tus - lc
+                                      <= CAST({SEQ_MATCH_GAP_S} AS BIGINT)
+                                         * 1000000
+                             THEN 1 ELSE 0 END) AS INT) AS matched,
+               MIN(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
+                             AND tus - lc
+                                 <= CAST({SEQ_MATCH_GAP_S} AS BIGINT)
+                                    * 1000000
+                        THEN ts END) AS first_match_ts
+        FROM ord2
+        GROUP BY user_id
+    """,
+)
+def d6_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    gap_us = F.lit(SEQ_MATCH_GAP_S).cast("long") * 1_000_000
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    ord1 = e.select(
+        "user_id", "event_id", "ts", "event_type", tus.alias("tus")
+    ).withColumn(
+        "lv",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("tus"))
+        ).over(prev),
+    )
+    click_ok = (
+        (F.col("event_type") == "click")
+        & F.col("lv").isNotNull()
+        & (F.col("tus") - F.col("lv") <= gap_us)
+    )
+    ord2 = ord1.withColumn(
+        "lc", F.max(F.when(click_ok, F.col("tus"))).over(prev)
+    )
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & F.col("lc").isNotNull()
+        & (F.col("tus") - F.col("lc") <= gap_us)
+    )
+    return ord2.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+        F.sum(F.when(click_ok, 1).otherwise(0))
+        .cast("long")
+        .alias("n_feasible_clicks"),
+        F.max(F.when(purchase_ok, 1).otherwise(0)).cast("int").alias("matched"),
+        F.min(F.when(purchase_ok, F.col("ts"))).alias("first_match_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: windowFunnel analog — ClickHouse's other sequence aggregate: the MAX
+# funnel level (view=1, click=2, purchase=3) a user reaches where the WHOLE
+# chain fits inside a W-sized window anchored at the chain's first event
+# (v <= c <= p and p - v <= W; c is then automatically inside).  Same
+# prefix-max algebra as d6_sequence_match, one extra observation making it
+# one-pass: lv(c) (latest view before a click) is non-decreasing in c, so
+# the running max of lv over prior CLICKS equals lv(latest prior click) —
+# exactly the view that minimizes p - v over all valid chains ending at p.
+# A purchase therefore reaches level 3 iff ts - max_prior_click(lv) <= W;
+# a click reaches level 2 iff ts - lv <= W.  Two window passes, one
+# shuffle, O(1) per-user state — no triple self-join at any scale.
+WINDOW_FUNNEL_W_S = 86400  # 24 h from chain start to chain end
+
+
+@query(
+    "d6_window_funnel",
+    oracle=f"""
+        WITH ord AS (
+            SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS tus,
+                   MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lv
+            FROM events
+        ),
+        ord2 AS (
+            SELECT *,
+                   MAX(CASE WHEN event_type = 'click' THEN lv END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS mlv
+            FROM ord
+        )
+        SELECT user_id,
+               CAST(MAX(CASE
+                   WHEN event_type = 'purchase' AND mlv IS NOT NULL
+                        AND tus - mlv
+                            <= CAST({WINDOW_FUNNEL_W_S} AS BIGINT) * 1000000
+                   THEN 3
+                   WHEN event_type = 'click' AND lv IS NOT NULL
+                        AND tus - lv
+                            <= CAST({WINDOW_FUNNEL_W_S} AS BIGINT) * 1000000
+                   THEN 2
+                   WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT)
+                   AS funnel_level,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_views,
+               CAST(SUM(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                                  AND tus - lv
+                                      <= CAST({WINDOW_FUNNEL_W_S} AS BIGINT)
+                                         * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_level2_clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND mlv IS NOT NULL
+                                  AND tus - mlv
+                                      <= CAST({WINDOW_FUNNEL_W_S} AS BIGINT)
+                                         * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_level3_purchases
+        FROM ord2
+        GROUP BY user_id
+    """,
+)
+def d6_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_us = F.lit(WINDOW_FUNNEL_W_S).cast("long") * 1_000_000
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    ord1 = e.select(
+        "user_id", "event_id", "ts", "event_type", tus.alias("tus")
+    ).withColumn(
+        "lv",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("tus"))
+        ).over(prev),
+    )
+    ord2 = ord1.withColumn(
+        "mlv",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("lv"))
+        ).over(prev),
+    )
+    level3 = (
+        (F.col("event_type") == "purchase")
+        & F.col("mlv").isNotNull()
+        & (F.col("tus") - F.col("mlv") <= w_us)
+    )
+    level2 = (
+        (F.col("event_type") == "click")
+        & F.col("lv").isNotNull()
+        & (F.col("tus") - F.col("lv") <= w_us)
+    )
+    level = (
+        F.when(level3, 3)
+        .when(level2, 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    return ord2.groupBy("user_id").agg(
+        F.max(level).cast("int").alias("funnel_level"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+        F.sum(F.when(level2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_level2_clicks"),
+        F.sum(F.when(level3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_level3_purchases"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: Mann-Whitney U rank-sum test — the non-parametric sibling of the
+# Welch read-out (d6_ab_test_readout) and the KS drift check
+# (d4_ks_length_drift): do click and purchase `value` amounts come from the
+# same distribution?  Ranks are computed on a BOUNDED bin grid, not the raw
+# rows: values floor-quantize to 0.1-sized bins (floor(value*10) — floor of
+# an IEEE product is bit-identical cross-engine, unlike ROUND), so the
+# ordered cumulative-rank window runs over <= ~5k grid rows regardless of
+# data size — at 100 TB the only per-row work is the map-side bin count;
+# the single-partition window touches the grid, never the data.  All rank
+# algebra stays in exact BIGINTs (2*R1 and 2*U1 are integers; average tied
+# ranks contribute the (t+1)/2 half via the doubled form), the tie
+# correction uses Sum(t^3 - t), and AUC (the common-language effect size,
+# an exact rational) quantizes through the floor(x*1e6 + 0.5) integer path
+# — never ROUND(double) on a representable-half-prone ratio (ADVICE.md
+# round 3).  z alone rounds at 6dp: its denominator is an irrational sqrt.
+@query(
+    "d6_mann_whitney",
+    oracle="""
+        WITH bins AS (
+            SELECT CAST(FLOOR(value * 10) AS BIGINT) AS bin,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n2
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n1, n2, n1 + n2 AS t,
+                   COALESCE(CAST(SUM(n1 + n2) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cb
+            FROM bins
+        ),
+        agg AS (
+            SELECT CAST(SUM(n1) AS BIGINT) AS m1,
+                   CAST(SUM(n2) AS BIGINT) AS m2,
+                   CAST(SUM(n1 * (2 * cb + t + 1)) AS BIGINT) AS two_r1,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins
+            FROM ranked
+        )
+        SELECT m1 AS n_click, m2 AS n_purchase, n_bins,
+               CAST(two_r1 - m1 * (m1 + 1) AS DOUBLE) / 2 AS u_stat,
+               CAST((2 * (two_r1 - m1 * (m1 + 1)) * 1000000 + 2 * m1 * m2)
+                    // (4 * m1 * m2) AS DOUBLE) / 1000000 AS auc,
+               ROUND((CAST(two_r1 - m1 * (m1 + 1) AS DOUBLE) / 2
+                      - CAST(m1 AS DOUBLE) * m2 / 2)
+                     / sqrt(CAST(m1 AS DOUBLE) * m2 / 12.0
+                            * ((m1 + m2 + 1) - CAST(tie_sum AS DOUBLE)
+                               / (CAST(m1 + m2 AS DOUBLE)
+                                  * (m1 + m2 - 1)))), 6) AS z
+        FROM agg
+    """,
+)
+def d6_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bins = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.floor(F.col("value") * 10).cast("long").alias("bin")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    # ordered pass over the bounded bin grid only (single partition is the
+    # point: the grid is value-range-sized, not data-sized)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = bins.select(
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("n1") + F.col("n2")).over(w).cast("long"), F.lit(0)
+        ).alias("cb"),
+    )
+    agg = ranked.agg(
+        F.sum("n1").cast("long").alias("m1"),
+        F.sum("n2").cast("long").alias("m2"),
+        F.sum(
+            F.col("n1") * (2 * F.col("cb") + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    two_u1 = F.col("two_r1") - F.col("m1") * (F.col("m1") + 1)
+    m1d = F.col("m1").cast("double")
+    m2d = F.col("m2").cast("double")
+    n = F.col("m1") + F.col("m2")
+    var_u = (
+        m1d
+        * m2d
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    # auc below: integer floor(x*1e6 + 0.5) via `div` — operands are
+    # nonnegative, so Spark's truncating `div` equals DuckDB's floor `//`
+    return agg.select(
+        F.col("m1").alias("n_click"),
+        F.col("m2").alias("n_purchase"),
+        "n_bins",
+        (two_u1.cast("double") / 2).alias("u_stat"),
+        (
+            F.expr(
+                "(2 * (two_r1 - m1 * (m1 + 1)) * 1000000 + 2 * m1 * m2)"
+                " div (4 * m1 * m2)"
+            ).cast("double")
+            / 1000000
+        ).alias("auc"),
+        F.round(
+            (two_u1.cast("double") / 2 - m1d * m2d / 2) / F.sqrt(var_u), 6
+        ).alias("z"),
+    )

@@ -1649,3 +1649,102 @@ def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend — median of all pairwise slopes of each nation's
+# monthly revenue series: the estimator that shrugs off the outlier months
+# that wreck OLS (b4b_trend_slope is the parametric twin). The O(n^2) pair
+# step runs on the BOUNDED month grid (data aggregates to <= months x
+# nations rows first), so 100 TB of orders still yields the same ~84-row
+# series per key: pair explosion is grid^2, never data^2. Slopes are exact
+# IEEE quotients of decimal-routed month sums; the median picks sorted
+# positions (n+1)//2 and (n+2)//2 and averages — one or two exact doubles,
+# no ROUND anywhere, so the result is bit-identical cross-engine.
+@query(
+    "rel_theilsen_slope",
+    oracle="""
+        WITH monthly AS (
+            SELECT n.n_name AS nation,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                       AS rev
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2
+        ),
+        mcnt AS (
+            SELECT nation AS mnation, CAST(COUNT(*) AS BIGINT) AS n_months
+            FROM monthly GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.nation, (b.rev - a.rev) / (b.m - a.m) AS slope
+            FROM monthly a
+            JOIN monthly b ON b.nation = a.nation AND b.m > a.m
+        ),
+        ranked AS (
+            SELECT nation, slope,
+                   ROW_NUMBER() OVER (PARTITION BY nation
+                                      ORDER BY slope) AS rn,
+                   COUNT(*) OVER (PARTITION BY nation) AS cnt
+            FROM pairs
+        )
+        SELECT nation, n_months, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+               AVG(CASE WHEN rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+                        THEN slope END) AS ts_slope
+        FROM ranked JOIN mcnt ON mnation = nation
+        GROUP BY nation, n_months
+    """,
+)
+def rel_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    mcnt = monthly.groupBy(F.col("nation").alias("mnation")).agg(
+        F.count("*").cast("long").alias("n_months")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.nation") == F.col("a.nation"))
+        & (F.col("b.m") > F.col("a.m")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        (
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.m") - F.col("a.m"))
+        ).alias("slope"),
+    )
+    wrank = Window.partitionBy("nation").orderBy("slope")
+    wcnt = Window.partitionBy("nation")
+    ranked = pairs.select(
+        "nation",
+        "slope",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wcnt).alias("cnt"),
+    )
+    median_pick = F.when(
+        F.col("rn").isin(
+            F.expr("(cnt + 1) div 2"), F.expr("(cnt + 2) div 2")
+        ),
+        F.col("slope"),
+    )
+    return (
+        ranked.join(mcnt, F.col("mnation") == F.col("nation"))
+        .groupBy("nation", "n_months")
+        .agg(
+            F.max("cnt").cast("long").alias("n_pairs"),
+            F.avg(median_pick).alias("ts_slope"),
+        )
+    )

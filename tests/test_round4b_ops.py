@@ -1,0 +1,82 @@
+"""Session-4b operators: invariants beyond the oracle equality."""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from math import floor
+
+import __spark_entry__ as entrymod
+from bigdatainvesttink_spark.io import load_table
+from tests.conftest import SF_SMALL
+
+
+def _q(name, spark):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    row = _q("d6_mann_whitney", spark).collect()[0]
+    vals = (
+        load_table(spark, SF_SMALL, "events")
+        .filter("event_type IN ('click', 'purchase')")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(floor(r["value"] * 10) for r in vals if r["event_type"] == "click")
+    b = sorted(
+        floor(r["value"] * 10) for r in vals if r["event_type"] == "purchase"
+    )
+    u = 0.0
+    for x in a:
+        u += bisect_left(b, x) + 0.5 * (bisect_right(b, x) - bisect_left(b, x))
+    n1, n2 = len(a), len(b)
+    assert row["n_click"] == n1 and row["n_purchase"] == n2
+    assert row["u_stat"] == u
+    assert abs(row["auc"] - u / (n1 * n2)) < 1e-6
+    assert 0.0 <= row["auc"] <= 1.0
+    # z sign agrees with the direction of the effect (AUC vs 1/2)
+    if row["auc"] > 0.5:
+        assert row["z"] > 0
+    elif row["auc"] < 0.5:
+        assert row["z"] < 0
+
+
+def test_theilsen_matches_bruteforce(spark):
+    import statistics
+
+    rows = _q("rel_theilsen_slope", spark).collect()
+    got = {r["nation"]: r for r in rows}
+
+    import pyspark.sql.functions as F
+
+    from bigdatainvesttink_spark.functions import dsum
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    n = load_table(spark, SF_SMALL, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(dsum("o_totalprice", "rev"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in monthly:
+        series.setdefault(r["nation"], []).append((r["m"], r["rev"]))
+    assert set(got) == set(series)
+    for nation, pts in series.items():
+        pts.sort()
+        slopes = [
+            (r2 - r1) / (m2 - m1)
+            for i, (m1, r1) in enumerate(pts)
+            for (m2, r2) in pts[i + 1 :]
+        ]
+        assert got[nation]["n_months"] == len(pts)
+        assert got[nation]["n_pairs"] == len(slopes)
+        assert got[nation]["ts_slope"] == statistics.median(slopes), nation

@@ -2002,3 +2002,235 @@ def d3_pca_project_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_raw").cast("double") / F.lit(1000000000000.0)
         ).alias("max_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# D3: MMR diversified rerank — Maximal Marginal Relevance over each query's
+# cosine top-8: pick 3 results trading relevance against redundancy
+# (score = 0.7*rel - 0.3*max sim to already-picked), the standard RAG
+# post-filter after d3_rrf_hybrid-style retrieval. The iterative argmax is
+# unrolled to its 3 fixed steps so DuckDB replays it exactly; every join
+# after candidate generation runs on the BOUNDED pick grid (queries x 8
+# candidates, pairwise sims = queries x 64 rows) — at 100 TB candidates
+# come from the LSH/IVF stages and MMR's cost is unchanged. Scores are raw
+# IEEE products of round6 cosines (identical bits cross-engine, no ROUND
+# on the composite — ADVICE.md half-trap discipline); ties break on
+# neighbor_id. topk/psim are persisted: four consumers, one corpus scan.
+@query(
+    "d3_mmr_rerank",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS nid,
+                   round(list_dot_product(q.e, v.e) / (q.norm * v.norm), 6)
+                       AS rel
+            FROM q JOIN v ON v.vec_id <> q.vec_id
+        ),
+        topk AS (
+            SELECT query_id, nid, rel FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rnk
+                FROM scored) r
+            WHERE rnk <= 8
+        ),
+        psim AS (
+            SELECT t1.query_id, t1.nid AS a, t2.nid AS b,
+                   round(list_dot_product(va.e, vb.e)
+                         / (va.norm * vb.norm), 6) AS sim
+            FROM topk t1
+            JOIN topk t2 ON t2.query_id = t1.query_id AND t2.nid <> t1.nid
+            JOIN v va ON va.vec_id = t1.nid
+            JOIN v vb ON vb.vec_id = t2.nid
+        ),
+        p1 AS (
+            SELECT query_id, nid AS p1_id, rel AS p1_rel FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rnk
+                FROM topk) r
+            WHERE rnk = 1
+        ),
+        c2 AS (
+            SELECT t.query_id, t.nid, t.rel,
+                   0.7 * t.rel - 0.3 * ps.sim AS score
+            FROM topk t
+            JOIN p1 ON p1.query_id = t.query_id AND t.nid <> p1.p1_id
+            JOIN psim ps ON ps.query_id = t.query_id AND ps.a = t.nid
+                 AND ps.b = p1.p1_id
+        ),
+        p2 AS (
+            SELECT query_id, nid AS p2_id, score AS p2_score FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, nid ASC) AS rr
+                FROM c2) r
+            WHERE rr = 1
+        ),
+        c3 AS (
+            SELECT t.query_id, t.nid,
+                   0.7 * t.rel - 0.3 * GREATEST(s1.sim, s2.sim) AS score
+            FROM topk t
+            JOIN p1 ON p1.query_id = t.query_id AND t.nid <> p1.p1_id
+            JOIN p2 ON p2.query_id = t.query_id AND t.nid <> p2.p2_id
+            JOIN psim s1 ON s1.query_id = t.query_id AND s1.a = t.nid
+                 AND s1.b = p1.p1_id
+            JOIN psim s2 ON s2.query_id = t.query_id AND s2.a = t.nid
+                 AND s2.b = p2.p2_id
+        ),
+        p3 AS (
+            SELECT query_id, nid AS p3_id, score AS p3_score FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, nid ASC) AS rr
+                FROM c3) r
+            WHERE rr = 1
+        )
+        SELECT query_id, CAST(1 AS INT) AS pick, p1_id AS neighbor_id,
+               p1_rel AS mmr_score FROM p1
+        UNION ALL
+        SELECT query_id, CAST(2 AS INT), p2_id, p2_score FROM p2
+        UNION ALL
+        SELECT query_id, CAST(3 AS INT), p3_id, p3_score FROM p3
+    """,
+)
+def d3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")),
+            6,
+        ).alias("rel"),
+    )
+    wrel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("nid").asc()
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(wrel))
+        .filter(F.col("rnk") <= 8)
+        .select("query_id", "nid", "rel")
+        .persist()  # four consumers below; one corpus scan
+    )
+    va = v.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
+                  F.col("norm").alias("anorm"))
+    vb = v.select(F.col("vec_id").alias("b_id"), F.col("e").alias("be"),
+                  F.col("norm").alias("bnorm"))
+    t1 = topk.select("query_id", F.col("nid").alias("a"))
+    t2 = topk.select(F.col("query_id").alias("q2"), F.col("nid").alias("b"))
+    psim = (
+        t1.join(t2, (F.col("q2") == F.col("query_id")) & (F.col("b") != F.col("a")))
+        .join(va, F.col("a_id") == F.col("a"))
+        .join(vb, F.col("b_id") == F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("ae"), F.col("be"))
+                / (F.col("anorm") * F.col("bnorm")),
+                6,
+            ).alias("sim"),
+        )
+        .persist()  # consumed by both pick rounds
+    )
+    p1 = (
+        topk.withColumn("rnk", F.row_number().over(wrel))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("nid").alias("p1_id"), F.col("rel").alias("p1_rel"))
+    )
+    c2 = (
+        topk.join(
+            p1.select(F.col("query_id").alias("pq"), "p1_id"),
+            (F.col("pq") == F.col("query_id")) & (F.col("nid") != F.col("p1_id")),
+        )
+        .join(
+            psim.select(
+                F.col("query_id").alias("sq"), "a", "b", "sim"
+            ),
+            (F.col("sq") == F.col("query_id"))
+            & (F.col("a") == F.col("nid"))
+            & (F.col("b") == F.col("p1_id")),
+        )
+        .select(
+            "query_id",
+            "nid",
+            "rel",
+            (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("sim")).alias("score"),
+        )
+    )
+    wscore = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nid").asc()
+    )
+    p2 = (
+        c2.withColumn("rr", F.row_number().over(wscore))
+        .filter(F.col("rr") == 1)
+        .select("query_id", F.col("nid").alias("p2_id"), F.col("score").alias("p2_score"))
+    )
+    c3 = (
+        topk.join(
+            p1.select(F.col("query_id").alias("pq"), "p1_id"),
+            (F.col("pq") == F.col("query_id")) & (F.col("nid") != F.col("p1_id")),
+        )
+        .join(
+            p2.select(F.col("query_id").alias("pq2"), "p2_id"),
+            (F.col("pq2") == F.col("query_id")) & (F.col("nid") != F.col("p2_id")),
+        )
+        .join(
+            psim.select(F.col("query_id").alias("s1q"), F.col("a").alias("s1a"),
+                        F.col("b").alias("s1b"), F.col("sim").alias("sim1")),
+            (F.col("s1q") == F.col("query_id"))
+            & (F.col("s1a") == F.col("nid"))
+            & (F.col("s1b") == F.col("p1_id")),
+        )
+        .join(
+            psim.select(F.col("query_id").alias("s2q"), F.col("a").alias("s2a"),
+                        F.col("b").alias("s2b"), F.col("sim").alias("sim2")),
+            (F.col("s2q") == F.col("query_id"))
+            & (F.col("s2a") == F.col("nid"))
+            & (F.col("s2b") == F.col("p2_id")),
+        )
+        .select(
+            "query_id",
+            "nid",
+            (
+                F.lit(0.7) * F.col("rel")
+                - F.lit(0.3) * F.greatest(F.col("sim1"), F.col("sim2"))
+            ).alias("score"),
+        )
+    )
+    p3 = (
+        c3.withColumn("rr", F.row_number().over(wscore))
+        .filter(F.col("rr") == 1)
+        .select("query_id", F.col("nid").alias("p3_id"), F.col("score").alias("p3_score"))
+    )
+    out = (
+        p1.select(
+            "query_id",
+            F.lit(1).cast("int").alias("pick"),
+            F.col("p1_id").alias("neighbor_id"),
+            F.col("p1_rel").alias("mmr_score"),
+        )
+        .unionAll(
+            p2.select(
+                "query_id",
+                F.lit(2).cast("int").alias("pick"),
+                F.col("p2_id").alias("neighbor_id"),
+                F.col("p2_score").alias("mmr_score"),
+            )
+        )
+        .unionAll(
+            p3.select(
+                "query_id",
+                F.lit(3).cast("int").alias("pick"),
+                F.col("p3_id").alias("neighbor_id"),
+                F.col("p3_score").alias("mmr_score"),
+            )
+        )
+    )
+    return out

@@ -80,3 +80,44 @@ def test_theilsen_matches_bruteforce(spark):
         assert got[nation]["n_months"] == len(pts)
         assert got[nation]["n_pairs"] == len(slopes)
         assert got[nation]["ts_slope"] == statistics.median(slopes), nation
+
+
+def test_mmr_rerank_matches_numpy_replica(spark):
+    import numpy as np
+
+    got: dict[tuple, object] = {}
+    for r in _q("d3_mmr_rerank", spark).collect():
+        got[(r["query_id"], r["pick"])] = (r["neighbor_id"], r["mmr_score"])
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    norms = {k: float(np.sqrt(np.dot(v, v))) for k, v in emb.items()}
+
+    def cos(a, b):
+        # sequential-order fold to match the HOF/list_dot_product sum order
+        s = 0.0
+        for x, y in zip(emb[a], emb[b]):
+            s += x * y
+        return round(s / (norms[a] * norms[b]), 6)
+
+    queries = sorted(k for k in emb if k % 10 == 0)
+    for qid in queries:
+        rel = {n: cos(qid, n) for n in emb if n != qid}
+        topk = sorted(rel, key=lambda n: (-rel[n], n))[:8]
+        picks = [min(topk, key=lambda n: (-rel[n], n))]
+        for _ in range(2):
+            cand = [n for n in topk if n not in picks]
+            score = {
+                n: 0.7 * rel[n] - 0.3 * max(cos(n, p) for p in picks)
+                for n in cand
+            }
+            picks.append(min(cand, key=lambda n: (-score[n], n)))
+            last_score = score[picks[-1]]
+        for i, p in enumerate(picks, 1):
+            g_nid, g_score = got[(qid, i)]
+            assert g_nid == p, (qid, i)
+        # spot-check the last pick's score value as well
+        assert abs(got[(qid, 3)][1] - last_score) < 1e-12, qid
+        # all three picks distinct
+        assert len({got[(qid, i)][0] for i in (1, 2, 3)}) == 3

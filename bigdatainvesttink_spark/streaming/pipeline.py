@@ -898,3 +898,99 @@ def c_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("long").alias("n_docs_flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC upsert — the foreachBatch MERGE pattern (the Delta/Iceberg
+# MERGE INTO stand-in on plain parquet): the event wire arrives in
+# micro-batches (maxFilesPerTrigger=1 over a 4-file wire), each batch is
+# merged into a versioned keyed state table by last-op-wins on
+# (ts, event_id), with op='D' rows kept as TOMBSTONES so the merge stays
+# associative across arbitrary batch splits (dropping a deleted key early
+# would let an older late-arriving 'U' resurrect it). Versioned state dirs
+# (state_v{n} reads state_v{n-1}) give each epoch an atomic snapshot —
+# the poor-man's table format, exactly what the reference's ClickHouse
+# ReplacingMergeTree does engine-side (from_rabbitmq_to_clickhouse.py
+# relies on CH collapsing by key at merge time). The final read-out drops
+# tombstones and must equal the batch d1_cdc_apply answer: proof the
+# incremental path is indistinguishable from a full recompute. State per
+# key is O(1) (one winner struct + an op count), partitioned by key hash.
+@query(
+    "c_stream_cdc_upsert",
+    oracle="""
+        SELECT user_id, event_type,
+               ts AS final_ts, value AS final_value, n_ops
+        FROM (
+            SELECT user_id, event_type, ts, value,
+                   CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_ops
+            FROM events
+        ) v
+        WHERE rn = 1 AND op = 'U'
+    """,
+)
+def c_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    configure(spark)
+    tmp = tempfile.mkdtemp(prefix="c_cdc_")
+    # 4-file wire -> 4 micro-batches under maxFilesPerTrigger=1: the merge
+    # runs repeatedly, not once (a single batch would make it a rename).
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src")
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    changes = raw.withColumn(
+        "op", F.when(F.col("event_id") % 10 == 0, "D").otherwise("U")
+    )
+
+    version = {"n": 0}
+
+    def merge_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        sess = bdf.sparkSession
+        # collapse the batch to per-key partials first (map-side shrink)
+        part = bdf.groupBy("user_id", "event_type").agg(
+            F.max_by(
+                F.struct("ts", "event_id", "value", "op"),
+                F.struct("ts", "event_id"),
+            ).alias("w"),
+            F.count("*").cast("long").alias("n_ops"),
+        )
+        prev_v = version["n"]
+        if prev_v > 0:
+            prev = sess.read.parquet(f"{tmp}/state_v{prev_v}")
+            part = prev.unionByName(part)
+        merged = part.groupBy("user_id", "event_type").agg(
+            F.max_by(F.col("w"), F.struct("w.ts", "w.event_id")).alias("w"),
+            F.sum("n_ops").cast("long").alias("n_ops"),
+        )
+        merged.write.mode("overwrite").parquet(f"{tmp}/state_v{prev_v + 1}")
+        version["n"] = prev_v + 1
+
+    q = (
+        changes.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(f"{tmp}/state_v{version['n']}")
+    return final.filter(F.col("w.op") == "U").select(
+        "user_id",
+        "event_type",
+        F.col("w.ts").alias("final_ts"),
+        F.col("w.value").alias("final_value"),
+        "n_ops",
+    )

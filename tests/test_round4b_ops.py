@@ -121,3 +121,24 @@ def test_mmr_rerank_matches_numpy_replica(spark):
         assert abs(got[(qid, 3)][1] - last_score) < 1e-12, qid
         # all three picks distinct
         assert len({got[(qid, i)][0] for i in (1, 2, 3)}) == 3
+
+
+def test_stream_cdc_upsert_equals_batch_cdc_apply(spark):
+    stream_rows = {
+        (r["user_id"], r["event_type"]): (
+            r["final_ts"],
+            r["final_value"],
+            r["n_ops"],
+        )
+        for r in _q("c_stream_cdc_upsert", spark).collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["event_type"]): (
+            r["final_ts"],
+            r["final_value"],
+            r["n_ops"],
+        )
+        for r in _q("d1_cdc_apply", spark).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

@@ -3387,3 +3387,84 @@ def b45_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rv_4h") / F.col("rv_1h")).alias("signature_ratio_4h"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B46: RiskMetrics EWMA volatility — the lambda=0.94 exponentially-weighted
+# variance of hourly returns (J.P. Morgan RiskMetrics, the de-facto bank
+# standard; the recursive sibling of b2's flat realized vol and b11's EWMA
+# price). Same bounded-window formulation as b11: the recursion
+# var_t = l*var_{t-1} + (1-l)*r_t^2 cannot partial-aggregate, so it is
+# truncated to the last 20 squared returns (0.94^20 ~ 0.29 tail weight,
+# renormalized by the weight sum) and computed as a JVM-side fold over a
+# 20-element frame — one shuffle on company_id, O(20) per row, no
+# serialized per-key scan. Returns are close/prev - 1 (exact IEEE
+# quotients of the lag pair); ROUND(,6) guards only the final sqrt.
+@query(
+    "b46_riskmetrics_vol",
+    oracle=oracle_on_domain(
+        """
+        SELECT company_id, ts,
+               ROUND(sqrt(
+                   list_sum([r2s[k+1] * pow(0.94, len(r2s) - 1 - k)
+                             FOR k IN range(0, len(r2s))])
+                   / list_sum([pow(0.94, len(r2s) - 1 - k)
+                               FOR k IN range(0, len(r2s))])), 6) AS rm_vol,
+               CAST(len(r2s) AS INT) AS n_terms
+        FROM (
+            SELECT company_id, ts,
+                   array_agg(r * r) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS r2s
+            FROM (
+                SELECT company_id, ts,
+                       close / LAG(close) OVER (
+                           PARTITION BY company_id ORDER BY ts ASC) - 1 AS r
+                FROM candles
+            ) rets
+            WHERE r IS NOT NULL
+        ) wl
+        """
+    ),
+)
+def b46_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    wlag = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    rets = (
+        c.select(
+            "company_id",
+            "ts",
+            (F.col("close") / F.lag("close").over(wlag) - 1).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    wfold = (
+        Window.partitionBy("company_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(-19, 0)
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            __r2s,
+            named_struct('i', 0, 's', CAST(0 AS DOUBLE), 'w', CAST(0 AS DOUBLE)),
+            (acc, x) -> named_struct(
+                'i', acc.i + 1,
+                's', acc.s + x * power(0.94, CAST(size(__r2s) - 1 - acc.i AS DOUBLE)),
+                'w', acc.w + power(0.94, CAST(size(__r2s) - 1 - acc.i AS DOUBLE))),
+            acc -> round(sqrt(acc.s / acc.w), 6))
+        """
+    )
+    return (
+        rets.select(
+            "company_id",
+            "ts",
+            F.collect_list(F.col("r") * F.col("r")).over(wfold).alias("__r2s"),
+        )
+        .select(
+            "company_id",
+            "ts",
+            fold.alias("rm_vol"),
+            F.size("__r2s").cast("int").alias("n_terms"),
+        )
+    )

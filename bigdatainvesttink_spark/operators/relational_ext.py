@@ -1748,3 +1748,70 @@ def rel_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(median_pick).alias("ts_slope"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MAD robust outliers — median absolute deviation, the breakdown-point-0.5
+# scale estimate that joins rel_iqr_outliers (Tukey fences) and
+# d6_anomaly_zscore (parametric z) to complete the outlier toolbox.
+# Inherently two ordered passes (the deviation median depends on the
+# location median): each is a per-group exact interpolated percentile
+# (Spark `percentile` == DuckDB `quantile_cont` bit-for-bit, 6dp-gridded
+# per rel_agg_percentile's policy) followed by a broadcast join of the
+# GROUP-sized fence table back onto the scan — never a sort of the data.
+# The modified-z flag uses the standard 1.4826 consistency constant
+# (|x - med| > 3.5 * 1.4826 * MAD); counts are exact integers.
+@query(
+    "rel_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS med
+            FROM orders GROUP BY o_orderpriority
+        ),
+        mad AS (
+            SELECT o.o_orderpriority,
+                   round(quantile_cont(ABS(o.o_totalprice - m.med), 0.5), 6)
+                       AS mad
+            FROM orders o JOIN med m
+              ON m.o_orderpriority = o.o_orderpriority
+            GROUP BY o.o_orderpriority
+        )
+        SELECT o.o_orderpriority, COUNT(*) AS n_rows, m.med, d.mad,
+               COUNT(*) FILTER (
+                   WHERE ABS(o.o_totalprice - m.med)
+                         > 3.5 * 1.4826 * d.mad) AS n_outliers
+        FROM orders o
+        JOIN med m ON m.o_orderpriority = o.o_orderpriority
+        JOIN mad d ON d.o_orderpriority = o.o_orderpriority
+        GROUP BY o.o_orderpriority, m.med, d.mad
+    """,
+)
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("med")
+    )
+    mad = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), 0.5),
+                6,
+            ).alias("mad")
+        )
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                > 3.5 * 1.4826 * F.col("mad")
+            ).alias("n_outliers"),
+        )
+        .select("o_orderpriority", "n_rows", "med", "mad", "n_outliers")
+    )

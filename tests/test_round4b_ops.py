@@ -142,3 +142,39 @@ def test_stream_cdc_upsert_equals_batch_cdc_apply(spark):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_mad_outliers_invariants(spark):
+    rows = _q("rel_mad_outliers", spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] < r["n_rows"]
+    # MAD is never larger than half the full range, med inside [min, max]
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, SF_SMALL, "orders")
+    stats = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        s = stats[r["o_orderpriority"]]
+        assert s["lo"] <= r["med"] <= s["hi"]
+
+
+def test_riskmetrics_vol_invariants(spark):
+    rows = _q("b46_riskmetrics_vol", spark).collect()
+    assert len(rows) > 0
+    by_company: dict[int, list] = {}
+    for r in rows:
+        assert r["rm_vol"] is not None and r["rm_vol"] >= 0
+        assert 1 <= r["n_terms"] <= 20
+        by_company.setdefault(r["company_id"], []).append(r)
+    for evs in by_company.values():
+        evs.sort(key=lambda r: r["ts"])
+        # warmup ramps 1, 2, ..., then saturates at 20
+        for i, r in enumerate(evs):
+            assert r["n_terms"] == min(i + 1, 20)

@@ -2234,3 +2234,174 @@ def d3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# D3: Mahalanobis OOD scorer (diagonal covariance) — the classic
+# out-of-distribution detector over an embedding corpus: each vector is
+# scored against its own label's per-dimension Gaussian fit
+# (md2_own = Sum_d (x_d - mu_d)^2 / var_d) and against the global fit
+# (md2_global), the per-class confidence signal behind Mahalanobis-based
+# OOD papers (Lee et al. 2018) and the data-curation "does this example
+# belong to its cluster" gate. Exactness discipline is the
+# d3_embedding_covariance one: micro-integer quantization makes every
+# moment an exact BIGINT (s_d, q_d, n), and the per-dim ratio collapses to
+# (x_u*n - s_d)^2 / (n*q_d - s_d^2) — the micro/n scale factors cancel —
+# evaluated in double and folded over the FIXED 64-dim order on both
+# engines; zero-variance dims contribute 0 by convention. Plan: two
+# grid-sized aggregates (label x 64, 64) broadcast back onto one corpus
+# scan; per-row work is an O(64) JVM fold. The avg of md2_own over any
+# label is exactly dim (=64) by construction — the test invariant.
+_MD2_OUTLIER_THRESHOLD = 68.0
+
+
+def _md2_fold(xu: str, sa: str, qa: str, n: str) -> Column:
+    """Sum_d (xu_d*n - sa_d)^2 / (n*qa_d - sa_d^2), zero-var dims -> 0."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(
+            F.col(n) * F.get(F.col(qa), i)
+            - F.get(F.col(sa), i) * F.get(F.col(sa), i)
+            == 0,
+            F.lit(0.0),
+        ).otherwise(
+            (
+                (F.get(F.col(xu), i) * F.col(n) - F.get(F.col(sa), i))
+                .cast("double")
+                * (F.get(F.col(xu), i) * F.col(n) - F.get(F.col(sa), i))
+                .cast("double")
+            )
+            / (
+                F.col(n) * F.get(F.col(qa), i)
+                - F.get(F.col(sa), i) * F.get(F.col(sa), i)
+            ).cast("double")
+        ),
+    )
+
+
+@query(
+    "d3_ood_mahalanobis",
+    oracle="""
+        WITH xu AS (
+            SELECT vec_id, label,
+                   [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                    FOR e IN embedding] AS xu
+            FROM embeddings
+        ),
+        longf AS (
+            SELECT label, i, xu[i + 1] AS x FROM xu, range(64) t(i)
+        ),
+        st AS (
+            SELECT label, i, CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM longf GROUP BY 1, 2
+        ),
+        starr AS (
+            SELECT label, list(s ORDER BY i) AS sa,
+                   list(q ORDER BY i) AS qa, MAX(n) AS n
+            FROM st GROUP BY label
+        ),
+        glst AS (
+            SELECT i, CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM longf GROUP BY i
+        ),
+        glarr AS (
+            SELECT list(s ORDER BY i) AS gsa, list(q ORDER BY i) AS gqa,
+                   MAX(n) AS gn
+            FROM glst
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label,
+                   list_sum([CASE WHEN st.n * st.qa[i+1]
+                                       - st.sa[i+1] * st.sa[i+1] = 0
+                                  THEN 0.0
+                                  ELSE CAST(v.xu[i+1] * st.n - st.sa[i+1]
+                                            AS DOUBLE)
+                                       * CAST(v.xu[i+1] * st.n - st.sa[i+1]
+                                              AS DOUBLE)
+                                       / CAST(st.n * st.qa[i+1]
+                                              - st.sa[i+1] * st.sa[i+1]
+                                              AS DOUBLE) END
+                             FOR i IN range(64)]) AS md2_own,
+                   list_sum([CASE WHEN g.gn * g.gqa[i+1]
+                                       - g.gsa[i+1] * g.gsa[i+1] = 0
+                                  THEN 0.0
+                                  ELSE CAST(v.xu[i+1] * g.gn - g.gsa[i+1]
+                                            AS DOUBLE)
+                                       * CAST(v.xu[i+1] * g.gn - g.gsa[i+1]
+                                              AS DOUBLE)
+                                       / CAST(g.gn * g.gqa[i+1]
+                                              - g.gsa[i+1] * g.gsa[i+1]
+                                              AS DOUBLE) END
+                             FOR i IN range(64)]) AS md2_global
+            FROM xu v JOIN starr st ON st.label = v.label
+            CROSS JOIN glarr g
+        )
+        SELECT vec_id, label, md2_own, md2_global,
+               CAST(CASE WHEN md2_own > 68.0 THEN 1 ELSE 0 END AS INT)
+                   AS is_outlier
+        FROM scored
+    """,
+)
+def d3_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    xu = v.select("vec_id", "label", micro.alias("xu"))
+    longf = xu.select("label", F.posexplode("xu").alias("i", "x"))
+
+    def _stats(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.groupBy(*keys, "i").agg(
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+            F.count("*").cast("long").alias("n"),
+        )
+
+    def _to_arrays(df: DataFrame, keys: list[str], pfx: str) -> DataFrame:
+        def ordered(val: str) -> Column:
+            return F.transform(
+                F.array_sort(F.collect_list(F.struct("i", val))),
+                lambda t: t[val],
+            )
+
+        return df.groupBy(*keys).agg(
+            ordered("s").alias(f"{pfx}sa"),
+            ordered("q").alias(f"{pfx}qa"),
+            F.max("n").alias(f"{pfx}n"),
+        )
+
+    starr = _to_arrays(_stats(longf, ["label"]), ["label"], "")
+    glarr = _to_arrays(
+        _stats(longf.select(F.lit(1).alias("g"), "i", "x"), ["g"]),
+        ["g"],
+        "g",
+    ).drop("g")
+    scored = (
+        xu.join(F.broadcast(starr), "label")
+        .crossJoin(F.broadcast(glarr))
+        .select(
+            "vec_id",
+            "label",
+            _md2_fold("xu", "sa", "qa", "n").alias("md2_own"),
+            _md2_fold("xu", "gsa", "gqa", "gn").alias("md2_global"),
+        )
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        "md2_own",
+        "md2_global",
+        F.when(F.col("md2_own") > _MD2_OUTLIER_THRESHOLD, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_outlier"),
+    )

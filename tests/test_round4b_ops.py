@@ -178,3 +178,17 @@ def test_riskmetrics_vol_invariants(spark):
         # warmup ramps 1, 2, ..., then saturates at 20
         for i, r in enumerate(evs):
             assert r["n_terms"] == min(i + 1, 20)
+
+
+def test_mahalanobis_avg_is_dim(spark):
+    """Population-variance normalization makes the per-label mean of
+    md2_own exactly the dimensionality (64), up to float accumulation."""
+    rows = _q("d3_ood_mahalanobis", spark).collect()
+    assert len(rows) > 0
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r["md2_own"] >= 0 and r["md2_global"] >= 0
+        assert r["is_outlier"] == (1 if r["md2_own"] > 68.0 else 0)
+        by_label.setdefault(r["label"], []).append(r["md2_own"])
+    for label, vals in by_label.items():
+        assert abs(sum(vals) / len(vals) - 64.0) < 1e-9, label

@@ -2493,3 +2493,127 @@ def d6_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (two_u1.cast("double") / 2 - m1d * m2d / 2) / F.sqrt(var_u), 6
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: point-in-time feature join — the leakage-free feature-extraction
+# primitive every ML training pipeline needs: for each purchase (the label
+# event), behavioral features computed STRICTLY BEFORE the label timestamp
+# (views/clicks in the prior 24h, click value in the prior 7d, days since
+# the latest prior signup). Time-bounded RANGE frames (ORDER BY epoch
+# micros, N PRECEDING .. 1 PRECEDING) make "before" a value comparison,
+# not a row count — simultaneous events are excluded from their own
+# features on both engines, so no train-time peeking. One shuffle on
+# user_id; all four frames share the same (partition, order) sort, and
+# state per frame is O(horizon), never O(history). The as-of alternative
+# (a join per feature) would shuffle the event table once per feature;
+# the prefix-frame form reads it once for all of them.
+@query(
+    "d6_pit_features",
+    oracle="""
+        WITH ord AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   epoch_us(ts) AS tus,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                          THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                       AS n_views_24h,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                          THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                       AS n_clicks_24h,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(27,6)) END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 604800000000 PRECEDING
+                                 AND 1 PRECEDING), 0) AS DOUBLE)
+                       AS click_value_7d,
+                   MAX(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS signup_tus
+            FROM events
+        )
+        SELECT event_id, user_id, ts AS label_ts, value AS label_value,
+               n_views_24h, n_clicks_24h, click_value_7d,
+               CAST((tus - signup_tus) // 86400000000 AS BIGINT)
+                   AS days_since_signup
+        FROM ord WHERE event_type = 'purchase'
+    """,
+)
+def d6_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select(
+        "event_id", "user_id", "ts", "event_type", "value", tus.alias("tus")
+    )
+
+    def frame(lo: int) -> Window:
+        return (
+            Window.partitionBy("user_id")
+            .orderBy("tus")
+            .rangeBetween(lo, -1)
+        )
+
+    day_us = 86_400_000_000
+    feats = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "tus",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).over(frame(-day_us)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_views_24h"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).over(frame(-day_us)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_clicks_24h"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(27,6)"),
+                )
+            ).over(frame(-7 * day_us)),
+            F.lit(0).cast("decimal(27,6)"),
+        )
+        .cast("double")
+        .alias("click_value_7d"),
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("tus"))
+        )
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("tus")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("signup_tus"),
+    )
+    return feats.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("value").alias("label_value"),
+        "n_views_24h",
+        "n_clicks_24h",
+        "click_value_7d",
+        F.expr("(tus - signup_tus) div 86400000000")
+        .cast("long")
+        .alias("days_since_signup"),
+    )

@@ -192,3 +192,52 @@ def test_mahalanobis_avg_is_dim(spark):
         by_label.setdefault(r["label"], []).append(r["md2_own"])
     for label, vals in by_label.items():
         assert abs(sum(vals) / len(vals) - 64.0) < 1e-9, label
+
+
+def test_pit_features_no_leakage_bruteforce(spark):
+    """Features must count only strictly-earlier events (no label peeking):
+    full brute-force replica per purchase at sf0.001."""
+    got = {r["event_id"]: r for r in _q("d6_pit_features", spark).collect()}
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+    evs = [
+        (
+            (r["ts"] - epoch) // timedelta(microseconds=1),
+            r["event_id"],
+            r["user_id"],
+            r["event_type"],
+            r["value"],
+        )
+        for r in load_table(spark, SF_SMALL, "events").collect()
+    ]
+    day = 86_400_000_000
+    by_user: dict[int, list] = {}
+    for e in evs:
+        by_user.setdefault(e[2], []).append(e)
+    n_checked = 0
+    for uid, ue in by_user.items():
+        for t, eid, _, k, v in ue:
+            if k != "purchase":
+                continue
+            prior = [x for x in ue if x[0] < t]
+            exp_views = sum(1 for x in prior if x[3] == "view" and t - x[0] <= day)
+            exp_clicks = sum(
+                1 for x in prior if x[3] == "click" and t - x[0] <= day
+            )
+            exp_cv7 = sum(
+                round(x[4], 6)
+                for x in prior
+                if x[3] == "click" and t - x[0] <= 7 * day
+            )
+            signups = [x[0] for x in prior if x[3] == "signup"]
+            r = got[eid]
+            assert r["n_views_24h"] == exp_views, eid
+            assert r["n_clicks_24h"] == exp_clicks, eid
+            assert abs(r["click_value_7d"] - exp_cv7) < 1e-6, eid
+            if signups:
+                assert r["days_since_signup"] == (t - max(signups)) // day
+            else:
+                assert r["days_since_signup"] is None
+            n_checked += 1
+    assert n_checked == len(got) > 0

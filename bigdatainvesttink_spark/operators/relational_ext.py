@@ -1711,6 +1711,7 @@ def rel_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m"),
         )
         .agg(dsum("o_totalprice", "rev"))
+        .persist()  # grid-sized (nations x months); three consumers below
     )
     mcnt = monthly.groupBy(F.col("nation").alias("mnation")).agg(
         F.count("*").cast("long").alias("n_months")

@@ -2379,9 +2379,16 @@ def d3_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias(f"{pfx}n"),
         )
 
-    starr = _to_arrays(_stats(longf, ["label"]), ["label"], "")
+    st = _stats(longf, ["label"]).persist()  # labels x 64 rows, 2 readers
+    starr = _to_arrays(st, ["label"], "")
+    # global moments are the label moments re-summed — the 64x explode and
+    # corpus aggregation run ONCE; this second pass is grid-sized input
     glarr = _to_arrays(
-        _stats(longf.select(F.lit(1).alias("g"), "i", "x"), ["g"]),
+        st.groupBy(F.lit(1).alias("g"), "i").agg(
+            F.sum("s").alias("s"),
+            F.sum("q").alias("q"),
+            F.sum("n").cast("long").alias("n"),
+        ),
         ["g"],
         "g",
     ).drop("g")

@@ -994,3 +994,95 @@ def c_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.value").alias("final_value"),
         "n_ops",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming point-in-time features, oracle-checked: the leakage-free ML
+# feature join (batch twin: d6_pit_features) computed ON THE WIRE with
+# applyInPandasWithState — per-user custom state folds each micro-batch in
+# and re-emits every purchase's feature vector stamped with a monotone
+# n_seen counter; the max-n_seen emission per purchase is the final
+# answer, which makes the result invariant to micro-batch boundaries and
+# arrival order (the wire is split into 4 files like the CDC/backpressure
+# drills). Must equal the batch RANGE-frame answer exactly — proof that a
+# feature store fed by this stream serves the same vectors training reads
+# from the warehouse (the train/serve-skew guarantee).
+@query(
+    "c_stream_pit_features",
+    oracle="""
+        WITH ord AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   epoch_us(ts) AS tus,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                          THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                       AS n_views_24h,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                          THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                       AS n_clicks_24h,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(27,6)) END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 604800000000 PRECEDING
+                                 AND 1 PRECEDING), 0) AS DOUBLE)
+                       AS click_value_7d,
+                   MAX(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS signup_tus
+            FROM events
+        )
+        SELECT event_id, user_id, value AS label_value,
+               n_views_24h, n_clicks_24h, click_value_7d,
+               CAST((tus - signup_tus) // 86400000000 AS BIGINT)
+                   AS days_since_signup
+        FROM ord WHERE event_type = 'purchase'
+    """,
+)
+def c_stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .stateful import streaming_pit_features
+
+    configure(spark)
+    tmp = tempfile.mkdtemp(prefix="c_pit_")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src")
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    st = raw.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_type",
+        "value",
+    )
+    landed = run_to_memory(streaming_pit_features(st), "update")
+    w = Window.partitionBy("event_id").orderBy(F.desc("n_seen"))
+    return (
+        landed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "label_value",
+            "n_views_24h",
+            "n_clicks_24h",
+            "click_value_7d",
+            "days_since_signup",
+        )
+    )

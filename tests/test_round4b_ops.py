@@ -241,3 +241,21 @@ def test_pit_features_no_leakage_bruteforce(spark):
                 assert r["days_since_signup"] is None
             n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_stream_pit_features_equals_batch(spark):
+    """Feature-store/train skew guarantee: the streaming stateful PIT
+    features equal the batch RANGE-frame answer on every purchase."""
+    cols = (
+        "event_id", "n_views_24h", "n_clicks_24h",
+        "click_value_7d", "days_since_signup",
+    )
+    stream = {
+        r["event_id"]: tuple(r[c] for c in cols)
+        for r in _q("c_stream_pit_features", spark).collect()
+    }
+    batch = {
+        r["event_id"]: tuple(r[c] for c in cols)
+        for r in _q("d6_pit_features", spark).collect()
+    }
+    assert stream == batch and len(stream) > 0

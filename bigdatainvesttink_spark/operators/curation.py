@@ -2546,3 +2546,157 @@ def d7_shard_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "imbalance_ratio",
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities — the second classic link-analysis recurrence
+# (Kleinberg), completing the pair with d2_pagerank_fixed on the
+# variable-out-degree LCG edge set (u emits 1 + u%3 edges — the shared
+# regular graph has a uniform HITS fixed point, see _VARDEG_SQL note): hub(u) folds the authority mass of u's
+# out-neighbors, authority(v) folds the hub mass of v's in-neighbors, each
+# half-step sum-normalized. Two full (hub, authority) rounds are exactly
+# unrolled; every fold is a decimal-routed sum of 6dp-quantized inputs and
+# every normalization divides by the decimal-exact total before the next
+# 6dp grid — the same cross-engine bit-identity discipline as PageRank.
+# Scale: per iteration one co-partitioned edge join + hash agg per
+# direction; the normalizer is a 1-row broadcast. No per-node driver work.
+HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in _PR_KS)
+    sql = f"""
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        edges AS (
+            SELECT DISTINCT u, (u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES {ks}) AS ks(k)
+            WHERE (u * 48271 + k * 7919) % nn.n <> u
+              AND k <= 1 + (u % 3)
+        ),
+        a0 AS (
+            SELECT u, ROUND(1.0 / (SELECT n FROM nn), 6) AS a FROM nodes
+        )"""
+    for i in range(1, HITS_ITERS + 1):
+        p = i - 1
+        sql += f""",
+        hraw{i} AS (
+            SELECT nodes.u,
+                   CAST(COALESCE(SUM(CAST(ROUND(a{p}.a, 6)
+                        AS DECIMAL(27,6))), 0) AS DOUBLE) AS h
+            FROM nodes
+            LEFT JOIN (edges JOIN a{p} ON a{p}.u = edges.v)
+              ON edges.u = nodes.u
+            GROUP BY nodes.u
+        ),
+        hn{i} AS (
+            SELECT CAST(SUM(CAST(ROUND(h, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                   AS t FROM hraw{i}
+        ),
+        h{i} AS (
+            SELECT u, ROUND(h / (SELECT t FROM hn{i}), 6) AS h FROM hraw{i}
+        ),
+        araw{i} AS (
+            SELECT nodes.u,
+                   CAST(COALESCE(SUM(CAST(ROUND(h{i}.h, 6)
+                        AS DECIMAL(27,6))), 0) AS DOUBLE) AS a
+            FROM nodes
+            LEFT JOIN (edges JOIN h{i} ON h{i}.u = edges.u)
+              ON edges.v = nodes.u
+            GROUP BY nodes.u
+        ),
+        an{i} AS (
+            SELECT CAST(SUM(CAST(ROUND(a, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                   AS t FROM araw{i}
+        ),
+        a{i} AS (
+            SELECT u, ROUND(a / (SELECT t FROM an{i}), 6) AS a FROM araw{i}
+        )"""
+    return (
+        sql
+        + f"""
+        SELECT h{HITS_ITERS}.u AS user_id, h{HITS_ITERS}.h AS hub,
+               a{HITS_ITERS}.a AS authority
+        FROM h{HITS_ITERS} JOIN a{HITS_ITERS} ON a{HITS_ITERS}.u = h{HITS_ITERS}.u"""
+    )
+
+
+@query("d2_hits_fixed", oracle=_hits_oracle())
+def d2_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # node list is read by nn/edges/a0 and every half-step's left join —
+    # persist, or each reference re-scans and re-distincts the event table
+    nodes = e.select(F.col("user_id").alias("u")).distinct().persist()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in _PR_KS])).alias("k")
+    edges = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .filter(F.col("k") <= 1 + F.col("u") % 3)  # variable out-degree
+        .select(
+            "u",
+            ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()  # 2 joins per iteration x 2 iterations
+    )
+    a = nodes.crossJoin(F.broadcast(nn)).select(
+        "u", F.round(F.lit(1.0) / F.col("n"), 6).alias("a")
+    )
+
+    def _half(scores: DataFrame, col: str, out: str, reverse: bool) -> DataFrame:
+        """One HITS half-step: fold `col` over edges, sum-normalize."""
+        src, dst = ("v", "u") if not reverse else ("u", "v")
+        # hub folds out-neighbor authorities (join on v, group by u);
+        # authority folds in-neighbor hubs (join on u, group by v)
+        contrib = (
+            edges.join(
+                scores.select(F.col("u").alias(src), F.col(col)), src
+            )
+            .select(F.col(dst).alias("nu"),
+                    F.round(F.col(col), 6).cast("decimal(27,6)").alias("c"))
+            .groupBy("nu")
+            .agg(F.sum("c").alias("sc"))
+        )
+        raw = (
+            nodes.join(contrib, nodes["u"] == contrib["nu"], "left")
+            .select(
+                "u",
+                F.coalesce(F.col("sc"), F.lit(0))
+                .cast("double")
+                .alias("raw"),
+            )
+        )
+        # sum-normalize via a single-partition window over the NODE-sized
+        # score table (never the data) — a per-step 1-row aggregate +
+        # broadcast join would serialize 4 broadcast barriers and was
+        # measured ~10x slower; at larger node counts this becomes a
+        # tree-aggregated scalar, same plan shape as d6_markov_stationary
+        wall = Window.partitionBy(F.lit(1))
+        return raw.withColumn(
+            "t",
+            F.sum(F.round(F.col("raw"), 6).cast("decimal(27,6)"))
+            .over(wall)
+            .cast("double"),
+        ).select("u", F.round(F.col("raw") / F.col("t"), 6).alias(out))
+
+    from ..session import checkpointed
+
+    # checkpoint each node-sized half-step result BEFORE the next step
+    # consumes it: every step then reads a materialized 1-col-per-node
+    # table instead of re-deriving the whole prior recurrence (lineage
+    # through an un-checkpointed frame compounds per step)
+    h = None
+    for _ in range(HITS_ITERS):
+        h = checkpointed(
+            _half(a.withColumnRenamed("a", "s"), "s", "h", reverse=False)
+        )
+        a = checkpointed(
+            _half(h.withColumnRenamed("h", "s"), "s", "a", reverse=True)
+        )
+    return (
+        h.join(a.withColumnRenamed("u", "au"), F.col("au") == F.col("u"))
+        .select("u", "h", "a")
+        .toDF("user_id", "hub", "authority")
+    )

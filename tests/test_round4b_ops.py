@@ -259,3 +259,17 @@ def test_stream_pit_features_equals_batch(spark):
         for r in _q("d6_pit_features", spark).collect()
     }
     assert stream == batch and len(stream) > 0
+
+
+def test_hits_normalization_and_support(spark):
+    rows = _q("d2_hits_fixed", spark).collect()
+    assert len(rows) > 0
+    hub_sum = sum(r["hub"] for r in rows)
+    auth_sum = sum(r["authority"] for r in rows)
+    # each half-step sum-normalizes before the 6dp grid: totals ~ 1
+    assert abs(hub_sum - 1.0) < 1e-3
+    assert abs(auth_sum - 1.0) < 1e-3
+    assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in rows)
+    # the LCG graph is near-regular but not exactly: scores must not all
+    # collapse to a single value
+    assert len({r["authority"] for r in rows}) > 1

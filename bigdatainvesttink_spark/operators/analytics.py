@@ -3468,3 +3468,76 @@ def b46_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("__r2s").cast("int").alias("n_terms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B47: order-book liquidity slope — how fast does resting volume grow as
+# you walk away from the touch? Per snapshot, the OLS slope of volume vs
+# level over the fixed 20-level grid; per company, the mean slope (the
+# liquidity-provision profile b25_depth_profile summarizes pointwise).
+# Exactness: volumes and levels are integers, so each snapshot's slope
+# numerator n*Sum(l*v) - Sum(l)*Sum(v) is an exact BIGINT, and the OLS
+# denominator n*Sum(l^2) - Sum(l)^2 = 13300 is a CONSTANT of the grid —
+# the company mean therefore collapses to
+# Sum(numerators) / (n_snaps * 13300): one exact integer sum per side,
+# ONE double division at the very end — quantized via floor(x*1e6 + 0.5)
+# on the identical IEEE quotient, never ROUND(double,6) of an exact
+# rational (the representable-half trap, ADVICE.md r3; slopes can be
+# negative, so integer-div quantization is out too — Spark div truncates
+# where DuckDB // floors). Two hash
+# aggregates (snapshot grain, then company grain), no windows, no joins.
+_DEPTH_OLS_DEN = 20 * 2870 - 210 * 210  # n*Sum(l^2) - Sum(l)^2 = 13300
+
+
+@query(
+    "b47_liquidity_slope",
+    oracle=oracle_on_domain(
+        f"""
+        SELECT company_id, CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+               CAST(FLOOR(CAST(SUM(bid_num) AS DOUBLE)
+                     / (COUNT(*) * {_DEPTH_OLS_DEN}.0) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS bid_slope,
+               CAST(FLOOR(CAST(SUM(ask_num) AS DOUBLE)
+                     / (COUNT(*) * {_DEPTH_OLS_DEN}.0) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS ask_slope
+        FROM (
+            SELECT company_id, snap_id,
+                   20 * SUM(lvl * bid_volume) - 210 * SUM(bid_volume)
+                       AS bid_num,
+                   20 * SUM(lvl * ask_volume) - 210 * SUM(ask_volume)
+                       AS ask_num
+            FROM book_levels
+            GROUP BY company_id, snap_id
+        ) snaps
+        GROUP BY company_id
+        """
+    ),
+)
+def b47_liquidity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bl = domain_table(spark, sf_dir, "book_levels")
+    snaps = bl.groupBy("company_id", "snap_id").agg(
+        (
+            20 * F.sum(F.col("lvl") * F.col("bid_volume"))
+            - 210 * F.sum("bid_volume")
+        ).alias("bid_num"),
+        (
+            20 * F.sum(F.col("lvl") * F.col("ask_volume"))
+            - 210 * F.sum("ask_volume")
+        ).alias("ask_num"),
+    )
+    den = F.count("*") * _DEPTH_OLS_DEN
+    return snaps.groupBy("company_id").agg(
+        F.count("*").cast("long").alias("n_snapshots"),
+        (
+            F.floor(
+                F.sum("bid_num").cast("double") / den * 1000000 + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1000000.0)
+        ).alias("bid_slope"),
+        (
+            F.floor(
+                F.sum("ask_num").cast("double") / den * 1000000 + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1000000.0)
+        ).alias("ask_slope"),
+    )

@@ -324,3 +324,56 @@ def fmt_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "files_before", "files_after", "o_orderpriority", "n_rows", "checksum"
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition overwrite — the partition-level upsert every batch
+# warehouse job relies on (INSERT OVERWRITE ... PARTITION semantics, the
+# recompute-one-day pattern): with partitionOverwriteMode=dynamic, an
+# overwrite write replaces ONLY the partitions present in the incoming
+# frame and leaves every other partition's files untouched. The drill
+# seeds a 5-partition events table, then overwrites just the click/view
+# partitions with a recomputed (even-event_id) slice; per-partition row
+# counts AND content checksums of the final table must match the logical
+# expectation — a static-mode overwrite (which would have dropped the
+# other three partitions) or a partition leak breaks the hash. The conf
+# override is scoped and restored, same discipline as run_to_memory's
+# shuffle-partition override.
+@query(
+    "fmt_partition_overwrite_dynamic",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events,
+               bit_xor(CAST(CAST('0x' || substr(md5(concat_ws('|',
+                   event_id, user_id)), 1, 15)
+                   AS UBIGINT) AS BIGINT)) AS checksum
+        FROM events
+        WHERE event_type NOT IN ('click', 'view') OR event_id % 2 = 0
+        GROUP BY event_type
+    """,
+)
+def fmt_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stable_hash60
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="dynover_")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(f"{tmp}/t")
+    updates = e.filter(
+        F.col("event_type").isin("click", "view") & (F.col("event_id") % 2 == 0)
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "dynamic")
+        updates.write.partitionBy("event_type").mode("overwrite").parquet(
+            f"{tmp}/t"
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    final = spark.read.parquet(f"{tmp}/t")
+    digest = stable_hash60(F.concat_ws("|", "event_id", "user_id"))
+    return final.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.bit_xor(digest).alias("checksum"),
+    )

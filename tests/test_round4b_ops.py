@@ -273,3 +273,31 @@ def test_hits_normalization_and_support(spark):
     # the LCG graph is near-regular but not exactly: scores must not all
     # collapse to a single value
     assert len({r["authority"] for r in rows}) > 1
+
+
+def test_dynamic_partition_overwrite_counts(spark):
+    rows = {r["event_type"]: r for r in _q("fmt_partition_overwrite_dynamic", spark).collect()}
+    e = load_table(spark, SF_SMALL, "events")
+    full = {r["event_type"]: r["n"] for r in e.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert set(rows) == set(full)
+    for t, r in rows.items():
+        if t in ("click", "view"):
+            # overwritten partitions hold only the even-id recompute
+            assert r["n_events"] < full[t]
+        else:
+            # untouched partitions survive the dynamic overwrite intact
+            assert r["n_events"] == full[t]
+
+
+def test_liquidity_slope_grid_constant(spark):
+    rows = _q("b47_liquidity_slope", spark).collect()
+    assert len(rows) > 0
+    from bigdatainvesttink_spark.operators.analytics import _DEPTH_OLS_DEN
+
+    assert _DEPTH_OLS_DEN == 20 * sum(l * l for l in range(1, 21)) - sum(
+        range(1, 21)
+    ) ** 2
+    for r in rows:
+        assert r["n_snapshots"] > 0
+        # LCG volumes are bounded by 499, so slopes are small
+        assert abs(r["bid_slope"]) < 50 and abs(r["ask_slope"]) < 50

@@ -3541,3 +3541,141 @@ def b47_liquidity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("ask_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# B48: pairs-trading cointegration screen — the Engle-Granger two-step over
+# every instrument pair: OLS hedge ratio on daily closes, then the ADF(1)
+# regression on the spread residuals (delta_e = gamma * e_prev + u); the
+# most negative gamma = the fastest mean-reverting spreads, the candidate
+# pairs book. Pair space is |instruments|^2-bounded like b21 (block by
+# sector/beta bucket beyond ~10k instruments); BOTH passes run on the
+# bounded pair-day grid — moments first, then residuals with the 1-row-
+# per-pair stats broadcast back. AR(1) half-life uses |rho| = |1+gamma|
+# (valid in the oscillating gamma < -1 regime the synthetic near-white
+# spreads live in). Statistical sums follow b21's discipline: order-
+# sensitive float aggregates, ROUND(,6) before ranking, (a, b) tiebreak.
+@query(
+    "b48_cointegration_screen",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        pairday AS (
+            SELECT a.company_id AS ca, b.company_id AS cb, a.d,
+                   a.c AS xa, b.c AS xb
+            FROM daily a JOIN daily b
+              ON a.d = b.d AND a.company_id < b.company_id
+        ),
+        stats AS (
+            SELECT ca, cb,
+                   covar_pop(xa, xb) / var_pop(xb) AS beta,
+                   AVG(xa) - covar_pop(xa, xb) / var_pop(xb) * AVG(xb)
+                       AS alpha
+            FROM pairday GROUP BY 1, 2
+            HAVING COUNT(*) >= 20 AND var_pop(xb) > 0
+        ),
+        resid AS (
+            SELECT s.ca, s.cb, p.d, s.beta,
+                   p.xa - s.alpha - s.beta * p.xb AS e
+            FROM pairday p JOIN stats s ON s.ca = p.ca AND s.cb = p.cb
+        ),
+        lagged AS (
+            SELECT ca, cb, beta, e,
+                   LAG(e) OVER (PARTITION BY ca, cb ORDER BY d) AS ep
+            FROM resid
+        ),
+        adf AS (
+            SELECT ca, cb, CAST(COUNT(ep) AS BIGINT) AS n_days,
+                   ROUND(MAX(beta), 6) AS beta,
+                   ROUND(SUM(ep * (e - ep)) / SUM(ep * ep), 6) AS gamma
+            FROM lagged WHERE ep IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT ca AS com_a, cb AS com_b, n_days, beta, gamma,
+               CASE WHEN ABS(1.0 + gamma) > 0.000001
+                         AND ABS(1.0 + gamma) < 1.0
+                    THEN ROUND(-ln(2) / ln(ABS(1.0 + gamma)), 6)
+               END AS half_life_days,
+               rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY gamma ASC, ca ASC, cb ASC) AS rnk
+            FROM adf
+        ) r WHERE rnk <= 25
+        """
+    ),
+)
+def b48_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy(
+        "company_id", F.to_date("ts").alias("d")
+    ).agg(F.max_by("close", "ts").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairday = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.company_id") < F.col("b.company_id")),
+    ).select(
+        F.col("a.company_id").alias("ca"),
+        F.col("b.company_id").alias("cb"),
+        F.col("a.d").alias("d"),
+        F.col("a.c").alias("xa"),
+        F.col("b.c").alias("xb"),
+    ).persist()  # pair-day grid, two passes (moments + residuals)
+    beta = F.covar_pop("xa", "xb") / F.var_pop("xb")
+    stats = (
+        pairday.groupBy("ca", "cb")
+        .agg(
+            F.count("*").alias("n"),
+            beta.alias("beta"),
+            (F.avg("xa") - beta * F.avg("xb")).alias("alpha"),
+            F.var_pop("xb").alias("__v"),
+        )
+        .filter((F.col("n") >= 20) & (F.col("__v") > 0))
+        .select("ca", "cb", "beta", "alpha")
+    )
+    resid = pairday.join(
+        F.broadcast(stats.withColumnRenamed("ca", "sca").withColumnRenamed("cb", "scb")),
+        (F.col("sca") == F.col("ca")) & (F.col("scb") == F.col("cb")),
+    ).select(
+        "ca",
+        "cb",
+        "d",
+        "beta",
+        (F.col("xa") - F.col("alpha") - F.col("beta") * F.col("xb")).alias("e"),
+    )
+    wlag = Window.partitionBy("ca", "cb").orderBy("d")
+    lagged = resid.withColumn("ep", F.lag("e").over(wlag)).filter(
+        F.col("ep").isNotNull()
+    )
+    adf = lagged.groupBy("ca", "cb").agg(
+        F.count("ep").cast("long").alias("n_days"),
+        F.round(F.max("beta"), 6).alias("beta"),
+        F.round(
+            F.sum(F.col("ep") * (F.col("e") - F.col("ep")))
+            / F.sum(F.col("ep") * F.col("ep")),
+            6,
+        ).alias("gamma"),
+    )
+    rho = F.abs(F.lit(1.0) + F.col("gamma"))
+    half_life = F.when(
+        (rho > 0.000001) & (rho < 1.0),
+        F.round(-F.log(F.lit(2.0)) / F.log(rho), 6),
+    )
+    wr = Window.orderBy(F.col("gamma").asc(), F.col("ca").asc(), F.col("cb").asc())
+    return (
+        adf.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 25)
+        .select(
+            F.col("ca").alias("com_a"),
+            F.col("cb").alias("com_b"),
+            "n_days",
+            "beta",
+            "gamma",
+            half_life.alias("half_life_days"),
+            "rnk",
+        )
+    )

@@ -301,3 +301,18 @@ def test_liquidity_slope_grid_constant(spark):
         assert r["n_snapshots"] > 0
         # LCG volumes are bounded by 499, so slopes are small
         assert abs(r["bid_slope"]) < 50 and abs(r["ask_slope"]) < 50
+
+
+def test_cointegration_screen_invariants(spark):
+    rows = _q("b48_cointegration_screen", spark).collect()
+    assert 0 < len(rows) <= 25
+    ranks = sorted(r["rnk"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    gammas = [r["gamma"] for r in rows]
+    assert gammas == sorted(gammas)  # ranked by fastest mean reversion
+    for r in rows:
+        assert r["com_a"] < r["com_b"]
+        # stationary AR(1): gamma in (-2, 0)
+        assert -2.0 < r["gamma"] < 0.0
+        if r["half_life_days"] is not None:
+            assert r["half_life_days"] > 0

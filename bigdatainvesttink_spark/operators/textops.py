@@ -1656,3 +1656,159 @@ def d4_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             'q75',  d3, n3, v3,
             'q100', d4, n4, v4) AS (prefix, n_docs, n_tokens, vocab)"""
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction — Rapid Automatic Keyword Extraction (Rose et
+# al.), the classic unsupervised keyphrase miner, composed from this
+# module's own corpus statistics: the stop list is the top-10
+# document-frequency terms (the rank-based form of d4_stopword_discovery —
+# a fixed df-ratio cut is degenerate on the fixture's tightly-clustered
+# df band), phrases are the maximal stopword-free token runs (one
+# running-count window per doc over the position explode), words are
+# scored deg/freq over the whole corpus, and each phrase scores
+# Sum(deg)/Sum(freq) of its members — the single-division simplification
+# that keeps the score an exact rational, quantized through the
+# floor(x*1e6 + 0.5) integer path (never ROUND of a rational). Plan: one
+# token explode, one broadcast stop join, vocabulary-sized word stats
+# joined back to phrase members, top-3 per doc.
+RAKE_N_STOPS = 10
+
+
+@query(
+    "d4_rake_keywords",
+    oracle=f"""
+        WITH stops AS (
+            SELECT tok FROM (
+                SELECT tok, ROW_NUMBER() OVER (
+                    ORDER BY COUNT(*) DESC, tok ASC) AS r
+                FROM (
+                    SELECT doc_id, unnest(list_distinct(list_filter(
+                        string_split(text, ' '), t -> t <> ''))) AS tok
+                    FROM documents WHERE text <> ''
+                ) x GROUP BY tok
+            ) ranked WHERE r <= {RAKE_N_STOPS}
+        ),
+        toks AS (
+            SELECT doc_id, unnest(l) AS tok,
+                   generate_subscripts(l, 1) AS pos
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS l
+                FROM documents WHERE text <> ''
+            ) d
+        ),
+        flagged AS (
+            SELECT t.doc_id, t.tok, t.pos,
+                   CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END AS is_stop,
+                   SUM(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY t.doc_id ORDER BY t.pos) AS phrase_id
+            FROM toks t LEFT JOIN stops s ON s.tok = t.tok
+        ),
+        members AS (
+            SELECT doc_id, phrase_id, tok, pos FROM flagged WHERE is_stop = 0
+        ),
+        wstats AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS deg
+            FROM (
+                SELECT m.tok, COUNT(*) OVER (
+                    PARTITION BY m.doc_id, m.phrase_id) AS plen
+                FROM members m
+            ) GROUP BY tok
+        ),
+        phrases AS (
+            SELECT m.doc_id, m.phrase_id,
+                   string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen,
+                   CAST(SUM(w.deg) AS BIGINT) AS sdeg,
+                   CAST(SUM(w.freq) AS BIGINT) AS sfreq
+            FROM members m JOIN wstats w ON w.tok = m.tok
+            GROUP BY m.doc_id, m.phrase_id
+        ),
+        scored AS (
+            SELECT doc_id, phrase, plen,
+                   CAST((2 * sdeg * 1000000 + sfreq) // (2 * sfreq)
+                        AS BIGINT) AS score_ppm
+            FROM phrases
+        )
+        SELECT doc_id, phrase, plen, score_ppm, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score_ppm DESC, phrase ASC) AS rnk
+            FROM scored) r
+        WHERE rnk <= 3
+    """,
+)
+def d4_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    stop_rank = Window.orderBy(F.col("doc_freq").desc(), F.col("tok").asc())
+    stops = (
+        d.select(F.explode(F.array_distinct(tokenize("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .withColumn("r", F.row_number().over(stop_rank))
+        .filter(F.col("r") <= RAKE_N_STOPS)
+        .select(F.col("tok").alias("stop_tok"))
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = (
+        toks.join(F.broadcast(stops), F.col("stop_tok") == F.col("tok"), "left")
+        .select(
+            "doc_id",
+            "tok",
+            "pos",
+            F.when(F.col("stop_tok").isNotNull(), 1).otherwise(0).alias(
+                "is_stop"
+            ),
+        )
+        .withColumn("phrase_id", F.sum("is_stop").over(wdoc))
+    )
+    members = flagged.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "tok", "pos"
+    )
+    wphrase = Window.partitionBy("doc_id", "phrase_id")
+    wstats = (
+        members.withColumn("plen", F.count("*").over(wphrase))
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    phrases = (
+        members.join(
+            wstats.withColumnRenamed("tok", "wtok"),
+            F.col("wtok") == F.col("tok"),
+        )
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("plen"),
+            F.sum("deg").cast("long").alias("sdeg"),
+            F.sum("freq").cast("long").alias("sfreq"),
+        )
+    )
+    scored = phrases.select(
+        "doc_id",
+        "phrase",
+        "plen",
+        F.expr("(2 * sdeg * 1000000 + sfreq) div (2 * sfreq)")
+        .cast("long")
+        .alias("score_ppm"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -316,3 +316,38 @@ def test_cointegration_screen_invariants(spark):
         assert -2.0 < r["gamma"] < 0.0
         if r["half_life_days"] is not None:
             assert r["half_life_days"] > 0
+
+
+def test_rake_keywords_properties(spark):
+    import pyspark.sql.functions as F
+
+    rows = _q("d4_rake_keywords", spark).collect()
+    assert len(rows) > 0
+    from bigdatainvesttink_spark.functions.text import tokenize
+    from bigdatainvesttink_spark.operators.textops import RAKE_N_STOPS
+
+    d = load_table(spark, SF_SMALL, "documents").filter(F.col("text") != "")
+    stop_rows = (
+        d.select(F.explode(F.array_distinct(tokenize("text"))).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    stops = {
+        r["tok"]
+        for r in sorted(stop_rows, key=lambda r: (-r["count"], r["tok"]))[
+            :RAKE_N_STOPS
+        ]
+    }
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert len(words) == r["plen"]
+        # no stopword inside any extracted phrase
+        assert not (set(words) & stops), r
+        # the phrase occurs verbatim in the source document, bounded by
+        # stopwords or document edges
+        toks = [t for t in texts[r["doc_id"]].split(" ") if t != ""]
+        joined = " ".join(toks)
+        assert r["phrase"] in joined, r
+        assert 1 <= r["rnk"] <= 3

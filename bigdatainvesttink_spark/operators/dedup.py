@@ -1837,3 +1837,67 @@ def d2_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_recall"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D1: k-anonymity audit — the privacy gate next to the GDPR erasure audit
+# (d1_erasure_audit): before releasing an event extract, how many rows sit
+# in quasi-identifier equivalence classes smaller than k (here k=5 over
+# (event_type, day, 50-unit value bucket))? Those rows are re-identifiable
+# by linkage and must be suppressed or generalized. Pure hash-aggregate
+# algebra: one groupBy to the class grid, one rollup per event_type; the
+# at-risk share is an exact rational quantized through the
+# floor(x*1e6 + 0.5) integer path. The value bucket uses FLOOR of an
+# IEEE quotient (bit-identical cross-engine), not ROUND.
+K_ANON_K = 5
+
+
+@query(
+    "d1_kanonymity_audit",
+    oracle=f"""
+        WITH classes AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(FLOOR(value / 50) AS BIGINT) AS vbucket,
+                   CAST(COUNT(*) AS BIGINT) AS class_size
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN class_size < {K_ANON_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small_classes,
+               CAST(SUM(CASE WHEN class_size < {K_ANON_K} THEN class_size
+                             ELSE 0 END) AS BIGINT) AS rows_at_risk,
+               CAST(SUM(class_size) AS BIGINT) AS n_rows,
+               CAST((2 * SUM(CASE WHEN class_size < {K_ANON_K}
+                                  THEN class_size ELSE 0 END) * 1000000
+                     + SUM(class_size)) // (2 * SUM(class_size))
+                    AS BIGINT) AS risk_ppm,
+               MIN(class_size) AS min_class, MAX(class_size) AS max_class
+        FROM classes GROUP BY event_type
+    """,
+)
+def d1_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    classes = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("vbucket"),
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    small = F.when(F.col("class_size") < K_ANON_K, F.col("class_size")).otherwise(0)
+    return classes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < K_ANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_classes"),
+        F.sum(small).cast("long").alias("rows_at_risk"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.expr(
+            f"(2 * SUM(CASE WHEN class_size < {K_ANON_K} THEN class_size"
+            " ELSE 0 END) * 1000000 + SUM(class_size))"
+            " div (2 * SUM(class_size))"
+        )
+        .cast("long")
+        .alias("risk_ppm"),
+        F.min("class_size").alias("min_class"),
+        F.max("class_size").alias("max_class"),
+    )

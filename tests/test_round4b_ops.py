@@ -351,3 +351,17 @@ def test_rake_keywords_properties(spark):
         joined = " ".join(toks)
         assert r["phrase"] in joined, r
         assert 1 <= r["rnk"] <= 3
+
+
+def test_kanonymity_audit_invariants(spark):
+    rows = _q("d1_kanonymity_audit", spark).collect()
+    assert len(rows) > 0
+    e_total = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_rows"] for r in rows) == e_total
+    for r in rows:
+        assert r["n_small_classes"] <= r["n_classes"]
+        assert r["rows_at_risk"] <= r["n_rows"]
+        # every small class holds < k rows
+        assert r["rows_at_risk"] < r["n_small_classes"] * 5 or r["n_small_classes"] == 0
+        assert 0 <= r["risk_ppm"] <= 1_000_000
+        assert r["min_class"] >= 1 and r["max_class"] >= r["min_class"]

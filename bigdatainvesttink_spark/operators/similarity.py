@@ -2412,3 +2412,92 @@ def d3_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# D3: index-selection frontier — the tuning dashboard that joins every
+# candidate-generation strategy's recall eval on one scale: sign-LSH
+# buckets, IVF nprobe=1, 64-bit binary-quantization rerank, and 16-dim
+# Matryoshka truncation, each against the same brute-force truth. Mean
+# recall is computed from exact integer sums (Sum(hits) / (5 * queries),
+# floor-quantized), and the candidate column carries the scan-cost proxy
+# where the method has one (bucket methods; the rerank methods score the
+# full corpus by design — NULL there). Composition, not duplication:
+# both the Spark side and the oracle reuse the four registered evals
+# verbatim (the oracle embeds their SQL as CTEs via the registry), so
+# this report can never drift from the per-method queries it summarizes.
+from ..registry import _ORACLE as _REGISTERED_ORACLES
+
+
+def _frontier_oracle() -> str:
+    lsh = _REGISTERED_ORACLES["d3_ann_recall_eval"]
+    ivf = _REGISTERED_ORACLES["d3_ivf_recall_eval"]
+    bq = _REGISTERED_ORACLES["d3_binary_quant_recall"]
+    tr = _REGISTERED_ORACLES["d3_truncation_recall_eval"]
+    summary = """
+        SELECT '{m}' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+               CAST((2 * SUM(n_hits) * 1000000 + 5 * COUNT(*))
+                    // (10 * COUNT(*)) AS BIGINT) AS mean_recall_ppm,
+               {cand} AS avg_candidates_ppk
+        FROM {src}"""
+    cand_expr = (
+        "CAST((2 * SUM(n_candidates) * 1000 + COUNT(*))"
+        " // (2 * COUNT(*)) AS BIGINT)"
+    )
+    return " UNION ALL ".join(
+        [
+            f"WITH lshq AS ({lsh}), ivfq AS ({ivf}), bqq AS ({bq}), "
+            f"trq AS ({tr})"
+            + summary.format(m="lsh_bucket", cand=cand_expr, src="lshq"),
+            summary.format(m="ivf_nprobe1", cand=cand_expr, src="ivfq"),
+            summary.format(
+                m="binary_quant64", cand="CAST(NULL AS BIGINT)", src="bqq"
+            ),
+            summary.format(
+                m="truncate_16d", cand="CAST(NULL AS BIGINT)", src="trq"
+            ),
+        ]
+    )
+
+
+@query("d3_index_frontier", oracle=_frontier_oracle())
+def d3_index_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _summarize(df: DataFrame, method: str, has_cand: bool) -> DataFrame:
+        cand = (
+            F.expr(
+                "(2 * SUM(n_candidates) * 1000 + COUNT(*))"
+                " div (2 * COUNT(*))"
+            ).cast("long")
+            if has_cand
+            else F.lit(None).cast("long")
+        )
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            F.expr(
+                "(2 * SUM(n_hits) * 1000000 + 5 * COUNT(*))"
+                " div (10 * COUNT(*))"
+            )
+            .cast("long")
+            .alias("mean_recall_ppm"),
+            cand.alias("avg_candidates_ppk"),
+        )
+
+    return (
+        _summarize(d3_ann_recall_eval(spark, sf_dir), "lsh_bucket", True)
+        .unionAll(
+            _summarize(d3_ivf_recall_eval(spark, sf_dir), "ivf_nprobe1", True)
+        )
+        .unionAll(
+            _summarize(
+                d3_binary_quant_recall(spark, sf_dir), "binary_quant64", False
+            )
+        )
+        .unionAll(
+            _summarize(
+                d3_truncation_recall_eval(spark, sf_dir), "truncate_16d", False
+            )
+        )
+    )

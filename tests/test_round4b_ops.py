@@ -365,3 +365,30 @@ def test_kanonymity_audit_invariants(spark):
         assert r["rows_at_risk"] < r["n_small_classes"] * 5 or r["n_small_classes"] == 0
         assert 0 <= r["risk_ppm"] <= 1_000_000
         assert r["min_class"] >= 1 and r["max_class"] >= r["min_class"]
+
+
+def test_index_frontier_consistent_with_evals(spark):
+    rows = {r["method"]: r for r in _q("d3_index_frontier", spark).collect()}
+    assert set(rows) == {
+        "lsh_bucket", "ivf_nprobe1", "binary_quant64", "truncate_16d",
+    }
+    # frontier rows must re-derive exactly from the per-method evals
+    for method, qname, has_cand in (
+        ("lsh_bucket", "d3_ann_recall_eval", True),
+        ("ivf_nprobe1", "d3_ivf_recall_eval", True),
+        ("binary_quant64", "d3_binary_quant_recall", False),
+        ("truncate_16d", "d3_truncation_recall_eval", False),
+    ):
+        ev = _q(qname, spark).collect()
+        r = rows[method]
+        assert r["n_queries"] == len(ev)
+        assert r["total_hits"] == sum(x["n_hits"] for x in ev)
+        exp_ppm = (2 * r["total_hits"] * 1_000_000 + 5 * len(ev)) // (
+            10 * len(ev)
+        )
+        assert r["mean_recall_ppm"] == exp_ppm
+        assert 0 <= r["mean_recall_ppm"] <= 1_000_000
+        if has_cand:
+            assert r["avg_candidates_ppk"] > 0
+        else:
+            assert r["avg_candidates_ppk"] is None

@@ -3679,3 +3679,78 @@ def b48_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B3d: as-of join WITH TOLERANCE — the fourth arm of the as-of family
+# (backward b3, forward b3b, nearest b3c): a backward match only counts if
+# the book snapshot is at most 1 hour stale (pandas merge_asof's
+# `tolerance`, QuestDB ASOF ... TOLERANCE). The stale-quote guard every
+# execution system needs: a trade priced off an 11-hour-old book is worse
+# than no mark at all. Composed from the library operator + a per-row
+# CASE nullifying out-of-tolerance matches ATOMICALLY (all carried
+# columns null together, same discipline as the struct carry inside
+# as_of_join); gaps are exact epoch-microsecond integers. A 1-in-7 trade
+# slice bounds the drill's cost like b3c.
+ASOF_TOLERANCE_S = 3600
+
+
+@query(
+    "b3d_asof_tolerance",
+    oracle=oracle_on_domain(
+        f"""
+        SELECT company_id, trade_id, ts, price,
+               CASE WHEN gap_us <= CAST({ASOF_TOLERANCE_S} AS BIGINT)
+                         * 1000000 THEN book_ts END AS book_ts,
+               CASE WHEN gap_us <= CAST({ASOF_TOLERANCE_S} AS BIGINT)
+                         * 1000000 THEN gap_us END AS gap_us,
+               CASE WHEN gap_us <= CAST({ASOF_TOLERANCE_S} AS BIGINT)
+                         * 1000000 THEN bid_price END AS bid_price,
+               CASE WHEN gap_us <= CAST({ASOF_TOLERANCE_S} AS BIGINT)
+                         * 1000000 THEN ask_price END AS ask_price,
+               CAST(CASE WHEN gap_us <= CAST({ASOF_TOLERANCE_S} AS BIGINT)
+                              * 1000000 THEN 1 ELSE 0 END AS INT)
+                   AS in_tolerance
+        FROM (
+            SELECT t.company_id, t.trade_id, t.ts, t.price,
+                   b.ts AS book_ts, b.bid_price, b.ask_price,
+                   epoch_us(t.ts) - epoch_us(b.ts) AS gap_us
+            FROM (SELECT * FROM trades WHERE trade_id % 7 = 3) t
+            ASOF LEFT JOIN order_book b
+              ON t.company_id = b.company_id AND t.ts >= b.ts
+        ) matched
+        """
+    ),
+)
+def b3d_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = domain_table(spark, sf_dir, "trades").filter(
+        F.col("trade_id") % 7 == 3
+    )
+    book = domain_table(spark, sf_dir, "order_book").select(
+        "company_id", "ts", "bid_price", "ask_price"
+    )
+    joined = as_of_join(
+        trades.select("company_id", "trade_id", "ts", "price"),
+        book,
+        on="company_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["bid_price", "ask_price"],
+        direction="backward",
+        matched_ts_col="book_ts",
+    )
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("book_ts").cast("timestamp")
+    )
+    ok = gap <= F.lit(ASOF_TOLERANCE_S).cast("long") * 1_000_000
+    return joined.select(
+        "company_id",
+        "trade_id",
+        "ts",
+        "price",
+        F.when(ok, F.col("book_ts")).alias("book_ts"),
+        F.when(ok, gap).alias("gap_us"),
+        F.when(ok, F.col("bid_price")).alias("bid_price"),
+        F.when(ok, F.col("ask_price")).alias("ask_price"),
+        F.coalesce(F.when(ok, 1), F.lit(0)).cast("int").alias("in_tolerance"),
+    )

@@ -2700,3 +2700,85 @@ def d2_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "h", "a")
         .toDF("user_id", "hub", "authority")
     )
+
+
+# --------------------------------------------------------------------------
+# D2: graph partition-quality audit — the scale-planning diagnostic for
+# every distributed graph algorithm in this module (PageRank, HITS, BFS,
+# CC): if nodes are hash-partitioned u % P, what fraction of edges cross
+# partitions (each crossing edge = one message over the network per
+# iteration)? Random-hash placement cuts ~ (P-1)/P of edges — THE reason
+# graph systems invest in locality-aware partitioning; this query
+# measures the actual cut and the per-partition load balance on the
+# shared LCG edge set. Pure integer algebra on the edge scan: one
+# hash aggregate to the P-sized grid, cut share floor-quantized.
+GRAPH_NPARTS = 8
+
+
+@query(
+    "d2_partition_quality",
+    oracle=f"""
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        edges AS (
+            SELECT DISTINCT u, (u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES (1), (2), (3)) AS ks(k)
+            WHERE (u * 48271 + k * 7919) % nn.n <> u
+        ),
+        parts AS (
+            SELECT u % {GRAPH_NPARTS} AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_out_edges,
+                   CAST(SUM(CASE WHEN u % {GRAPH_NPARTS}
+                                      <> v % {GRAPH_NPARTS}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+            FROM edges GROUP BY 1
+        ),
+        pn AS (
+            SELECT u % {GRAPH_NPARTS} AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM nodes GROUP BY 1
+        )
+        SELECT p.part, pn.n_nodes, p.n_out_edges, p.n_cut,
+               CAST((2 * p.n_cut * 1000000 + p.n_out_edges)
+                    // (2 * p.n_out_edges) AS BIGINT) AS cut_ppm
+        FROM parts p JOIN pn ON pn.part = p.part
+    """,
+)
+def d2_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
+    edges = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .select(
+            "u",
+            ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias(
+                "v"
+            ),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    p = GRAPH_NPARTS
+    parts = edges.groupBy((F.col("u") % p).alias("part")).agg(
+        F.count("*").cast("long").alias("n_out_edges"),
+        F.sum(
+            F.when(F.col("u") % p != F.col("v") % p, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cut"),
+    )
+    pn = nodes.groupBy((F.col("u") % p).alias("part")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    return parts.join(pn, "part").select(
+        "part",
+        "n_nodes",
+        "n_out_edges",
+        "n_cut",
+        F.expr("(2 * n_cut * 1000000 + n_out_edges) div (2 * n_out_edges)")
+        .cast("long")
+        .alias("cut_ppm"),
+    )

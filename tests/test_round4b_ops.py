@@ -392,3 +392,42 @@ def test_index_frontier_consistent_with_evals(spark):
             assert r["avg_candidates_ppk"] > 0
         else:
             assert r["avg_candidates_ppk"] is None
+
+
+def test_asof_tolerance_subsumes_b3_semantics(spark):
+    import pyspark.sql.functions as F
+
+    rows = _q("b3d_asof_tolerance", spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["in_tolerance"] == 1:
+            assert r["book_ts"] is not None
+            assert 0 <= r["gap_us"] <= 3600 * 1_000_000
+            assert r["bid_price"] is not None and r["ask_price"] is not None
+        else:
+            # out-of-tolerance: ALL carried columns null together (atomic)
+            assert r["book_ts"] is None and r["gap_us"] is None
+            assert r["bid_price"] is None and r["ask_price"] is None
+    # every trade in the slice appears exactly once (left-outer semantics)
+    from bigdatainvesttink_spark.fixtures import domain_table
+
+    n_slice = (
+        domain_table(spark, SF_SMALL, "trades")
+        .filter(F.col("trade_id") % 7 == 3)
+        .count()
+    )
+    assert len(rows) == n_slice
+
+
+def test_partition_quality_random_cut(spark):
+    rows = _q("d2_partition_quality", spark).collect()
+    assert len(rows) > 0
+    total_edges = sum(r["n_out_edges"] for r in rows)
+    total_cut = sum(r["n_cut"] for r in rows)
+    assert 0 < total_cut <= total_edges
+    for r in rows:
+        assert 0 <= r["n_cut"] <= r["n_out_edges"]
+        assert 0 <= r["cut_ppm"] <= 1_000_000
+    # hash placement cuts roughly (P-1)/P of edges; allow a wide band
+    frac = total_cut / total_edges
+    assert 0.5 < frac <= 1.0

@@ -2617,3 +2617,90 @@ def d6_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_signup"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: bot watchlist — automation shows up as unnaturally REGULAR cadence:
+# the coefficient of variation of inter-event gaps sits near 0 for a cron
+# loop and near 1 for human (Poisson-ish) arrivals (the same moment
+# machinery as d6_burstiness, turned into a ranked ops watchlist). Gaps
+# quantize to whole seconds (integer div of exact epoch micros) so the
+# moment sums n*Sum(g^2) - Sum(g)^2 stay exact BIGINTs; the CV's sqrt is
+# irrational, so ROUND(,6) is safe, and the watchlist ranks on the
+# ROUNDED value with user_id tiebreak (deterministic top-10 both
+# engines). One shuffle on user_id (lag window + aggregate share it).
+@query(
+    "d6_bot_watchlist",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                   // 1000000 AS g
+            FROM events
+        ),
+        moments AS (
+            SELECT user_id, CAST(COUNT(g) AS BIGINT) AS n_gaps,
+                   CAST(SUM(g) AS BIGINT) AS sg,
+                   CAST(SUM(g * g) AS BIGINT) AS sg2
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY user_id HAVING COUNT(g) >= 10 AND SUM(g) > 0
+        ),
+        scored AS (
+            SELECT user_id, n_gaps,
+                   CAST((2 * sg * 1000 + n_gaps) // (2 * n_gaps)
+                        AS BIGINT) AS mean_gap_ms_x1,
+                   ROUND(sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE))
+                         / sg, 6) AS gap_cv
+            FROM moments
+        )
+        SELECT user_id, n_gaps, mean_gap_ms_x1 AS mean_gap_s_x1000,
+               gap_cv, rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY gap_cv ASC, user_id ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 10
+    """,
+)
+def d6_bot_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - lag(unix_micros(CAST(ts AS TIMESTAMP))) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) div 1000000"
+        ).alias("g"),
+    )
+    moments = (
+        gaps.filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("sg2"),
+        )
+        .filter((F.col("n_gaps") >= 10) & (F.col("sg") > 0))
+    )
+    scored = moments.select(
+        "user_id",
+        "n_gaps",
+        F.expr("(2 * sg * 1000 + n_gaps) div (2 * n_gaps)")
+        .cast("long")
+        .alias("mean_gap_s_x1000"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")
+                ).cast("double")
+            )
+            / F.col("sg"),
+            6,
+        ).alias("gap_cv"),
+    )
+    wr = Window.orderBy(F.col("gap_cv").asc(), F.col("user_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+    )

@@ -431,3 +431,30 @@ def test_partition_quality_random_cut(spark):
     # hash placement cuts roughly (P-1)/P of edges; allow a wide band
     frac = total_cut / total_edges
     assert 0.5 < frac <= 1.0
+
+
+def test_bot_watchlist_matches_python_cv(spark):
+    from datetime import datetime, timedelta
+    from math import sqrt
+
+    rows = _q("d6_bot_watchlist", spark).collect()
+    assert 0 < len(rows) <= 10
+    epoch = datetime(1970, 1, 1)
+    by_user: dict[int, list] = {}
+    for r in load_table(spark, SF_SMALL, "events").collect():
+        us = (r["ts"] - epoch) // timedelta(microseconds=1)
+        by_user.setdefault(r["user_id"], []).append((us, r["event_id"]))
+    cvs = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        gs = [
+            (b[0] - a[0]) // 1_000_000 for a, b in zip(evs, evs[1:])
+        ]
+        if len(gs) >= 10 and sum(gs) > 0:
+            n, sg, sg2 = len(gs), sum(gs), sum(g * g for g in gs)
+            cvs[uid] = round(sqrt(n * sg2 - sg * sg) / sg, 6)
+    expected = sorted(cvs, key=lambda u: (cvs[u], u))[:10]
+    assert [r["user_id"] for r in sorted(rows, key=lambda r: r["rnk"])] == expected
+    for r in rows:
+        assert abs(r["gap_cv"] - cvs[r["user_id"]]) < 2e-6
+        assert r["gap_cv"] >= 0

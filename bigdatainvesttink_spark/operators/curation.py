@@ -2782,3 +2782,88 @@ def d2_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cut_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7: filter-ablation cube — the curation diagnostic every pipeline tuning
+# session starts with: for each combination of the three gates (quality
+# length/token floor, exact-dedup survivorship, blocklist cleanliness),
+# how many documents and tokens survive? One scan computes the three
+# flags (the same definitions as d7_curation_pipeline and
+# d4_blocklist_filter, so the ablation can't drift from the real gates),
+# then a CUBE rollup prices every subset INCLUDING marginals in a single
+# Expand pass — 27 grid rows, no re-scans per arm. Pure integer
+# accounting; the dedup flag shuffles once on the content hash.
+from .textops import BLOCKLIST
+
+@query(
+    "d7_filter_ablation_cube",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_toks,
+                   CAST(CASE WHEN length(text) >= 100
+                             AND len(list_filter(string_split(text, ' '),
+                                                 t -> t <> '')) >= 20
+                        THEN 1 ELSE 0 END AS INT) AS q_pass,
+                   CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+                        THEN 1 ELSE 0 END AS INT) AS d_keep,
+                   CAST(CASE WHEN NOT (
+                            len(list_filter(string_split(text, ' '),
+                                t -> t IN ({", ".join(f"'{w}'" for w in BLOCKLIST)}))) >= 3
+                            AND len(list_filter(string_split(text, ' '),
+                                t -> t IN ({", ".join(f"'{w}'" for w in BLOCKLIST)}))) * 20
+                                > len(list_filter(string_split(text, ' '),
+                                                  t -> t <> '')))
+                        THEN 1 ELSE 0 END AS INT) AS b_clean
+            FROM documents WHERE text <> ''
+        )
+        SELECT q_pass, d_keep, b_clean,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        FROM flagged
+        GROUP BY CUBE (q_pass, d_keep, b_clean)
+    """,
+)
+def d7_filter_ablation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import BLOCKLIST as _BL
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = tokenize("text")
+    block = F.array(*[F.lit(w) for w in _BL])
+    n_toks = F.size(toks)
+    n_hits = F.size(F.filter(toks, lambda t: F.array_contains(block, t)))
+    flagged = d.select(
+        "doc_id",
+        "text",
+        n_toks.alias("n_toks"),
+        F.when((F.length("text") >= 100) & (n_toks >= 20), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("q_pass"),
+        n_hits.alias("n_hits"),
+    ).withColumn(
+        "d_keep",
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(stable_hash60("text"), "text")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "b_clean",
+        F.when(
+            ~((F.col("n_hits") >= 3) & (F.col("n_hits") * 20 > F.col("n_toks"))),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    return flagged.cube("q_pass", "d_keep", "b_clean").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )

@@ -458,3 +458,27 @@ def test_bot_watchlist_matches_python_cv(spark):
     for r in rows:
         assert abs(r["gap_cv"] - cvs[r["user_id"]]) < 2e-6
         assert r["gap_cv"] >= 0
+
+
+def test_filter_ablation_cube_marginals(spark):
+    rows = _q("d7_filter_ablation_cube", spark).collect()
+    # cube over 3 binary flags: 27 rows (2+null)^3
+    assert len(rows) == 27
+    cells = {
+        (r["q_pass"], r["d_keep"], r["b_clean"]): (r["n_docs"], r["total_tokens"])
+        for r in rows
+    }
+    grand = cells[(None, None, None)]
+    # marginals must re-sum exactly from the 8 base cells
+    base = [
+        cells[(q, d, b)]
+        for q in (0, 1)
+        for d in (0, 1)
+        for b in (0, 1)
+        if (q, d, b) in cells
+    ]
+    assert sum(x[0] for x in base) == grand[0]
+    assert sum(x[1] for x in base) == grand[1]
+    # the all-gates-on cell equals the curation pipeline's survivor volume
+    surv = cells.get((1, 1, 1))
+    assert surv is not None and 0 < surv[0] <= grand[0]

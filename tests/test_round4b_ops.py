@@ -462,8 +462,9 @@ def test_bot_watchlist_matches_python_cv(spark):
 
 def test_filter_ablation_cube_marginals(spark):
     rows = _q("d7_filter_ablation_cube", spark).collect()
-    # cube over 3 binary flags: 27 rows (2+null)^3
-    assert len(rows) == 27
+    # cube over 3 binary flags: at most (2+null)^3 rows; empty flag
+    # combinations (e.g. no duplicate texts at sf0.001) simply don't appear
+    assert 0 < len(rows) <= 27
     cells = {
         (r["q_pass"], r["d_keep"], r["b_clean"]): (r["n_docs"], r["total_tokens"])
         for r in rows

@@ -1812,3 +1812,111 @@ def d4_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# D4: held-out LM evaluation — the proper train/eval form of
+# d4_bigram_logprob: the bigram model fits on even doc_ids only, and
+# scores the UNSEEN odd-doc half with add-1 (Laplace) smoothing over the
+# training vocabulary, so unseen transitions get finite mass instead of
+# crashing the product — the perplexity number a CCNet-style quality
+# filter actually thresholds on. Smoothed probability
+# (c2+1)/(c1+V) is an exact rational; each ln term rounds to 6dp and
+# sums in DECIMAL (order-independent), mirrors d4_bigram_logprob's
+# discipline; perplexity exponentiates the per-lang mean at the very
+# end. Plan: two count aggregates on the train half, broadcast V, two
+# left joins onto the eval bigrams (same token keys), one lang rollup.
+@query(
+    "d4_lm_heldout_eval",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        train_bg AS (
+            SELECT ts[i] AS a, ts[i+1] AS b
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2 AND doc_id % 2 = 0
+        ),
+        c2 AS (SELECT a, b, COUNT(*) AS n2 FROM train_bg GROUP BY a, b),
+        c1 AS (SELECT a, COUNT(*) AS n1 FROM train_bg GROUP BY a),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+                SELECT unnest(ts) AS tok FROM toks WHERE doc_id % 2 = 0
+            )
+        ),
+        eval_bg AS (
+            SELECT doc_id, lang, ts[i] AS a, ts[i+1] AS b
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2 AND doc_id % 2 = 1
+        ),
+        scored AS (
+            SELECT e.lang, e.doc_id,
+                   ROUND(ln(CAST(COALESCE(c2.n2, 0) + 1 AS DOUBLE)
+                            / (COALESCE(c1.n1, 0) + vocab.v)), 6) AS lp
+            FROM eval_bg e
+            LEFT JOIN c2 ON c2.a = e.a AND c2.b = e.b
+            LEFT JOIN c1 ON c1.a = e.a
+            CROSS JOIN vocab
+        )
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_logprob,
+               ROUND(exp(-(CAST(SUM(CAST(lp AS DECIMAL(27,6))) AS DOUBLE)
+                           / COUNT(*))), 6) AS perplexity
+        FROM scored
+        GROUP BY lang
+    """,
+)
+def d4_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    toks = d.select("doc_id", "lang", tokenize("text").alias("ts"))
+    bg_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(ts) - 1),"
+            " i -> named_struct('a', element_at(ts, i),"
+            "                   'b', element_at(ts, i + 1)))"
+        )
+    ).alias("p")
+    train = toks.filter((F.col("doc_id") % 2 == 0) & (F.size("ts") >= 2))
+    evalh = toks.filter((F.col("doc_id") % 2 == 1) & (F.size("ts") >= 2))
+    train_bg = train.select(bg_expr).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    c2 = train_bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = train_bg.groupBy("a").agg(F.count("*").alias("n1"))
+    vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ts").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    eval_bg = evalh.select("doc_id", "lang", bg_expr).select(
+        "doc_id", "lang", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    scored = (
+        eval_bg.join(c2, ["a", "b"], "left")
+        .join(c1, ["a"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("v"))
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    lp_dec = F.col("lp").cast("decimal(27,6)")
+    avg_lp = F.sum(lp_dec).cast("double") / F.count("*")
+    return scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_bigrams"),
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 6).alias("perplexity"),
+    )

@@ -483,3 +483,17 @@ def test_filter_ablation_cube_marginals(spark):
     # the all-gates-on cell equals the curation pipeline's survivor volume
     surv = cells.get((1, 1, 1))
     assert surv is not None and 0 < surv[0] <= grand[0]
+
+
+def test_lm_heldout_eval_bounds(spark):
+    rows = _q("d4_lm_heldout_eval", spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # smoothed probs are in (0, 1): logprob negative, perplexity > 1
+        assert r["avg_logprob"] < 0
+        assert r["perplexity"] > 1.0
+        assert r["n_docs"] > 0 and r["n_bigrams"] >= r["n_docs"]
+        # perplexity can never exceed the smoothed-vocab upper bound and
+        # the in-sample scorer (trained on everything) should on average
+        # assign HIGHER probability than the held-out smoothed model
+        assert r["perplexity"] < 10_000

@@ -1816,3 +1816,59 @@ def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "n_rows", "med", "mad", "n_outliers")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation audit — the optimizer-statistics exercise
+# behind every join reorder Catalyst makes: estimate the l_partkey
+# SELF-join output per 64-bucket histogram cell under the textbook
+# uniform-frequency assumption (est = (Sum n)^2 / ndv) and compare to the
+# EXACT size Sum(n^2), both computed from the per-key count histogram —
+# the join itself is never executed (that's the whole point of
+# estimation; the exact form is one more aggregate over the same
+# histogram). Skew inside a bucket makes the uniform estimate a
+# systematic UNDERestimate (Jensen: (Sum n)^2/ndv <= Sum n^2 * ...), the
+# bias this audit quantifies per cell in exact integers — why AQE
+# re-plans from runtime row counts instead of trusting histograms.
+@query(
+    "rel_join_size_estimate",
+    oracle="""
+        WITH keys AS (
+            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1
+        ),
+        buckets AS (
+            SELECT k % 64 AS b, CAST(SUM(n) AS BIGINT) AS sn,
+                   CAST(COUNT(*) AS BIGINT) AS ndv,
+                   CAST(SUM(n * n) AS BIGINT) AS actual_rows
+            FROM keys GROUP BY 1
+        )
+        SELECT b, sn, ndv, sn * sn // ndv AS est_rows, actual_rows,
+               CAST((2 * (sn * sn // ndv) * 1000000 + actual_rows)
+                    // (2 * actual_rows) AS BIGINT) AS est_over_actual_ppm
+        FROM buckets
+    """,
+)
+def rel_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    buckets = keys.groupBy((F.col("k") % 64).alias("b")).agg(
+        F.sum("n").cast("long").alias("sn"),
+        F.count("*").cast("long").alias("ndv"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("actual_rows"),
+    )
+    return buckets.select(
+        "b",
+        "sn",
+        "ndv",
+        F.expr("sn * sn div ndv").cast("long").alias("est_rows"),
+        "actual_rows",
+        F.expr(
+            "(2 * (sn * sn div ndv) * 1000000 + actual_rows)"
+            " div (2 * actual_rows)"
+        )
+        .cast("long")
+        .alias("est_over_actual_ppm"),
+    )

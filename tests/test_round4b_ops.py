@@ -497,3 +497,24 @@ def test_lm_heldout_eval_bounds(spark):
         # the in-sample scorer (trained on everything) should on average
         # assign HIGHER probability than the held-out smoothed model
         assert r["perplexity"] < 10_000
+
+
+def test_join_size_estimate_jensen_bias(spark):
+    import pyspark.sql.functions as F
+
+    rows = _q("rel_join_size_estimate", spark).collect()
+    assert len(rows) > 0
+    li = load_table(spark, SF_SMALL, "lineitem")
+    total_actual = sum(r["actual_rows"] for r in rows)
+    # the exact self-join size equals the executed join's count
+    executed = (
+        li.select(F.col("l_partkey").alias("k"))
+        .join(li.select(F.col("l_partkey").alias("k")), "k")
+        .count()
+    )
+    assert total_actual == executed
+    for r in rows:
+        # Cauchy-Schwarz: (Sum n)^2 <= ndv * Sum n^2, so the uniform
+        # estimate can never exceed the exact size (integer floor aside)
+        assert r["est_rows"] <= r["actual_rows"]
+        assert 0 < r["est_over_actual_ppm"] <= 1_000_000

@@ -2501,3 +2501,112 @@ def d3_index_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D3: contrastive-pair mining — the training-data constructor for
+# embedding models (SimCSE/InfoNCE-style): POSITIVES are same-label pairs
+# with the highest cosine (mined inside label blocks — the supervised
+# positive set), HARD NEGATIVES are cross-label pairs that look similar
+# anyway (cosine above the same bar) — exactly the pairs that teach a
+# contrastive loss its margin. Neither side is all-pairs: positives
+# block on label (Sum block^2, the SemDeDup discipline), hard negatives
+# only form inside sign-LSH buckets (the ANN candidate generator reused
+# as a miner — recall < 1 by design; at 100 TB you widen with more
+# bands, never with a cross join). Top-25 per kind on round6 cosine with
+# (vec_a, vec_b) tiebreaks.
+CONTRASTIVE_MIN_COS = 0.3
+
+
+@query(
+    "d3_contrastive_pairs",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        proj AS (
+            SELECT vec_id, p,
+                   list_sum([e[d+1] * CAST({_W_FORMULA} AS DOUBLE)
+                             FOR d IN range(64)]) AS dotp
+            FROM v, (SELECT unnest(range(8)) AS p)
+        ),
+        bucketed AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        ),
+        vv AS (SELECT v.*, b.bucket FROM v JOIN bucketed b USING (vec_id)),
+        pos AS (
+            SELECT 'positive' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.label AS label_a, b.label AS label_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (a.norm * b.norm), 6) AS cosine
+            FROM v a JOIN v b
+              ON b.label = a.label AND b.vec_id > a.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (a.norm * b.norm), 6) >= {CONTRASTIVE_MIN_COS}
+        ),
+        neg AS (
+            SELECT 'hard_negative' AS kind, a.vec_id AS vec_a,
+                   b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (a.norm * b.norm), 6) AS cosine
+            FROM vv a JOIN vv b
+              ON b.bucket = a.bucket AND b.vec_id > a.vec_id
+                 AND b.label <> a.label
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (a.norm * b.norm), 6) >= {CONTRASTIVE_MIN_COS}
+        ),
+        unioned AS (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        SELECT kind, vec_a, vec_b, label_a, label_b, cosine, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY kind
+                ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rnk
+            FROM unioned
+        ) r WHERE rnk <= 25
+    """,
+)
+def d3_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    vv = _sign_lsh_bucketed(v)
+
+    def _pairs(left: DataFrame, cond, kind: str) -> DataFrame:
+        a, b = left.alias("a"), left.alias("b")
+        cos = F.round(
+            _dot(F.col("a.e"), F.col("b.e"))
+            / (F.col("a.norm") * F.col("b.norm")),
+            6,
+        )
+        return (
+            a.join(b, cond)
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.label").alias("label_a"),
+                F.col("b.label").alias("label_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= CONTRASTIVE_MIN_COS)
+        )
+
+    pos = _pairs(
+        v,
+        (F.col("b.label") == F.col("a.label"))
+        & (F.col("b.vec_id") > F.col("a.vec_id")),
+        "positive",
+    )
+    neg = _pairs(
+        vv,
+        (F.col("b.bucket") == F.col("a.bucket"))
+        & (F.col("b.vec_id") > F.col("a.vec_id"))
+        & (F.col("b.label") != F.col("a.label")),
+        "hard_negative",
+    )
+    wr = Window.partitionBy("kind").orderBy(
+        F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+    )
+    return (
+        pos.unionAll(neg)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 25)
+    )

@@ -518,3 +518,24 @@ def test_join_size_estimate_jensen_bias(spark):
         # estimate can never exceed the exact size (integer floor aside)
         assert r["est_rows"] <= r["actual_rows"]
         assert 0 < r["est_over_actual_ppm"] <= 1_000_000
+
+
+def test_contrastive_pairs_kinds(spark):
+    rows = _q("d3_contrastive_pairs", spark).collect()
+    assert len(rows) > 0
+    kinds = {r["kind"] for r in rows}
+    assert kinds <= {"positive", "hard_negative"}
+    for r in rows:
+        assert r["cosine"] >= 0.3
+        assert r["vec_a"] < r["vec_b"]
+        if r["kind"] == "positive":
+            assert r["label_a"] == r["label_b"]
+        else:
+            assert r["label_a"] != r["label_b"]
+    # ranked descending within kind
+    for kind in kinds:
+        ks = sorted(
+            (r for r in rows if r["kind"] == kind), key=lambda r: r["rnk"]
+        )
+        cos = [r["cosine"] for r in ks]
+        assert cos == sorted(cos, reverse=True)

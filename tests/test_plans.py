@@ -635,3 +635,44 @@ def test_column_profile_single_expand_pass_and_heap_modes(spark):
         assert r["n_nulls"] == 0 and r["n_rows"] > 0
         if r["top_count"] is not None:
             assert 0 < r["top_count"] <= r["n_rows"]
+
+
+def test_sequence_aggregates_single_user_shuffle(spark):
+    """sequenceMatch / windowFunnel / PIT features: the prefix-max window
+    algebra must plan exactly ONE data exchange (the user_id hash
+    partition shared by every window pass) — no self-joins, no extra
+    shuffles, nothing Python."""
+    for name in ("d6_sequence_match", "d6_window_funnel", "d6_pit_features"):
+        text = plan_text(_q(name, spark))
+        physical = text.split("== Physical Plan ==")[-1]
+        n_exchange = physical.count("Exchange hashpartitioning")
+        assert n_exchange == 1, (name, n_exchange)
+        assert "SortMergeJoin" not in physical, name
+        assert "BroadcastNestedLoopJoin" not in physical, name
+        assert "BatchEvalPython" not in physical, name
+
+
+def test_mmr_joins_stay_on_candidate_grid(spark):
+    """The only nested-loop join allowed is candidate generation itself
+    (broadcast tiny query side, non-equi vec_id != query_id — the same
+    shape as d3_ann_bruteforce_topk); every pick-stage join must be a
+    hash/broadcast equi-join and nothing may go through Python."""
+    import re
+
+    text = plan_text(_q("d3_mmr_rerank", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    for line in physical.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            # candidate scoring only: the NOT(vec_id = query_id) condition
+            assert re.search(r"NOT \(vec_id#\d+L? = query_id#\d+", line), line
+    assert "CartesianProduct" not in physical
+    assert "BatchEvalPython" not in physical
+
+
+def test_mahalanobis_stats_broadcast_onto_one_scan(spark):
+    """Label/global moment tables are grid-sized and must broadcast; the
+    scoring fold is JVM-side (no Python)."""
+    text = plan_text(_q("d3_ood_mahalanobis", spark))
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "BatchEvalPython" not in physical

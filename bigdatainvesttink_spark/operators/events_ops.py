@@ -2704,3 +2704,135 @@ def d6_bot_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# D6: item-item collaborative filtering — the classic implicit-feedback
+# recommender (Sarwar et al.): per-user interaction counts over a 20-item
+# catalog (props.k div 5 — the fixture's product proxy), item-item cosine
+# over co-interaction vectors, and top-3 recommendations per user scored
+# Sum(v_ui * sim(i,j)) over held items, already-held items excluded by
+# anti-join semantics. Scale shape: the item-pair dot products come from
+# a USER-co-partitioned self-join whose per-user cost is held^2 (bounded
+# by catalog discipline; at web scale you top-k-prune each user's item
+# list first), then aggregate to the items^2 grid; recommendation is a
+# grid-sized sim-table join back. Exactness: counts and dots are
+# BIGINTs, cosine rounds at 6dp, rec scores are decimal sums of
+# (int x 6dp) terms — exact rationals both engines.
+@query(
+    "d6_item_cf_recommend",
+    oracle="""
+        WITH ui AS (
+            SELECT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) // 5
+                       AS item,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT item, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+            FROM ui GROUP BY item
+        ),
+        dots AS (
+            SELECT a.item AS ia, b.item AS ib,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+            FROM ui a JOIN ui b
+              ON b.user_id = a.user_id AND b.item <> a.item
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.ia, d.ib,
+                   ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6)
+                       AS sim
+            FROM dots d
+            JOIN norms na ON na.item = d.ia
+            JOIN norms nb ON nb.item = d.ib
+        ),
+        scored AS (
+            SELECT u.user_id, s.ib AS item,
+                   CAST(SUM(CAST(u.v * s.sim AS DECIMAL(27,6)))
+                        AS DOUBLE) AS score
+            FROM ui u JOIN sims s ON s.ia = u.item
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ui h
+                WHERE h.user_id = u.user_id AND h.item = s.ib
+            )
+            GROUP BY 1, 2
+        )
+        SELECT user_id, item, score, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY score DESC, item ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 3
+    """,
+)
+def d6_item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ui = (
+        e.select("user_id", F.expr(
+            "CAST(get_json_object(props, '$.k') AS INT) div 5"
+        ).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.count("*").cast("long").alias("v"))
+        .persist()  # four consumers: dots (x2), norms, scoring, holdings
+    )
+    norms = ui.groupBy("item").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v")).cast("double")).alias("nrm")
+    )
+    a = ui.select(
+        F.col("user_id").alias("ua"), F.col("item").alias("ia"),
+        F.col("v").alias("va"),
+    )
+    b = ui.select(
+        F.col("user_id").alias("ub"), F.col("item").alias("ib"),
+        F.col("v").alias("vb"),
+    )
+    dots = (
+        a.join(b, (F.col("ub") == F.col("ua")) & (F.col("ib") != F.col("ia")))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("dot"))
+    )
+    sims = (
+        dots.join(
+            F.broadcast(norms.select(F.col("item").alias("ia"),
+                                     F.col("nrm").alias("na"))), "ia"
+        )
+        .join(
+            F.broadcast(norms.select(F.col("item").alias("ib"),
+                                     F.col("nrm").alias("nb"))), "ib"
+        )
+        .select(
+            "ia", "ib",
+            F.round(F.col("dot").cast("double")
+                    / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+    )
+    held = ui.select(
+        F.col("user_id").alias("hu"), F.col("item").alias("hitem")
+    )
+    scored = (
+        ui.join(F.broadcast(sims), F.col("ia") == F.col("item"))
+        .join(
+            held,
+            (F.col("hu") == F.col("user_id"))
+            & (F.col("hitem") == F.col("ib")),
+            "left_anti",
+        )
+        .groupBy("user_id", F.col("ib").alias("rec_item"))
+        .agg(
+            F.sum((F.col("v") * F.col("sim")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item").asc()
+    )
+    return (
+        scored.withColumnRenamed("rec_item", "item")
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -1920,3 +1920,65 @@ def d4_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_lp.alias("avg_logprob"),
         F.round(F.exp(-avg_lp), 6).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# D4: feature hashing (the "hashing trick") — the fixed-width text
+# vectorizer that needs NO vocabulary pass: each token hashes straight to
+# one of 64 buckets (engine-portable md5 arithmetic), giving every doc a
+# constant-size integer count vector regardless of corpus vocabulary —
+# the memory-bounded alternative to d4_vocab_coverage's explicit top-500
+# vocabulary, and the standard first featurizer for linear models at
+# corpus scale. The collision audit (distinct tokens vs occupied
+# buckets) quantifies the trick's information loss. One explode + one
+# hash agg; the 64-wide vector assembles map-side per doc.
+FEATURE_HASH_DIM = 64
+
+
+@query(
+    "d4_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS tok
+            FROM documents WHERE text <> ''
+        ),
+        hashed AS (
+            SELECT doc_id, tok,
+                   CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT)
+                        AS BIGINT) % {FEATURE_HASH_DIM} AS bucket
+            FROM toks
+        ),
+        cells AS (
+            SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_toks_in_bucket
+            FROM hashed GROUP BY doc_id, bucket
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_occupied_buckets,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_toks_in_bucket) AS BIGINT) AS n_distinct_tokens,
+               CAST(SUM(CASE WHEN n_toks_in_bucket > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_collision_buckets,
+               CAST(MAX(n) AS BIGINT) AS max_bucket_count
+        FROM cells GROUP BY doc_id
+    """,
+)
+def d4_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    hashed = d.select(
+        "doc_id", F.explode(tokenize("text")).alias("tok")
+    ).withColumn("bucket", stable_hash60("tok") % FEATURE_HASH_DIM)
+    cells = hashed.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("tok").cast("long").alias("n_toks_in_bucket"),
+    )
+    return cells.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_occupied_buckets"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum("n_toks_in_bucket").cast("long").alias("n_distinct_tokens"),
+        F.sum(F.when(F.col("n_toks_in_bucket") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collision_buckets"),
+        F.max("n").cast("long").alias("max_bucket_count"),
+    )

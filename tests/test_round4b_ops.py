@@ -539,3 +539,33 @@ def test_contrastive_pairs_kinds(spark):
         )
         cos = [r["cosine"] for r in ks]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_item_cf_recommend_excludes_held_items(spark):
+    import pyspark.sql.functions as F
+
+    rows = _q("d6_item_cf_recommend", spark).collect()
+    assert len(rows) > 0
+    held = {
+        (r["user_id"], r["item"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(get_json_object(props, '$.k') AS INT) div 5"
+            ).alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .collect()
+    }
+    per_user: dict[int, list] = {}
+    for r in rows:
+        # never recommend something the user already holds
+        assert (r["user_id"], r["item"]) not in held, r
+        assert 1 <= r["rnk"] <= 3
+        per_user.setdefault(r["user_id"], []).append(r)
+    for urows in per_user.values():
+        urows.sort(key=lambda r: r["rnk"])
+        scores = [r["score"] for r in urows]
+        assert scores == sorted(scores, reverse=True)

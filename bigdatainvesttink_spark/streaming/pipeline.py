@@ -1086,3 +1086,104 @@ def c_stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_signup",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark late-drop audit, oracle-checked — the late-data policy proved
+# END TO END with engineered lateness: the last 15 days of the stream
+# arrive first (advancing the watermark to max(ts) - 24h), then the
+# first 15 days arrive one whole trigger late — every one of their
+# hourly windows already sits below the watermark, so the engine must
+# drop them all (numRowsDroppedByWatermark accounts for every late row)
+# and append mode must emit exactly the on-time windows the watermark
+# has closed. The oracle predicts that set analytically: hourly windows
+# of the punctual half with window_end <= max(on_time ts) - 24h.
+# IMPORTANT Spark semantics this drill documents: under
+# Trigger.AvailableNow the engine pre-plans every micro-batch before the
+# watermark ever advances, so backfills deliberately do NOT drop late
+# data — the drill therefore runs a LIVE processing-time trigger and
+# synchronizes on processAllAvailable() between file arrivals (no
+# sleeps): batch 0 consumes the punctual file, the late file only
+# becomes visible afterwards, and batch 1 filters against the advanced
+# watermark.
+@query(
+    "c_stream_late_drop_audit",
+    oracle="""
+        WITH on_time AS (
+            SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ),
+        wm AS (SELECT MAX(ts) - INTERVAL 24 HOUR AS w FROM on_time)
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_value
+        FROM on_time, wm
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+        GROUP BY 1, 2
+    """,
+)
+def c_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    configure(spark)
+    tmp = tempfile.mkdtemp(prefix="c_late_")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes).get("ts") == "bigint":
+        batch = batch.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    cutoff = "2024-01-16"
+    on_time = batch.filter(F.col("ts") >= cutoff)
+    late = batch.filter(F.col("ts") < cutoff)
+    os.makedirs(f"{tmp}/src", exist_ok=True)
+    on_time.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f1")
+    late.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f2")
+    shutil.copy(
+        _glob.glob(f"{tmp}/f1/part-*.parquet")[0], f"{tmp}/src/00.parquet"
+    )
+    raw = spark.readStream.schema(batch.schema).parquet(f"{tmp}/src")
+    windowed = windowed_counts(
+        raw.withColumn("ts", F.col("ts").cast("timestamp")),
+        "1 hour",
+        watermark="24 hours",
+    )
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    with _SHUFFLE_OVERRIDE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        try:
+            q = (
+                windowed.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(processingTime="500 milliseconds")
+                .start()
+            )
+            # batch 0: the punctual half only; watermark advances after it
+            q.processAllAvailable()
+            # the late half becomes visible one trigger later
+            shutil.copy(
+                _glob.glob(f"{tmp}/f2/part-*.parquet")[0],
+                f"{tmp}/src/01.parquet",
+            )
+            # batch 1: filtered against the advanced watermark — drops all
+            # late rows and emits the closed on-time windows
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -569,3 +569,18 @@ def test_item_cf_recommend_excludes_held_items(spark):
         urows.sort(key=lambda r: r["rnk"])
         scores = [r["score"] for r in urows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_late_drop_audit_no_late_windows(spark):
+    from datetime import datetime
+
+    rows = _q("c_stream_late_drop_audit", spark).collect()
+    assert len(rows) > 0
+    cutoff = datetime(2024, 1, 16)
+    max_seen = max(r["window_start"] for r in rows)
+    for r in rows:
+        # every late window (first 15 days) was dropped by the watermark
+        assert r["window_start"] >= cutoff, r
+        assert r["n_events"] > 0
+    # the open tail (last 24h before max on-time ts) never emitted
+    assert (max_seen - cutoff).days >= 1

@@ -464,3 +464,94 @@ def dmm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(hamming <= PHASH_MAX_HAMMING).select(
         "doc_a", "doc_b", hamming.alias("hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Real PCM sample-level decode, oracle-checked — the strongest form of the
+# codec-seam proof: ten WAV assets are synthesized from a pure integer
+# sample formula (s_i = ((asset*104729 + i*7919) mod 65536) - 32768,
+# 16-bit mono), the REAL stdlib `wave` codec decodes them inside the
+# Arrow mapInPandas harness, and the per-asset sample statistics (exact
+# BIGINT sum of squares, integer peak, frame count) must equal what
+# DuckDB computes straight from the same formula — so a single corrupted
+# byte anywhere in the encode -> Arrow -> decode path flips the hash.
+# Unlike dmm_audio_features (fake decoder) and the header round-trip
+# test, this checks every SAMPLE through the real codec. RMS is the one
+# float (sqrt of an exact ratio, round6).
+WAV_N_ASSETS = 10
+
+
+def _wav_asset_bytes(asset_id: int) -> bytes:
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    n = 800 + 100 * asset_id
+    i = np.arange(n, dtype=np.int64)
+    samples = ((asset_id * 104729 + i * 7919) % 65536 - 32768).astype(
+        np.int16
+    )
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+WAV_STATS_SCHEMA = (
+    "asset_id bigint, n_frames bigint, sum_sq bigint, peak bigint, "
+    "rms double"
+)
+
+
+def _decode_wav_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("asset_id", "n_frames", "sum_sq", "peak", "rms")}
+        for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+            with _wave.open(io.BytesIO(bytes(content))) as w:
+                frames = w.readframes(w.getnframes())
+            s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            ssq = int((s * s).sum())
+            out["asset_id"].append(int(asset_id))
+            out["n_frames"].append(len(s))
+            out["sum_sq"].append(ssq)
+            out["peak"].append(int(np.abs(s).max()))
+            out["rms"].append(round((ssq / len(s)) ** 0.5, 6))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "dmm_audio_pcm_roundtrip",
+    oracle=f"""
+        WITH assets AS (
+            SELECT a.asset_id, 800 + 100 * a.asset_id AS n
+            FROM (SELECT unnest(range({WAV_N_ASSETS})) AS asset_id) a
+        ),
+        samples AS (
+            SELECT assets.asset_id, assets.n,
+                   (assets.asset_id * 104729 + u.i * 7919) % 65536 - 32768
+                       AS s
+            FROM assets, (SELECT unnest(range(1800)) AS i) u
+            WHERE u.i < assets.n
+        )
+        SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+               ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+        FROM samples GROUP BY asset_id
+    """,
+)
+def dmm_audio_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = [
+        (i, _wav_asset_bytes(i)) for i in range(WAV_N_ASSETS)
+    ]
+    df = spark.createDataFrame(payloads, "asset_id long, content binary")
+    return df.mapInPandas(_decode_wav_stats, WAV_STATS_SCHEMA)

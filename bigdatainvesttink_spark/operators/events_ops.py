@@ -2836,3 +2836,120 @@ def d6_item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# D6: absorbing-state conversion probability — the second classical Markov
+# question after the steady state (d6_markov_stationary): starting from
+# each transient behavior state, what is the probability the chain
+# reaches PURCHASE before ERROR? purchase/error become absorbing; the
+# absorption recurrence h(s) = P(s->purchase) + Sum_transient P(s,s')h(s')
+# unrolls to 12 fixed Jacobi rounds on the constant state grid
+# (geometric convergence; the truncation is part of the operator's
+# definition, like PageRank's fixed 8). Identical integer-micro
+# discipline: floor(x*1e6 + 0.5) quantization for probs and every
+# product, exact BIGINT sums — bit-identical cross-engine, never
+# ROUND(double). Each round is one broadcast join on the grid.
+MK_ABSORB_ITERS = 12
+
+
+def _markov_absorbing_oracle() -> str:
+    sql = """
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS dst
+            FROM events
+        ),
+        counted AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        p AS (
+            SELECT src, dst,
+                   CAST(floor(CAST(n AS DOUBLE) * 1000000
+                              / SUM(n) OVER (PARTITION BY src)
+                              + 0.5) AS BIGINT) AS pr_u
+            FROM counted
+            WHERE src NOT IN ('purchase', 'error')
+        ),
+        h0 AS (
+            SELECT DISTINCT src AS s, CAST(0 AS BIGINT) AS h_u FROM p
+        )"""
+    for i in range(1, MK_ABSORB_ITERS + 1):
+        sql += f""",
+        h{i} AS (
+            SELECT p.src AS s,
+                   CAST(SUM(CASE
+                       WHEN p.dst = 'purchase' THEN p.pr_u
+                       WHEN p.dst = 'error' THEN 0
+                       ELSE CAST(floor(CAST(prev.h_u AS DOUBLE) * p.pr_u
+                                       / 1000000 + 0.5) AS BIGINT)
+                   END) AS BIGINT) AS h_u
+            FROM p LEFT JOIN h{i - 1} prev ON prev.s = p.dst
+            GROUP BY p.src
+        )"""
+    return sql + f"""
+        SELECT s AS event_type,
+               CAST(h_u AS DOUBLE) / 1000000 AS p_purchase_before_error
+        FROM h{MK_ABSORB_ITERS}"""
+
+
+@query("d6_markov_absorbing", oracle=_markov_absorbing_oracle())
+def d6_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counted = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    p = (
+        counted.filter(~F.col("src").isin("purchase", "error"))
+        .select(
+            "src",
+            "dst",
+            F.floor(
+                F.col("n").cast("double")
+                * F.lit(1000000)
+                / F.sum("n").over(Window.partitionBy("src"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pr_u"),
+        )
+        .persist()  # constant grid, joined every round
+    )
+    h = p.select(F.col("src").alias("s")).distinct().withColumn(
+        "h_u", F.lit(0).cast("long")
+    )
+    for _ in range(MK_ABSORB_ITERS):
+        contrib = F.when(F.col("dst") == "purchase", F.col("pr_u")).when(
+            F.col("dst") == "error", F.lit(0)
+        ).otherwise(
+            F.floor(
+                F.coalesce(F.col("h_u"), F.lit(0)).cast("double")
+                * F.col("pr_u")
+                / F.lit(1000000)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        h = (
+            p.join(
+                F.broadcast(h.withColumnRenamed("s", "hs")),
+                F.col("hs") == F.col("dst"),
+                "left",
+            )
+            .select(F.col("src").alias("s"), contrib.alias("c"))
+            .groupBy("s")
+            .agg(F.sum("c").cast("long").alias("h_u"))
+        )
+    return h.select(
+        F.col("s").alias("event_type"),
+        (F.col("h_u").cast("double") / F.lit(1000000)).alias(
+            "p_purchase_before_error"
+        ),
+    )

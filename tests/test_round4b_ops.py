@@ -584,3 +584,58 @@ def test_late_drop_audit_no_late_windows(spark):
         assert r["n_events"] > 0
     # the open tail (last 24h before max on-time ts) never emitted
     assert (max_seen - cutoff).days >= 1
+
+
+def test_markov_absorbing_matches_python_replica(spark):
+    from math import floor as _floor
+
+    import pyspark.sql.functions as F
+
+    rows = {
+        r["event_type"]: r["p_purchase_before_error"]
+        for r in _q("d6_markov_absorbing", spark).collect()
+    }
+    assert rows and all(0.0 <= v <= 1.0 for v in rows.values())
+    # rebuild the quantized transition grid and replay the recurrence in
+    # exact python ints
+    e = load_table(spark, SF_SMALL, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .count()
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    for r in pairs:
+        totals[r["src"]] = totals.get(r["src"], 0) + r["count"]
+    p = {
+        (r["src"], r["dst"]): _floor(r["count"] * 1_000_000 / totals[r["src"]] + 0.5)
+        for r in pairs
+        if r["src"] not in ("purchase", "error")
+    }
+    states = {s for s, _ in p}
+    h = {s: 0 for s in states}
+    for _ in range(12):
+        nh = {}
+        for s in states:
+            acc = 0
+            for (src, dst), pr in p.items():
+                if src != s:
+                    continue
+                if dst == "purchase":
+                    acc += pr
+                elif dst == "error":
+                    pass
+                else:
+                    acc += _floor(h.get(dst, 0) * pr / 1_000_000 + 0.5)
+            nh[s] = acc
+        h = nh
+    for s in states:
+        assert abs(rows[s] - h[s] / 1_000_000) < 1e-12, s

@@ -2610,3 +2610,196 @@ def d3_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 25)
     )
+
+
+# --------------------------------------------------------------------------
+# D3: clustering-quality eval — purity and NMI of the IVF nearest-centroid
+# partition against the true labels: the standard external clustering
+# metrics, computed on the SAME centroid machinery the IVF read path uses
+# (_ivf_centroids), so this is the quality report for that index's cell
+# structure. Per-cell purity is an exact rational (majority count /
+# cell size) through the floor-ppm path; NMI assembles from the exact
+# integer contingency grid with round6 ln terms decimal-summed (the
+# entropy discipline of d4_unigram_entropy), one sqrt at the end. Plan:
+# one 25-row broadcast cross join assigns the corpus, then everything is
+# grid-sized. The NMI column repeats on every cell row (single-metric
+# convenience, same shape as other report queries).
+@query(
+    "d3_cluster_purity_nmi",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        cent AS (
+            SELECT label, list(m ORDER BY pos) AS c
+            FROM (
+                SELECT label, i AS pos,
+                       CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,6))) AS DOUBLE)
+                           / COUNT(*) AS m
+                FROM v, (SELECT unnest(range(64)) AS i)
+                GROUP BY label, i
+            ) grid
+            GROUP BY label
+        ),
+        cn AS (SELECT label AS cell, c,
+                      sqrt(list_dot_product(c, c)) AS cnorm FROM cent),
+        assigned AS (
+            SELECT vec_id, label, cell FROM (
+                SELECT v.vec_id, v.label, cn.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY round(list_dot_product(v.e, cn.c)
+                                          / (v.norm * cn.cnorm), 6) DESC,
+                                    cn.cell ASC) AS arnk
+                FROM v CROSS JOIN cn
+            ) r WHERE arnk = 1
+        ),
+        cont AS (
+            SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM assigned GROUP BY 1, 2
+        ),
+        nc AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS nc FROM cont GROUP BY 1),
+        nl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nl FROM cont GROUP BY 1),
+        nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cont),
+        mi AS (
+            SELECT CAST(SUM(CAST(ROUND(
+                       (CAST(c.n AS DOUBLE) / nn.n)
+                       * ln(CAST(nn.n AS DOUBLE) * c.n
+                            / (CAST(nc.nc AS DOUBLE) * nl.nl)), 6)
+                       AS DECIMAL(27,6))) AS DOUBLE) AS mi
+            FROM cont c JOIN nc ON nc.cell = c.cell
+                        JOIN nl ON nl.label = c.label
+            CROSS JOIN nn
+        ),
+        hc AS (
+            SELECT CAST(SUM(CAST(ROUND(
+                       -(CAST(nc AS DOUBLE) / nn.n)
+                       * ln(CAST(nc AS DOUBLE) / nn.n), 6)
+                       AS DECIMAL(27,6))) AS DOUBLE) AS h
+            FROM nc CROSS JOIN nn
+        ),
+        hl AS (
+            SELECT CAST(SUM(CAST(ROUND(
+                       -(CAST(nl AS DOUBLE) / nn.n)
+                       * ln(CAST(nl AS DOUBLE) / nn.n), 6)
+                       AS DECIMAL(27,6))) AS DOUBLE) AS h
+            FROM nl CROSS JOIN nn
+        ),
+        cellrows AS (
+            SELECT cell, nc AS n_vecs, label AS majority_label,
+                   n AS n_majority
+            FROM (
+                SELECT c.cell, nc.nc, c.label, c.n,
+                       ROW_NUMBER() OVER (PARTITION BY c.cell
+                           ORDER BY c.n DESC, c.label ASC) AS rn
+                FROM cont c JOIN nc ON nc.cell = c.cell
+            ) x WHERE rn = 1
+        )
+        SELECT cell, n_vecs, majority_label,
+               CAST(n_majority AS BIGINT) AS n_majority,
+               CAST((2 * n_majority * 1000000 + n_vecs)
+                    // (2 * n_vecs) AS BIGINT) AS purity_ppm,
+               ROUND(mi.mi / sqrt(hc.h * hl.h), 6) AS nmi
+        FROM cellrows CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+    """,
+)
+def d3_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    cent = _ivf_centroids(v)
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cell",
+        F.round(
+            _dot(F.col("e"), F.col("c")) / (F.col("norm") * F.col("cnorm")),
+            6,
+        ).alias("ccos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        scored.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "label", "cell")
+    )
+    cont = assigned.groupBy("cell", "label").agg(
+        F.count("*").cast("long").alias("n")
+    ).persist()  # contingency grid feeds margins, MI and cell rows
+    nc = cont.groupBy("cell").agg(F.sum("n").cast("long").alias("nc"))
+    nl = cont.groupBy("label").agg(F.sum("n").cast("long").alias("nl"))
+    nn = cont.agg(F.sum("n").cast("long").alias("nt"))
+    dec = lambda c: F.round(c, 6).cast("decimal(27,6)")
+    mi = (
+        cont.join(F.broadcast(nc), "cell")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("n").cast("double") / F.col("nt"))
+                    * F.log(
+                        F.col("nt").cast("double")
+                        * F.col("n")
+                        / (F.col("nc").cast("double") * F.col("nl"))
+                    )
+                )
+            )
+            .cast("double")
+            .alias("mi")
+        )
+    )
+    hc = (
+        nc.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                dec(
+                    -(F.col("nc").cast("double") / F.col("nt"))
+                    * F.log(F.col("nc").cast("double") / F.col("nt"))
+                )
+            )
+            .cast("double")
+            .alias("hcv")
+        )
+    )
+    hl = (
+        nl.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                dec(
+                    -(F.col("nl").cast("double") / F.col("nt"))
+                    * F.log(F.col("nl").cast("double") / F.col("nt"))
+                )
+            )
+            .cast("double")
+            .alias("hlv")
+        )
+    )
+    wmaj = Window.partitionBy("cell").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    cellrows = (
+        cont.join(F.broadcast(nc), "cell")
+        .withColumn("rn", F.row_number().over(wmaj))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("nc").alias("n_vecs"),
+            F.col("label").alias("majority_label"),
+            F.col("n").cast("long").alias("n_majority"),
+        )
+    )
+    return (
+        cellrows.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            "cell",
+            "n_vecs",
+            "majority_label",
+            "n_majority",
+            F.expr("(2 * n_majority * 1000000 + n_vecs) div (2 * n_vecs)")
+            .cast("long")
+            .alias("purity_ppm"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("hcv") * F.col("hlv")), 6
+            ).alias("nmi"),
+        )
+    )

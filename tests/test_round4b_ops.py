@@ -639,3 +639,22 @@ def test_markov_absorbing_matches_python_replica(spark):
         h = nh
     for s in states:
         assert abs(rows[s] - h[s] / 1_000_000) < 1e-12, s
+
+
+def test_cluster_purity_nmi_bounds(spark):
+    rows = _q("d3_cluster_purity_nmi", spark).collect()
+    assert len(rows) > 0
+    nmis = {r["nmi"] for r in rows}
+    assert len(nmis) == 1  # one global NMI repeated per cell row
+    nmi = nmis.pop()
+    assert 0.0 <= nmi <= 1.0 + 1e-9
+    total = sum(r["n_vecs"] for r in rows)
+    from bigdatainvesttink_spark.io import load_table as _lt
+
+    assert total == _lt(spark, SF_SMALL, "embeddings").count()
+    for r in rows:
+        assert 0 < r["n_majority"] <= r["n_vecs"]
+        # purity of a cell is at least 1/n_labels in expectation; hard
+        # bound: ppm consistent with the exact ratio
+        exp = (2 * r["n_majority"] * 1_000_000 + r["n_vecs"]) // (2 * r["n_vecs"])
+        assert r["purity_ppm"] == exp

@@ -2867,3 +2867,124 @@ def d7_filter_ablation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# D2: directed-graph structure report — reciprocity (what fraction of
+# follows are followed back) and the out-degree Gini coefficient (how
+# unequally attention concentrates), the two shape numbers a social/link
+# graph audit leads with. The variable-degree LCG graph is augmented
+# with a deterministic follow-back subset (reverse edges where
+# u % 5 = 0) so reciprocity is non-degenerate. Both metrics are exact
+# integer algebra: reciprocity joins the edge set to its transpose;
+# Gini's Sum|di - dj| runs over the DEGREE HISTOGRAM cross product
+# (distinct-degree grid ^2, never nodes^2) — the standard grid trick
+# that survives any node count. Ratios go through floor-ppm.
+@query(
+    "d2_graph_reciprocity_report",
+    oracle="""
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        base AS (
+            SELECT DISTINCT u, (u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES (1), (2), (3)) AS ks(k)
+            WHERE (u * 48271 + k * 7919) % nn.n <> u AND k <= 1 + (u % 3)
+        ),
+        edges AS (
+            SELECT u, v FROM base
+            UNION
+            SELECT v AS u, u AS v FROM base WHERE u % 5 = 0
+        ),
+        ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        recip AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+            FROM edges a JOIN edges b ON b.u = a.v AND b.v = a.u
+        ),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        degh AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+        gini AS (
+            SELECT CAST(SUM(a.c * b.c * ABS(a.d - b.d)) AS BIGINT) AS num,
+                   (SELECT CAST(SUM(c) AS BIGINT) FROM degh) AS n_nodes,
+                   (SELECT CAST(SUM(c * d) AS BIGINT) FROM degh) AS total_deg
+            FROM degh a CROSS JOIN degh b
+        )
+        SELECT ecnt.m AS n_edges, recip.n_recip,
+               CAST((2 * recip.n_recip * 1000000 + ecnt.m)
+                    // (2 * ecnt.m) AS BIGINT) AS recip_ppm,
+               gini.n_nodes, gini.total_deg,
+               CAST((2 * gini.num * 1000000
+                     + 2 * gini.n_nodes * gini.total_deg)
+                    // (4 * gini.n_nodes * gini.total_deg) AS BIGINT)
+                   AS gini_ppm
+        FROM ecnt CROSS JOIN recip CROSS JOIN gini
+    """,
+)
+def d2_graph_reciprocity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
+    base = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .filter(F.col("k") <= 1 + F.col("u") % 3)
+        .select(
+            "u",
+            ((F.col("u") * 48271 + F.col("k") * 7919) % F.col("n")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = (
+        base.unionAll(
+            base.filter(F.col("u") % 5 == 0).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .distinct()
+        .persist()  # transpose join + degree pass
+    )
+    ecnt = edges.agg(F.count("*").cast("long").alias("m"))
+    t = edges.select(F.col("u").alias("tu"), F.col("v").alias("tv"))
+    recip = edges.join(
+        t, (F.col("tu") == F.col("v")) & (F.col("tv") == F.col("u"))
+    ).agg(F.count("*").cast("long").alias("n_recip"))
+    degh = (
+        edges.groupBy("u")
+        .agg(F.count("*").cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = degh.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = degh.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    gini = a.crossJoin(b).agg(
+        F.sum(
+            F.col("ca") * F.col("cb") * F.abs(F.col("da") - F.col("db"))
+        )
+        .cast("long")
+        .alias("num"),
+    ).crossJoin(
+        degh.agg(
+            F.sum("c").cast("long").alias("n_nodes"),
+            F.sum(F.col("c") * F.col("d")).cast("long").alias("total_deg"),
+        )
+    )
+    return (
+        ecnt.crossJoin(recip)
+        .crossJoin(gini)
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_recip",
+            F.expr("(2 * n_recip * 1000000 + m) div (2 * m)")
+            .cast("long")
+            .alias("recip_ppm"),
+            "n_nodes",
+            "total_deg",
+            F.expr(
+                "(2 * num * 1000000 + 2 * n_nodes * total_deg)"
+                " div (4 * n_nodes * total_deg)"
+            )
+            .cast("long")
+            .alias("gini_ppm"),
+        )
+    )

@@ -658,3 +658,15 @@ def test_cluster_purity_nmi_bounds(spark):
         # bound: ppm consistent with the exact ratio
         exp = (2 * r["n_majority"] * 1_000_000 + r["n_vecs"]) // (2 * r["n_vecs"])
         assert r["purity_ppm"] == exp
+
+
+def test_graph_reciprocity_report_bounds(spark):
+    r = _q("d2_graph_reciprocity_report", spark).collect()[0]
+    assert r["n_edges"] > 0
+    # follow-backs guarantee non-degenerate reciprocity; every reciprocal
+    # edge is counted from both ends, so n_recip is even and <= n_edges
+    assert r["n_recip"] > 0 and r["n_recip"] % 2 == 0
+    assert r["n_recip"] <= r["n_edges"]
+    assert 0 < r["recip_ppm"] <= 1_000_000
+    assert 0 <= r["gini_ppm"] < 1_000_000
+    assert r["total_deg"] == r["n_edges"]

@@ -1901,3 +1901,130 @@ def d1_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("class_size").alias("min_class"),
         F.max("class_size").alias("max_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7/D2: train-test LEAKAGE scan — the contamination check d7_decontaminate
+# does for an EXTERNAL eval set, turned inward: after the content-hash
+# split assignment (d7_train_val_test_split's residue formula, widened to
+# a 10% eval band so the drill has a real population), which near-dup
+# pairs STRADDLE the train/eval boundary? Every straddling pair is a
+# leak: the model sees the eval doc's near-copy in training, and split-
+# by-hash cannot prevent it (near-dups hash differently — exactly why
+# production pipelines near-dedup BEFORE splitting). Same MinHash/LSH
+# banding as d2_minhash_lsh (bucketed candidates, never all-pairs), with
+# the split residues joined on and only boundary-crossing pairs kept.
+LEAK_EVAL_RESIDUE = 90  # residue >= 90 -> the 10% eval split
+
+
+@query(
+    "d7_split_leakage_scan",
+    oracle=_oracle(
+        f"""
+        , shingled AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) AS BIGINT)
+                       % {MINHASH_PRIME} AS s_mod
+            FROM (
+                SELECT doc_id, unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                       FOR i IN range(0, len(toks) - 2)]) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+                WHERE len(toks) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN(((2*i + 1) * s_mod + 7919*(i + 1)) % {MINHASH_PRIME}) AS mh
+            FROM shingled, (SELECT unnest(range({N_MINHASHES})) AS i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   SUM(mh * (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                             WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+            FROM mh GROUP BY doc_id, i // 4
+        ), splits AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 15)
+                             AS UBIGINT) AS BIGINT) % 100 >= {LEAK_EVAL_RESIDUE}
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM corpus
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), crossing AS (
+            SELECT c.doc_a, c.doc_b,
+                   CASE WHEN sa.split = 'train' THEN c.doc_a ELSE c.doc_b END
+                       AS train_doc,
+                   CASE WHEN sa.split = 'train' THEN c.doc_b ELSE c.doc_a END
+                       AS eval_doc
+            FROM cand c
+            JOIN splits sa ON sa.doc_id = c.doc_a
+            JOIN splits sb ON sb.doc_id = c.doc_b
+            WHERE sa.split <> sb.split
+        )
+        SELECT x.train_doc, x.eval_doc,
+               CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {N_MINHASHES} AS est_similarity
+        FROM crossing x
+        JOIN mh m1 ON m1.doc_id = x.doc_a
+        JOIN mh m2 ON m2.doc_id = x.doc_b AND m2.i = m1.i
+        GROUP BY x.train_doc, x.eval_doc
+        HAVING CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {N_MINHASHES} >= 0.5
+        """
+    ),
+)
+def d7_split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    shingled, mh, cand = _minhash_parts(c)
+    splits = c.select(
+        "doc_id",
+        F.when(
+            stable_hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+                )
+            )
+            % 100
+            >= LEAK_EVAL_RESIDUE,
+            "eval",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    crossing = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("split_a") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("train_doc"),
+            F.when(F.col("split_a") == "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("eval_doc"),
+        )
+    )
+    x, y = mh.alias("x"), mh.alias("y")
+    est = F.sum(
+        F.when(F.col("x.mh") == F.col("y.mh"), 1).otherwise(0)
+    ).cast("double") / F.lit(N_MINHASHES)
+    return (
+        crossing.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.i") == F.col("x.i")),
+        )
+        .groupBy("train_doc", "eval_doc")
+        .agg(est.alias("est_similarity"))
+        .filter(F.col("est_similarity") >= 0.5)
+    )

@@ -670,3 +670,33 @@ def test_graph_reciprocity_report_bounds(spark):
     assert 0 < r["recip_ppm"] <= 1_000_000
     assert 0 <= r["gini_ppm"] < 1_000_000
     assert r["total_deg"] == r["n_edges"]
+
+
+def test_split_leakage_scan_finds_seeded_dups(spark):
+    import pyspark.sql.functions as F
+
+    rows = _q("d7_split_leakage_scan", spark).collect()
+    # seeded exact copies (doc_id + 2000000) hash to DIFFERENT splits for
+    # some pairs, so the scan must surface at least one leak at sf0.001+
+    from bigdatainvesttink_spark.operators.dedup import corpus
+    from bigdatainvesttink_spark.functions.text import stable_hash60
+
+    c = corpus(spark, SF_SMALL)
+    splits = {
+        r["doc_id"]: r["s"]
+        for r in c.select(
+            "doc_id",
+            (
+                stable_hash60(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+                )
+                % 100
+            ).alias("s"),
+        ).collect()
+    }
+    for r in rows:
+        # every reported pair genuinely straddles the boundary
+        assert (splits[r["train_doc"]] >= 90) != (splits[r["eval_doc"]] >= 90)
+        assert r["est_similarity"] >= 0.5
+        # the train_doc column really is the train-side id
+        assert splits[r["train_doc"]] < 90 and splits[r["eval_doc"]] >= 90

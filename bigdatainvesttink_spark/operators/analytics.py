@@ -3754,3 +3754,74 @@ def b3d_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("ask_price")).alias("ask_price"),
         F.coalesce(F.when(ok, 1), F.lit(0)).cast("int").alias("in_tolerance"),
     )
+
+
+# --------------------------------------------------------------------------
+# B49: historical VaR and expected shortfall — the tail-risk pair that
+# completes the risk shelf (vol b2/b46, drawdown b12/b40): per
+# instrument, the 5% quantile of daily returns (VaR95, exact
+# interpolated percentile, round6 per rel_agg_percentile's policy) and
+# the mean of the returns at or below it (ES95). The tail-membership
+# test compares against the ROUNDED VaR so both engines select the
+# identical return set; the tail mean then rounds once (order-sensitive
+# float agg over a bounded tail, b21's discipline). Two grid-sized
+# passes: per-key percentile, then one conditional re-aggregation with
+# the fence table broadcast (rel_mad_outliers' plan shape).
+@query(
+    "b49_var_es",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        rets AS (
+            SELECT company_id,
+                   c / LAG(c) OVER (PARTITION BY company_id ORDER BY d)
+                       - 1 AS r
+            FROM daily
+        ),
+        var_t AS (
+            SELECT company_id,
+                   round(quantile_cont(r, 0.05), 6) AS var_95
+            FROM rets WHERE r IS NOT NULL GROUP BY company_id
+        )
+        SELECT x.company_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+               v.var_95,
+               ROUND(AVG(x.r) FILTER (WHERE x.r <= v.var_95), 6) AS es_95,
+               CAST(COUNT(*) FILTER (WHERE x.r <= v.var_95) AS BIGINT)
+                   AS n_tail
+        FROM rets x JOIN var_t v ON v.company_id = x.company_id
+        WHERE x.r IS NOT NULL
+        GROUP BY x.company_id, v.var_95
+        """
+    ),
+)
+def b49_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy(
+        "company_id", F.to_date("ts").alias("d")
+    ).agg(F.max_by("close", "ts").alias("c"))
+    wlag = Window.partitionBy("company_id").orderBy("d")
+    rets = daily.select(
+        "company_id",
+        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    var_t = rets.groupBy("company_id").agg(
+        F.round(F.percentile("r", 0.05), 6).alias("var_95")
+    )
+    return (
+        rets.join(F.broadcast(var_t), "company_id")
+        .groupBy("company_id", "var_95")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.avg(F.when(F.col("r") <= F.col("var_95"), F.col("r"))), 6
+            ).alias("es_95"),
+            F.count_if(F.col("r") <= F.col("var_95"))
+            .cast("long")
+            .alias("n_tail"),
+        )
+        .select("company_id", "n_days", "var_95", "es_95", "n_tail")
+    )

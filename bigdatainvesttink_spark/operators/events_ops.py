@@ -2953,3 +2953,89 @@ def d6_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_purchase_before_error"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: cohort LTV curves — the projection layer over d6_retention_cohorts:
+# for each signup cohort (first-seen week) and week offset, per-user
+# cumulative purchase revenue — the lifetime-value curve whose asymptote
+# prices acquisition. Grid shape: cohorts x offsets is
+# calendar-bounded; the cumulative pass is a running window over the
+# offset axis of that grid, never over events. Revenue routes through
+# exact decimal sums; LTV divides the exact decimal total by the integer
+# cohort size in double (davg discipline, no rounding anywhere).
+@query(
+    "d6_ltv_cohorts",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        cohort_sizes AS (
+            SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM first_seen GROUP BY cohort_week
+        ),
+        weekly AS (
+            SELECT f.cohort_week,
+                   CAST((epoch_us(date_trunc('week', e.ts))
+                         - epoch_us(f.cohort_week))
+                        // (7 * 86400000000) AS BIGINT) AS offset_week,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+                   SUM(CAST(e.value AS DECIMAL(27,6))) AS rev
+            FROM events e JOIN first_seen f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT w.cohort_week, w.offset_week, cs.cohort_size, w.n_active,
+               CAST(w.rev AS DOUBLE) AS week_revenue,
+               CAST(SUM(w.rev) OVER (
+                   PARTITION BY w.cohort_week ORDER BY w.offset_week
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / cs.cohort_size AS cum_ltv_per_user
+        FROM weekly w JOIN cohort_sizes cs
+          ON cs.cohort_week = w.cohort_week
+    """,
+)
+def d6_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    wk_us = 7 * 86_400_000_000
+    offset = F.expr(
+        "(unix_micros(CAST(date_trunc('week', ts) AS TIMESTAMP))"
+        " - unix_micros(CAST(cohort_week AS TIMESTAMP)))"
+        f" div {wk_us}"
+    ).cast("long")
+    weekly = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy("cohort_week", offset.alias("offset_week"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("rev"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_week",
+            "cohort_size",
+            "n_active",
+            F.col("rev").cast("double").alias("week_revenue"),
+            (
+                F.sum("rev").over(wcum).cast("double")
+                / F.col("cohort_size")
+            ).alias("cum_ltv_per_user"),
+        )
+    )

@@ -700,3 +700,26 @@ def test_split_leakage_scan_finds_seeded_dups(spark):
         assert r["est_similarity"] >= 0.5
         # the train_doc column really is the train-side id
         assert splits[r["train_doc"]] < 90 and splits[r["eval_doc"]] >= 90
+
+
+def test_ltv_cohorts_monotone_cumulative(spark):
+    rows = _q("d6_ltv_cohorts", spark).collect()
+    assert len(rows) > 0
+    by_cohort: dict = {}
+    for r in rows:
+        assert r["n_active"] <= r["cohort_size"]
+        assert r["week_revenue"] >= 0
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cw, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["offset_week"])
+        ltvs = [r["cum_ltv_per_user"] for r in rs]
+        assert ltvs == sorted(ltvs), cw  # cumulative LTV never decreases
+
+
+def test_var_es_tail_dominance(spark):
+    rows = _q("b49_var_es", spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # expected shortfall is at least as bad as VaR, tail is ~5%
+        assert r["es_95"] <= r["var_95"] + 1e-9
+        assert 0 < r["n_tail"] <= max(2, r["n_days"] // 10)

@@ -702,3 +702,64 @@ def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H refresh streams (RF1/RF2) — the part of the benchmark beyond the
+# 22 read queries: RF1 inserts new lineitems (modeled: a deterministic
+# 1-in-13 orderkey slice re-keyed +3,000,000), RF2 deletes old orders
+# (orderkey % 7 = 3). The refreshed table is (lineitem UNION inserts)
+# ANTI JOIN deletes, and Q1 over it must equal the oracle's recompute —
+# proof the engine's insert/delete/re-aggregate cycle (union + anti-join
+# + the same decimal-routed Q1 aggregate) lands the benchmark's refresh
+# semantics exactly. At scale RF1/RF2 are the CDC path (d1_cdc_apply);
+# here the declarative set algebra IS the refresh.
+@query(
+    "tpch_rf_refresh_q1",
+    oracle="""
+        WITH inserts AS (
+            SELECT * REPLACE (l_orderkey + 3000000 AS l_orderkey)
+            FROM lineitem WHERE l_orderkey % 13 = 5
+        ),
+        refreshed AS (
+            SELECT * FROM (
+                SELECT * FROM lineitem UNION ALL SELECT * FROM inserts
+            ) u
+            WHERE u.l_orderkey % 7 <> 3
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM refreshed
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_rf_refresh_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    inserts = l.filter(F.col("l_orderkey") % 13 == 5).withColumn(
+        "l_orderkey", F.col("l_orderkey") + 3000000
+    )
+    refreshed = l.unionByName(inserts).filter(
+        F.col("l_orderkey") % 7 != 3
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        refreshed.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(disc_price.cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -723,3 +723,30 @@ def test_var_es_tail_dominance(spark):
         # expected shortfall is at least as bad as VaR, tail is ~5%
         assert r["es_95"] <= r["var_95"] + 1e-9
         assert 0 < r["n_tail"] <= max(2, r["n_days"] // 10)
+
+
+def test_tpch_refresh_moves_q1_counts(spark):
+    import pyspark.sql.functions as F
+
+    base = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in _q("q1_pricing_summary", spark).collect()
+    }
+    refreshed = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in _q("tpch_rf_refresh_q1", spark).collect()
+    }
+    assert set(refreshed) == set(base)
+    # the refresh genuinely inserts AND deletes: totals differ from base
+    assert sum(refreshed.values()) != sum(base.values())
+    li = load_table(spark, SF_SMALL, "lineitem")
+    kept = li.filter(
+        (F.col("l_orderkey") % 7 != 3)
+        & (F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    ).count()
+    ins = li.filter(
+        (F.col("l_orderkey") % 13 == 5)
+        & ((F.col("l_orderkey") + 3000000) % 7 != 3)
+        & (F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    ).count()
+    assert sum(refreshed.values()) == kept + ins

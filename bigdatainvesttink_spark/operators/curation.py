@@ -2988,3 +2988,115 @@ def d2_graph_reciprocity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gini_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D7: bootstrap confidence interval, hash-deterministic — uncertainty
+# quantification for corpus metrics without a random number generator:
+# 32 Poisson(1) bootstrap replicates whose per-doc multiplicities come
+# from md5 buckets (thresholds 368/736/920/981/1000 ~ the Poisson pmf),
+# so both engines draw the IDENTICAL resamples — the big-data Poisson
+# bootstrap (Chamandy et al.), which never materializes a resampled
+# corpus: one scan explodes each doc into its 32 replicate weights, a
+# grid-sized aggregate forms each replicate's weighted mean doc length,
+# and the CI is the exact interpolated 2.5/97.5 percentile over the
+# 32-row replicate grid. Integer weights x integer chars = exact sums.
+BOOT_REPLICATES = 32
+_BOOT_THRESH = (368, 736, 920, 981)  # cumulative Poisson(1) pmf x1000
+
+
+@query(
+    "d7_bootstrap_ci",
+    oracle=f"""
+        WITH reps AS (SELECT unnest(range({BOOT_REPLICATES})) AS b),
+        weighted AS (
+            SELECT r.b,
+                   CASE
+                       WHEN h < {_BOOT_THRESH[0]} THEN 0
+                       WHEN h < {_BOOT_THRESH[1]} THEN 1
+                       WHEN h < {_BOOT_THRESH[2]} THEN 2
+                       WHEN h < {_BOOT_THRESH[3]} THEN 3
+                       ELSE 4 END AS w,
+                   d.n_chars
+            FROM (
+                SELECT doc_id, n_chars FROM documents WHERE text <> ''
+            ) d
+            CROSS JOIN reps r
+            CROSS JOIN LATERAL (
+                SELECT CAST(CAST('0x' || substr(
+                           md5(d.doc_id || ':' || r.b), 1, 15)
+                       AS UBIGINT) AS BIGINT) % 1000 AS h
+            ) hh
+        ),
+        rep_means AS (
+            SELECT b,
+                   CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS m
+            FROM weighted GROUP BY b HAVING SUM(w) > 0
+        ),
+        point AS (
+            SELECT CAST(SUM(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS pe,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE text <> ''
+        )
+        SELECT point.n_docs,
+               CAST({BOOT_REPLICATES} AS BIGINT) AS n_replicates,
+               point.pe AS point_estimate,
+               round(quantile_cont(rep_means.m, 0.025), 6) AS ci_lo,
+               round(quantile_cont(rep_means.m, 0.975), 6) AS ci_hi
+        FROM rep_means CROSS JOIN point
+        GROUP BY point.n_docs, point.pe
+    """,
+)
+def d7_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    reps = spark.range(BOOT_REPLICATES).select(F.col("id").alias("b"))
+    h = (
+        stable_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1000
+    )
+    w = (
+        F.when(h < _BOOT_THRESH[0], 0)
+        .when(h < _BOOT_THRESH[1], 1)
+        .when(h < _BOOT_THRESH[2], 2)
+        .when(h < _BOOT_THRESH[3], 3)
+        .otherwise(4)
+    )
+    weighted = (
+        d.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(reps))
+        .select("b", w.alias("w"), "n_chars")
+    )
+    rep_means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("sw"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+        .select((F.col("sw").cast("double") / F.col("tw")).alias("m"))
+    )
+    point = d.agg(
+        (
+            F.sum(F.col("n_chars").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("pe"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    ci = rep_means.agg(
+        F.round(F.percentile("m", 0.025), 6).alias("ci_lo"),
+        F.round(F.percentile("m", 0.975), 6).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_docs",
+        F.lit(BOOT_REPLICATES).cast("long").alias("n_replicates"),
+        F.col("pe").alias("point_estimate"),
+        "ci_lo",
+        "ci_hi",
+    )

@@ -750,3 +750,13 @@ def test_tpch_refresh_moves_q1_counts(spark):
         & (F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
     ).count()
     assert sum(refreshed.values()) == kept + ins
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    r = _q("d7_bootstrap_ci", spark).collect()[0]
+    assert r["n_replicates"] == 32
+    # a Poisson bootstrap CI of the mean must bracket the point estimate
+    assert r["ci_lo"] <= r["point_estimate"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+    # interval width is sane: a few standard errors, far below the mean
+    assert (r["ci_hi"] - r["ci_lo"]) < r["point_estimate"]

@@ -3825,3 +3825,216 @@ def b49_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("company_id", "n_days", "var_95", "es_95", "n_tail")
     )
+
+# --------------------------------------------------------------------------
+# B50: Sortino ratio — mean daily return over downside deviation (root
+# mean square of negative returns only), the risk-adjusted-return metric
+# the reference's Grafana layer would chart next to vol (b2) and VaR
+# (b49). Downside deviation uses the full-count denominator (the classic
+# Sortino convention), so flat days still dilute the penalty. All
+# outputs pass through sqrt / quotients (irrational-valued — ROUND-safe
+# per the repo exactness policy); counts CAST BIGINT. Plan: daily bars
+# via one max_by aggregate, one lag window, one grid-sized groupBy —
+# identical shuffle budget to b49.
+@query(
+    "b50_sortino",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        rets AS (
+            SELECT company_id,
+                   c / LAG(c) OVER (PARTITION BY company_id ORDER BY d)
+                       - 1 AS r
+            FROM daily
+        )
+        SELECT company_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(r), 6) AS mean_ret,
+               ROUND(sqrt(SUM(CASE WHEN r < 0 THEN r * r ELSE 0 END)
+                          / COUNT(*)), 6) AS downside_dev,
+               ROUND(AVG(r) / NULLIF(sqrt(SUM(CASE WHEN r < 0 THEN r * r
+                                              ELSE 0 END)
+                                          / COUNT(*)), 0), 6) AS sortino,
+               CAST(COUNT(*) FILTER (WHERE r < 0) AS BIGINT) AS n_down
+        FROM rets WHERE r IS NOT NULL
+        GROUP BY company_id
+        """
+    ),
+)
+def b50_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
+        F.max_by("close", "ts").alias("c")
+    )
+    wlag = Window.partitionBy("company_id").orderBy("d")
+    rets = daily.select(
+        "company_id",
+        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    down_sq = F.sum(
+        F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(F.lit(0.0))
+    )
+    dd = F.sqrt(down_sq / F.count("*"))
+    return rets.groupBy("company_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.avg("r"), 6).alias("mean_ret"),
+        F.round(dd, 6).alias("downside_dev"),
+        F.round(F.avg("r") / F.nullif(dd, F.lit(0.0)), 6).alias("sortino"),
+        F.count_if(F.col("r") < 0).cast("long").alias("n_down"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B51: Ulcer index — root mean square of the running-from-peak drawdown
+# percentage, the duration-weighted complement to b12's single max
+# drawdown and b40's underwater spells: a long shallow slump scores
+# higher than a brief crash of equal depth. The running peak is a
+# cumulative-max window (rows unbounded-preceding..current — identical
+# frame semantics both engines; the (company_id, d) key is unique so no
+# tie policy is needed). RMS output passes through sqrt (ROUND-safe);
+# the worst-drawdown column is the MIN of deterministic IEEE doubles.
+@query(
+    "b51_ulcer_index",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        uw AS (
+            SELECT company_id, d, c,
+                   c / MAX(c) OVER (PARTITION BY company_id ORDER BY d
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - 1 AS dd
+            FROM daily
+        )
+        SELECT company_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(sqrt(SUM(dd * dd) / COUNT(*)) * 100, 6) AS ulcer_index,
+               ROUND(MIN(dd) * 100, 6) AS worst_dd_pct,
+               CAST(COUNT(*) FILTER (WHERE dd < 0) AS BIGINT)
+                   AS n_underwater
+        FROM uw GROUP BY company_id
+        """
+    ),
+)
+def b51_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
+        F.max_by("close", "ts").alias("c")
+    )
+    wpeak = (
+        Window.partitionBy("company_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    uw = daily.select(
+        "company_id",
+        (F.col("c") / F.max("c").over(wpeak) - 1).alias("dd"),
+    )
+    return uw.groupBy("company_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.sqrt(F.sum(F.col("dd") * F.col("dd")) / F.count("*")) * 100, 6
+        ).alias("ulcer_index"),
+        F.round(F.min("dd") * 100, 6).alias("worst_dd_pct"),
+        F.count_if(F.col("dd") < 0).cast("long").alias("n_underwater"),
+    )
+
+# --------------------------------------------------------------------------
+# B52: lead-lag cross-correlation screen — corr(r_A(t), r_B(t+k)) for
+# k in {-2,-1,1,2} hours over all ordered instrument pairs, top-5 pairs
+# per lag: the cross-asset price-discovery scan (which instruments LEAD
+# which) that complements b21's contemporaneous correlation matrix and
+# b48's cointegration screen. The join is equi on the HOUR KEY (b.h =
+# a.h + k), so per-key fan-out is bounded by instruments^2 — the screen
+# is inherently quadratic in the instrument count, never in time; the
+# lag arm expansion (x4) rides the same shuffle. Ranking follows the
+# repo policy: rank on the ROUNDED corr with full id tiebreaks so both
+# engines cut the identical top-5; corr itself is a ROUND-safe
+# irrational. Symmetry corr(A,B,k) == corr(B,A,-k) doubles as the
+# pytest invariant.
+@query(
+    "b52_lead_lag_xcorr",
+    oracle=oracle_on_domain(
+        """
+        , hr AS (
+            SELECT company_id,
+                   CAST(epoch(ts) AS BIGINT) // 3600 AS h,
+                   close / LAG(close) OVER (PARTITION BY company_id
+                                            ORDER BY ts) - 1 AS r
+            FROM candles
+        ),
+        rr AS (SELECT company_id, h, r FROM hr WHERE r IS NOT NULL),
+        xc AS (
+            SELECT a.company_id AS lead_id, b.company_id AS lag_id,
+                   l.lag_h, COUNT(*) AS n, corr(a.r, b.r) AS c
+            FROM rr a
+            JOIN (VALUES (-2), (-1), (1), (2)) AS l(lag_h) ON TRUE
+            JOIN rr b ON b.h = a.h + l.lag_h
+                     AND b.company_id <> a.company_id
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 20
+        )
+        SELECT lag_h, lead_id, lag_id, CAST(n AS BIGINT) AS n_obs,
+               ROUND(c, 6) AS xcorr
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY lag_h
+                       ORDER BY ROUND(c, 6) DESC, lead_id, lag_id) AS rn
+            FROM xc
+        ) t WHERE rn <= 5
+        """
+    ),
+)
+def b52_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    wlag = Window.partitionBy("company_id").orderBy("ts")
+    hr = c.select(
+        "company_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias(
+            "h"
+        ),
+        (F.col("close") / F.lag("close").over(wlag) - 1).alias("r"),
+    )
+    rr = hr.filter(F.col("r").isNotNull())
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in (-2, -1, 1, 2)])
+    ).alias("lag_h")
+    a = rr.select(
+        F.col("company_id").alias("lead_id"),
+        F.col("h").alias("ah"),
+        F.col("r").alias("ar"),
+        lags,
+    ).withColumn("bh", F.col("ah") + F.col("lag_h"))
+    b = rr.select(
+        F.col("company_id").alias("lag_id"),
+        F.col("h").alias("bh"),
+        F.col("r").alias("br"),
+    )
+    xc = (
+        a.join(b, "bh")
+        .filter(F.col("lag_id") != F.col("lead_id"))
+        .groupBy("lead_id", "lag_id", "lag_h")
+        .agg(F.count("*").alias("n"), F.corr("ar", "br").alias("c"))
+        .filter(F.col("n") >= 20)
+    )
+    wtop = Window.partitionBy("lag_h").orderBy(
+        F.round("c", 6).desc(), F.col("lead_id").asc(), F.col("lag_id").asc()
+    )
+    return (
+        xc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "lag_h",
+            "lead_id",
+            "lag_id",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round("c", 6).alias("xcorr"),
+        )
+    )

@@ -3100,3 +3100,106 @@ def d7_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation (community detection), LP_ITERS fixed
+# rounds over the LCG graph: every node starts as its own label; each
+# round every node adopts the most frequent label among its neighbors
+# (ties -> smallest label; no-neighbor nodes keep their label). The
+# deterministic tie rule + fixed unrolled iteration count makes a
+# normally convergence-defined algorithm exactly oracle-checkable (the
+# d2_pagerank_fixed trick). Per round: one shuffle to join labels onto
+# the adjacency, one partial-aggregated count shuffle, one argmax — the
+# iterate-join-aggregate shape that scales linearly in |E|; the Spark
+# argmax is a single max_by over a (count, -label) struct (no window),
+# and lineage is checkpoint-truncated mid-loop per the CC/PageRank
+# policy. LPA is the cheap first-cut clustering a 100 TB curation run
+# uses before anything embedding-based (cf. d3_semantic_dedup_clusters).
+LP_ITERS = 3
+
+
+def _label_prop_oracle() -> str:
+    sql = """
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        raw AS (
+            SELECT u, (u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES (1), (2), (3)) AS ks(k)
+        ),
+        edges AS (
+            SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw WHERE u <> v
+        ),
+        adj AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        l0 AS (SELECT u, u AS lbl FROM nodes)"""
+    for i in range(1, LP_ITERS + 1):
+        sql += f""",
+        cnt{i} AS (
+            SELECT adj.v AS u, p.lbl, COUNT(*) AS c
+            FROM adj JOIN l{i - 1} p ON p.u = adj.u
+            GROUP BY adj.v, p.lbl
+        ),
+        best{i} AS (
+            SELECT u, lbl FROM (
+                SELECT u, lbl,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY c DESC, lbl ASC) AS rn
+                FROM cnt{i}
+            ) r WHERE rn = 1
+        ),
+        l{i} AS (
+            SELECT nodes.u, COALESCE(b.lbl, p.lbl) AS lbl
+            FROM nodes LEFT JOIN best{i} b ON b.u = nodes.u
+                       JOIN l{i - 1} p ON p.u = nodes.u
+        )"""
+    return sql + f"""
+        SELECT l.u AS user_id, l.lbl AS community,
+               CAST(cs.n AS BIGINT) AS community_size
+        FROM l{LP_ITERS} l JOIN (
+            SELECT lbl, COUNT(*) AS n FROM l{LP_ITERS} GROUP BY lbl
+        ) cs ON cs.lbl = l.lbl"""
+
+
+@query("d2_label_propagation", oracle=_label_prop_oracle())
+def d2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    labels = nodes.select("u", F.col("u").alias("lbl"))
+    for i in range(1, LP_ITERS + 1):
+        cnt = (
+            adj.join(labels.withColumnRenamed("u", "src"),
+                     adj["u"] == F.col("src"))
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        best = cnt.groupBy("node").agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+            ).alias("new_lbl")
+        )
+        labels = (
+            labels.join(best, labels["u"] == best["node"], "left")
+            .select("u", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+        if i == LP_ITERS // 2 + 1 and i < LP_ITERS:
+            labels = checkpointed(labels)
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("community_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+    )

@@ -1872,3 +1872,125 @@ def rel_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_over_actual_ppm"),
     )
+
+# --------------------------------------------------------------------------
+# RLE compression audit: how run-length-encodable each column is under
+# two candidate physical orderings (insert order vs shipdate-sorted) —
+# the measurement behind a layout decision like fmt_zorder_layout's.
+# Runs are counted within hash-sized SEGMENTS (orderkey blocks / ship
+# months) that are contiguous under the respective global sort, so the
+# count is one parallel window pass per ordering — never a global sort
+# to a single partition; at 100 TB each segment is a row-group-sized
+# unit scanned independently (segment-boundary run merges are ignored
+# by construction, documented as <=1 run per segment). Ratio is the
+# exact integer 6dp path.
+@query(
+    "rel_rle_compression_audit",
+    oracle="""
+        WITH nat AS (
+            SELECT CASE WHEN l_returnflag IS DISTINCT FROM
+                       LAG(l_returnflag) OVER w THEN 1 ELSE 0 END AS s_rf,
+                   CASE WHEN l_linestatus IS DISTINCT FROM
+                       LAG(l_linestatus) OVER w THEN 1 ELSE 0 END AS s_ls,
+                   CASE WHEN CAST(l_shipdate AS DATE) IS DISTINCT FROM
+                       LAG(CAST(l_shipdate AS DATE)) OVER w
+                       THEN 1 ELSE 0 END AS s_sd
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey // 4096
+                         ORDER BY l_orderkey, l_linenumber,
+                                  l_returnflag, l_linestatus,
+                                  CAST(l_shipdate AS DATE))
+        ),
+        srt AS (
+            SELECT CASE WHEN l_returnflag IS DISTINCT FROM
+                       LAG(l_returnflag) OVER w THEN 1 ELSE 0 END AS s_rf,
+                   CASE WHEN l_linestatus IS DISTINCT FROM
+                       LAG(l_linestatus) OVER w THEN 1 ELSE 0 END AS s_ls,
+                   CASE WHEN CAST(l_shipdate AS DATE) IS DISTINCT FROM
+                       LAG(CAST(l_shipdate AS DATE)) OVER w
+                       THEN 1 ELSE 0 END AS s_sd
+            FROM lineitem
+            WINDOW w AS (PARTITION BY date_trunc('month', l_shipdate)
+                         ORDER BY CAST(l_shipdate AS DATE), l_orderkey,
+                                  l_linenumber, l_returnflag, l_linestatus)
+        ),
+        agg AS (
+            SELECT 'natural' AS ordering,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(s_rf) AS BIGINT) AS r_rf,
+                   CAST(SUM(s_ls) AS BIGINT) AS r_ls,
+                   CAST(SUM(s_sd) AS BIGINT) AS r_sd
+            FROM nat
+            UNION ALL
+            SELECT 'shipdate_sorted', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(s_rf) AS BIGINT), CAST(SUM(s_ls) AS BIGINT),
+                   CAST(SUM(s_sd) AS BIGINT)
+            FROM srt
+        )
+        SELECT ordering, column_name, n_rows, n_runs,
+               CAST(n_rows * 1000000 // n_runs AS BIGINT) AS rle_ratio_u
+        FROM (
+            SELECT ordering, 'l_returnflag' AS column_name, n_rows,
+                   r_rf AS n_runs FROM agg
+            UNION ALL
+            SELECT ordering, 'l_linestatus', n_rows, r_ls FROM agg
+            UNION ALL
+            SELECT ordering, 'l_shipdate', n_rows, r_sd FROM agg
+        ) u
+    """,
+)
+def rel_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+
+    def run_starts(df: DataFrame, w: Window, ordering: str) -> DataFrame:
+        flag = lambda c: (  # noqa: E731
+            ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        ).cast("long")
+        return df.select(
+            flag("l_returnflag").alias("s_rf"),
+            flag("l_linestatus").alias("s_ls"),
+            flag("sd").alias("s_sd"),
+        ).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("s_rf").cast("long").alias("r_rf"),
+            F.sum("s_ls").cast("long").alias("r_ls"),
+            F.sum("s_sd").cast("long").alias("r_sd"),
+        ).select(F.lit(ordering).alias("ordering"), "*")
+
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; appending
+    # the audited columns to the sort key makes tied rows interchangeable,
+    # so run counts are deterministic without any unique id.
+    w_nat = Window.partitionBy(
+        F.expr("l_orderkey div 4096")
+    ).orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+              "l_linestatus", "sd")
+    w_srt = Window.partitionBy(F.date_trunc("month", "sd")).orderBy(
+        "sd", "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    agg = run_starts(li, w_nat, "natural").unionAll(
+        run_starts(li, w_srt, "shipdate_sorted")
+    )
+    cols = [("l_returnflag", "r_rf"), ("l_linestatus", "r_ls"),
+            ("l_shipdate", "r_sd")]
+    out = None
+    for cname, runs in cols:
+        part = agg.select(
+            "ordering",
+            F.lit(cname).alias("column_name"),
+            "n_rows",
+            F.col(runs).alias("n_runs"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.select(
+        "ordering",
+        "column_name",
+        "n_rows",
+        "n_runs",
+        F.expr("n_rows * 1000000 div n_runs").alias("rle_ratio_u"),
+    )

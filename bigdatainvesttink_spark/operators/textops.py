@@ -1982,3 +1982,80 @@ def d4_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_collision_buckets"),
         F.max("n").cast("long").alias("max_bucket_count"),
     )
+
+# --------------------------------------------------------------------------
+# D4: tokenizer fertility — pieces-per-word under a max-4-char subword
+# model ((len+3)//4 pieces per word, the piece count of any
+# max-piece-length tokenizer on an alphabet with no merges), the metric
+# LLM data teams use to compare tokenizer cost across languages /
+# sources before committing a vocab. The corpus is touched once; all
+# per-doc math is higher-order array folds (JVM-side), then one
+# grid-sized groupBy(lang). Ratios of integer sums go through the exact
+# integer-division 6dp path (`div` truncates, `//` floors — identical on
+# these positive sums), never ROUND (exact-rational half-trap).
+@query(
+    "d4_tokenizer_fertility",
+    oracle="""
+        WITH tok AS (
+            SELECT lang,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        w AS (
+            SELECT lang,
+                   len(toks) AS ws,
+                   list_sum([ (length(t) + 3) // 4 FOR t IN toks ]) AS pieces,
+                   list_sum([ CASE WHEN length(t) = 1 THEN 1 ELSE 0 END
+                              FOR t IN toks ]) AS singles,
+                   list_sum([ length(t) FOR t IN toks ]) AS chars
+            FROM tok WHERE len(toks) > 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS n_words,
+               CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+               CAST((SUM(pieces) * 1000000) // SUM(ws) AS BIGINT)
+                   AS fertility_u,
+               CAST((SUM(chars) * 1000000) // SUM(ws) AS BIGINT)
+                   AS mean_word_len_u,
+               CAST((SUM(singles) * 1000000) // SUM(ws) AS BIGINT)
+                   AS single_share_u
+        FROM w GROUP BY lang
+    """,
+)
+def d4_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokenize("text")).filter(
+        F.size("toks") > 0
+    )
+    fold = lambda expr: F.aggregate(  # noqa: E731
+        F.transform("toks", expr), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    per_doc = d.select(
+        "lang",
+        F.size("toks").cast("long").alias("ws"),
+        fold(lambda t: F.floor((F.length(t) + F.lit(3)) / F.lit(4))).alias(
+            "pieces"
+        ),
+        fold(
+            lambda t: F.when(F.length(t) == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("singles"),
+        fold(lambda t: F.length(t).cast("long")).alias("chars"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("n_words"),
+        F.sum("pieces").cast("long").alias("n_pieces"),
+        F.sum("singles").cast("long").alias("singles"),
+        F.sum("chars").cast("long").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        F.expr("n_pieces * 1000000 div n_words").alias("fertility_u"),
+        F.expr("chars * 1000000 div n_words").alias("mean_word_len_u"),
+        F.expr("singles * 1000000 div n_words").alias("single_share_u"),
+    )

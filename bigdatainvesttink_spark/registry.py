@@ -179,6 +179,10 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d3_semantic_dedup_clusters", "d1_dedup_normalized", "d7_epoch_shuffle",
     "d6_attribution_last_touch", "d6_rfm_segments",
     "b22_intraday_seasonality",
+    # closing round-4 batch
+    "b50_sortino", "b51_ulcer_index", "d4_tokenizer_fertility",
+    "rel_rle_compression_audit", "d2_label_propagation",
+    "b52_lead_lag_xcorr",
 )
 
 

@@ -1,0 +1,121 @@
+"""Round-4 closing-batch operators: invariants beyond oracle equality —
+risk-metric identities (Sortino/Ulcer), tokenizer-fertility bounds, RLE
+layout-audit physics, and label-propagation community structure."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+
+def _q(name, spark):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_sortino_identities(spark):
+    rows = _q("b50_sortino", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_down"] <= r["n_days"]
+        assert r["downside_dev"] >= 0
+        if r["n_down"] == 0:
+            # no negative returns -> zero downside dev -> NULL sortino
+            assert r["downside_dev"] == 0 and r["sortino"] is None
+        else:
+            assert r["downside_dev"] > 0
+            # sortino sign follows the mean's sign
+            if r["mean_ret"] > 0:
+                assert r["sortino"] > 0
+            elif r["mean_ret"] < 0:
+                assert r["sortino"] < 0
+
+
+def test_ulcer_index_bounds(spark):
+    rows = _q("b51_ulcer_index", spark).collect()
+    assert rows
+    for r in rows:
+        # drawdowns live in (-100, 0]; RMS depth can't exceed worst depth
+        assert -100.0 < r["worst_dd_pct"] <= 0.0
+        assert 0.0 <= r["ulcer_index"] <= -r["worst_dd_pct"] + 1e-9
+        assert 0 <= r["n_underwater"] < r["n_days"]
+        # the first day is at its own peak -> at least one non-underwater day
+        assert r["n_underwater"] <= r["n_days"] - 1
+        if r["n_underwater"] == 0:
+            assert r["ulcer_index"] == 0.0
+
+
+def test_tokenizer_fertility_bounds(spark):
+    rows = _q("d4_tokenizer_fertility", spark).collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        # every word is >=1 piece; a max-4-char piece covers <=4 chars
+        assert r["n_pieces"] >= r["n_words"]
+        assert r["n_pieces"] * 4 >= r["n_words"] * r["mean_word_len_u"] // 10**6
+        assert 10**6 <= r["fertility_u"]
+        # fertility == ceil-average consistency: pieces/words at 6dp
+        assert r["fertility_u"] == r["n_pieces"] * 10**6 // r["n_words"]
+        assert 0 <= r["single_share_u"] <= 10**6
+
+
+def test_rle_audit_sort_key_compresses(spark):
+    rows = {
+        (r["ordering"], r["column_name"]): r
+        for r in _q("rel_rle_compression_audit", spark).collect()
+    }
+    assert len(rows) == 6
+    for (ordering, col), r in rows.items():
+        assert 1 <= r["n_runs"] <= r["n_rows"]
+        assert r["rle_ratio_u"] >= 10**6
+    # sorting BY shipdate must massively compress the shipdate column...
+    nat = rows[("natural", "l_shipdate")]
+    srt = rows[("shipdate_sorted", "l_shipdate")]
+    assert srt["n_runs"] * 2 < nat["n_runs"]
+    # ...while unrelated low-cardinality columns stay in the same regime
+    # (segment-boundary effects only): within 5% run-count drift
+    for col in ("l_returnflag", "l_linestatus"):
+        a = rows[("natural", col)]["n_runs"]
+        b = rows[("shipdate_sorted", col)]["n_runs"]
+        assert abs(a - b) * 20 < a
+
+
+def test_label_propagation_structure(spark):
+    rows = _q("d2_label_propagation", spark).collect()
+    n = len(rows)
+    assert n > 0
+    by_comm = {}
+    for r in rows:
+        by_comm.setdefault(r["community"], []).append(r["user_id"])
+    # community ids are node ids (labels start as self); sizes consistent
+    for r in rows:
+        assert r["community_size"] == len(by_comm[r["community"]])
+    sizes = sorted(len(v) for v in by_comm.values())
+    assert sum(sizes) == n
+    # propagation actually merged labels: fewer communities than nodes
+    assert len(by_comm) < n
+    # every label that survives is some node's id
+    users = {r["user_id"] for r in rows}
+    assert set(by_comm) <= users
+
+
+def test_lead_lag_xcorr_symmetry(spark):
+    rows = _q("b52_lead_lag_xcorr", spark).collect()
+    by_lag = {}
+    for r in rows:
+        by_lag.setdefault(r["lag_h"], []).append(r)
+    assert set(by_lag) <= {-2, -1, 1, 2}
+    for lag, rs in by_lag.items():
+        assert len(rs) <= 5
+        for r in rs:
+            assert -1.0 <= r["xcorr"] <= 1.0
+            assert r["n_obs"] >= 20
+            assert r["lead_id"] != r["lag_id"]
+        # top-5 is sorted descending on the rounded value
+        vals = [r["xcorr"] for r in rs]
+        assert vals == sorted(vals, reverse=True)
+    # corr(A,B,+k) == corr(B,A,-k): the +k and -k top lists are mirrors
+    for k in (1, 2):
+        if k in by_lag and -k in by_lag:
+            pos = {(r["lead_id"], r["lag_id"], r["xcorr"]) for r in by_lag[k]}
+            neg = {(r["lag_id"], r["lead_id"], r["xcorr"]) for r in by_lag[-k]}
+            assert pos == neg

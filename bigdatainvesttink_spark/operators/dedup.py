@@ -2028,3 +2028,99 @@ def d7_split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(est.alias("est_similarity"))
         .filter(F.col("est_similarity") >= 0.5)
     )
+
+
+# --------------------------------------------------------------------------
+# D1: bitemporal point-in-time reconstruction — SCD2 (d1_scd2_*) tracks
+# ONE time axis; real warehouses need two: VALID time (when the fact was
+# true) and TRANSACTION time (when the warehouse learned it). Versions
+# here gain a deterministic arrival delay of up to 1h (LCG on event_id),
+# so "state as of valid-time V, as known at transaction-time T" differs
+# from plain as-of whenever T trails V. Four (V, T) query arms sit on a
+# broadcast 4-row grid derived from one global min/max aggregate; the
+# per-user winner is a single max_by over the (valid, event_id) struct —
+# one shuffle on user_id, no window over the fact table. Value totals
+# ride the decimal-routed order-independent sum policy.
+@query(
+    "d1_bitemporal_asof",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, event_id, value,
+                   epoch_us(ts) AS vf_u,
+                   epoch_us(ts)
+                       + ((event_id * 7919) % 3600) * 1000000 AS tx_u
+            FROM events
+        ),
+        bounds AS (SELECT MIN(vf_u) AS lo, MAX(vf_u) AS hi FROM v),
+        arms AS (
+            SELECT arm, lo + (hi - lo) * vq // 100 AS v_at,
+                   lo + (hi - lo) * tq // 100 AS t_at
+            FROM bounds, (VALUES ('early', 25, 50), ('mid', 50, 75),
+                                 ('late', 75, 75), ('final', 100, 100))
+                 AS q(arm, vq, tq)
+        ),
+        pit AS (
+            SELECT a.arm, v.user_id, v.value, v.vf_u,
+                   ROW_NUMBER() OVER (PARTITION BY a.arm, v.user_id
+                                      ORDER BY v.vf_u DESC,
+                                               v.event_id DESC) AS rn
+            FROM arms a JOIN v ON v.vf_u <= a.v_at AND v.tx_u <= a.t_at
+        )
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_value,
+               MAX(vf_u) AS latest_valid_u
+        FROM pit WHERE rn = 1 GROUP BY arm
+    """,
+)
+def d1_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    vf = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    v = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        vf.alias("vf_u"),
+        (vf + ((F.col("event_id") * 7919) % 3600) * 1_000_000).alias("tx_u"),
+    )
+    bounds = v.agg(F.min("vf_u").alias("lo"), F.max("vf_u").alias("hi"))
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(arm).alias("arm"),
+                    F.lit(vq).alias("vq"),
+                    F.lit(tq).alias("tq"),
+                )
+                for arm, vq, tq in (
+                    ("early", 25, 50),
+                    ("mid", 50, 75),
+                    ("late", 75, 75),
+                    ("final", 100, 100),
+                )
+            ]
+        )
+    ).alias("q")
+    arms = bounds.select("lo", "hi", grid).select(
+        F.col("q.arm").alias("arm"),
+        F.expr("lo + (hi - lo) * q.vq div 100").alias("v_at"),
+        F.expr("lo + (hi - lo) * q.tq div 100").alias("t_at"),
+    )
+    pit = (
+        v.crossJoin(F.broadcast(arms))
+        .filter((F.col("vf_u") <= F.col("v_at"))
+                & (F.col("tx_u") <= F.col("t_at")))
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max_by(
+                F.struct("value", "vf_u"), F.struct("vf_u", "event_id")
+            ).alias("w")
+        )
+    )
+    return pit.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("w.value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.max("w.vf_u").alias("latest_valid_u"),
+    )

@@ -377,3 +377,70 @@ def fmt_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_events"),
         F.bit_xor(digest).alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Row-group size planner — the writer-tuning audit: estimate bytes/row
+# per table from column physics (8B fixed-width numerics/timestamps, 4B
+# ints, actual string lengths), then derive rows-per-128MiB-row-group
+# and the group count. This is the number you set
+# spark.sql.files.maxPartitionBytes / parquet.block.size against when a
+# 100 TB write must produce scan-efficient files; too-small groups kill
+# min/max pruning (fmt_zorder_layout), too-large ones kill parallelism.
+# One narrow aggregate per table, all-integer arithmetic end to end.
+_ROWGROUP_TARGET = 134_217_728  # 128 MiB
+
+# (table, fixed_bytes_per_row, varchar columns)
+_TABLE_PHYSICS = (
+    ("lineitem", 68, ("l_returnflag", "l_linestatus")),
+    ("orders", 32, ("o_orderstatus", "o_orderpriority")),
+    ("events", 32, ("event_type", "props")),
+)
+
+
+def _rowgroup_oracle() -> str:
+    parts = []
+    for t, fixed, varchars in _TABLE_PHYSICS:
+        lens = " + ".join(f"SUM(length({c}))" for c in varchars)
+        parts.append(f"""
+            SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) * {fixed} + {lens} AS BIGINT) AS est_bytes
+            FROM {t}""")
+    union = "\n            UNION ALL".join(parts)
+    return f"""
+        WITH sizes AS ({union}
+        )
+        SELECT table_name, n_rows, est_bytes,
+               CAST(est_bytes * 1000000 // n_rows AS BIGINT)
+                   AS bytes_per_row_u,
+               CAST({_ROWGROUP_TARGET} * n_rows // est_bytes AS BIGINT)
+                   AS rows_per_group,
+               CAST((est_bytes + {_ROWGROUP_TARGET} - 1)
+                    // {_ROWGROUP_TARGET} AS BIGINT) AS n_groups
+        FROM sizes
+    """
+
+
+@query("fmt_rowgroup_planner", oracle=_rowgroup_oracle())
+def fmt_rowgroup_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, fixed, varchars in _TABLE_PHYSICS:
+        df = load_table(spark, sf_dir, t)
+        lens = None
+        for c in varchars:
+            term = F.sum(F.length(c)).cast("long")
+            lens = term if lens is None else lens + term
+        part = df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") * fixed + lens).cast("long").alias("est_bytes"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "est_bytes")
+        out = part if out is None else out.unionAll(part)
+    tgt = _ROWGROUP_TARGET
+    return out.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.expr("est_bytes * 1000000 div n_rows").alias("bytes_per_row_u"),
+        F.expr(f"{tgt} * n_rows div est_bytes").alias("rows_per_group"),
+        F.expr(f"(est_bytes + {tgt} - 1) div {tgt}").alias("n_groups"),
+    )

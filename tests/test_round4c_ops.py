@@ -119,3 +119,49 @@ def test_lead_lag_xcorr_symmetry(spark):
             pos = {(r["lead_id"], r["lag_id"], r["xcorr"]) for r in by_lag[k]}
             neg = {(r["lag_id"], r["lead_id"], r["xcorr"]) for r in by_lag[-k]}
             assert pos == neg
+
+
+def test_bitemporal_asof_axes(spark):
+    rows = {r["arm"]: r for r in _q("d1_bitemporal_asof", spark).collect()}
+    assert set(rows) == {"early", "mid", "late", "final"}
+    # valid-time horizon widens monotonically: early(25) < mid(50) <
+    # late(75) < final(100) on the latest reconstructed valid timestamp
+    assert (
+        rows["early"]["latest_valid_u"]
+        < rows["mid"]["latest_valid_u"]
+        < rows["late"]["latest_valid_u"]
+        < rows["final"]["latest_valid_u"]
+    )
+    for r in rows.values():
+        assert r["n_users"] > 0
+    # final sees every version: no arm reconstructs MORE users than final
+    for arm in ("early", "mid", "late"):
+        assert rows[arm]["n_users"] <= rows["final"]["n_users"]
+
+
+def test_bitemporal_transaction_time_bites(spark):
+    # late(V=75,T=75) vs mid(V=50,T=75): same knowledge cutoff, wider
+    # valid window -> late's reconstruction is at least as current; and
+    # with T == V at 'late', arrival delays mean its latest valid state
+    # is strictly older than what an unconstrained T would give (final).
+    rows = {r["arm"]: r for r in _q("d1_bitemporal_asof", spark).collect()}
+    assert rows["late"]["latest_valid_u"] >= rows["mid"]["latest_valid_u"]
+    assert rows["late"]["latest_valid_u"] < rows["final"]["latest_valid_u"]
+
+
+def test_rowgroup_planner_physics(spark):
+    rows = {r["table_name"]: r for r in _q("fmt_rowgroup_planner", spark).collect()}
+    assert set(rows) == {"lineitem", "orders", "events"}
+    target = 134_217_728
+    fixed = {"lineitem": 68, "orders": 32, "events": 32}
+    for t, r in rows.items():
+        # strings add bytes beyond the fixed-width floor
+        assert r["est_bytes"] > r["n_rows"] * fixed[t]
+        assert r["bytes_per_row_u"] == r["est_bytes"] * 10**6 // r["n_rows"]
+        assert r["rows_per_group"] == target * r["n_rows"] // r["est_bytes"]
+        # ceil division for group count
+        assert r["n_groups"] == -(-r["est_bytes"] // target)
+        # a full group never exceeds the byte target (integer floor)
+        assert (
+            r["rows_per_group"] * r["est_bytes"] // r["n_rows"] <= target
+        )

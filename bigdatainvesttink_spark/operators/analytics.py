@@ -4038,3 +4038,89 @@ def b52_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("xcorr"),
         )
     )
+
+# --------------------------------------------------------------------------
+# B53: effective vs quoted spread (TCA) — for EVERY trade, the as-of
+# midquote at execution time gives effective spread 2*|p-mid|/mid (what
+# traders actually paid) against the quoted spread 2*(ask-bid)/(ask+bid)
+# (what the book displayed), plus the price-improvement share (fills
+# inside the mid on the trade's own side). The classic execution-quality
+# read-out the reference's book+trade feeds exist to answer; composes
+# the b3 as-of machinery (one shuffle on company_id) with a grid-sized
+# aggregate. Per-trade terms are round6'd then decimal-summed
+# (order-independent); bps quotients are ROUND-safe irrationals.
+@query(
+    "b53_effective_spread",
+    oracle=oracle_on_domain(
+        """
+        , matched AS (
+            SELECT t.company_id, t.price, t.side,
+                   (b.bid_price + b.ask_price) / 2.0 AS mid,
+                   b.bid_price AS bid, b.ask_price AS ask
+            FROM trades t
+            ASOF LEFT JOIN order_book b
+              ON t.company_id = b.company_id AND t.ts >= b.ts
+        )
+        SELECT company_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trades,
+               CAST(COUNT(mid) AS BIGINT) AS n_matched,
+               CAST(SUM(CAST(ROUND(2 * abs(price - mid) / mid * 10000, 6)
+                             AS DECIMAL(27,6))) AS DOUBLE) / COUNT(mid)
+                   AS eff_bps,
+               CAST(SUM(CAST(ROUND(2 * (ask - bid) / (ask + bid) * 10000, 6)
+                             AS DECIMAL(27,6))) AS DOUBLE) / COUNT(mid)
+                   AS quoted_bps,
+               CAST(COUNT(*) FILTER (WHERE (side = 'buy' AND price < mid)
+                                        OR (side = 'sell' AND price > mid))
+                    AS BIGINT) AS n_improved
+        FROM matched
+        GROUP BY company_id
+        """
+    ),
+)
+def b53_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = domain_table(spark, sf_dir, "trades")
+    book = domain_table(spark, sf_dir, "order_book").select(
+        "company_id", "ts", "bid_price", "ask_price"
+    )
+    joined = as_of_join(
+        trades,
+        book,
+        on="company_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["bid_price", "ask_price"],
+        direction="backward",
+    )
+    mid = (F.col("bid_price") + F.col("ask_price")) / 2.0
+    m = joined.select(
+        "company_id",
+        "price",
+        "side",
+        mid.alias("mid"),
+        F.col("bid_price").alias("bid"),
+        F.col("ask_price").alias("ask"),
+    )
+    dec = "decimal(27,6)"
+    eff_term = F.round(
+        2 * F.abs(F.col("price") - F.col("mid")) / F.col("mid") * 10000, 6
+    )
+    quo_term = F.round(
+        2 * (F.col("ask") - F.col("bid")) / (F.col("ask") + F.col("bid"))
+        * 10000,
+        6,
+    )
+    improved = (
+        (F.col("side") == "buy") & (F.col("price") < F.col("mid"))
+    ) | ((F.col("side") == "sell") & (F.col("price") > F.col("mid")))
+    return m.groupBy("company_id").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.count("mid").cast("long").alias("n_matched"),
+        (F.sum(eff_term.cast(dec)).cast("double") / F.count("mid")).alias(
+            "eff_bps"
+        ),
+        (F.sum(quo_term.cast(dec)).cast("double") / F.count("mid")).alias(
+            "quoted_bps"
+        ),
+        F.count_if(improved).cast("long").alias("n_improved"),
+    )

@@ -2059,3 +2059,94 @@ def d4_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("chars * 1000000 div n_words").alias("mean_word_len_u"),
         F.expr("singles * 1000000 div n_words").alias("single_share_u"),
     )
+
+# --------------------------------------------------------------------------
+# D4: source-overlap contamination matrix — pairwise 3-gram Jaccard
+# between SOURCES (not documents): the cross-corpus audit run before
+# mixing crawls into a training set, catching feeds that are secretly
+# the same upstream corpus (cf. d7_split_leakage_scan, which guards
+# train/test splits at document level). Scale shape: distinct
+# (source, shingle) pairs, then ONE groupBy(shingle) whose per-key
+# source set is bounded by the source count, expanded map-side into
+# ordered pairs by a higher-order transform — the corpus is never
+# self-joined; work is O(shingles x sources^2-bounded), not O(docs^2).
+# Jaccard through the exact integer 6dp path.
+@query(
+    "d4_source_overlap_matrix",
+    oracle="""
+        WITH ss AS (
+            SELECT DISTINCT source, shingle FROM (
+                SELECT source, unnest(
+                    list_distinct([toks[i+1] || ' ' || toks[i+2] || ' '
+                                   || toks[i+3]
+                                   FOR i IN range(0, len(toks) - 2)]))
+                    AS shingle
+                FROM (SELECT source, string_split(text, ' ') AS toks
+                      FROM documents WHERE text <> '')
+                WHERE len(toks) >= 3
+            )
+        ),
+        sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+            FROM ss a JOIN ss b ON b.shingle = a.shingle
+                              AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.src_a, p.src_b,
+               CAST(p.shared AS BIGINT) AS shared_shingles,
+               CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+               CAST(p.shared * 1000000 // (za.n + zb.n - p.shared)
+                    AS BIGINT) AS jaccard_u
+        FROM pairs p JOIN sz za ON za.source = p.src_a
+                     JOIN sz zb ON zb.source = p.src_b
+    """,
+)
+def d4_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles
+
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    ss = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles(tokenize("text"), 3))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sz = ss.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    srcs = ss.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    pairs = (
+        srcs.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"),
+                 F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared_shingles"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            F.expr(
+                "shared_shingles * 1000000 div (n_a + n_b - shared_shingles)"
+            ).alias("jaccard_u"),
+        )
+    )

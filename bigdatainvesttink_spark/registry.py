@@ -183,6 +183,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "b50_sortino", "b51_ulcer_index", "d4_tokenizer_fertility",
     "rel_rle_compression_audit", "d2_label_propagation",
     "b52_lead_lag_xcorr", "d1_bitemporal_asof", "fmt_rowgroup_planner",
+    "d4_source_overlap_matrix", "b53_effective_spread",
 )
 
 

@@ -165,3 +165,51 @@ def test_rowgroup_planner_physics(spark):
         assert (
             r["rows_per_group"] * r["est_bytes"] // r["n_rows"] <= target
         )
+
+
+def test_source_overlap_matrix_bounds(spark):
+    rows = _q("d4_source_overlap_matrix", spark).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        # intersection can't exceed either set
+        assert 0 < r["shared_shingles"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["jaccard_u"] <= 10**6
+        union = r["n_a"] + r["n_b"] - r["shared_shingles"]
+        assert r["jaccard_u"] == r["shared_shingles"] * 10**6 // union
+    # each unordered pair appears exactly once
+    pairs = [(r["src_a"], r["src_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_effective_spread_vs_quoted(spark):
+    rows = _q("b53_effective_spread", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_matched"] <= r["n_trades"]
+        assert 0 <= r["n_improved"] <= r["n_matched"]
+        assert r["quoted_bps"] > 0
+        assert r["eff_bps"] >= 0
+        # fixture books quote ~20bps around mid; sanity regime check
+        assert r["quoted_bps"] < 100
+
+
+def test_new_ops_plan_shapes(spark):
+    from bigdatainvesttink_spark.plans.audit import plan_text
+
+    # RLE audit: both window passes run over hash-partitioned segments
+    # (the only SinglePartition exchanges feed the 1-row scalar
+    # aggregates, never a Window/Sort of the fact table)
+    text = plan_text(_q("rel_rle_compression_audit", spark))
+    assert "Window" in text and "hashpartitioning" in text
+    # bitemporal: the 4-row arm grid broadcasts; the fact table is never
+    # joined to itself
+    text = plan_text(_q("d1_bitemporal_asof", spark))
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+    # source-overlap: pair expansion is map-side HOF (no corpus self-join:
+    # exactly one aggregate on shingle feeds the pair counts)
+    text = plan_text(_q("d4_source_overlap_matrix", spark))
+    assert "SortMergeJoin" not in text
+    # lead-lag xcorr joins on the hour key, not a cartesian pair blowup
+    text = plan_text(_q("b52_lead_lag_xcorr", spark))
+    assert "CartesianProduct" not in text

@@ -3203,3 +3203,130 @@ def d2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "community_size",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D7: perplexity-filter sweep — the quality-vs-quantity frontier of a
+# CCNet-style LM filter: per-doc bigram logprob scores (d4_bigram_logprob's
+# machinery, reused verbatim) are cut at their own p10/p25/p50 fences,
+# and each arm prices what survives: docs kept, tokens kept, token share
+# of the corpus, mean kept score. This is the table a data lead reads to
+# pick the filter threshold BEFORE burning a 100 TB tokenization run.
+# Scale shape: the corpus is scored once (two counted shuffles for the
+# LM + one per-doc aggregate); the sweep itself is a broadcast 3-row
+# fence grid + ONE conditional aggregation pass — arms never rescan or
+# re-join the corpus. Fence comparisons are raw bit-identical doubles
+# (decimal-routed score, quantile_cont == percentile both engines);
+# kept-score means round6 each term then decimal-sum.
+@query(
+    "d7_perplexity_filter_sweep",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        bg AS (
+            SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2
+        ),
+        c2 AS (SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b),
+        c1 AS (SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a),
+        scored AS (
+            SELECT bg.doc_id,
+                   CAST(SUM(CAST(ROUND(ln(CAST(c2.n2 AS DOUBLE) / c1.n1), 6)
+                                 AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                       AS lp
+            FROM bg JOIN c2 ON c2.a = bg.a AND c2.b = bg.b
+                    JOIN c1 ON c1.a = bg.a
+            GROUP BY bg.doc_id
+        ),
+        pop AS (
+            SELECT s.doc_id, s.lp, len(t.ts) AS n_toks
+            FROM scored s JOIN toks t USING (doc_id)
+        ),
+        tot AS (SELECT SUM(n_toks) AS nt FROM pop),
+        fences AS (
+            SELECT arm,
+                   CASE arm WHEN 'p10' THEN quantile_cont(lp, 0.10)
+                            WHEN 'p25' THEN quantile_cont(lp, 0.25)
+                            ELSE quantile_cont(lp, 0.50) END AS fence
+            FROM pop, (VALUES ('p10'), ('p25'), ('p50')) AS a(arm)
+            GROUP BY arm
+        )
+        SELECT arm, fence, n_docs_kept, n_tokens_kept,
+               CAST(n_tokens_kept * 1000000 // nt AS BIGINT)
+                   AS tokens_share_u,
+               mean_kept_lp
+        FROM (
+            SELECT f.arm, ROUND(f.fence, 6) AS fence,
+                   CAST(COUNT(*) FILTER (WHERE p.lp >= f.fence) AS BIGINT)
+                       AS n_docs_kept,
+                   CAST(SUM(p.n_toks) FILTER (WHERE p.lp >= f.fence)
+                        AS BIGINT) AS n_tokens_kept,
+                   CAST(SUM(CAST(ROUND(p.lp, 6) AS DECIMAL(27,6)))
+                            FILTER (WHERE p.lp >= f.fence) AS DOUBLE)
+                       / COUNT(*) FILTER (WHERE p.lp >= f.fence)
+                       AS mean_kept_lp
+            FROM pop p, fences f
+            GROUP BY f.arm, ROUND(f.fence, 6)
+        ) s, tot
+    """,
+)
+def d7_perplexity_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import d4_bigram_logprob
+
+    scored = d4_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lp")
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    sizes = d.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_toks")
+    )
+    pop = scored.join(sizes, "doc_id")
+    fences = pop.agg(
+        *[
+            F.percentile("lp", q).alias(arm)
+            for arm, q in (("p10", 0.10), ("p25", 0.25), ("p50", 0.50))
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(arm).alias("arm"), F.col(arm).alias("fence")
+                    )
+                    for arm in ("p10", "p25", "p50")
+                ]
+            )
+        ).alias("f")
+    ).select(F.col("f.arm").alias("arm"), F.col("f.fence").alias("fence"))
+    tot = pop.agg(F.sum("n_toks").alias("nt"))
+    kept = F.col("lp") >= F.col("fence")
+    arms = (
+        pop.crossJoin(F.broadcast(fences))
+        .groupBy("arm", F.round("fence", 6).alias("fence"))
+        .agg(
+            F.count_if(kept).cast("long").alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_toks")))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            (
+                F.sum(
+                    F.when(kept, F.round(F.col("lp"), 6)).cast(
+                        "decimal(27,6)"
+                    )
+                ).cast("double")
+                / F.count_if(kept)
+            ).alias("mean_kept_lp"),
+        )
+    )
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "fence",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.expr("n_tokens_kept * 1000000 div nt").alias("tokens_share_u"),
+        "mean_kept_lp",
+    )

@@ -555,3 +555,108 @@ def dmm_audio_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     df = spark.createDataFrame(payloads, "asset_id long, content binary")
     return df.mapInPandas(_decode_wav_stats, WAV_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# A/V sync audit — the alignment QA a multimodal pipeline runs before
+# pairing audio with video: the (fake-decoded) frame timeline (one frame
+# per FRAME_STRIDE at 40 ms) is as-of joined to the (fake-decoded) audio
+# chunk timeline (~30 ms chunks with decode jitter), per asset; the
+# audit reports the worst frame->chunk lag, unmatched leading frames,
+# and frames whose nearest audio trails by > 20 ms. Both timelines come
+# out of Arrow mapInPandas harnesses (real decoders drop in exactly like
+# multimodal.py:43,51); the join is the one-shuffle as-of machinery on
+# the asset key — at 100 TB each asset's two timelines meet in one
+# partition, never a time-window blowup. COALESCE(-1) keeps the
+# unmatched-only rows integer-typed (NULL MAX would go float in pandas).
+CHUNK_SCHEMA = "doc_id bigint, c_ts bigint"
+SYNC_THRESHOLD_US = 20_000
+
+
+def sample_audio_chunks(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas harness emitting the audio-chunk timeline per asset."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts = [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                hhex = hashlib.md5(content).hexdigest()
+                n_chunks = 1 + int(hhex[15:30], 16) % 24
+                for j in range(n_chunks):
+                    key = f"{hhex}-a{j}".encode()
+                    jit = int(hashlib.md5(key).hexdigest()[:8], 16) % 10000
+                    ids.append(doc_id)
+                    ts.append(j * 30000 + jit)
+            yield pd.DataFrame({"doc_id": ids, "c_ts": ts})
+
+    return binary_df.mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
+@query(
+    "dmm_av_sync_audit",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, md5(text) AS hhex FROM documents WHERE text <> ''
+        ),
+        frames AS (
+            SELECT doc_id, i * 40000 AS f_ts
+            FROM (
+                SELECT doc_id, unnest(range(0,
+                    1 + CAST(CAST('0x' || substr(hhex, 1, 15) AS UBIGINT)
+                        AS BIGINT) % 16, {FRAME_STRIDE})) AS i
+                FROM base
+            )
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   j * 30000 + CAST(CAST('0x' || substr(md5(hhex || '-a' ||
+                       CAST(j AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+                       % 10000 AS c_ts
+            FROM (
+                SELECT doc_id, hhex, unnest(range(0,
+                    1 + CAST(CAST('0x' || substr(hhex, 16, 15) AS UBIGINT)
+                        AS BIGINT) % 24, 1)) AS j
+                FROM base
+            )
+        ),
+        aligned AS (
+            SELECT f.doc_id, f.f_ts, c.c_ts, f.f_ts - c.c_ts AS gap
+            FROM frames f ASOF LEFT JOIN chunks c
+              ON f.doc_id = c.doc_id AND f.f_ts >= c.c_ts
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(COUNT(c_ts) AS BIGINT) AS n_matched,
+               COALESCE(MAX(gap), -1) AS max_gap_us,
+               CAST(COUNT(*) FILTER (WHERE gap > {SYNC_THRESHOLD_US})
+                    AS BIGINT) AS n_out_of_sync
+        FROM aligned GROUP BY doc_id
+    """,
+)
+def dmm_av_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import as_of_join
+
+    binary = _binary_docs(spark, sf_dir)
+    frames = sample_frames(binary).select(
+        "doc_id", (F.col("frame_idx") * 40000).alias("f_ts")
+    )
+    chunks = sample_audio_chunks(binary)
+    aligned = as_of_join(
+        frames,
+        chunks,
+        on="doc_id",
+        left_ts="f_ts",
+        right_ts="c_ts",
+        right_cols=[],
+        direction="backward",
+        matched_ts_col="c_ts",
+    )
+    gap = F.col("f_ts") - F.col("c_ts")
+    return aligned.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.count("c_ts").cast("long").alias("n_matched"),
+        F.coalesce(F.max(gap), F.lit(-1)).cast("long").alias("max_gap_us"),
+        F.count_if(gap > SYNC_THRESHOLD_US).cast("long").alias(
+            "n_out_of_sync"
+        ),
+    )

@@ -184,6 +184,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "rel_rle_compression_audit", "d2_label_propagation",
     "b52_lead_lag_xcorr", "d1_bitemporal_asof", "fmt_rowgroup_planner",
     "d4_source_overlap_matrix", "b53_effective_spread",
+    "dmm_av_sync_audit", "d7_perplexity_filter_sweep",
 )
 
 

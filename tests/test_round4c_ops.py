@@ -213,3 +213,48 @@ def test_new_ops_plan_shapes(spark):
     # lead-lag xcorr joins on the hour key, not a cartesian pair blowup
     text = plan_text(_q("b52_lead_lag_xcorr", spark))
     assert "CartesianProduct" not in text
+
+
+def test_av_sync_audit_physics(spark):
+    rows = _q("dmm_av_sync_audit", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_matched"] <= r["n_frames"]
+        assert 0 <= r["n_out_of_sync"] <= r["n_matched"]
+        if r["n_matched"] == 0:
+            assert r["max_gap_us"] == -1 and r["n_out_of_sync"] == 0
+        else:
+            # backward as-of: lag is never negative; a short audio track
+            # under a long frame timeline can lag arbitrarily far — that
+            # drift is exactly what the audit flags
+            assert r["max_gap_us"] >= 0
+            if r["max_gap_us"] > 20000:
+                assert r["n_out_of_sync"] >= 1
+            else:
+                assert r["n_out_of_sync"] == 0
+
+
+def test_perplexity_sweep_frontier(spark):
+    rows = {r["arm"]: r for r in _q("d7_perplexity_filter_sweep", spark).collect()}
+    assert set(rows) == {"p10", "p25", "p50"}
+    # tighter fence -> fewer docs, fewer tokens, higher mean quality
+    assert rows["p10"]["fence"] <= rows["p25"]["fence"] <= rows["p50"]["fence"]
+    assert (
+        rows["p10"]["n_docs_kept"]
+        >= rows["p25"]["n_docs_kept"]
+        >= rows["p50"]["n_docs_kept"]
+    )
+    assert (
+        rows["p10"]["n_tokens_kept"]
+        >= rows["p25"]["n_tokens_kept"]
+        >= rows["p50"]["n_tokens_kept"]
+    )
+    assert (
+        rows["p10"]["mean_kept_lp"]
+        <= rows["p25"]["mean_kept_lp"]
+        <= rows["p50"]["mean_kept_lp"]
+    )
+    for r in rows.values():
+        assert 0 < r["tokens_share_u"] <= 10**6
+        # every kept doc scores at or above its arm's fence
+        assert r["mean_kept_lp"] >= r["fence"] - 1e-6

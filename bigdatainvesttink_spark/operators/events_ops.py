@@ -1320,7 +1320,7 @@ def d6_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 MK_ITERS = 8
 
 
-def _markov_oracle() -> str:
+def _markov_ctes() -> str:
     sql = """
         WITH pairs AS (
             SELECT event_type AS src,
@@ -1358,14 +1358,20 @@ def _markov_oracle() -> str:
             FROM pi{i - 1} prev JOIN p ON p.src = prev.s
             GROUP BY p.dst
         )"""
-    return sql + f"""
+    return sql
+
+
+def _markov_oracle() -> str:
+    return _markov_ctes() + f"""
         SELECT s AS event_type, CAST(w_u AS DOUBLE) / 1000000
                    AS stationary_prob
         FROM pi{MK_ITERS}"""
 
 
-@query("d6_markov_stationary", oracle=_markov_oracle())
-def d6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _markov_pi_p(spark: SparkSession, sf_dir: str):
+    """Shared machinery: quantized transition matrix ``p``, the
+    MK_ITERS-step stationary weights ``pi``, and the 1-row state count
+    ``ns`` (all micro-integer grids, bit-identical cross-engine)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -1412,10 +1418,72 @@ def d6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s")
             .agg(F.sum("c").cast("long").alias("w_u"))
         )
+    return pi, p, ns
+
+
+@query("d6_markov_stationary", oracle=_markov_oracle())
+def d6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pi, _, _ = _markov_pi_p(spark, sf_dir)
     return pi.select(
         F.col("s").alias("event_type"),
         (F.col("w_u").cast("double") / F.lit(1000000)).alias(
             "stationary_prob"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: Markov entropy rate — H = -sum_s pi(s) sum_d p(s,d) ln p(s,d) over
+# the same quantized transition grid: how predictable the NEXT event is
+# given the current one, in nats (0 = deterministic flows, ln(n_states)
+# = uniform chaos) — the one-number summary of d6_event_transitions that
+# a behavior-drift monitor thresholds. Every input is the micro-integer
+# grid (bit-identical both engines); per-term -p*ln(p) doubles are
+# round6'd then decimal-summed (order-independent); the uniform
+# upper bound ln(n) rides the same row for normalization downstream.
+@query(
+    "d6_markov_entropy_rate",
+    oracle=_markov_ctes()
+    + f"""
+        , terms AS (
+            SELECT ROUND(-(CAST(pi.w_u AS DOUBLE) / 1000000)
+                         * (CAST(p.pr_u AS DOUBLE) / 1000000)
+                         * ln(CAST(p.pr_u AS DOUBLE) / 1000000), 6) AS t
+            FROM pi{MK_ITERS} pi JOIN p ON p.src = pi.s
+            WHERE p.pr_u > 0
+        )
+        SELECT (SELECT CAST(n AS BIGINT) FROM ns) AS n_states,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(SUM(CAST(t AS DECIMAL(27,6))) AS DOUBLE)
+                   AS entropy_rate_nats,
+               ROUND(ln((SELECT n FROM ns)), 6) AS max_entropy_nats
+        FROM terms""",
+)
+def d6_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pi, p, ns = _markov_pi_p(spark, sf_dir)
+    terms = (
+        pi.join(F.broadcast(p), pi["s"] == p["src"])
+        .filter(F.col("pr_u") > 0)
+        .select(
+            F.round(
+                -(F.col("w_u").cast("double") / F.lit(1000000))
+                * (F.col("pr_u").cast("double") / F.lit(1000000))
+                * F.log(F.col("pr_u").cast("double") / F.lit(1000000)),
+                6,
+            ).alias("t")
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.sum(F.col("t").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("entropy_rate_nats"),
+    ).crossJoin(F.broadcast(ns)).select(
+        F.col("n").cast("long").alias("n_states"),
+        "n_transitions",
+        "entropy_rate_nats",
+        F.round(F.log(F.col("n").cast("double")), 6).alias(
+            "max_entropy_nats"
         ),
     )
 

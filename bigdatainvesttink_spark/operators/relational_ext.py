@@ -1994,3 +1994,68 @@ def rel_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         F.expr("n_rows * 1000000 div n_runs").alias("rle_ratio_u"),
     )
+
+# --------------------------------------------------------------------------
+# Wilson score intervals — the binomial-proportion CI shelf next to
+# d7_bootstrap_ci (resampling) and d6_ab_power_analysis (design): per
+# ship month, the 95% Wilson interval for the returned-line share. The
+# Wilson form (score inversion) stays valid at small n and p near 0/1
+# where the naive Wald interval collapses — the right default for
+# monitoring rare-event rates. One grid-sized groupBy; the CI arithmetic
+# is the identical IEEE double expression on both engines (z=1.96
+# constants folded: z^2=3.8416, z^2/2=1.9208, z^2/4=0.9604), ROUND-safe
+# through sqrt; the point estimate is the exact integer 6dp path.
+@query(
+    "rel_wilson_ci",
+    oracle="""
+        WITH g AS (
+            SELECT date_trunc('month', l_shipdate) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS k
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(m AS DATE) AS month, n, k,
+               CAST(k * 1000000 // n AS BIGINT) AS p_u,
+               ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                      - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                    * (1 - CAST(k AS DOUBLE) / n) / n
+                                    + 0.9604 / (n * CAST(n AS DOUBLE))))
+                     / (1 + 3.8416 / n), 6) AS wilson_lo,
+               ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                      + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                    * (1 - CAST(k AS DOUBLE) / n) / n
+                                    + 0.9604 / (n * CAST(n AS DOUBLE))))
+                     / (1 + 3.8416 / n), 6) AS wilson_hi
+        FROM g
+    """,
+)
+def rel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("l_returnflag") == "R").cast("long").alias("k"),
+    )
+    # identical double-op sequence to the oracle (sign is the only
+    # difference between the two bounds)
+    halfwidth = (
+        "1.96 * sqrt((CAST(k AS DOUBLE) / n)"
+        " * (1 - CAST(k AS DOUBLE) / n) / n"
+        " + 0.9604 / (n * CAST(n AS DOUBLE)))"
+    )
+    return g.select(
+        F.col("m").cast("date").alias("month"),
+        "n",
+        "k",
+        F.expr("k * 1000000 div n").alias("p_u"),
+        F.expr(
+            f"ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n - {halfwidth})"
+            " / (1 + 3.8416 / n), 6)"
+        ).alias("wilson_lo"),
+        F.expr(
+            f"ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n + {halfwidth})"
+            " / (1 + 3.8416 / n), 6)"
+        ).alias("wilson_hi"),
+    )

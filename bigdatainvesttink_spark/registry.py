@@ -185,6 +185,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "b52_lead_lag_xcorr", "d1_bitemporal_asof", "fmt_rowgroup_planner",
     "d4_source_overlap_matrix", "b53_effective_spread",
     "dmm_av_sync_audit", "d7_perplexity_filter_sweep",
+    "rel_wilson_ci", "d6_markov_entropy_rate",
 )
 
 

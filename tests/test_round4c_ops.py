@@ -258,3 +258,36 @@ def test_perplexity_sweep_frontier(spark):
         assert 0 < r["tokens_share_u"] <= 10**6
         # every kept doc scores at or above its arm's fence
         assert r["mean_kept_lp"] >= r["fence"] - 1e-6
+
+
+def test_wilson_ci_brackets_point_estimate(spark):
+    rows = _q("rel_wilson_ci", spark).collect()
+    assert rows
+    for r in rows:
+        p = r["k"] / r["n"]
+        assert 0 <= r["wilson_lo"] <= p <= r["wilson_hi"] <= 1
+        assert r["p_u"] == r["k"] * 10**6 // r["n"]
+        # Wilson never collapses to a point for 0 < k < n
+        if 0 < r["k"] < r["n"]:
+            assert r["wilson_lo"] < r["wilson_hi"]
+    # bigger samples -> tighter intervals, on average (spot check by
+    # comparing the widest interval against the smallest-n month)
+    widths = {r["month"]: r["wilson_hi"] - r["wilson_lo"] for r in rows}
+    ns = {r["month"]: r["n"] for r in rows}
+    m_small = min(ns, key=ns.get)
+    m_big = max(ns, key=ns.get)
+    if ns[m_big] > 4 * ns[m_small]:
+        assert widths[m_big] < widths[m_small]
+
+
+def test_markov_entropy_rate_bounds(spark):
+    row = _q("d6_markov_entropy_rate", spark).collect()[0]
+    assert row["n_states"] >= 2
+    # entropy of a stochastic process in nats: 0 <= H <= ln(n_states)
+    assert 0.0 <= row["entropy_rate_nats"] <= row["max_entropy_nats"] + 1e-6
+    assert row["n_transitions"] <= row["n_states"] ** 2
+    # stationary distribution must agree with the shared machinery
+    pis = {r["event_type"]: r["stationary_prob"]
+           for r in _q("d6_markov_stationary", spark).collect()}
+    assert len(pis) == row["n_states"]
+    assert abs(sum(pis.values()) - 1.0) < 0.01

@@ -2124,3 +2124,126 @@ def d1_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.max("w.vf_u").alias("latest_valid_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# D1: record-linkage accuracy eval — the matcher-quality loop for
+# d2_fuzzy_levenshtein's blocked edit-distance linkage: the seeded
+# corpus plants known duplicate pairs (exact copies at +2M, first-word
+# mutations at +1M), the matcher flags same-length-bucket pairs at
+# head-distance <= thr, and each threshold arm is scored
+# precision/recall against that planted truth. Shows the real blocking
+# trade-off: mutations that change a doc's length bucket are
+# unreachable (recall < 1 no matter the threshold) — the quantizer, not
+# the distance, is the recall ceiling. Pairs + distances are computed
+# ONCE over sum(block^2); the 4-arm sweep is one conditional
+# aggregation; P/R ride the exact integer 6dp path (-1 when undefined).
+@query(
+    "d1_linkage_accuracy_eval",
+    oracle=_oracle(
+        """
+        , b AS (
+            SELECT doc_id, length(text) // 8 AS bucket,
+                   substr(text, 1, 40) AS head
+            FROM corpus
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.head, b.head) AS dist
+            FROM b a JOIN b b ON a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+        ),
+        truth AS (
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+            FROM documents WHERE text <> '' AND doc_id % 25 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000
+            FROM documents WHERE text <> '' AND doc_id % 20 = 0
+        ),
+        nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+        marked AS (
+            SELECT p.dist,
+                   CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_t
+            FROM pairs p LEFT JOIN truth t
+              ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+        )
+        SELECT thr, n_flagged, tp, n_truth,
+               CASE WHEN n_flagged = 0 THEN -1
+                    ELSE CAST(tp * 1000000 // n_flagged AS BIGINT)
+               END AS precision_u,
+               CAST(tp * 1000000 // n_truth AS BIGINT) AS recall_u
+        FROM (
+            SELECT thr,
+                   CAST(COUNT(*) FILTER (WHERE dist <= thr) AS BIGINT)
+                       AS n_flagged,
+                   CAST(SUM(is_t) FILTER (WHERE dist <= thr) AS BIGINT)
+                       AS tp,
+                   CAST(MAX(n_truth) AS BIGINT) AS n_truth
+            FROM marked, (VALUES (0), (4), (8), (12)) AS a(thr), nt
+            GROUP BY thr
+        ) s
+        """
+    ),
+)
+def d1_linkage_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    b = c.select(
+        "doc_id",
+        (F.length("text") / 8).cast("long").alias("bucket"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a2, b2 = b.alias("a"), b.alias("b")
+    pairs = a2.join(
+        b2,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein("a.head", "b.head").alias("dist"),
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    truth = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1_000_000).alias("doc_b"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 20 == 0).select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 2_000_000).alias("doc_b"),
+            )
+        )
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    marked = pairs.join(
+        truth.withColumn("is_t", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select("dist", F.coalesce("is_t", F.lit(0)).alias("is_t"))
+    arms = F.explode(
+        F.array(*[F.lit(t) for t in (0, 4, 8, 12)])
+    ).alias("thr")
+    swept = (
+        marked.select("dist", "is_t", arms)
+        .groupBy("thr")
+        .agg(
+            F.count_if(F.col("dist") <= F.col("thr"))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum(F.when(F.col("dist") <= F.col("thr"), F.col("is_t")))
+            .cast("long")
+            .alias("tp"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .withColumn("n_truth", F.col("n_truth").cast("long"))
+    )
+    return swept.select(
+        "thr",
+        "n_flagged",
+        "tp",
+        "n_truth",
+        F.when(F.col("n_flagged") == 0, F.lit(-1).cast("long"))
+        .otherwise(F.expr("tp * 1000000 div n_flagged"))
+        .alias("precision_u"),
+        F.expr("tp * 1000000 div n_truth").alias("recall_u"),
+    )

@@ -706,9 +706,7 @@ PQ_SUBSPACES = 4
 PQ_SUBDIM = 16  # _DIM / PQ_SUBSPACES
 
 
-@query(
-    "d3_pq_codebook_assign",
-    oracle=f"""
+_PQ_ASSIGN_ORACLE = f"""
         WITH v AS ({_O_VEC}),
         grid AS (
             SELECT label, i,
@@ -744,8 +742,10 @@ PQ_SUBDIM = 16  # _DIM / PQ_SUBSPACES
                 PARTITION BY vec_id, s ORDER BY d6 ASC, label ASC) AS rn
             FROM scored
         ) r WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("d3_pq_codebook_assign", oracle=_PQ_ASSIGN_ORACLE)
 def d3_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     grid = v.select("label", F.posexplode("e").alias("pos", "x")).groupBy(
@@ -2802,4 +2802,39 @@ def d3_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("mi") / F.sqrt(F.col("hcv") * F.col("hlv")), 6
             ).alias("nmi"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ distortion report — the tuning read-out over d3_pq_codebook_assign
+# (whose result it consumes directly, Spark-side and oracle-side alike):
+# per subspace, how many codewords the querying sample actually uses and
+# the total / mean quantization error. Rising mean distortion or
+# codeword collapse (codes_used << codebook size) is the signal to
+# re-train the codebooks before ANN recall quietly degrades
+# (cf. d3_centroid_drift for the IVF analog). The per-vector qerr terms
+# are already 6dp-rounded by the assign step, so the decimal re-sum here
+# is order-independent and exact; one grid-sized groupBy(subspace).
+@query(
+    "d3_pq_distortion",
+    oracle=f"""
+        WITH assign AS ({_PQ_ASSIGN_ORACLE})
+        SELECT subspace,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+               CAST(SUM(CAST(qerr AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_qerr,
+               CAST(SUM(CAST(qerr AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS mean_qerr
+        FROM assign GROUP BY subspace
+    """,
+)
+def d3_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = d3_pq_codebook_assign(spark, sf_dir)
+    total = F.sum(F.col("qerr").cast("decimal(27,6)")).cast("double")
+    return assign.groupBy("subspace").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("code").cast("long").alias("codes_used"),
+        total.alias("total_qerr"),
+        (total / F.count("*")).alias("mean_qerr"),
     )

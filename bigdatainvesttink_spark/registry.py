@@ -186,6 +186,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d4_source_overlap_matrix", "b53_effective_spread",
     "dmm_av_sync_audit", "d7_perplexity_filter_sweep",
     "rel_wilson_ci", "d6_markov_entropy_rate",
+    "d3_pq_distortion", "d1_linkage_accuracy_eval",
 )
 
 

@@ -291,3 +291,40 @@ def test_markov_entropy_rate_bounds(spark):
            for r in _q("d6_markov_stationary", spark).collect()}
     assert len(pis) == row["n_states"]
     assert abs(sum(pis.values()) - 1.0) < 0.01
+
+
+def test_pq_distortion_consistency(spark):
+    rows = {r["subspace"]: r for r in _q("d3_pq_distortion", spark).collect()}
+    assign = _q("d3_pq_codebook_assign", spark).collect()
+    by_s = {}
+    for a in assign:
+        by_s.setdefault(a["subspace"], []).append(a)
+    assert set(rows) == set(by_s)
+    for s, r in rows.items():
+        assert r["n_vectors"] == len(by_s[s])
+        # codebook has one codeword per label (10 labels in the fixture)
+        assert 1 <= r["codes_used"] <= min(r["n_vectors"], 10)
+        assert r["total_qerr"] >= 0
+        assert abs(r["mean_qerr"] * r["n_vectors"] - r["total_qerr"]) < 1e-6
+        # distortion can't beat the best single assignment
+        assert r["total_qerr"] >= max(a["qerr"] for a in by_s[s])
+
+
+def test_linkage_eval_threshold_monotonicity(spark):
+    rows = {r["thr"]: r for r in _q("d1_linkage_accuracy_eval", spark).collect()}
+    assert set(rows) == {0, 4, 8, 12}
+    n_truth = {r["n_truth"] for r in rows.values()}
+    assert len(n_truth) == 1 and n_truth.pop() > 0
+    prev = None
+    for thr in (0, 4, 8, 12):
+        r = rows[thr]
+        assert 0 <= r["tp"] <= min(r["n_flagged"], r["n_truth"])
+        if prev is not None:
+            # looser threshold flags MORE pairs and finds MORE truth
+            assert r["n_flagged"] >= prev["n_flagged"]
+            assert r["tp"] >= prev["tp"]
+        prev = r
+    # exact copies guarantee hits even at distance 0
+    assert rows[0]["tp"] > 0
+    # the length-bucket blocker caps recall below 1 on mutated pairs
+    assert rows[12]["recall_u"] < 10**6

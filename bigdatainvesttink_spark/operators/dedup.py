@@ -2247,3 +2247,73 @@ def d1_linkage_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("precision_u"),
         F.expr("tp * 1000000 div n_truth").alias("recall_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# D1: l-diversity audit — k-anonymity's blind spot: a class can hold
+# k>=5 rows yet expose everyone if they all share one SENSITIVE value
+# (here user_id as the sensitive attribute over the same
+# (event_type, day, value-bucket) quasi-identifier classes as
+# d1_kanonymity_audit). l = distinct sensitive values per class; the
+# release gate requires l >= 3. Same pure hash-agg algebra — one
+# groupBy for the classes (count + count distinct), one grid rollup;
+# the at-risk share rides the half-up integer-ppm path k-anonymity
+# established.
+L_DIVERSITY_L = 3
+
+
+@query(
+    "d1_ldiversity_audit",
+    oracle=f"""
+        WITH classes AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(FLOOR(value / 50) AS BIGINT) AS vbucket,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN l < {L_DIVERSITY_L} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_diversity,
+               CAST(SUM(CASE WHEN l < {L_DIVERSITY_L} THEN class_size
+                             ELSE 0 END) AS BIGINT) AS rows_at_risk,
+               CAST(SUM(class_size) AS BIGINT) AS n_rows,
+               CAST((2 * SUM(CASE WHEN l < {L_DIVERSITY_L}
+                                  THEN class_size ELSE 0 END) * 1000000
+                     + SUM(class_size)) // (2 * SUM(class_size))
+                    AS BIGINT) AS risk_ppm,
+               MIN(l) AS min_l, MAX(l) AS max_l
+        FROM classes GROUP BY event_type
+    """,
+)
+def d1_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    classes = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("vbucket"),
+    ).agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("user_id").cast("long").alias("l"),
+    )
+    low = F.col("l") < L_DIVERSITY_L
+    return classes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(low, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.expr(
+            f"(2 * SUM(CASE WHEN l < {L_DIVERSITY_L} THEN class_size"
+            " ELSE 0 END) * 1000000 + SUM(class_size))"
+            " div (2 * SUM(class_size))"
+        )
+        .cast("long")
+        .alias("risk_ppm"),
+        F.min("l").alias("min_l"),
+        F.max("l").alias("max_l"),
+    )

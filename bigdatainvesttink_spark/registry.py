@@ -187,6 +187,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "dmm_av_sync_audit", "d7_perplexity_filter_sweep",
     "rel_wilson_ci", "d6_markov_entropy_rate",
     "d3_pq_distortion", "d1_linkage_accuracy_eval",
+    "d1_ldiversity_audit", "fmt_csv_malformed_modes",
 )
 
 

@@ -131,3 +131,101 @@ def fmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{tmp}/ds/v=2")
     evolved = spark.read.option("mergeSchema", True).parquet(f"{tmp}/ds")
     return evolved.groupBy("sector").agg(F.count("*").alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# CSV malformed-record modes — the reader-semantics contract a lake
+# ingests text with: the same deterministically corrupted file (5 short
+# rows, 5 type-bad rows injected among 50 clean ones) read under
+# PERMISSIVE (every line lands, corruption captured in
+# _corrupt_record) and DROPMALFORMED (bad lines vanish silently). The
+# oracle prices the expected counts from the clean dimension, so what's
+# verified is Spark's mode semantics themselves — the 100 TB relevance
+# is that mode choice changes ROW COUNTS, which silently poisons
+# downstream joins if unaudited (FAILFAST's throw is pytest-asserted,
+# a count query can't express it).
+@query(
+    "fmt_csv_malformed_modes",
+    oracle=oracle_on_domain(
+        """
+        , m AS (
+            SELECT COUNT(*) AS n_good,
+                   SUM(CASE WHEN CAST(substr(company_id, 5, 2) AS BIGINT)
+                                 % 10 = 0 THEN 1 ELSE 0 END) AS n_short,
+                   SUM(CASE WHEN CAST(substr(company_id, 5, 2) AS BIGINT)
+                                 % 10 = 5 THEN 1 ELSE 0 END) AS n_typebad
+            FROM companies
+        )
+        SELECT 'permissive' AS mode,
+               CAST(n_good + n_short + n_typebad AS BIGINT) AS n_rows_read,
+               CAST(n_good AS BIGINT) AS n_clean,
+               CAST(n_short + n_typebad AS BIGINT) AS n_corrupt
+        FROM m
+        UNION ALL
+        SELECT 'dropmalformed', CAST(n_good AS BIGINT),
+               CAST(n_good AS BIGINT), CAST(0 AS BIGINT)
+        FROM m
+        """
+    ),
+)
+def fmt_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    companies = domain_table(spark, sf_dir, "companies")
+    rank = F.substring("company_id", 5, 2).cast("long")
+    good = companies.select(
+        F.concat_ws(
+            ",", "company_id", "name", "ticker", "sector", rank
+        ).alias("value")
+    )
+    short_bad = companies.filter(rank % 10 == 0).select(
+        F.concat_ws(",", "company_id", F.lit("onlytwo")).alias("value")
+    )
+    type_bad = companies.filter(rank % 10 == 5).select(
+        F.concat_ws(
+            ",", "company_id", "name", "ticker", "sector", F.lit("notanint")
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="fmt_malformed_")
+    good.unionAll(short_bad).unionAll(type_bad).write.mode(
+        "overwrite"
+    ).text(f"{tmp}/csv")
+    schema = (
+        "company_id string, name string, ticker string, sector string,"
+        " rank int, _corrupt_record string"
+    )
+    # Spark refuses queries that reference ONLY the corrupt column of a
+    # lazily-parsed CSV (SQLSTATE 0A000); cache() materializes the full
+    # parse first, per the error message's own guidance.
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{tmp}/csv")
+        .cache()
+    )
+    p_row = permissive.agg(
+        F.count("*").cast("long").alias("n_rows_read"),
+        F.count_if(F.col("_corrupt_record").isNull())
+        .cast("long")
+        .alias("n_clean"),
+        F.count_if(F.col("_corrupt_record").isNotNull())
+        .cast("long")
+        .alias("n_corrupt"),
+    ).select(F.lit("permissive").alias("mode"), "*")
+    dropped = (
+        spark.read.schema(
+            "company_id string, name string, ticker string, sector string,"
+            " rank int"
+        )
+        .option("mode", "DROPMALFORMED")
+        .csv(f"{tmp}/csv")
+        # count(*) alone takes a no-parse fast path that never evaluates
+        # the malformed-row drops; cache() forces the full parse so the
+        # mode's row-count semantics are what's actually measured.
+        .cache()
+    )
+    d_row = dropped.agg(
+        F.count("*").cast("long").alias("n_rows_read"),
+        F.count("*").cast("long").alias("n_clean"),
+        F.lit(0).cast("long").alias("n_corrupt"),
+    ).select(F.lit("dropmalformed").alias("mode"), "*")
+    return p_row.unionAll(d_row)

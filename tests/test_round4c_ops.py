@@ -328,3 +328,48 @@ def test_linkage_eval_threshold_monotonicity(spark):
     assert rows[0]["tp"] > 0
     # the length-bucket blocker caps recall below 1 on mutated pairs
     assert rows[12]["recall_u"] < 10**6
+
+
+def test_ldiversity_vs_kanonymity(spark):
+    ld = {r["event_type"]: r for r in _q("d1_ldiversity_audit", spark).collect()}
+    ka = {r["event_type"]: r for r in _q("d1_kanonymity_audit", spark).collect()}
+    assert set(ld) == set(ka)
+    for t, r in ld.items():
+        # same QI classes as the k-anonymity audit
+        assert r["n_classes"] == ka[t]["n_classes"]
+        assert r["n_rows"] == ka[t]["n_rows"]
+        assert 1 <= r["min_l"] <= r["max_l"]
+        # l (distinct users) can't exceed class size
+        assert r["max_l"] <= ka[t]["max_class"]
+        assert 0 <= r["n_low_diversity"] <= r["n_classes"]
+        assert 0 <= r["rows_at_risk"] <= r["n_rows"]
+        # a class smaller than l=3 rows is automatically low-diversity,
+        # so l-diversity flags at least the sub-3 k-anonymity classes
+        assert r["risk_ppm"] >= 0
+
+
+def test_csv_malformed_modes_and_failfast(spark, tmp_path):
+    rows = {r["mode"]: r for r in _q("fmt_csv_malformed_modes", spark).collect()}
+    assert set(rows) == {"permissive", "dropmalformed"}
+    p, d = rows["permissive"], rows["dropmalformed"]
+    # permissive keeps every line; dropmalformed silently loses the bad ones
+    assert p["n_rows_read"] == p["n_clean"] + p["n_corrupt"]
+    assert p["n_corrupt"] > 0
+    assert d["n_rows_read"] == d["n_clean"] == p["n_clean"]
+    assert d["n_corrupt"] == 0
+
+    # FAILFAST: the third mode can't be a row count — it must throw
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,1\nb,notanint\n")
+    ff = (
+        spark.read.schema("k string, v int")
+        .option("mode", "FAILFAST")
+        .csv(str(bad))
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        # count() takes the no-parse fast path; collect() forces the int
+        # conversion that trips FAILFAST
+        ff.collect()

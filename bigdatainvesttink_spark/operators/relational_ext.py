@@ -2059,3 +2059,55 @@ def rel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (1 + 3.8416 / n), 6)"
         ).alias("wilson_hi"),
     )
+
+# --------------------------------------------------------------------------
+# Join-strategy equivalence audit — the same customer⋈orders aggregate
+# executed under three forced physical strategies (BROADCAST hash,
+# sort-MERGE, SHUFFLE_HASH): results must be identical while the plans
+# differ (the plan test asserts all three operators actually appear —
+# hints that silently no-op are the failure mode this guards). This is
+# the regression harness for Spark-version upgrades and the template
+# for pinning a strategy when AQE's choice is wrong at 100 TB (e.g.
+# forcing SHUFFLE_HASH when the build side fits executor memory but
+# exceeds the broadcast threshold; sort-merge's sort dominates).
+_JOIN_AUDIT_AGG = """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice, 6) AS DECIMAL(27,6)))
+                AS DOUBLE) AS total_value
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query(
+    "rel_join_strategy_audit",
+    oracle=f"""
+        WITH base AS ({_JOIN_AUDIT_AGG})
+        SELECT 'broadcast' AS strategy, * FROM base
+        UNION ALL SELECT 'merge', * FROM base
+        UNION ALL SELECT 'shuffle_hash', * FROM base
+    """,
+)
+def rel_join_strategy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def arm(hint: str, label: str) -> DataFrame:
+        joined = orders.join(
+            customer.hint(hint), orders["o_custkey"] == customer["c_custkey"]
+        )
+        return joined.groupBy(
+            F.col("c_mktsegment").alias("segment")
+        ).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round("o_totalprice", 6).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+        ).select(F.lit(label).alias("strategy"), "*")
+
+    return (
+        arm("broadcast", "broadcast")
+        .unionAll(arm("merge", "merge"))
+        .unionAll(arm("shuffle_hash", "shuffle_hash"))
+    )

@@ -2838,3 +2838,98 @@ def d3_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_qerr"),
         (total / F.count("*")).alias("mean_qerr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding health report — the vector-ingest QA gate: a batch arriving
+# from an embedder is audited per label for dimension violations, zero
+# vectors, and norm drift BEFORE it reaches the index builders (the
+# fixture corpus is pre-normalized, so the audit seeds deterministic
+# pathologies the way CORPUS_SQL seeds duplicates: 3x-scaled copies at
+# +100k, zeroed at +200k, 32-dim truncations at +300k). One corpus
+# scan, all math in per-row HOFs, one grid-sized groupBy(label); norm
+# means round6 each term then decimal-sum. At 100 TB this is the cheap
+# pass that catches a half-deployed embedder revision (bimodal norms)
+# before ANN recall mysteriously halves.
+@query(
+    "d3_embedding_health",
+    oracle="""
+        WITH batch AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, label,
+                   [x * 3.0 FOR x IN CAST(embedding AS DOUBLE[])]
+            FROM embeddings WHERE vec_id % 17 = 0
+            UNION ALL
+            SELECT vec_id + 200000, label,
+                   [x * 0.0 FOR x IN CAST(embedding AS DOUBLE[])]
+            FROM embeddings WHERE vec_id % 23 = 0
+            UNION ALL
+            SELECT vec_id + 300000, label,
+                   CAST(embedding AS DOUBLE[])[1:32]
+            FROM embeddings WHERE vec_id % 29 = 0
+        ),
+        v AS (
+            SELECT label, len(e) AS dim,
+                   sqrt(list_dot_product(e, e)) AS norm
+            FROM batch
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) FILTER (WHERE dim <> 64) AS BIGINT)
+                   AS n_bad_dim,
+               CAST(COUNT(*) FILTER (WHERE norm = 0) AS BIGINT) AS n_zero,
+               CAST(COUNT(*) FILTER (WHERE norm > 1.5) AS BIGINT)
+                   AS n_outsized,
+               CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_norm,
+               ROUND(MIN(norm), 6) AS min_norm,
+               ROUND(MAX(norm), 6) AS max_norm
+        FROM v GROUP BY label
+    """,
+)
+def d3_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", as_double.alias("e"))
+
+    def seeded(offset: int, mod: int, xform) -> DataFrame:
+        return e.filter(F.col("vec_id") % mod == 0).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            "label",
+            xform.alias("e"),
+        )
+
+    batch = (
+        base.unionAll(
+            seeded(100000, 17, F.transform("embedding",
+                                           lambda x: x.cast("double") * 3.0))
+        )
+        .unionAll(
+            seeded(200000, 23, F.transform("embedding",
+                                           lambda x: x.cast("double") * 0.0))
+        )
+        .unionAll(
+            seeded(300000, 29,
+                   F.slice(F.transform("embedding",
+                                       lambda x: x.cast("double")), 1, 32))
+        )
+    )
+    v = batch.select(
+        "label",
+        F.size("e").alias("dim"),
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("norm"),
+    )
+    return v.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.count_if(F.col("dim") != 64).cast("long").alias("n_bad_dim"),
+        F.count_if(F.col("norm") == 0).cast("long").alias("n_zero"),
+        F.count_if(F.col("norm") > 1.5).cast("long").alias("n_outsized"),
+        (
+            F.sum(F.round("norm", 6).cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )

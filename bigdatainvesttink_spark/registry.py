@@ -188,6 +188,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "rel_wilson_ci", "d6_markov_entropy_rate",
     "d3_pq_distortion", "d1_linkage_accuracy_eval",
     "d1_ldiversity_audit", "fmt_csv_malformed_modes",
+    "d3_embedding_health", "rel_join_strategy_audit",
 )
 
 

@@ -373,3 +373,39 @@ def test_csv_malformed_modes_and_failfast(spark, tmp_path):
         # count() takes the no-parse fast path; collect() forces the int
         # conversion that trips FAILFAST
         ff.collect()
+
+
+def test_embedding_health_flags_seeded_pathologies(spark):
+    rows = _q("d3_embedding_health", spark).collect()
+    assert rows
+    tot = {k: sum(r[k] for r in rows)
+           for k in ("n_vectors", "n_bad_dim", "n_zero", "n_outsized")}
+    # the seeded corruption classes are all present and disjoint
+    assert tot["n_bad_dim"] > 0 and tot["n_zero"] > 0 and tot["n_outsized"] > 0
+    assert tot["n_bad_dim"] + tot["n_zero"] + tot["n_outsized"] < tot["n_vectors"]
+    for r in rows:
+        assert 0 < r["min_norm"] or r["n_zero"] > 0
+        assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"] + 1e-9
+        # scaled copies triple the unit norm exactly
+        if r["n_outsized"] > 0:
+            assert r["max_norm"] == 3.0
+
+
+def test_join_strategy_arms_agree_and_plans_differ(spark):
+    from bigdatainvesttink_spark.plans.audit import plan_text
+
+    df = _q("rel_join_strategy_audit", spark)
+    rows = df.collect()
+    by_arm = {}
+    for r in rows:
+        by_arm.setdefault(r["strategy"], set()).add(
+            (r["segment"], r["n_orders"], r["total_value"])
+        )
+    assert set(by_arm) == {"broadcast", "merge", "shuffle_hash"}
+    # identical results under every forced strategy
+    assert by_arm["broadcast"] == by_arm["merge"] == by_arm["shuffle_hash"]
+    # and the hints actually changed the physical plan
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" in text
+    assert "ShuffledHashJoin" in text

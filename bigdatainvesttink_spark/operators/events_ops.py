@@ -3107,3 +3107,122 @@ def d6_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D6: weekly growth accounting — the canonical startup-metrics state
+# machine over ENGAGED users (>= 2 purchases in the epoch week, the
+# threshold that makes states non-trivial on this dense fixture): each
+# engaged user-week is new (first engaged week), retained (engaged the
+# week before too) or resurrected (a gap behind them); churned counts
+# users engaged in w-1 who lapsed in w. Quick ratio (new+resurrected)/
+# churned is the one number growth teams track; -1 where churn is zero.
+# Scale shape: one distinct-engagement aggregate, then self-equi-joins
+# on (user, week+-1) — co-partitioned single-shuffle algebra, no
+# windows over the raw stream; complements d6_retention_cohorts (fixed
+# cohort curves) and d6_new_vs_returning (daily binary split).
+GROWTH_MIN_PURCHASES = 2
+
+
+@query(
+    "d6_growth_accounting",
+    oracle=f"""
+        WITH aw AS (
+            SELECT user_id, epoch_us(ts) // 604800000000 AS w
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2 HAVING COUNT(*) >= {GROWTH_MIN_PURCHASES}
+        ),
+        fw AS (SELECT user_id, MIN(w) AS first_w FROM aw GROUP BY user_id),
+        states AS (
+            SELECT a.w, a.user_id,
+                   CASE WHEN a.w = f.first_w THEN 'new'
+                        WHEN p.user_id IS NOT NULL THEN 'retained'
+                        ELSE 'resurrected' END AS state
+            FROM aw a JOIN fw f USING (user_id)
+            LEFT JOIN aw p ON p.user_id = a.user_id AND p.w = a.w - 1
+        ),
+        churn AS (
+            SELECT a.w + 1 AS w, COUNT(*) AS n_churned
+            FROM aw a LEFT JOIN aw n ON n.user_id = a.user_id
+                                    AND n.w = a.w + 1
+            WHERE n.user_id IS NULL
+            GROUP BY a.w + 1
+        )
+        SELECT s.w AS week_idx,
+               CAST(COUNT(*) FILTER (WHERE state = 'new') AS BIGINT)
+                   AS n_new,
+               CAST(COUNT(*) FILTER (WHERE state = 'retained') AS BIGINT)
+                   AS n_retained,
+               CAST(COUNT(*) FILTER (WHERE state = 'resurrected')
+                    AS BIGINT) AS n_resurrected,
+               CAST(COALESCE(MAX(c.n_churned), 0) AS BIGINT) AS n_churned,
+               CASE WHEN COALESCE(MAX(c.n_churned), 0) = 0 THEN -1
+                    ELSE CAST((COUNT(*) FILTER (WHERE state = 'new')
+                               + COUNT(*) FILTER (WHERE state =
+                                                  'resurrected'))
+                              * 1000000 // MAX(c.n_churned) AS BIGINT)
+               END AS quick_ratio_u
+        FROM states s LEFT JOIN churn c ON c.w = s.w
+        GROUP BY s.w
+    """,
+)
+def d6_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    aw = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+            ).alias("w"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= GROWTH_MIN_PURCHASES)
+        .select("user_id", "w")
+    )
+    fw = aw.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    prev = aw.select("user_id", (F.col("w") + 1).alias("w"),
+                     F.lit(1).alias("had_prev"))
+    states = (
+        aw.join(fw, "user_id")
+        .join(prev, ["user_id", "w"], "left")
+        .select(
+            "w",
+            F.when(F.col("w") == F.col("first_w"), "new")
+            .when(F.col("had_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    nxt = aw.select("user_id", (F.col("w") - 1).alias("w"),
+                    F.lit(1).alias("has_next"))
+    churn = (
+        aw.join(nxt, ["user_id", "w"], "left")
+        .filter(F.col("has_next").isNull())
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    weekly = states.groupBy(F.col("w").alias("week_idx")).agg(
+        F.count_if(F.col("state") == "new").cast("long").alias("n_new"),
+        F.count_if(F.col("state") == "retained")
+        .cast("long")
+        .alias("n_retained"),
+        F.count_if(F.col("state") == "resurrected")
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    out = weekly.join(
+        churn.withColumnRenamed("w", "week_idx"), "week_idx", "left"
+    ).select(
+        "week_idx",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )
+    return out.withColumn(
+        "quick_ratio_u",
+        F.when(F.col("n_churned") == 0, F.lit(-1).cast("long")).otherwise(
+            F.expr("(n_new + n_resurrected) * 1000000 div n_churned")
+        ),
+    )

@@ -2150,3 +2150,136 @@ def d4_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_u"),
         )
     )
+
+# --------------------------------------------------------------------------
+# D4: Jensen-Shannon content drift — per source, JSD(source unigram
+# dist || corpus dist) over the corpus top-200 vocabulary plus one OOV
+# bucket (so both distributions sum to 1 and the grid stays bounded):
+# the CONTENT companion to d4_ks_length_drift's length-only test, and
+# the number a mixing run monitors to catch a feed whose topic mix
+# shifted. Scale shape: one token-count shuffle, a vocabulary-sized
+# ranking, then all JSD math on the sources x (200+1) probability grid
+# — the corpus is touched once. p/q are doubles from identical integer
+# counts; per-cell terms round6 then decimal-sum; JSD <= ln(2) by
+# construction (pytest-asserted).
+JSD_VOCAB = 200
+
+
+@query(
+    "d4_js_divergence",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS t
+            FROM documents WHERE text <> ''
+        ),
+        sc AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t, SUM(c) AS c FROM sc GROUP BY t),
+        vocab AS (
+            SELECT t FROM (
+                SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rn
+                FROM cc
+            ) WHERE rn <= {JSD_VOCAB}
+        ),
+        stot AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+        ctot AS (SELECT SUM(c) AS n FROM cc),
+        sv AS (
+            SELECT s.source, v.t, COALESCE(sc.c, 0) AS c
+            FROM (SELECT DISTINCT source FROM sc) s
+            CROSS JOIN vocab v
+            LEFT JOIN sc ON sc.source = s.source AND sc.t = v.t
+            UNION ALL
+            SELECT st.source, '<oov>', st.n - COALESCE(SUM(sc.c), 0)
+            FROM stot st
+            LEFT JOIN (sc JOIN vocab USING (t)) sc
+              ON sc.source = st.source
+            GROUP BY st.source, st.n
+        ),
+        cv AS (
+            SELECT v.t, cc.c FROM vocab v JOIN cc USING (t)
+            UNION ALL
+            SELECT '<oov>', (SELECT n FROM ctot)
+                  - (SELECT SUM(cc.c) FROM cc JOIN vocab USING (t))
+        ),
+        terms AS (
+            SELECT sv.source,
+                   CAST(sv.c AS DOUBLE) / st.n AS p,
+                   CAST(cv.c AS DOUBLE) / (SELECT n FROM ctot) AS q
+            FROM sv JOIN cv USING (t) JOIN stot st
+              ON st.source = sv.source
+        )
+        SELECT source,
+               CAST(SUM(CAST(ROUND(
+                   CASE WHEN p > 0
+                        THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+                 + CASE WHEN q > 0
+                        THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END,
+                   6) AS DECIMAL(27,6))) AS DOUBLE) AS jsd_nats
+        FROM terms GROUP BY source
+    """,
+)
+def d4_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text") != "")
+    tok = d.select("source", F.explode(tokenize("text")).alias("t"))
+    sc = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    cc = sc.groupBy("t").agg(F.sum("c").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    vocab = (
+        cc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= JSD_VOCAB)
+        .select("t")
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    ctot = cc.agg(F.sum("c").alias("cn"))
+    sources = sc.select("source").distinct()
+    in_vocab = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "t"], "left")
+        .select("source", "t", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    oov = (
+        stot.join(
+            sc.join(F.broadcast(vocab), "t")
+            .groupBy("source")
+            .agg(F.sum("c").alias("iv")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.lit("<oov>").alias("t"),
+            (F.col("n") - F.coalesce("iv", F.lit(0))).alias("c"),
+        )
+    )
+    sv = in_vocab.unionAll(oov)
+    cv_in = vocab.join(cc, "t").select("t", "c")
+    cv_oov = (
+        ctot.crossJoin(
+            cc.join(F.broadcast(vocab), "t").agg(F.sum("c").alias("iv"))
+        )
+        .select(
+            F.lit("<oov>").alias("t"), (F.col("cn") - F.col("iv")).alias("c")
+        )
+    )
+    cv = cv_in.unionAll(cv_oov).withColumnRenamed("c", "qc")
+    terms = (
+        sv.join(F.broadcast(cv), "t")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("n")).alias("p"),
+            (F.col("qc").cast("double") / F.col("cn")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.round(
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return terms.groupBy("source").agg(
+        F.sum(term.cast("decimal(27,6)")).cast("double").alias("jsd_nats")
+    )

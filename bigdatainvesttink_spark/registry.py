@@ -189,6 +189,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d3_pq_distortion", "d1_linkage_accuracy_eval",
     "d1_ldiversity_audit", "fmt_csv_malformed_modes",
     "d3_embedding_health", "rel_join_strategy_audit",
+    "d6_growth_accounting", "d4_js_divergence",
 )
 
 

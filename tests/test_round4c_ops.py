@@ -409,3 +409,44 @@ def test_join_strategy_arms_agree_and_plans_differ(spark):
     assert "BroadcastHashJoin" in text
     assert "SortMergeJoin" in text
     assert "ShuffledHashJoin" in text
+
+
+def test_growth_accounting_conservation(spark):
+    rows = sorted(
+        _q("d6_growth_accounting", spark).collect(),
+        key=lambda r: r["week_idx"],
+    )
+    assert rows
+    # week 1: everyone engaged is new, nobody can be churned
+    first = rows[0]
+    assert first["n_retained"] == 0 and first["n_resurrected"] == 0
+    assert first["n_churned"] == 0
+    active = {}
+    for r in rows:
+        a = r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        assert a > 0
+        active[r["week_idx"]] = a
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["week_idx"] == prev["week_idx"] + 1:
+            # conservation: prior actives either retain or churn
+            assert (
+                cur["n_retained"] + cur["n_churned"]
+                == active[prev["week_idx"]]
+            )
+            if cur["n_churned"] > 0:
+                assert cur["quick_ratio_u"] == (
+                    (cur["n_new"] + cur["n_resurrected"]) * 10**6
+                    // cur["n_churned"]
+                )
+
+
+def test_jsd_bounds(spark):
+    import math
+
+    rows = _q("d4_js_divergence", spark).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # JSD in nats is bounded by ln 2
+        assert 0.0 <= r["jsd_nats"] <= math.log(2) + 1e-6
+    # sources differ: at least two distinct drift values
+    assert len({r["jsd_nats"] for r in rows}) >= 2

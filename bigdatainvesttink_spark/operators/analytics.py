@@ -4124,3 +4124,96 @@ def b53_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_if(improved).cast("long").alias("n_improved"),
     )
+
+# --------------------------------------------------------------------------
+# B54: order-flow imbalance price impact (Cont-Kukanov-Stoikov) — the
+# level-1 BOOK counterpart of b20's trade-based Kyle lambda: between
+# consecutive snapshots, OFI adds bid-side arrivals and subtracts
+# ask-side arrivals (integer volumes, exact), and the per-instrument
+# impact coefficient is the OLS slope of mid-price change on OFI.
+# The snapshot order is totalized by (ts, volumes) — rows tied on the
+# full tuple are identical, and identical neighbours contribute OFI=0 /
+# dmid=0, so the slope is order-insensitive by construction. One
+# company shuffle for the lag window, then a per-instrument covar/var
+# on the snapshot grid; quotient round6 (b20 precedent).
+@query(
+    "b54_ofi_impact",
+    oracle=oracle_on_domain(
+        """
+        , lagged AS (
+            SELECT company_id,
+                   bid_price, bid_volume, ask_price, ask_volume,
+                   LAG(bid_price) OVER w AS pb,
+                   LAG(bid_volume) OVER w AS pbv,
+                   LAG(ask_price) OVER w AS pa,
+                   LAG(ask_volume) OVER w AS pav,
+                   (bid_price + ask_price) / 2.0
+                       - LAG((bid_price + ask_price) / 2.0) OVER w AS dmid
+            FROM order_book
+            WINDOW w AS (PARTITION BY company_id
+                         ORDER BY ts ASC, bid_volume ASC, ask_volume ASC)
+        ),
+        ofi AS (
+            SELECT company_id,
+                   CAST(CASE WHEN bid_price >= pb THEN bid_volume
+                             ELSE 0 END
+                      - CASE WHEN bid_price <= pb THEN pbv ELSE 0 END
+                      - CASE WHEN ask_price <= pa THEN ask_volume
+                             ELSE 0 END
+                      + CASE WHEN ask_price >= pa THEN pav ELSE 0 END
+                        AS DOUBLE) AS e,
+                   dmid
+            FROM lagged WHERE pb IS NOT NULL
+        )
+        SELECT company_id,
+               ROUND(COVAR_POP(e, dmid) / VAR_POP(e), 6) AS ofi_beta,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM ofi
+        GROUP BY company_id
+        HAVING VAR_POP(e) > 0 AND COUNT(*) >= 10
+        """
+    ),
+)
+def b54_ofi_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = domain_table(spark, sf_dir, "order_book")
+    w = Window.partitionBy("company_id").orderBy(
+        F.col("ts").asc(), F.col("bid_volume").asc(), F.col("ask_volume").asc()
+    )
+    mid = (F.col("bid_price") + F.col("ask_price")) / 2.0
+    lagged = ob.select(
+        "company_id",
+        "bid_price",
+        "bid_volume",
+        "ask_price",
+        "ask_volume",
+        F.lag("bid_price").over(w).alias("pb"),
+        F.lag("bid_volume").over(w).alias("pbv"),
+        F.lag("ask_price").over(w).alias("pa"),
+        F.lag("ask_volume").over(w).alias("pav"),
+        (mid - F.lag(mid).over(w)).alias("dmid"),
+    ).filter(F.col("pb").isNotNull())
+    e = (
+        F.when(F.col("bid_price") >= F.col("pb"), F.col("bid_volume"))
+        .otherwise(F.lit(0))
+        - F.when(F.col("bid_price") <= F.col("pb"), F.col("pbv")).otherwise(
+            F.lit(0)
+        )
+        - F.when(F.col("ask_price") <= F.col("pa"), F.col("ask_volume"))
+        .otherwise(F.lit(0))
+        + F.when(F.col("ask_price") >= F.col("pa"), F.col("pav")).otherwise(
+            F.lit(0)
+        )
+    ).cast("double")
+    ofi = lagged.select("company_id", e.alias("e"), "dmid")
+    return (
+        ofi.groupBy("company_id")
+        .agg(
+            F.round(F.covar_pop("e", "dmid") / F.var_pop("e"), 6).alias(
+                "ofi_beta"
+            ),
+            F.count("*").cast("long").alias("n_obs"),
+            F.var_pop("e").alias("__v"),
+        )
+        .filter((F.col("__v") > 0) & (F.col("n_obs") >= 10))
+        .drop("__v")
+    )

@@ -3226,3 +3226,74 @@ def d6_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_new + n_resurrected) * 1000000 div n_churned")
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D5: JSON array extraction — the d5 family's nested-collection arm:
+# a wire document with a scalar, a VARIABLE-LENGTH array, and a nested
+# string field is built by dialect-portable string concatenation
+# (integers and fixed strings only — no float repr risk), then each
+# engine parses it with its own native JSON machinery (Spark
+# get_json_object/json_array_length vs DuckDB json_extract/->>) and
+# must agree on every extracted value. This is the schema-on-read path
+# an event lake runs constantly; shuffle-free until the grid-sized
+# groupBy(src). Mean array length rides the exact integer 6dp path.
+@query(
+    "d5_json_array_stats",
+    oracle="""
+        WITH wire AS (
+            SELECT '{"k": ' || CAST(json_extract(props, '$.k') AS VARCHAR)
+                   || ', "tags": ' ||
+                   CASE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+                        WHEN 0 THEN '["alpha"]'
+                        WHEN 1 THEN '["alpha","beta"]'
+                        ELSE '["alpha","beta","gamma"]' END
+                   || ', "src": "s' || CAST(user_id % 5 AS VARCHAR) || '"}'
+                       AS j
+            FROM events
+        )
+        SELECT j ->> '$.src' AS src,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(j, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k,
+               CAST(SUM(json_array_length(j, '$.tags')) AS BIGINT)
+                   AS sum_tags,
+               CAST(SUM(json_array_length(j, '$.tags')) * 1000000
+                    // COUNT(*) AS BIGINT) AS mean_tags_u
+        FROM wire GROUP BY 1
+    """,
+)
+def d5_json_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    tags = (
+        F.when(k % 3 == 0, '["alpha"]')
+        .when(k % 3 == 1, '["alpha","beta"]')
+        .otherwise('["alpha","beta","gamma"]')
+    )
+    wire = e.select(
+        F.concat(
+            F.lit('{"k": '),
+            k.cast("string"),
+            F.lit(', "tags": '),
+            tags,
+            F.lit(', "src": "s'),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit('"}'),
+        ).alias("j")
+    )
+    parsed = wire.select(
+        F.get_json_object("j", "$.src").alias("src"),
+        F.get_json_object("j", "$.k").cast("long").alias("k"),
+        F.json_array_length(F.get_json_object("j", "$.tags")).alias(
+            "n_tags"
+        ),
+    )
+    return parsed.groupBy("src").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("n_tags").cast("long").alias("sum_tags"),
+        F.expr("SUM(n_tags) * 1000000 div COUNT(*)")
+        .cast("long")
+        .alias("mean_tags_u"),
+    )

@@ -190,6 +190,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d1_ldiversity_audit", "fmt_csv_malformed_modes",
     "d3_embedding_health", "rel_join_strategy_audit",
     "d6_growth_accounting", "d4_js_divergence",
+    "b54_ofi_impact", "d5_json_array_stats",
 )
 
 

@@ -450,3 +450,28 @@ def test_jsd_bounds(spark):
         assert 0.0 <= r["jsd_nats"] <= math.log(2) + 1e-6
     # sources differ: at least two distinct drift values
     assert len({r["jsd_nats"] for r in rows}) >= 2
+
+
+def test_ofi_impact_regime(spark):
+    rows = _q("b54_ofi_impact", spark).collect()
+    assert rows
+    for r in rows:
+        assert r["n_obs"] >= 10
+        assert r["ofi_beta"] is not None
+    # companies differ: the regression produces a spread of betas
+    assert len({r["ofi_beta"] for r in rows}) >= 2
+
+
+def test_json_array_stats_partition(spark):
+    rows = _q("d5_json_array_stats", spark).collect()
+    assert {r["src"] for r in rows} == {f"s{i}" for i in range(5)}
+    for r in rows:
+        # tags arrays have 1..3 entries
+        assert r["n"] <= r["sum_tags"] <= 3 * r["n"]
+        assert r["mean_tags_u"] == r["sum_tags"] * 10**6 // r["n"]
+        assert r["sum_k"] > 0
+    # the five sources partition the event stream exactly
+    from bigdatainvesttink_spark.io import load_table
+
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n"] for r in rows) == total

@@ -4217,3 +4217,55 @@ def b54_ofi_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__v") > 0) & (F.col("n_obs") >= 10))
         .drop("__v")
     )
+
+# --------------------------------------------------------------------------
+# B55: daily volume concentration — Herfindahl-Hirschman index and
+# top-1 share of traded volume across instruments per day: the market-
+# breadth monitor (HHI ~ 1/n = healthy breadth at n instruments; HHI
+# near 1e6 = one name is the whole tape — a halt or a data-feed fault).
+# Integer volumes -> per-instrument shares are identical IEEE doubles,
+# floor-quantized at 6dp then exactly summed (the Markov-grid
+# discipline); two grid-sized aggregates, one broadcast-back join.
+@query(
+    "b55_volume_concentration",
+    oracle=oracle_on_domain(
+        """
+        , dv AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, company_id,
+                   CAST(SUM(volume) AS BIGINT) AS v
+            FROM trades GROUP BY 1, 2
+        ),
+        tot AS (SELECT d, SUM(v) AS tv, COUNT(*) AS nc FROM dv GROUP BY d)
+        SELECT dv.d AS day,
+               CAST(MAX(t.nc) AS BIGINT) AS n_instruments,
+               CAST(MAX(t.tv) AS BIGINT) AS total_volume,
+               CAST(SUM(CAST(floor((CAST(dv.v AS DOUBLE) / t.tv)
+                                   * (CAST(dv.v AS DOUBLE) / t.tv)
+                                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS hhi_u,
+               CAST(MAX(dv.v) * 1000000 // MAX(t.tv) AS BIGINT)
+                   AS top1_share_u
+        FROM dv JOIN tot t ON t.d = dv.d
+        GROUP BY dv.d
+        """
+    ),
+)
+def b55_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_table(spark, sf_dir, "trades")
+    dv = t.groupBy(
+        F.to_date("ts").alias("d"), "company_id"
+    ).agg(F.sum("volume").cast("long").alias("v"))
+    tot = dv.groupBy("d").agg(
+        F.sum("v").alias("tv"), F.count("*").alias("nc")
+    )
+    j = dv.join(F.broadcast(tot), "d")
+    share = F.col("v").cast("double") / F.col("tv")
+    term = F.floor(share * share * 1_000_000 + F.lit(0.5)).cast("long")
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.max("nc").cast("long").alias("n_instruments"),
+        F.max("tv").cast("long").alias("total_volume"),
+        F.sum(term).cast("long").alias("hhi_u"),
+        F.expr("MAX(v) * 1000000 div MAX(tv)")
+        .cast("long")
+        .alias("top1_share_u"),
+    )

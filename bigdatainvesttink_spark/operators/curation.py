@@ -3330,3 +3330,103 @@ def d7_perplexity_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_tokens_kept * 1000000 div nt").alias("tokens_share_u"),
         "mean_kept_lp",
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA partition — the quality score that tells you
+# whether d2_label_propagation's communities are real structure or
+# noise: Q = sum_c (e_c/m - (deg_c/2m)^2), composed directly from the
+# registered LPA result and the shared LCG edge set (oracle embeds the
+# LPA SQL as a CTE so label drift is impossible). Q > 0 means denser-
+# than-random communities; the per-community terms are identical IEEE
+# doubles from identical integers, floor-quantized at 6dp before the
+# exact integer sum — the same discipline as the Markov grids. One
+# label join onto the edge list (two 8-byte-key shuffles), grid-sized
+# everything else.
+@query(
+    "d2_lpa_modularity",
+    oracle=f"""
+        WITH labels AS ({_label_prop_oracle()}),
+        nodes2 AS (SELECT DISTINCT user_id AS u FROM events),
+        nn2 AS (SELECT COUNT(*) AS n FROM nodes2),
+        raw2 AS (
+            SELECT u, (u * 48271 + k * 7919) % nn2.n AS v
+            FROM nodes2, nn2, (VALUES (1), (2), (3)) AS ks(k)
+        ),
+        edges2 AS (
+            SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw2 WHERE u <> v
+        ),
+        m AS (SELECT COUNT(*) AS m FROM edges2),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM edges2 UNION ALL SELECT b FROM edges2
+            ) GROUP BY node
+        ),
+        intra AS (
+            SELECT la.community AS c, COUNT(*) AS e_c
+            FROM edges2 e
+            JOIN labels la ON la.user_id = e.a
+            JOIN labels lb ON lb.user_id = e.b
+            WHERE la.community = lb.community
+            GROUP BY la.community
+        ),
+        cdeg AS (
+            SELECT l.community AS c, SUM(d.d) AS deg_c
+            FROM labels l JOIN deg d ON d.node = l.user_id
+            GROUP BY l.community
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+               CAST(SUM(COALESCE(i.e_c, 0)) AS BIGINT) AS intra_edges,
+               CAST(SUM(CAST(floor(
+                   (CAST(COALESCE(i.e_c, 0) AS DOUBLE) / (SELECT m FROM m)
+                    - (CAST(cd.deg_c AS DOUBLE)
+                       / (2 * (SELECT m FROM m)))
+                      * (CAST(cd.deg_c AS DOUBLE)
+                         / (2 * (SELECT m FROM m))))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS modularity_u
+        FROM cdeg cd LEFT JOIN intra i ON i.c = cd.c
+    """,
+)
+def d2_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = d2_label_propagation(spark, sf_dir).select(
+        "user_id", "community"
+    )
+    edges = _lcg_undirected_edges(spark, sf_dir)
+    m = edges.agg(F.count("*").alias("m"))
+    deg = _node_degrees(edges)
+    la = labels.withColumnRenamed("user_id", "a").withColumnRenamed(
+        "community", "ca"
+    )
+    lb = labels.withColumnRenamed("user_id", "b").withColumnRenamed(
+        "community", "cb"
+    )
+    intra = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    cdeg = (
+        labels.join(deg, labels["user_id"] == deg["node"])
+        .groupBy(F.col("community").alias("c"))
+        .agg(F.sum("d").alias("deg_c"))
+    )
+    joined = cdeg.join(intra, "c", "left").crossJoin(F.broadcast(m))
+    term = F.floor(
+        (
+            F.coalesce("e_c", F.lit(0)).cast("double") / F.col("m")
+            - (F.col("deg_c").cast("double") / (2 * F.col("m")))
+            * (F.col("deg_c").cast("double") / (2 * F.col("m")))
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("n_edges"),
+        F.sum(F.coalesce("e_c", F.lit(0))).cast("long").alias("intra_edges"),
+        F.sum(term).cast("long").alias("modularity_u"),
+    )

@@ -191,6 +191,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d3_embedding_health", "rel_join_strategy_audit",
     "d6_growth_accounting", "d4_js_divergence",
     "b54_ofi_impact", "d5_json_array_stats",
+    "d2_lpa_modularity", "b55_volume_concentration",
 )
 
 

@@ -475,3 +475,35 @@ def test_json_array_stats_partition(spark):
 
     total = load_table(spark, SF_SMALL, "events").count()
     assert sum(r["n"] for r in rows) == total
+
+
+def test_lpa_modularity_consistency(spark):
+    row = _q("d2_lpa_modularity", spark).collect()[0]
+    labels = _q("d2_label_propagation", spark).collect()
+    n_comm = len({r["community"] for r in labels})
+    assert row["n_communities"] == n_comm
+    assert 0 <= row["intra_edges"] <= row["n_edges"]
+    # modularity lives in [-0.5, 1]
+    assert -500_000 <= row["modularity_u"] <= 1_000_000
+    if row["n_communities"] == 1:
+        # the tiny fixture's dense LCG graph collapses to one community:
+        # Q of the trivial partition is exactly e/m - 1 = 0
+        assert row["intra_edges"] == row["n_edges"]
+        assert row["modularity_u"] == 0
+    else:
+        # real partitions on the structured graph beat the trivial one
+        assert row["modularity_u"] > 0
+
+
+def test_volume_concentration_bounds(spark):
+    rows = _q("b55_volume_concentration", spark).collect()
+    assert rows
+    for r in rows:
+        n = r["n_instruments"]
+        # HHI bounds: 1/n (perfect breadth) <= HHI <= 1 (monopoly);
+        # quantization adds at most 0.5ppm per instrument
+        assert 10**6 // n - n <= r["hhi_u"] <= 10**6 + n
+        assert r["top1_share_u"] * n >= 10**6 - n  # top1 >= mean share
+        assert r["top1_share_u"] <= 10**6
+        # HHI can't exceed the top share (sum of squares <= max * sum)
+        assert r["hhi_u"] <= r["top1_share_u"] + n

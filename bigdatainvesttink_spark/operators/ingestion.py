@@ -401,3 +401,100 @@ def a_snapshot_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "company_id", F.col("ts").alias("worst_gap_at")
     )
     return agg.join(worst, "company_id")
+
+
+# --------------------------------------------------------------------------
+# Wire schema-drift tolerance — the forward-compatibility contract of
+# the ingest path: a producer that starts attaching an UNKNOWN field
+# (here ', "v2_extra": 1' spliced into every message whose company_id
+# ends in 7) must not break or drop anything: the consumer's superset
+# from_json simply ignores keys it doesn't know. The audit proves it by
+# counting, per table, total parsed-clean rows (must equal the
+# undrifted tape) and drifted messages (counted on the wire via
+# json_object_keys, BEFORE the schema discards the marker). Drift is
+# keyed on a parsed field so the DuckDB oracle prices the expected
+# counts from the domain tables without replicating JSON byte layouts.
+@query(
+    "a_wire_schema_drift",
+    oracle=oracle_on_domain(
+        """
+        SELECT 'candles' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE company_id LIKE '%7')
+                    AS BIGINT) AS n_drifted
+        FROM candles
+        UNION ALL
+        SELECT 'trades', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE company_id LIKE '%7') AS BIGINT)
+        FROM trades
+        UNION ALL
+        SELECT 'order_book', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE company_id LIKE '%7') AS BIGINT)
+        FROM order_book
+        UNION ALL
+        SELECT 'companies', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE company_id LIKE '%7') AS BIGINT)
+        FROM companies
+        """
+    ),
+)
+def a_wire_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import ingest
+
+    tables = ("candles", "trades", "order_book", "companies")
+    stream = _wire_stream(spark, sf_dir, tables)
+    drifted_wire = stream.select(
+        F.when(
+            F.get_json_object("value", "$.company_id").like("%7"),
+            F.regexp_replace("value", r"\}$", ', "v2_extra": 1}'),
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    drift_counts = {
+        row["t"]: row["n"]
+        for row in drifted_wire.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.coalesce(
+                                F.array_contains(
+                                    F.json_object_keys("value"),
+                                    F.lit(marker),
+                                ),
+                                F.lit(False),
+                            ).alias("hit"),
+                        )
+                        for t, marker in (
+                            ("candles", "open"),
+                            ("trades", "side"),
+                            ("order_book", "bid_price"),
+                            ("companies", "name"),
+                        )
+                    ]
+                )
+            ).alias("p")
+        )
+        .filter(
+            F.col("p.hit")
+            & F.array_contains(F.json_object_keys("value"), "v2_extra")
+        )
+        .groupBy(F.col("p.t").alias("t"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    clean = ingest(drifted_wire)
+    out = None
+    for t in tables:
+        part = clean[t].agg(
+            F.count("*").cast("long").alias("n_rows")
+        ).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            F.lit(int(drift_counts.get(t, 0))).cast("long").alias(
+                "n_drifted"
+            ),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

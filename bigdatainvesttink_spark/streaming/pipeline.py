@@ -1187,3 +1187,101 @@ def c_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming as-of enrichment via foreachBatch — Structured Streaming has
+# no native as-of join, but when the RIGHT side is static each row's
+# backward match depends only on that row plus the complete static book,
+# so the join is batch-decomposable: foreachBatch applies the BATCH
+# as_of_join operator (functions/asof.py, the b3 machinery) to every
+# micro-batch and appends to an exactly-once parquet sink. This is the
+# canonical reuse-the-batch-operator-in-streaming pattern; at 100 TB
+# the static side ships once per micro-batch plan and the stream never
+# waits for watermarks it doesn't need. Oracle: DuckDB ASOF LEFT JOIN
+# over the whole tape must equal the drained sink.
+@query(
+    "c_stream_asof_enrich",
+    oracle=oracle_on_domain(
+        """
+        , matched AS (
+            SELECT t.company_id, b.ts AS book_ts,
+                   epoch_us(t.ts) - epoch_us(b.ts) AS gap
+            FROM trades t
+            ASOF LEFT JOIN order_book b
+              ON t.company_id = b.company_id AND t.ts >= b.ts
+        )
+        SELECT company_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trades,
+               CAST(COUNT(book_ts) AS BIGINT) AS n_matched,
+               COALESCE(MAX(gap), -1) AS max_gap_us
+        FROM matched GROUP BY company_id
+        """
+    ),
+)
+def c_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..fixtures import domain_table
+    from ..functions import as_of_join
+
+    e = events_stream(spark, sf_dir)
+    trades = e.select(
+        F.expr("'FIGI' || lpad(CAST(user_id % 50 AS STRING), 2, '0')").alias(
+            "company_id"
+        ),
+        "ts",
+        (F.col("value") + 0.01).alias("price"),
+        F.col("event_id").alias("trade_id"),
+    )
+    book = domain_table(spark, sf_dir, "order_book").select(
+        "company_id", "ts", "bid_price", "ask_price"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_asof_")
+    out_dir, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+    def enrich_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        joined = as_of_join(
+            batch_df,
+            book,
+            on="company_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=[],
+            direction="backward",
+            matched_ts_col="book_ts",
+        )
+        joined.select(
+            "company_id",
+            "ts",
+            "book_ts",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("book_ts").cast("timestamp"))
+            ).alias("gap"),
+        ).write.mode("append").parquet(out_dir)
+
+    with _SHUFFLE_OVERRIDE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        try:
+            q = (
+                trades.writeStream.foreachBatch(enrich_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("company_id").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.count("book_ts").cast("long").alias("n_matched"),
+        F.coalesce(F.max("gap"), F.lit(-1)).cast("long").alias("max_gap_us"),
+    )

@@ -507,3 +507,47 @@ def test_volume_concentration_bounds(spark):
         assert r["top1_share_u"] <= 10**6
         # HHI can't exceed the top share (sum of squares <= max * sum)
         assert r["hhi_u"] <= r["top1_share_u"] + n
+
+
+def test_stream_asof_equals_batch_asof(spark):
+    from bigdatainvesttink_spark.fixtures import domain_table
+    from bigdatainvesttink_spark.functions import as_of_join
+    import pyspark.sql.functions as F
+
+    got = {r["company_id"]: r
+           for r in _q("c_stream_asof_enrich", spark).collect()}
+    # batch replica of the same enrichment
+    trades = domain_table(spark, SF_SMALL, "trades")
+    book = domain_table(spark, SF_SMALL, "order_book").select(
+        "company_id", "ts", "bid_price", "ask_price"
+    )
+    joined = as_of_join(
+        trades, book, on="company_id", left_ts="ts", right_ts="ts",
+        right_cols=[], direction="backward", matched_ts_col="book_ts",
+    )
+    want = {
+        r["company_id"]: r
+        for r in joined.groupBy("company_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.count("book_ts").cast("long").alias("n_matched"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for cid, g in got.items():
+        assert g["n_trades"] == want[cid]["n_trades"]
+        assert g["n_matched"] == want[cid]["n_matched"]
+        assert g["n_matched"] <= g["n_trades"]
+
+
+def test_wire_schema_drift_forward_compat(spark):
+    rows = {r["table_name"]: r for r in _q("a_wire_schema_drift", spark).collect()}
+    assert set(rows) == {"candles", "trades", "order_book", "companies"}
+    for t, r in rows.items():
+        # nothing dropped: every drifted message still parsed clean
+        assert r["n_rows"] > 0
+        assert 0 <= r["n_drifted"] <= r["n_rows"]
+    # the drift rule (company_id ending in 7) hits a strict subset
+    assert any(r["n_drifted"] > 0 for r in rows.values())
+    assert all(r["n_drifted"] < r["n_rows"] for r in rows.values())

@@ -3430,3 +3430,114 @@ def d2_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("e_c", F.lit(0))).cast("long").alias("intra_edges"),
         F.sum(term).cast("long").alias("modularity_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7: split balance audit — are train/val/test length-distributed
+# alike, or did the hash split land a biased eval set? Uses a widened
+# 80/10/10 residue split (the 98/1/1 production split leaves eval too
+# small to test at fixture scale — same widening rationale as
+# d7_split_leakage_scan) and prices each split's KS distance against
+# TRAIN on the bounded length grid (d4_ks_length_drift's dense-grid
+# algebra — exact integer ECDF ratios, identical doubles both engines).
+# A big ks_vs_train on val/test means length-correlated eval bias: the
+# gate a data lead checks before trusting a val-loss comparison.
+@query(
+    "d7_split_balance_audit",
+    oracle="""
+        WITH assigned AS (
+            SELECT n_chars AS val,
+                   CASE WHEN r < 80 THEN 'train'
+                        WHEN r < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (
+                SELECT n_chars,
+                       CAST(CAST('0x' || substr(md5(doc_id || '|' || text),
+                                                1, 15)
+                            AS UBIGINT) AS BIGINT) % 100 AS r
+                FROM documents WHERE text <> ''
+            )
+        ),
+        counts AS (
+            SELECT split, val, COUNT(*) AS c FROM assigned GROUP BY 1, 2
+        ),
+        sz AS (SELECT split, COUNT(*) AS n_s, SUM(val) AS len_sum
+               FROM assigned GROUP BY split),
+        grid AS (SELECT DISTINCT val FROM assigned),
+        dense AS (
+            SELECT s.split, g.val, s.n_s, COALESCE(c.c, 0) AS c
+            FROM grid g CROSS JOIN sz s
+            LEFT JOIN counts c ON c.split = s.split AND c.val = g.val
+        ),
+        cum AS (
+            SELECT split, val, n_s,
+                   SUM(c) OVER (PARTITION BY split ORDER BY val ASC)
+                       AS cum_s
+            FROM dense
+        ),
+        tr AS (SELECT val, cum_s AS cum_t, n_s AS n_t FROM cum
+               WHERE split = 'train')
+        SELECT c.split,
+               CAST(MAX(c.n_s) AS BIGINT) AS n_docs,
+               CAST(MAX(z.len_sum) * 1000000 // MAX(c.n_s) AS BIGINT)
+                   AS mean_len_u,
+               MAX(ABS(CAST(c.cum_s AS DOUBLE) / c.n_s
+                       - CAST(t.cum_t AS DOUBLE) / t.n_t)) AS ks_vs_train
+        FROM cum c JOIN tr t ON t.val = c.val
+        JOIN sz z ON z.split = c.split
+        GROUP BY c.split
+    """,
+)
+def d7_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    r = stable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    ) % 100
+    assigned = d.select(
+        F.col("n_chars").alias("val"),
+        F.when(r < 80, "train").when(r < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    counts = assigned.groupBy("split", "val").agg(F.count("*").alias("c"))
+    sz = assigned.groupBy("split").agg(
+        F.count("*").alias("n_s"), F.sum("val").alias("len_sum")
+    )
+    grid = assigned.select("val").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(sz.select("split", "n_s")))
+        .join(counts, ["split", "val"], "left")
+        .select(
+            "split", "val", "n_s", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    wcum = Window.partitionBy("split").orderBy("val")
+    cum = dense.select(
+        "split", "val", "n_s", F.sum("c").over(wcum).alias("cum_s")
+    )
+    tr = (
+        cum.filter(F.col("split") == "train")
+        .select(
+            "val",
+            F.col("cum_s").alias("cum_t"),
+            F.col("n_s").alias("n_t"),
+        )
+    )
+    ks = (
+        cum.join(F.broadcast(tr), "val")
+        .groupBy("split")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.max(
+                F.abs(
+                    F.col("cum_s").cast("double") / F.col("n_s")
+                    - F.col("cum_t").cast("double") / F.col("n_t")
+                )
+            ).alias("ks_vs_train"),
+        )
+    )
+    return ks.join(F.broadcast(sz), "split").select(
+        "split",
+        "n_docs",
+        F.expr("len_sum * 1000000 div n_s").alias("mean_len_u"),
+        "ks_vs_train",
+    )

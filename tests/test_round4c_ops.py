@@ -551,3 +551,18 @@ def test_wire_schema_drift_forward_compat(spark):
     # the drift rule (company_id ending in 7) hits a strict subset
     assert any(r["n_drifted"] > 0 for r in rows.values())
     assert all(r["n_drifted"] < r["n_rows"] for r in rows.values())
+
+
+def test_split_balance_audit(spark):
+    rows = {r["split"]: r for r in _q("d7_split_balance_audit", spark).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    # train vs itself is exactly zero KS
+    assert rows["train"]["ks_vs_train"] == 0.0
+    total = sum(r["n_docs"] for r in rows.values())
+    # 80/10/10 residue split: train is the bulk
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
+    assert rows["train"]["n_docs"] * 10 > total * 7
+    for r in rows.values():
+        assert 0.0 <= r["ks_vs_train"] <= 1.0
+        assert r["mean_len_u"] > 0

@@ -450,37 +450,36 @@ def a_wire_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("value")
     )
+    # The wire feeds TWO consumers (the drift count and the ingest path);
+    # persisting it materializes the window-heavy candle serialization
+    # once instead of twice.
+    drifted_wire = drifted_wire.persist()
+    # One narrow pass: rows carrying the spliced marker are routed to
+    # their table by a first-match CASE over the dispatch markers (the
+    # same probe order dispatch() uses) — no row explosion, keys parsed
+    # once per row.
+    keys = F.json_object_keys("value")
+    table_col = None
+    for t, marker in (
+        ("candles", "open"),
+        ("trades", "side"),
+        ("order_book", "bid_price"),
+        ("companies", "name"),
+    ):
+        hit = F.coalesce(F.array_contains(keys, F.lit(marker)), F.lit(False))
+        table_col = (
+            F.when(hit, t) if table_col is None else table_col.when(hit, t)
+        )
     drift_counts = {
         row["t"]: row["n"]
-        for row in drifted_wire.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            F.coalesce(
-                                F.array_contains(
-                                    F.json_object_keys("value"),
-                                    F.lit(marker),
-                                ),
-                                F.lit(False),
-                            ).alias("hit"),
-                        )
-                        for t, marker in (
-                            ("candles", "open"),
-                            ("trades", "side"),
-                            ("order_book", "bid_price"),
-                            ("companies", "name"),
-                        )
-                    ]
-                )
-            ).alias("p")
+        for row in drifted_wire.filter(
+            F.coalesce(
+                F.array_contains(keys, "v2_extra"), F.lit(False)
+            )
         )
-        .filter(
-            F.col("p.hit")
-            & F.array_contains(F.json_object_keys("value"), "v2_extra")
-        )
-        .groupBy(F.col("p.t").alias("t"))
+        .select(table_col.alias("t"))
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
         .agg(F.count("*").alias("n"))
         .collect()
     }

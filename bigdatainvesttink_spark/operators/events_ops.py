@@ -3297,3 +3297,80 @@ def d5_json_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_tags_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: concurrency profile — peak simultaneous sessions per hour (the
+# capacity-planning number behind Little's law): the shared 30-min-gap
+# sessions are exploded onto the hours they OVERLAP (bounded fan-out:
+# session length / 1h, never a time-range join) and counted. A 100 TB
+# deployment reads this to size connection pools / state stores for the
+# worst hour, not the average one.
+@query(
+    "d6_concurrency_profile",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > {SESSION_GAP_SECONDS} * 1000000
+                             OR LAG(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, MIN(t) AS s, MAX(t) AS e
+            FROM (
+                SELECT user_id, t,
+                       SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ) GROUP BY user_id, sid
+        ),
+        hours AS (
+            SELECT user_id,
+                   unnest(range(s // 3600000000, e // 3600000000 + 1)) AS h
+            FROM sess
+        )
+        SELECT h AS hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM hours GROUP BY h
+    """,
+)
+def d6_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    marked = e.select(
+        "user_id",
+        t.alias("t"),
+        F.when(
+            (t - F.lag(t).over(w) > gap_us) | F.lag(t).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("is_start").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+    )
+    hours = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr("s div 3600000000"), F.expr("e div 3600000000")
+            )
+        ).alias("h"),
+    )
+    return hours.groupBy(F.col("h").alias("hour_idx")).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -2111,3 +2111,42 @@ def rel_join_strategy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(arm("merge", "merge"))
         .unionAll(arm("shuffle_hash", "shuffle_hash"))
     )
+
+# --------------------------------------------------------------------------
+# Temporal referential-integrity audit — FK joins check key EXISTENCE
+# (rel_fk_orphan_audit); real warehouses also need the TIME arrow to
+# point the right way: a lineitem shipping before its order was placed
+# is a pipeline bug (clock skew, backfill misalignment) even though the
+# key resolves. One co-partitioned fact-fact join, per-month violation
+# shares through the exact integer ppm path — the data-quality monitor
+# a 100 TB ingest runs beside the orphan check.
+@query(
+    "rel_temporal_fk_audit",
+    oracle="""
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+                    AS BIGINT) AS n_violations,
+               CAST(COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+                    * 1000000 // COUNT(*) AS BIGINT) AS violation_ppm
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """,
+)
+def rel_temporal_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    viol = F.col("l_shipdate") < F.col("o_orderdate")
+    return j.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count_if(viol).cast("long").alias("n_violations"),
+        F.expr(
+            "COUNT(CASE WHEN l_shipdate < o_orderdate THEN 1 END)"
+            " * 1000000 div COUNT(*)"
+        )
+        .cast("long")
+        .alias("violation_ppm"),
+    )

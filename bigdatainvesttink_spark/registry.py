@@ -193,7 +193,8 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "b54_ofi_impact", "d5_json_array_stats",
     "d2_lpa_modularity", "b55_volume_concentration",
     "c_stream_asof_enrich", "a_wire_schema_drift",
-    "d7_split_balance_audit",
+    "d7_split_balance_audit", "rel_temporal_fk_audit",
+    "d6_concurrency_profile",
 )
 
 

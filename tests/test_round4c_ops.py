@@ -566,3 +566,32 @@ def test_split_balance_audit(spark):
     for r in rows.values():
         assert 0.0 <= r["ks_vs_train"] <= 1.0
         assert r["mean_len_u"] > 0
+
+
+def test_temporal_fk_audit(spark):
+    rows = _q("rel_temporal_fk_audit", spark).collect()
+    assert rows
+    total_lines = sum(r["n_lines"] for r in rows)
+    from bigdatainvesttink_spark.io import load_table
+
+    assert total_lines == load_table(spark, SF_SMALL, "lineitem").count()
+    for r in rows:
+        assert 0 <= r["n_violations"] <= r["n_lines"]
+        assert r["violation_ppm"] == r["n_violations"] * 10**6 // r["n_lines"]
+
+
+def test_concurrency_profile_bounds(spark):
+    rows = _q("d6_concurrency_profile", spark).collect()
+    assert rows
+    from bigdatainvesttink_spark.io import load_table
+
+    n_users_total = (
+        load_table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    )
+    for r in rows:
+        # users are unique per hour; sessions >= users (a user can have
+        # two sessions touching one hour only via the 30-min gap + span)
+        assert 1 <= r["n_users"] <= min(r["n_sessions"], n_users_total)
+    # hour indexes are contiguous-ish across the fixture's one-month span
+    hs = sorted(r["hour_idx"] for r in rows)
+    assert hs[-1] - hs[0] + 1 >= len(hs)

@@ -497,3 +497,73 @@ def a_wire_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# --------------------------------------------------------------------------
+# Backfill idempotency — the batch twin of stream_dedup's exactly-once
+# claim: replaying a whole day's wire (the tape unioned with itself)
+# through the ingest path and deduplicating on the full parsed row must
+# land EXACTLY the single-run row set. The distinct tuples use the
+# wire's second-precision timestamps (serialize() formats TS_FORMAT at
+# second granularity), so the oracle truncates the same way — the audit
+# verifies the re-delivery contract at the fidelity the wire actually
+# carries. Per table: single-run rows, doubled rows, rows after the
+# idempotent dedup (must equal single).
+@query(
+    "a_backfill_idempotency",
+    oracle=oracle_on_domain(
+        """
+        SELECT 'trades' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_single,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_double,
+               CAST(COUNT(DISTINCT (company_id, date_trunc('second', ts),
+                                    price, volume, side, trade_id))
+                    AS BIGINT) AS n_deduped
+        FROM trades
+        UNION ALL
+        SELECT 'order_book', CAST(COUNT(*) AS BIGINT),
+               CAST(2 * COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT (company_id, date_trunc('second', ts),
+                                    bid_price, bid_volume, ask_price,
+                                    ask_volume)) AS BIGINT)
+        FROM order_book
+        UNION ALL
+        SELECT 'companies', CAST(COUNT(*) AS BIGINT),
+               CAST(2 * COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT (company_id, name, ticker, sector))
+                    AS BIGINT)
+        FROM companies
+        """
+    ),
+)
+def a_backfill_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import ingest
+
+    tables = ("trades", "order_book", "companies")
+    wire = _wire_stream(spark, sf_dir, tables).persist()
+    doubled = wire.unionAll(wire)
+    single_clean = ingest(wire)
+    double_clean = ingest(doubled)
+    out = None
+    for t in tables:
+        single_n = single_clean[t].agg(
+            F.count("*").cast("long").alias("n_single")
+        )
+        dbl = double_clean[t]
+        row = (
+            single_n.crossJoin(
+                dbl.agg(F.count("*").cast("long").alias("n_double"))
+            )
+            .crossJoin(
+                dbl.dropDuplicates()
+                .agg(F.count("*").cast("long").alias("n_deduped"))
+            )
+            .select(
+                F.lit(t).alias("table_name"),
+                "n_single",
+                "n_double",
+                "n_deduped",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

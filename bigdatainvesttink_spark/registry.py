@@ -194,7 +194,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d2_lpa_modularity", "b55_volume_concentration",
     "c_stream_asof_enrich", "a_wire_schema_drift",
     "d7_split_balance_audit", "rel_temporal_fk_audit",
-    "d6_concurrency_profile",
+    "d6_concurrency_profile", "a_backfill_idempotency",
 )
 
 

@@ -595,3 +595,12 @@ def test_concurrency_profile_bounds(spark):
     # hour indexes are contiguous-ish across the fixture's one-month span
     hs = sorted(r["hour_idx"] for r in rows)
     assert hs[-1] - hs[0] + 1 >= len(hs)
+
+
+def test_backfill_idempotency(spark):
+    rows = {r["table_name"]: r for r in _q("a_backfill_idempotency", spark).collect()}
+    assert set(rows) == {"trades", "order_book", "companies"}
+    for t, r in rows.items():
+        # replay doubles the tape; the idempotent dedup restores it
+        assert r["n_double"] == 2 * r["n_single"]
+        assert r["n_deduped"] == r["n_single"]

@@ -2933,3 +2933,112 @@ def d3_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stale-index recall under deletions — the index-maintenance eval the
+# recall suite (LSH/IVF/binary/truncation) is missing: 10% of the
+# corpus is deleted (vec_id % 10 == 3, disjoint from the query sample),
+# but the serving index was never rebuilt, so it still RANKS the
+# deleted vectors and tombstone-filters them at serving time — wasting
+# top-k slots. Per query: live-truth hits among the stale (filtered)
+# top-5, tombstoned slots, and recall@5 against the LIVE brute-force
+# truth. The answer to "how often must we rebuild after deletes"
+# measured exactly; both rankings reuse the d3a brute-force shape
+# (query sample broadcast, one corpus scan each).
+@query(
+    "d3_stale_index_recall",
+    oracle=f"""
+        WITH v AS ({_O_VEC}),
+        q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        live AS (SELECT * FROM v WHERE vec_id % 10 <> 3),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.e, l.e)
+                                          / (q.norm * l.norm), 6) DESC,
+                                    l.vec_id ASC) AS rnk
+                FROM q JOIN live l ON l.vec_id <> q.vec_id
+            ) r WHERE rnk <= 5
+        ),
+        stale AS (
+            SELECT query_id, neighbor_id,
+                   CASE WHEN neighbor_id % 10 = 3 THEN 1 ELSE 0 END
+                       AS tombstoned
+            FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.e, v.e)
+                                          / (q.norm * v.norm), 6) DESC,
+                                    v.vec_id ASC) AS rnk
+                FROM q JOIN v ON v.vec_id <> q.vec_id
+            ) r WHERE rnk <= 5
+        )
+        SELECT t.query_id,
+               CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(MAX(ts.n_tomb) AS BIGINT) AS n_tombstoned,
+               SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / 5.0 AS recall_at_5
+        FROM truth t
+        LEFT JOIN (SELECT * FROM stale WHERE tombstoned = 0) s
+          ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+        JOIN (SELECT query_id, SUM(tombstoned) AS n_tomb
+              FROM stale GROUP BY query_id) ts
+          ON ts.query_id = t.query_id
+        GROUP BY t.query_id
+    """,
+)
+def d3_stale_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+
+    def topk(corpus: DataFrame) -> DataFrame:
+        scored = corpus.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk(v.filter(F.col("vec_id") % 10 != 3))
+    stale = topk(v).withColumn(
+        "tombstoned",
+        F.when(F.col("neighbor_id") % 10 == 3, 1).otherwise(0),
+    )
+    served = stale.filter(F.col("tombstoned") == 0).withColumn(
+        "hit", F.lit(1)
+    )
+    tombs = stale.groupBy("query_id").agg(
+        F.sum("tombstoned").alias("n_tomb")
+    )
+    return (
+        truth.join(served, ["query_id", "neighbor_id"], "left")
+        .join(tombs, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.max("n_tomb").cast("long").alias("n_tombstoned"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )

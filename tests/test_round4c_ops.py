@@ -604,3 +604,20 @@ def test_backfill_idempotency(spark):
         # replay doubles the tape; the idempotent dedup restores it
         assert r["n_double"] == 2 * r["n_single"]
         assert r["n_deduped"] == r["n_single"]
+
+
+def test_stale_index_recall(spark):
+    rows = _q("d3_stale_index_recall", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert 0 <= r["n_tombstoned"] <= 5
+        # serving filters tombstones: at most 5 - n_tombstoned live
+        # results survive, so hits can't exceed that
+        assert r["n_hits"] <= 5 - r["n_tombstoned"]
+        assert r["recall_at_5"] == r["n_hits"] / 5.0
+    # with 10% deleted, SOME query must lose a slot to a tombstone
+    assert any(r["n_tombstoned"] > 0 for r in rows)
+    # and queries untouched by deletions keep perfect recall
+    clean = [r for r in rows if r["n_tombstoned"] == 0]
+    assert all(r["n_hits"] == 5 for r in clean)

@@ -3541,3 +3541,189 @@ def d7_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("len_sum * 1000000 div n_s").alias("mean_len_u"),
         "ks_vs_train",
     )
+
+
+# --------------------------------------------------------------------------
+# D7: effective-epochs audit — the memorization-risk readout of the
+# alpha=0.7 temperature mix (d7_temperature_mix's exact formulas, reused
+# verbatim): at a one-corpus-sized token budget, a source whose
+# temperature share exceeds its natural share is implicitly REPEATED
+# (effective epochs > 1) — the data-constrained-scaling number a
+# pretraining lead checks before upsampling a small language (repeated
+# data stops helping after ~4 epochs and starts memorizing). Grid-sized
+# math throughout; epochs floor-quantized from identical doubles; the
+# risk flag is an integer compare on the quantized value.
+@query(
+    "d7_effective_epochs",
+    oracle="""
+        WITH d AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok
+            FROM documents WHERE text <> ''
+        ),
+        tot AS (
+            SELECT lang, CAST(SUM(tok) AS BIGINT) AS natural_tokens
+            FROM d GROUP BY lang
+        ),
+        grand AS (
+            SELECT CAST(SUM(natural_tokens) AS BIGINT) AS t_total FROM tot
+        ),
+        q AS (
+            SELECT lang, natural_tokens,
+                   ROUND(POWER(CAST(natural_tokens AS DOUBLE) / g.t_total,
+                               0.7), 6) AS q6,
+                   g.t_total
+            FROM tot CROSS JOIN grand g
+        ),
+        z AS (
+            SELECT CAST(SUM(CAST(q6 AS DECIMAL(27,6))) AS DOUBLE) AS zn
+            FROM q
+        )
+        SELECT lang, natural_tokens,
+               CAST(floor(q6 / z.zn * 1000000 + 0.5) AS BIGINT)
+                   AS temp_share_u,
+               CAST(floor((q6 / z.zn) * t_total
+                          / natural_tokens * 1000000 + 0.5) AS BIGINT)
+                   AS effective_epochs_u,
+               CASE WHEN floor((q6 / z.zn) * t_total
+                               / natural_tokens * 1000000 + 0.5)
+                         > 1500000 THEN 1 ELSE 0 END AS dup_risk
+        FROM q, z
+    """,
+)
+def d7_effective_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = docs.select(
+        "lang", F.size(tokenize("text")).cast("long").alias("tok")
+    )
+    tot = d.groupBy("lang").agg(
+        F.sum("tok").cast("long").alias("natural_tokens")
+    )
+    grand = tot.agg(F.sum("natural_tokens").cast("long").alias("t_total"))
+    q = tot.crossJoin(F.broadcast(grand)).select(
+        "lang",
+        "natural_tokens",
+        "t_total",
+        F.round(
+            F.pow(
+                F.col("natural_tokens").cast("double") / F.col("t_total"),
+                0.7,
+            ),
+            6,
+        ).alias("q6"),
+    )
+    z = q.agg(
+        F.sum(F.col("q6").cast("decimal(27,6)")).cast("double").alias("zn")
+    )
+    epochs = (
+        (F.col("q6") / F.col("zn"))
+        * F.col("t_total")
+        / F.col("natural_tokens")
+    )
+    eu = F.floor(epochs * 1_000_000 + F.lit(0.5)).cast("long")
+    return q.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "natural_tokens",
+        F.floor(F.col("q6") / F.col("zn") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("temp_share_u"),
+        eu.alias("effective_epochs_u"),
+        F.when(eu > 1_500_000, 1).otherwise(0).alias("dup_risk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D2: rich-club coefficient — do high-degree nodes preferentially link
+# to EACH OTHER? phi(k) = density of the subgraph induced by nodes with
+# degree > k, swept over a 4-arm k grid: a rising curve is the
+# rich-club effect (hubs forming a core — the k-core's density-flavored
+# cousin; runs on d2_kcore_peel's quadratic-map graph for the same
+# reason: real degree spread). Scale shape: one degree aggregate, the
+# bounded arm expansion rides the edge join (each edge joins its <=4
+# arm memberships per endpoint), densities through the exact integer
+# 6dp path (-1 where the club has < 2 members).
+@query(
+    "d2_rich_club",
+    oracle="""
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        raw AS (
+            SELECT u, (u * u * 31 + u * 48271 + k * 7919) % nn.n AS v
+            FROM nodes, nn, (VALUES (1), (2), (3), (4), (5)) AS ks(k)
+            WHERE k <= 1 + (u % 5)
+        ),
+        edges AS (
+            SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw WHERE u <> v
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+            ) m GROUP BY node
+        ),
+        arms AS (SELECT k FROM (VALUES (2), (4), (6), (8)) AS a(k)),
+        rich AS (SELECT arms.k, deg.node FROM arms
+                 JOIN deg ON deg.d > arms.k),
+        rc AS (
+            SELECT r.k, COUNT(*) AS e_k
+            FROM edges e JOIN rich r  ON r.node = e.a
+                         JOIN rich r2 ON r2.node = e.b AND r2.k = r.k
+            GROUP BY r.k
+        ),
+        nk AS (SELECT k, COUNT(*) AS n_k FROM rich GROUP BY k)
+        SELECT nk.k, CAST(nk.n_k AS BIGINT) AS n_rich,
+               CAST(COALESCE(rc.e_k, 0) AS BIGINT) AS e_rich,
+               CASE WHEN nk.n_k < 2 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(COALESCE(rc.e_k, 0) * 2000000
+                              // (nk.n_k * (nk.n_k - 1)) AS BIGINT)
+               END AS phi_u
+        FROM nk LEFT JOIN rc ON rc.k = nk.k
+    """,
+)
+def d2_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4, 5)])).alias("k")
+    raw = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .filter(F.col("k") <= 1 + F.col("u") % 5)
+        .select(
+            "u",
+            (
+                (F.col("u") * F.col("u") * 31
+                 + F.col("u") * 48271
+                 + F.col("k") * 7919) % F.col("n")
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    deg = _node_degrees(edges)
+    arms = F.explode(F.array(*[F.lit(k) for k in (2, 4, 6, 8)])).alias("k")
+    rich = deg.select("node", "d", arms).filter(
+        F.col("d") > F.col("k")
+    ).select("k", "node")
+    ra = rich.withColumnRenamed("node", "a")
+    rb = rich.withColumnRenamed("node", "b")
+    rc = (
+        edges.join(ra, "a")
+        .join(rb, ["b", "k"])
+        .groupBy("k")
+        .agg(F.count("*").alias("e_k"))
+    )
+    nk = rich.groupBy("k").agg(F.count("*").alias("n_k"))
+    return nk.join(rc, "k", "left").select(
+        "k",
+        F.col("n_k").cast("long").alias("n_rich"),
+        F.coalesce("e_k", F.lit(0)).cast("long").alias("e_rich"),
+        F.when(F.col("n_k") < 2, F.lit(-1).cast("long"))
+        .otherwise(
+            F.expr("COALESCE(e_k, 0) * 2000000 div (n_k * (n_k - 1))")
+        )
+        .alias("phi_u"),
+    )

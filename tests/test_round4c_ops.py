@@ -621,3 +621,40 @@ def test_stale_index_recall(spark):
     # and queries untouched by deletions keep perfect recall
     clean = [r for r in rows if r["n_tombstoned"] == 0]
     assert all(r["n_hits"] == 5 for r in clean)
+
+
+def test_effective_epochs_temperature_math(spark):
+    rows = {r["lang"]: r for r in _q("d7_effective_epochs", spark).collect()}
+    assert len(rows) == 5
+    shares = sum(r["temp_share_u"] for r in rows.values())
+    # temperature shares sum to ~1 (quantization drift < 1ppm per lang)
+    assert abs(shares - 10**6) <= len(rows)
+    # temperature flattening: small languages get upsampled (epochs > 1),
+    # the largest gets downsampled (epochs < 1)
+    biggest = max(rows.values(), key=lambda r: r["natural_tokens"])
+    smallest = min(rows.values(), key=lambda r: r["natural_tokens"])
+    assert biggest["effective_epochs_u"] < 10**6
+    assert smallest["effective_epochs_u"] > 10**6
+    for r in rows.values():
+        assert r["dup_risk"] == (1 if r["effective_epochs_u"] > 1_500_000 else 0)
+
+
+def test_rich_club_monotone(spark):
+    rows = sorted(_q("d2_rich_club", spark).collect(), key=lambda r: r["k"])
+    ks = [r["k"] for r in rows]
+    # an empty club emits no row, so higher arms may be absent at tiny SF
+    assert ks == [2, 4, 6, 8][: len(ks)] and ks
+    for r in rows:
+        if r["n_rich"] >= 2:
+            assert 0 <= r["phi_u"] <= 10**6 + 1
+            max_e = r["n_rich"] * (r["n_rich"] - 1) // 2
+            assert r["e_rich"] <= max_e
+        else:
+            assert r["phi_u"] == -1
+    # clubs shrink as the bar rises
+    sizes = [r["n_rich"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    # the rich-club effect: density never decreases with k (on clubs
+    # that still have >= 2 members)
+    phis = [r["phi_u"] for r in rows if r["n_rich"] >= 2]
+    assert phis == sorted(phis)

@@ -4269,3 +4269,98 @@ def b55_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top1_share_u"),
     )
+
+# --------------------------------------------------------------------------
+# B56: Ljung-Box portmanteau test — is the daily return series
+# distinguishable from IID noise? Q = n(n+2) sum_k rho_k^2/(n-k) over
+# lags 1..5, flagged against the chi-square(5) 95% critical value
+# (11.0705): the formal backstop behind b4's raw autocorrelations and
+# the predictability goal — a random-walk tape should NOT reject. The
+# five lag columns ride ONE window pass; each rho is a ROUND-safe corr;
+# Q combines the rounded rhos with identical IEEE arithmetic both
+# engines, floor-quantized, and the reject flag is a compare on the
+# same expression.
+@query(
+    "b56_ljung_box",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        rets AS (
+            SELECT company_id, d,
+                c / LAG(c) OVER (PARTITION BY company_id ORDER BY d) - 1
+                    AS r
+            FROM daily
+        ),
+        rr AS (SELECT company_id, d, r FROM rets WHERE r IS NOT NULL),
+        lagged AS (
+            SELECT company_id, r,
+                   LAG(r, 1) OVER w AS r1, LAG(r, 2) OVER w AS r2,
+                   LAG(r, 3) OVER w AS r3, LAG(r, 4) OVER w AS r4,
+                   LAG(r, 5) OVER w AS r5
+            FROM rr WINDOW w AS (PARTITION BY company_id ORDER BY d)
+        ),
+        rhos AS (
+            SELECT company_id, COUNT(r) AS n,
+                   ROUND(corr(r, r1), 6) AS p1,
+                   ROUND(corr(r, r2), 6) AS p2,
+                   ROUND(corr(r, r3), 6) AS p3,
+                   ROUND(corr(r, r4), 6) AS p4,
+                   ROUND(corr(r, r5), 6) AS p5
+            FROM lagged GROUP BY company_id HAVING COUNT(r) >= 15
+        )
+        SELECT company_id, CAST(n AS BIGINT) AS n_days,
+               CAST(floor(n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2)
+                          + p3*p3/(n-3) + p4*p4/(n-4) + p5*p5/(n-5))
+                          * 1000000 + 0.5) AS BIGINT) AS q_stat_u,
+               CASE WHEN n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2)
+                         + p3*p3/(n-3) + p4*p4/(n-4) + p5*p5/(n-5))
+                         > 11.0705 THEN 1 ELSE 0 END AS reject_iid
+        FROM rhos
+        """
+    ),
+)
+def b56_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
+        F.max_by("close", "ts").alias("c")
+    )
+    wlag = Window.partitionBy("company_id").orderBy("d")
+    rr = daily.select(
+        "company_id",
+        "d",
+        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    lagged = rr.select(
+        "company_id",
+        "r",
+        *[F.lag("r", k).over(wlag).alias(f"r{k}") for k in range(1, 6)],
+    )
+    rhos = (
+        lagged.groupBy("company_id")
+        .agg(
+            F.count("r").alias("n"),
+            *[
+                F.round(F.corr("r", f"r{k}"), 6).alias(f"p{k}")
+                for k in range(1, 6)
+            ],
+        )
+        .filter(F.col("n") >= 15)
+    )
+    q_expr = (
+        "n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2) + p3*p3/(n-3)"
+        " + p4*p4/(n-4) + p5*p5/(n-5))"
+    )
+    return rhos.select(
+        "company_id",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(f"CAST(floor({q_expr} * 1000000 + 0.5) AS BIGINT)").alias(
+            "q_stat_u"
+        ),
+        F.expr(
+            f"CASE WHEN {q_expr} > 11.0705 THEN 1 ELSE 0 END"
+        ).alias("reject_iid"),
+    )

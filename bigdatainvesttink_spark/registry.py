@@ -196,6 +196,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d7_split_balance_audit", "rel_temporal_fk_audit",
     "d6_concurrency_profile", "a_backfill_idempotency",
     "d3_stale_index_recall", "d7_effective_epochs", "d2_rich_club",
+    "b56_ljung_box", "fmt_compression_codecs",
 )
 
 

@@ -229,3 +229,53 @@ def fmt_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_corrupt"),
     ).select(F.lit("dropmalformed").alias("mode"), "*")
     return p_row.unionAll(d_row)
+
+
+# --------------------------------------------------------------------------
+# Compression-codec roundtrip — the same companies dimension written
+# with snappy / gzip / zstd / uncompressed parquet must read back
+# BIT-IDENTICAL (md5-fold XOR checksum per codec equals the source's,
+# computed once by the oracle and repeated per codec label); on-disk
+# byte sizes are engine facts, so the codec-actually-compressed claim
+# (zstd/gzip < uncompressed) lives in the pytest, not the oracle. The
+# audit every lake runs once per Spark upgrade before flipping
+# spark.sql.parquet.compression.codec at 100 TB.
+_CODECS = ("snappy", "gzip", "zstd", "uncompressed")
+
+
+@query(
+    "fmt_compression_codecs",
+    oracle=oracle_on_domain(
+        " UNION ALL ".join(
+            f"""
+            SELECT '{codec}' AS codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   bit_xor(CAST(CAST('0x' || substr(md5(concat_ws('|',
+                       company_id, name, ticker, sector)), 1, 15)
+                       AS UBIGINT) AS BIGINT)) AS checksum
+            FROM companies
+            """
+            for codec in _CODECS
+        )
+    ),
+)
+def fmt_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stable_hash60
+
+    companies = domain_table(spark, sf_dir, "companies")
+    tmp = tempfile.mkdtemp(prefix="fmt_codec_")
+    out = None
+    for codec in _CODECS:
+        path = f"{tmp}/{codec}"
+        companies.write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(path)
+        back = spark.read.parquet(path)
+        digest = stable_hash60(
+            F.concat_ws("|", "company_id", "name", "ticker", "sector")
+        )
+        row = back.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.bit_xor(digest).alias("checksum"),
+        ).select(F.lit(codec).alias("codec"), "*")
+        out = row if out is None else out.unionAll(row)
+    return out

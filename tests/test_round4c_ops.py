@@ -658,3 +658,49 @@ def test_rich_club_monotone(spark):
     # that still have >= 2 members)
     phis = [r["phi_u"] for r in rows if r["n_rich"] >= 2]
     assert phis == sorted(phis)
+
+
+def test_ljung_box_regime(spark):
+    rows = _q("b56_ljung_box", spark).collect()
+    assert rows
+    n_reject = sum(r["reject_iid"] for r in rows)
+    for r in rows:
+        assert r["q_stat_u"] >= 0
+        assert r["n_days"] >= 15
+        # the flag is consistent with the quantized statistic
+        if r["q_stat_u"] > 11_071_000:
+            assert r["reject_iid"] == 1
+        if r["q_stat_u"] < 11_070_000:
+            assert r["reject_iid"] == 0
+    # the fixture tape is a random walk: most instruments must NOT reject
+    assert n_reject * 2 < len(rows)
+
+
+def test_compression_codecs_bit_identical(spark, tmp_path):
+    import os
+
+    rows = {r["codec"]: r for r in _q("fmt_compression_codecs", spark).collect()}
+    assert set(rows) == {"snappy", "gzip", "zstd", "uncompressed"}
+    checks = {r["checksum"] for r in rows.values()}
+    ns = {r["n_rows"] for r in rows.values()}
+    assert len(checks) == 1 and len(ns) == 1  # bit-identical read-back
+
+    # codecs actually compress: on a repetitive table, gzip/zstd beat
+    # uncompressed on disk (engine fact -> pytest, not oracle)
+    from bigdatainvesttink_spark.fixtures import domain_table
+    import pyspark.sql.functions as F  # noqa: F401
+
+    t = domain_table(spark, SF_SMALL, "trades")
+    sizes = {}
+    for codec in ("uncompressed", "zstd", "gzip"):
+        p = str(tmp_path / codec)
+        t.coalesce(1).write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(p)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    assert sizes["zstd"] < sizes["uncompressed"]
+    assert sizes["gzip"] < sizes["uncompressed"]

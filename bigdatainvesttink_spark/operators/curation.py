@@ -3727,3 +3727,152 @@ def d2_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("phi_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# D2: link-prediction eval — the missing EVAL for the Adamic-Adar
+# predictor (the recall-eval pattern every approximate component here
+# gets): hide a deterministic 20% of edges, re-score AA on the
+# remaining graph, and measure recall@|hidden| against the hidden set,
+# with the random-guess baseline (|hidden|/|candidates|) in the same
+# row. Runs on a community-structured circulant graph (edges stay
+# inside the u%12 residue class) because triadic closure — the signal
+# AA exploits — does not exist on the pseudo-random LCG graph (recall
+# there is exactly 0, which is itself the honest negative control).
+# The hide rule uses an odd modulus: intra-class edge keys are all
+# even, so any even modulus would hide nothing. Same bounded wedge
+# algebra as d2_adamic_adar_topk.
+@query(
+    "d2_link_prediction_eval",
+    oracle="""
+        WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        raw AS (
+            SELECT u, u + 12 * (1 + (u * 17 + k * 7919) % 4) AS v
+            FROM nodes, nn, (VALUES (1), (2), (3)) AS ks(k)
+            WHERE u + 12 * (1 + (u * 17 + k * 7919) % 4) < nn.n
+        ),
+        alledges AS (
+            SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw WHERE u <> v
+        ),
+        hidden AS (SELECT a, b FROM alledges WHERE (a * 31 + b) % 5 = 3),
+        train AS (SELECT a, b FROM alledges WHERE (a * 31 + b) % 5 <> 3),
+        bi AS (SELECT a AS u, b AS v FROM train
+               UNION ALL SELECT b, a FROM train),
+        deg AS (SELECT u, COUNT(*) AS d FROM bi GROUP BY u),
+        wedge AS (
+            SELECT e1.v AS pa, e2.v AS pb, e1.u AS z
+            FROM bi e1 JOIN bi e2 ON e2.u = e1.u AND e1.v < e2.v
+        ),
+        scored AS (
+            SELECT pa, pb,
+                   CAST(SUM(CAST(ROUND(1.0 / ln(deg.d), 6)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS aa
+            FROM wedge JOIN deg ON deg.u = wedge.z
+            WHERE deg.d >= 2 GROUP BY pa, pb
+        ),
+        cand AS (
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (SELECT 1 FROM train e
+                              WHERE e.a = s.pa AND e.b = s.pb)
+        ),
+        nh AS (SELECT COUNT(*) AS n_hidden FROM hidden),
+        preds AS (
+            SELECT pa, pb,
+                   ROW_NUMBER() OVER (ORDER BY aa DESC, pa, pb) AS rnk
+            FROM cand
+        )
+        SELECT CAST((SELECT COUNT(*) FROM alledges) AS BIGINT) AS n_edges,
+               CAST((SELECT n_hidden FROM nh) AS BIGINT) AS n_hidden,
+               CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+               CAST(COUNT(*) FILTER (WHERE h.a IS NOT NULL) AS BIGINT)
+                   AS n_hits,
+               CASE WHEN (SELECT n_hidden FROM nh) = 0
+                    THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(COUNT(*) FILTER (WHERE h.a IS NOT NULL)
+                              * 1000000 // (SELECT n_hidden FROM nh)
+                              AS BIGINT) END AS recall_u,
+               CASE WHEN (SELECT COUNT(*) FROM cand) = 0
+                    THEN CAST(-1 AS BIGINT)
+                    ELSE CAST((SELECT n_hidden FROM nh) * 1000000
+                              // (SELECT COUNT(*) FROM cand) AS BIGINT)
+               END AS random_baseline_u
+        FROM preds p LEFT JOIN hidden h ON h.a = p.pa AND h.b = p.pb
+        WHERE p.rnk <= (SELECT n_hidden FROM nh)
+    """,
+)
+def d2_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
+    v = F.col("u") + 12 * (1 + (F.col("u") * 17 + F.col("k") * 7919) % 4)
+    raw = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("u", "n", ks)
+        .select("u", v.alias("v"), "n")
+        .filter((F.col("v") < F.col("n")) & (F.col("u") != F.col("v")))
+    )
+    alledges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    hide = (F.col("a") * 31 + F.col("b")) % 5 == 3
+    hidden = alledges.filter(hide)
+    train = alledges.filter(~hide)
+    bi = train.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        train.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = bi.select(F.col("u").alias("z"), F.col("v").alias("pa"))
+    e2 = bi.select(F.col("u").alias("z"), F.col("v").alias("pb"))
+    wedge = e1.join(e2, "z").filter(F.col("pa") < F.col("pb"))
+    w_z = F.round(F.lit(1.0) / F.log(F.col("d")), 6).cast("decimal(27,6)")
+    scored = (
+        wedge.join(
+            deg.filter(F.col("d") >= 2).withColumnRenamed("u", "z"), "z"
+        )
+        .groupBy("pa", "pb")
+        .agg(F.sum(w_z).cast("double").alias("aa"))
+    )
+    cand = scored.join(
+        train,
+        (train["a"] == scored["pa"]) & (train["b"] == scored["pb"]),
+        "left_anti",
+    )
+    nh = hidden.agg(F.count("*").alias("n_hidden"))
+    wrank = Window.orderBy(
+        F.col("aa").desc(), F.col("pa").asc(), F.col("pb").asc()
+    )
+    preds = cand.withColumn("rnk", F.row_number().over(wrank)).crossJoin(
+        F.broadcast(nh)
+    ).filter(F.col("rnk") <= F.col("n_hidden"))
+    marked = preds.join(
+        hidden.withColumn("hit", F.lit(1)),
+        (hidden["a"] == preds["pa"]) & (hidden["b"] == preds["pb"]),
+        "left",
+    )
+    # SUM over an empty relation is NULL; the oracle's COUNT FILTER is 0
+    stats = marked.agg(
+        F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_hits")
+    )
+    sizes = (
+        alledges.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(cand.agg(F.count("*").cast("long").alias("n_candidates")))
+        .crossJoin(F.broadcast(nh.select(F.col("n_hidden").cast("long")
+                                         .alias("n_hidden"))))
+    )
+    return sizes.crossJoin(F.broadcast(stats)).select(
+        "n_edges",
+        "n_hidden",
+        "n_candidates",
+        "n_hits",
+        F.when(F.col("n_hidden") == 0, F.lit(-1).cast("long"))
+        .otherwise(F.expr("n_hits * 1000000 div n_hidden"))
+        .alias("recall_u"),
+        F.when(F.col("n_candidates") == 0, F.lit(-1).cast("long"))
+        .otherwise(F.expr("n_hidden * 1000000 div n_candidates"))
+        .alias("random_baseline_u"),
+    )

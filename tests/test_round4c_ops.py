@@ -704,3 +704,17 @@ def test_compression_codecs_bit_identical(spark, tmp_path):
         )
     assert sizes["zstd"] < sizes["uncompressed"]
     assert sizes["gzip"] < sizes["uncompressed"]
+
+
+def test_link_prediction_beats_random(spark):
+    row = _q("d2_link_prediction_eval", spark).collect()[0]
+    if row["n_hidden"] == 0:
+        # the tiny fixture's circulant graph has almost no edges; the
+        # degenerate guards must hold instead
+        assert row["recall_u"] == -1 and row["n_hits"] == 0
+        return
+    assert 0 < row["n_hidden"] < row["n_edges"]
+    assert 0 <= row["n_hits"] <= row["n_hidden"]
+    assert row["recall_u"] == row["n_hits"] * 10**6 // row["n_hidden"]
+    # on the community-structured graph, AA must beat random guessing
+    assert row["recall_u"] > row["random_baseline_u"]

@@ -3876,3 +3876,87 @@ def d2_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("n_hidden * 1000000 div n_candidates"))
         .alias("random_baseline_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7: budget-constrained curation — the inversion data leads actually
+# need: not "what survives quality bar X" (d7_perplexity_filter_sweep)
+# but "given HALF the token budget, what quality bar does that imply
+# per source?" Docs rank by type-token ratio (exact integer 6dp) inside
+# their source; a running token cumsum admits docs until the per-source
+# budget (= half its natural tokens); the MIN admitted score is the
+# implied floor. Scale shape: per-SOURCE windows (parallel across
+# sources — never a global sort), one scan for scores, grid-sized
+# output. The greedy-by-quality knapsack is the standard first-order
+# curation allocator.
+@query(
+    "d7_budget_curation",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '')
+                       AS toks
+            FROM documents WHERE text <> ''
+        ),
+        scored AS (
+            SELECT doc_id, source, len(toks) AS tok,
+                   CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                        AS BIGINT) AS ttr_u
+            FROM d WHERE len(toks) > 0
+        ),
+        budgets AS (
+            SELECT source, SUM(tok) AS total_toks, SUM(tok) // 2 AS budget
+            FROM scored GROUP BY source
+        ),
+        ranked AS (
+            SELECT s.*, b.budget,
+                   SUM(s.tok) OVER (PARTITION BY s.source
+                                    ORDER BY s.ttr_u DESC, s.doc_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM scored s JOIN budgets b USING (source)
+        )
+        SELECT source,
+               CAST(COUNT(*) FILTER (WHERE cum <= budget) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(tok) FILTER (WHERE cum <= budget) AS BIGINT)
+                   AS tokens_kept,
+               CAST(MAX(budget) AS BIGINT) AS budget,
+               CAST(MIN(ttr_u) FILTER (WHERE cum <= budget) AS BIGINT)
+                   AS implied_quality_floor_u
+        FROM ranked GROUP BY source
+    """,
+)
+def d7_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = tokenize("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("tok"),
+        F.expr(
+            "CAST(size(array_distinct(filter(split(text, ' '),"
+            " t -> t != ''))) * 1000000"
+            " div size(filter(split(text, ' '), t -> t != '')) AS BIGINT)"
+        ).alias("ttr_u"),
+    ).filter(F.col("tok") > 0)
+    budgets = scored.groupBy("source").agg(
+        F.sum("tok").alias("total_toks"),
+        F.expr("SUM(tok) div 2").alias("budget"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("ttr_u").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.join(F.broadcast(budgets), "source").withColumn(
+        "cum", F.sum("tok").over(wcum)
+    )
+    kept = F.col("cum") <= F.col("budget")
+    return ranked.groupBy("source").agg(
+        F.count_if(kept).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("tok"))).cast("long").alias("tokens_kept"),
+        F.max("budget").cast("long").alias("budget"),
+        F.min(F.when(kept, F.col("ttr_u")))
+        .cast("long")
+        .alias("implied_quality_floor_u"),
+    )

@@ -718,3 +718,17 @@ def test_link_prediction_beats_random(spark):
     assert row["recall_u"] == row["n_hits"] * 10**6 // row["n_hidden"]
     # on the community-structured graph, AA must beat random guessing
     assert row["recall_u"] > row["random_baseline_u"]
+
+
+def test_budget_curation_greedy(spark):
+    rows = _q("d7_budget_curation", spark).collect()
+    assert rows
+    for r in rows:
+        # the greedy fill never exceeds the budget
+        assert 0 < r["tokens_kept"] <= r["budget"]
+        assert r["n_kept"] > 0
+        assert 0 < r["implied_quality_floor_u"] <= 10**6
+    # and it fills reasonably tight: at least half the budget used
+    # (doc granularity is the only slack)
+    for r in rows:
+        assert r["tokens_kept"] * 2 >= r["budget"]

@@ -3374,3 +3374,105 @@ def d6_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_sessions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6: revenue concentration — the whale question: what share of
+# purchase revenue sits with the top decile of buyers, and how unequal
+# is the whole distribution (Gini via the exact rank formula
+# G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n on ascending ranks)? Per-user
+# revenue is the decimal-routed exact sum converted to integer micros;
+# the rank-weighted sum accumulates in DECIMAL(38,0) (the covariance
+# grid's overflow discipline) so the statistic stays exact at any
+# scale; outputs floor-quantized from identical doubles. The ranking
+# window runs over the USER-sized aggregate, never the event stream —
+# same shape as the degree-Gini in d2_graph_reciprocity_report, which
+# this complements on the business side (cf. b55's instrument HHI).
+@query(
+    "d6_revenue_pareto",
+    oracle="""
+        WITH rev AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(27,6)))
+                        * 1000000 AS BIGINT) AS r_u
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT user_id, r_u,
+                   ROW_NUMBER() OVER (ORDER BY r_u ASC, user_id ASC) AS i,
+                   COUNT(*) OVER () AS n,
+                   SUM(r_u) OVER () AS tot_u
+            FROM rev
+        ),
+        topd AS (
+            SELECT CAST(SUM(r_u) FILTER (WHERE i > n - (n // 10))
+                        AS DOUBLE) AS top_r,
+                   CAST(MAX(tot_u) AS DOUBLE) AS tot,
+                   MAX(n) AS n,
+                   CAST(SUM(CAST(i AS DECIMAL(38,0)) * r_u) AS DOUBLE)
+                       AS iwsum
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_buyers,
+               CAST(floor(top_r / tot * 1000000 + 0.5) AS BIGINT)
+                   AS top_decile_share_u,
+               CAST(floor((2.0 * iwsum / (n * tot) - (n + 1.0) / n)
+                          * 1000000 + 0.5) AS BIGINT) AS gini_u
+        FROM topd
+    """,
+)
+def d6_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.round("value", 6).cast("decimal(27,6)"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("r_u")
+        )
+    )
+    wrank = Window.orderBy(F.col("r_u").asc(), F.col("user_id").asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "r_u",
+        F.row_number().over(wrank).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("r_u").over(wall).alias("tot_u"),
+    )
+    topd = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("n div 10"), F.col("r_u")
+            )
+        )
+        .cast("double")
+        .alias("top_r"),
+        F.max("tot_u").cast("double").alias("tot"),
+        F.max("n").alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r_u"))
+        .cast("double")
+        .alias("iwsum"),
+    )
+    return topd.select(
+        F.col("n").cast("long").alias("n_buyers"),
+        F.floor(F.col("top_r") / F.col("tot") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("top_decile_share_u"),
+        F.floor(
+            (
+                2.0 * F.col("iwsum") / (F.col("n") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n")
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gini_u"),
+    )

@@ -732,3 +732,14 @@ def test_budget_curation_greedy(spark):
     # (doc granularity is the only slack)
     for r in rows:
         assert r["tokens_kept"] * 2 >= r["budget"]
+
+
+def test_revenue_pareto_bounds(spark):
+    row = _q("d6_revenue_pareto", spark).collect()[0]
+    n = row["n_buyers"]
+    assert n > 0
+    # the top decile holds at least its proportional share
+    assert row["top_decile_share_u"] >= (n // 10) * 10**6 // n
+    assert row["top_decile_share_u"] <= 10**6
+    # Gini in [0, 1); equality holds only for a single buyer
+    assert 0 <= row["gini_u"] < 10**6

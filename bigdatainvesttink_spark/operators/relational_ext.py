@@ -2150,3 +2150,71 @@ def rel_temporal_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("violation_ppm"),
     )
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier) operator — the classic OLAP-literature
+# operator Spark has no built-in for: per ship month, the orders no
+# other order dominates on (cheaper price, larger quantity). The
+# scalable formulation avoids the naive O(n^2) dominance join entirely:
+# under the total order (price asc, qty desc, key), a row is in the
+# skyline iff its quantity strictly exceeds the running max of
+# everything before it — ONE partitioned window pass, parallel across
+# months (equal (price, qty) duplicates keep the first key: the
+# distinct-value skyline, mirrored exactly in the oracle). Price is
+# cent-quantized from identical doubles.
+@query(
+    "rel_skyline_pareto",
+    oracle="""
+        WITH o AS (
+            SELECT o.o_orderkey,
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_c,
+                   CAST(SUM(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS qty
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, o.o_totalprice
+        ),
+        sk AS (
+            SELECT *, MAX(qty) OVER (PARTITION BY m
+                             ORDER BY price_c ASC, qty DESC, o_orderkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_before
+            FROM o
+        )
+        SELECT m AS month, o_orderkey, price_c, qty
+        FROM sk WHERE best_before IS NULL OR qty > best_before
+    """,
+)
+def rel_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    w = (
+        Window.partitionBy("m")
+        .orderBy(
+            F.col("price_c").asc(), F.col("qty").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sk = base.withColumn("best_before", F.max("qty").over(w))
+    return sk.filter(
+        F.col("best_before").isNull() | (F.col("qty") > F.col("best_before"))
+    ).select(
+        F.col("m").alias("month"), "o_orderkey", "price_c", "qty"
+    )

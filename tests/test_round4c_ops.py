@@ -743,3 +743,26 @@ def test_revenue_pareto_bounds(spark):
     assert row["top_decile_share_u"] <= 10**6
     # Gini in [0, 1); equality holds only for a single buyer
     assert 0 <= row["gini_u"] < 10**6
+
+
+def test_skyline_dominance(spark):
+    rows = _q("rel_skyline_pareto", spark).collect()
+    assert rows
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["month"], []).append(r)
+    for m, rs in by_m.items():
+        # within a month the frontier is strictly monotone: as price
+        # rises, quantity must rise too (else the cheaper one dominates)
+        rs = sorted(rs, key=lambda r: r["price_c"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["price_c"] < b["price_c"] or (
+                a["price_c"] == b["price_c"] and a["qty"] != b["qty"]
+            )
+            assert b["qty"] > a["qty"]
+        # no pair on the frontier dominates another
+        for i, a in enumerate(rs):
+            for b in rs[i + 1:]:
+                assert not (
+                    b["price_c"] >= a["price_c"] and b["qty"] <= a["qty"]
+                )

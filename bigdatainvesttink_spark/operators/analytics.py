@@ -4364,3 +4364,68 @@ def b56_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {q_expr} > 11.0705 THEN 1 ELSE 0 END"
         ).alias("reject_iid"),
     )
+
+# --------------------------------------------------------------------------
+# B57: Donchian channel breakout scan — closes escaping the prior
+# 10-day high/low channel, the turtle-trader breakout count per
+# instrument (sparse on a random-walk tape — itself the sanity check).
+# Strictly-prior bounded ROWS frame (10 PRECEDING .. 1 PRECEDING), so
+# today's bar never contaminates its own channel; evaluation restricted
+# to full-lookback days; all comparisons on identical IEEE doubles.
+@query(
+    "b57_donchian_breakouts",
+    oracle=oracle_on_domain(
+        """
+        , daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   MAX(high) AS hi, MIN(low) AS lo, arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        chan AS (
+            SELECT company_id, d, c,
+                   MAX(hi) OVER w AS ch_hi, MIN(lo) OVER w AS ch_lo,
+                   COUNT(*) OVER w AS lookback
+            FROM daily
+            WINDOW w AS (PARTITION BY company_id ORDER BY d
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT company_id,
+               CAST(COUNT(*) FILTER (WHERE lookback = 10) AS BIGINT)
+                   AS n_eval_days,
+               CAST(COUNT(*) FILTER (WHERE lookback = 10 AND c > ch_hi)
+                    AS BIGINT) AS n_breakout_up,
+               CAST(COUNT(*) FILTER (WHERE lookback = 10 AND c < ch_lo)
+                    AS BIGINT) AS n_breakout_down
+        FROM chan GROUP BY company_id
+        """
+    ),
+)
+def b57_donchian_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = domain_table(spark, sf_dir, "candles")
+    daily = cd.groupBy("company_id", F.to_date("ts").alias("d")).agg(
+        F.max("high").alias("hi"),
+        F.min("low").alias("lo"),
+        F.max_by("close", "ts").alias("c"),
+    )
+    w = (
+        Window.partitionBy("company_id")
+        .orderBy("d")
+        .rowsBetween(-10, -1)
+    )
+    chan = daily.select(
+        "company_id",
+        "c",
+        F.max("hi").over(w).alias("ch_hi"),
+        F.min("lo").over(w).alias("ch_lo"),
+        F.count("*").over(w).alias("lookback"),
+    )
+    full = F.col("lookback") == 10
+    return chan.groupBy("company_id").agg(
+        F.count_if(full).cast("long").alias("n_eval_days"),
+        F.count_if(full & (F.col("c") > F.col("ch_hi")))
+        .cast("long")
+        .alias("n_breakout_up"),
+        F.count_if(full & (F.col("c") < F.col("ch_lo")))
+        .cast("long")
+        .alias("n_breakout_down"),
+    )

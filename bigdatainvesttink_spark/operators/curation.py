@@ -3960,3 +3960,78 @@ def d7_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("implied_quality_floor_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7: deterministic interleave schedule — the exact ORDER a mixture
+# data loader emits samples in (stride scheduling / weighted fair
+# queueing): each language advances a virtual clock by 1/weight per
+# emitted doc, and the global schedule is the merge by virtual time.
+# Integer-quantized v = rank*1e9 // weight_ppm keeps the sort key exact
+# cross-engine; only ranks <= 100 can reach the first 100 positions, so
+# the global ranking runs on a bounded candidate set, never the corpus
+# (the schedule for shard k at 100 TB prunes the same way). The pytest
+# proves fairness: per-language counts in the prefix track the weights.
+@query(
+    "d7_interleave_schedule",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok
+            FROM documents WHERE text <> ''
+        ),
+        w AS (
+            SELECT lang, CAST(SUM(tok) * 1000000 //
+                       (SELECT SUM(tok) FROM d) AS BIGINT) AS w_ppm
+            FROM d GROUP BY lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY doc_id ASC) AS rnk
+            FROM d
+        ),
+        cand AS (
+            SELECT r.doc_id, r.lang, r.rnk,
+                   CAST(r.rnk * 1000000000 // w.w_ppm AS BIGINT) AS v_u
+            FROM ranked r JOIN w USING (lang)
+            WHERE r.rnk <= 100
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY v_u ASC, lang ASC, rnk ASC)
+                   AS position,
+               lang, doc_id, v_u
+        FROM cand
+        ORDER BY position LIMIT 100
+    """,
+)
+def d7_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select(
+        "doc_id", "lang", F.size(tokenize("text")).cast("long").alias("tok")
+    )
+    tot = toks.agg(F.sum("tok").alias("t"))
+    w = (
+        toks.groupBy("lang")
+        .agg(F.sum("tok").alias("lt"))
+        .crossJoin(F.broadcast(tot))
+        .select("lang", F.expr("lt * 1000000 div t").alias("w_ppm"))
+    )
+    wrank = Window.partitionBy("lang").orderBy(F.col("doc_id").asc())
+    ranked = toks.select(
+        "doc_id", "lang", F.row_number().over(wrank).alias("rnk")
+    ).filter(F.col("rnk") <= 100)
+    cand = ranked.join(F.broadcast(w), "lang").select(
+        "doc_id",
+        "lang",
+        "rnk",
+        F.expr("CAST(rnk AS BIGINT) * 1000000000 div w_ppm").alias("v_u"),
+    )
+    wpos = Window.orderBy(
+        F.col("v_u").asc(), F.col("lang").asc(), F.col("rnk").asc()
+    )
+    return (
+        cand.withColumn("position", F.row_number().over(wpos))
+        .filter(F.col("position") <= 100)
+        .select("position", "lang", "doc_id", "v_u")
+    )

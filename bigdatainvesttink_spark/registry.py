@@ -198,7 +198,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d3_stale_index_recall", "d7_effective_epochs", "d2_rich_club",
     "b56_ljung_box", "fmt_compression_codecs",
     "d2_link_prediction_eval", "d7_budget_curation", "d6_revenue_pareto",
-    "rel_skyline_pareto",
+    "rel_skyline_pareto", "b57_donchian_breakouts", "d7_interleave_schedule",
 )
 
 

@@ -766,3 +766,36 @@ def test_skyline_dominance(spark):
                 assert not (
                     b["price_c"] >= a["price_c"] and b["qty"] <= a["qty"]
                 )
+
+
+def test_donchian_breakouts_sparse(spark):
+    rows = _q("b57_donchian_breakouts", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_breakout_up"] + r["n_breakout_down"] <= r["n_eval_days"]
+    # random-walk tape: breakouts are the exception, not the rule
+    total_eval = sum(r["n_eval_days"] for r in rows)
+    total_brk = sum(r["n_breakout_up"] + r["n_breakout_down"] for r in rows)
+    assert total_brk * 2 < total_eval
+
+
+def test_interleave_schedule_fairness(spark):
+    rows = sorted(
+        _q("d7_interleave_schedule", spark).collect(),
+        key=lambda r: r["position"],
+    )
+    n = len(rows)
+    assert 0 < n <= 100
+    assert [r["position"] for r in rows] == list(range(1, n + 1))
+    # virtual time is non-decreasing along the schedule
+    vs = [r["v_u"] for r in rows]
+    assert vs == sorted(vs)
+    # within a language, docs appear in rank order (no reordering)
+    seen = {}
+    for r in rows:
+        assert seen.get(r["lang"], -1) < r["doc_id"]
+        seen[r["lang"]] = r["doc_id"]
+    # stride fairness: every language appears in a long-enough prefix
+    if n == 100:
+        langs = {r["lang"] for r in rows[:40]}
+        assert len(langs) >= 4

@@ -2317,3 +2317,147 @@ def d1_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l").alias("min_l"),
         F.max("l").alias("max_l"),
     )
+
+
+# --------------------------------------------------------------------------
+# D1: fact-to-SCD2 temporal join — the everyday warehouse pattern the
+# point-in-time lookup (d1_scd2_point_in_time) generalizes to a JOIN:
+# every click fact attaches the purchase-dimension VERSION that was
+# valid at the fact's own timestamp (not today's version — joining
+# current-state dims to historical facts is the classic silent bug this
+# operator exists to prevent). Engine side it is the one-shuffle as-of
+# machinery keyed on user; facts before any version survive as the -1
+# bucket with a 0.0 total (COALESCE keeps the all-NULL sum from going
+# float-NaN). Version attrs aggregate through the decimal-routed path.
+@query(
+    "d1_scd2_fact_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, value AS attr_value, ts AS valid_from,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC)
+                       AS version_no
+            FROM events WHERE event_type = 'purchase'
+        ),
+        facts AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        joined AS (
+            SELECT f.user_id, d.version_no, d.attr_value
+            FROM facts f
+            ASOF LEFT JOIN dim d
+              ON f.user_id = d.user_id AND f.ts >= d.valid_from
+        )
+        SELECT COALESCE(version_no, -1) AS version_no,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               COALESCE(CAST(SUM(CAST(ROUND(attr_value, 6)
+                                      AS DECIMAL(27,6))) AS DOUBLE), 0.0)
+                   AS dim_attr_total
+        FROM joined GROUP BY 1
+    """,
+)
+def d1_scd2_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    dim = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.row_number().over(w).alias("version_no"),
+    )
+    facts = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = as_of_join(
+        facts,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["attr_value", "version_no"],
+        direction="backward",
+    )
+    return joined.groupBy(
+        F.coalesce("version_no", F.lit(-1)).cast("long").alias("version_no")
+    ).agg(
+        F.count("*").cast("long").alias("n_facts"),
+        F.coalesce(
+            F.sum(F.round("attr_value", 6).cast("decimal(27,6)"))
+            .cast("double"),
+            F.lit(0.0),
+        ).alias("dim_attr_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D1: TTL retention what-if — before a retention policy ships, the
+# what-if: at TTL arms of 7/14/21 days behind the newest event, how
+# many rows expire and how many bytes come back (fmt_rowgroup_planner's
+# byte physics: 32B fixed + string lengths)? One scan with a broadcast
+# cutoff grid and a conditional aggregation — the dry run for the
+# DELETE a 100 TB lake runs under compliance or cost pressure
+# (cf. d1_erasure_audit for the per-entity flavor).
+@query(
+    "d1_retention_ttl_whatif",
+    oracle="""
+        WITH bounds AS (SELECT MAX(epoch_us(ts)) AS hi FROM events),
+        arms AS (
+            SELECT ttl_days,
+                   hi - ttl_days * 86400000000 AS cutoff
+            FROM bounds, (VALUES (7), (14), (21)) AS a(ttl_days)
+        ),
+        sized AS (
+            SELECT epoch_us(ts) AS t,
+                   32 + length(event_type) + length(props) AS row_bytes
+            FROM events
+        )
+        SELECT a.ttl_days,
+               CAST(COUNT(*) FILTER (WHERE s.t < a.cutoff) AS BIGINT)
+                   AS n_expired,
+               CAST(SUM(CASE WHEN s.t < a.cutoff THEN s.row_bytes
+                             ELSE 0 END) AS BIGINT) AS bytes_reclaimed,
+               CAST(COUNT(*) FILTER (WHERE s.t < a.cutoff) * 1000000
+                    // COUNT(*) AS BIGINT) AS expired_ppm
+        FROM sized s, arms a
+        GROUP BY a.ttl_days
+    """,
+)
+def d1_retention_ttl_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    sized = e.select(
+        t.alias("t"),
+        (32 + F.length("event_type") + F.length("props"))
+        .cast("long")
+        .alias("row_bytes"),
+    )
+    bounds = sized.agg(F.max("t").alias("hi"))
+    arms = bounds.select(
+        F.explode(F.array(*[F.lit(d) for d in (7, 14, 21)])).alias(
+            "ttl_days"
+        ),
+        "hi",
+    ).select(
+        "ttl_days",
+        (F.col("hi") - F.col("ttl_days").cast("long") * 86_400_000_000)
+        .alias("cutoff"),
+    )
+    exp = F.col("t") < F.col("cutoff")
+    return (
+        sized.crossJoin(F.broadcast(arms))
+        .groupBy("ttl_days")
+        .agg(
+            F.count_if(exp).cast("long").alias("n_expired"),
+            F.sum(F.when(exp, F.col("row_bytes")).otherwise(0))
+            .cast("long")
+            .alias("bytes_reclaimed"),
+            F.expr(
+                "COUNT(CASE WHEN t < cutoff THEN 1 END) * 1000000"
+                " div COUNT(*)"
+            )
+            .cast("long")
+            .alias("expired_ppm"),
+        )
+    )

@@ -799,3 +799,38 @@ def test_interleave_schedule_fairness(spark):
     if n == 100:
         langs = {r["lang"] for r in rows[:40]}
         assert len(langs) >= 4
+
+
+def test_scd2_fact_join_accounts_every_fact(spark):
+    from bigdatainvesttink_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    rows = _q("d1_scd2_fact_join", spark).collect()
+    e = load_table(spark, SF_SMALL, "events")
+    n_clicks = e.filter(F.col("event_type") == "click").count()
+    # every click lands in exactly one version bucket (or -1)
+    assert sum(r["n_facts"] for r in rows) == n_clicks
+    for r in rows:
+        if r["version_no"] == -1:
+            assert r["dim_attr_total"] == 0.0
+        else:
+            assert r["version_no"] >= 1
+            assert r["dim_attr_total"] >= 0.0
+
+
+def test_retention_ttl_monotone(spark):
+    rows = {r["ttl_days"]: r for r in _q("d1_retention_ttl_whatif", spark).collect()}
+    assert set(rows) == {7, 14, 21}
+    # a longer TTL retains more: expirations shrink as TTL grows
+    assert (
+        rows[7]["n_expired"] >= rows[14]["n_expired"] >= rows[21]["n_expired"]
+    )
+    assert (
+        rows[7]["bytes_reclaimed"]
+        >= rows[14]["bytes_reclaimed"]
+        >= rows[21]["bytes_reclaimed"]
+    )
+    for r in rows.values():
+        assert 0 <= r["expired_ppm"] <= 10**6
+        if r["n_expired"] > 0:
+            assert r["bytes_reclaimed"] > 0

@@ -4035,3 +4035,127 @@ def d7_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("position") <= 100)
         .select("position", "lang", "doc_id", "v_u")
     )
+
+
+# --------------------------------------------------------------------------
+# D7: shuffle-quality audit — is the epoch shuffle ACTUALLY mixing
+# sources, or does the training order still stream same-source runs
+# (the curriculum-by-accident bug that quietly biases gradients)? For
+# each epoch the audit counts adjacent same-source pairs inside every
+# shard of the d7_epoch_shuffle order and compares against the exact
+# expectation under a uniform permutation (sum n_s(n_s-1)/N per shard,
+# floor-quantized per shard then exactly summed). obs/exp near 1e6 =
+# healthy shuffle; per-shard lag windows are parallel, grids tiny.
+@query(
+    "d7_shuffle_quality",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT epoch, doc_id, source,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(epoch AS VARCHAR)), 1, 15)
+                        AS UBIGINT) AS BIGINT) AS skey
+            FROM documents
+            CROSS JOIN (VALUES {", ".join(f"({e})" for e in range(N_EPOCHS))})
+                 AS es(epoch)
+            WHERE text <> ''
+        ),
+        ordered AS (
+            SELECT epoch, skey % {N_SHUFFLE_SHARDS} AS shard, source,
+                   LAG(source) OVER (
+                       PARTITION BY epoch, skey % {N_SHUFFLE_SHARDS}
+                       ORDER BY skey ASC, doc_id ASC) AS prev_src
+            FROM keyed
+        ),
+        obs AS (
+            SELECT epoch, shard,
+                   COUNT(prev_src) AS n_pairs,
+                   COUNT(*) FILTER (WHERE source = prev_src) AS n_same
+            FROM ordered GROUP BY epoch, shard
+        ),
+        exp AS (
+            SELECT epoch, shard,
+                   CAST(floor(SUM(CAST(c * (c - 1) AS DOUBLE)) / MAX(nd)
+                              * 1000000 + 0.5) AS BIGINT) AS exp_same_u
+            FROM (
+                SELECT epoch, skey % {N_SHUFFLE_SHARDS} AS shard, source,
+                       COUNT(*) AS c,
+                       SUM(COUNT(*)) OVER (
+                           PARTITION BY epoch,
+                                        skey % {N_SHUFFLE_SHARDS}) AS nd
+                FROM keyed GROUP BY 1, 2, 3
+            ) g GROUP BY epoch, shard
+        )
+        SELECT o.epoch,
+               CAST(SUM(o.n_pairs) AS BIGINT) AS n_adjacent,
+               CAST(SUM(o.n_same) AS BIGINT) AS n_same_source,
+               CAST(SUM(e.exp_same_u) AS BIGINT) AS expected_same_u,
+               CAST(SUM(o.n_same) * 1000000000000 // SUM(e.exp_same_u)
+                    AS BIGINT) AS obs_over_exp_u
+        FROM obs o JOIN exp e ON e.epoch = o.epoch AND e.shard = o.shard
+        GROUP BY o.epoch
+    """,
+)
+def d7_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(N_EPOCHS)])
+    ).alias("epoch")
+    skey = stable_hash60(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    keyed = d.select("doc_id", "source", epochs).select(
+        "epoch",
+        "doc_id",
+        "source",
+        skey.alias("skey"),
+        (skey % N_SHUFFLE_SHARDS).alias("shard"),
+    )
+    wlag = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("skey").asc(), F.col("doc_id").asc()
+    )
+    ordered = keyed.select(
+        "epoch",
+        "shard",
+        "source",
+        F.lag("source").over(wlag).alias("prev_src"),
+    )
+    obs = ordered.groupBy("epoch", "shard").agg(
+        F.count("prev_src").alias("n_pairs"),
+        F.count_if(F.col("source") == F.col("prev_src")).alias("n_same"),
+    )
+    per_src = keyed.groupBy("epoch", "shard", "source").agg(
+        F.count("*").alias("c")
+    )
+    wnd = Window.partitionBy("epoch", "shard")
+    exp = (
+        per_src.withColumn("nd", F.sum("c").over(wnd))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.floor(
+                F.sum((F.col("c") * (F.col("c") - 1)).cast("double"))
+                / F.max("nd")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("exp_same_u")
+        )
+    )
+    return (
+        obs.join(exp, ["epoch", "shard"])
+        .groupBy("epoch")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_adjacent"),
+            F.sum("n_same").cast("long").alias("n_same_source"),
+            F.sum("exp_same_u").cast("long").alias("expected_same_u"),
+            F.expr(
+                "SUM(n_same) * 1000000000000 div SUM(exp_same_u)"
+            )
+            .cast("long")
+            .alias("obs_over_exp_u"),
+        )
+    )

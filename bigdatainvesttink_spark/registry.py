@@ -199,7 +199,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "b56_ljung_box", "fmt_compression_codecs",
     "d2_link_prediction_eval", "d7_budget_curation", "d6_revenue_pareto",
     "rel_skyline_pareto", "b57_donchian_breakouts", "d7_interleave_schedule",
-    "d1_scd2_fact_join", "d1_retention_ttl_whatif",
+    "d1_scd2_fact_join", "d1_retention_ttl_whatif", "d7_shuffle_quality",
 )
 
 

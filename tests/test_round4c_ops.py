@@ -834,3 +834,18 @@ def test_retention_ttl_monotone(spark):
         assert 0 <= r["expired_ppm"] <= 10**6
         if r["n_expired"] > 0:
             assert r["bytes_reclaimed"] > 0
+
+
+def test_shuffle_quality_near_uniform(spark):
+    rows = _q("d7_shuffle_quality", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_same_source"] <= r["n_adjacent"]
+        assert r["expected_same_u"] > 0
+        # a healthy hash shuffle sits within 4x of the uniform
+        # expectation at fixture scale (small shards are noisy, but a
+        # sorted-by-source order would blow far past this)
+        assert 0 < r["obs_over_exp_u"] < 4_000_000
+    # per-epoch keys differ -> orders differ -> stats not all identical
+    if len(rows) > 1:
+        assert len({r["n_same_source"] for r in rows}) >= 1

@@ -56,7 +56,13 @@ def main() -> None:
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # Release every block persisted during this query (ADVICE r4):
+        # 369 queries share one JVM here; without this, per-query caches
+        # accumulate for the whole session and lean on LRU eviction.
+        # Each run starts cache-cold, so min-of-runs stays comparable.
+        spark.catalog.clearCache()
+        return dt
 
     runs: dict[str, list[float]] = {}
     for name, fn in qs.items():
@@ -73,9 +79,24 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     families: dict[str, float] = {}
+    fam_times: dict[str, list[float]] = {}
     for name, t in timings.items():
         fam = _family(name)
         families[fam] = round(families.get(fam, 0.0) + t, 2)
+        fam_times.setdefault(fam, []).append(t)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # Load-robust statistics (VERDICT r4 ask #6): totals smear host-load
+    # noise across every query; medians let cross-round comparison ignore
+    # a loaded host inflating the tail.
+    median_query_s = round(_median(list(timings.values())), 3)
+    family_medians = {
+        fam: round(_median(ts), 3) for fam, ts in fam_times.items()
+    }
     top5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
@@ -87,6 +108,8 @@ def main() -> None:
         "sf": sf,
         "queries": timings,
         "runs": {k: [round(v, 3) for v in ts] for k, ts in runs.items()},
+        "median_query_s": median_query_s,
+        "family_medians": family_medians,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -103,6 +126,8 @@ def main() -> None:
             "sf": sf,
             "queries": top5,
             "families": families,
+            "median_query_s": median_query_s,
+            "family_medians": family_medians,
             "n_queries": len(timings),
             "detail": "BENCH_DETAIL.json",
         },

@@ -2767,11 +2767,18 @@ def d6_bot_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gap_cv"),
     )
+    # Scale shape (re-planned round 5, VERDICT r4 ask #2): the old
+    # window-rank-then-filter planned an Exchange SinglePartition + full
+    # sort of the USER universe; orderBy().limit(10) is a distributed
+    # TakeOrderedAndProject (per-partition top-10, driver merge of
+    # n_partitions x 10 rows) with identical (gap_cv, user_id) tiebreaks,
+    # and the rank window then runs over the bounded 10-row result only —
+    # the same pattern d4_bm25_topk uses (retrieval.py:365-370).
+    top = scored.orderBy(
+        F.col("gap_cv").asc(), F.col("user_id").asc()
+    ).limit(10)
     wr = Window.orderBy(F.col("gap_cv").asc(), F.col("user_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= 10)
-    )
+    return top.withColumn("rnk", F.row_number().over(wr))
 
 
 # --------------------------------------------------------------------------
@@ -3436,29 +3443,45 @@ def d6_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_u")
         )
     )
-    wrank = Window.orderBy(F.col("r_u").asc(), F.col("user_id").asc())
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # Two-phase distributed rank (re-planned round 5, VERDICT r4 ask #2):
+    # the old global Window.orderBy row_number forced an Exchange
+    # SinglePartition + full sort of every buyer; the helper range-
+    # partitions and ranks locally, bit-identical under the total
+    # (r_u, user_id) order. Persisting the buyer-sized `rev` stops the
+    # events scan from re-running per DAG cut (partition counts, stats,
+    # final agg); blocks are one row per buyer and the bench/oracle
+    # harnesses clear the cache after each query.
+    rev = rev.persist()
+    from ..functions.distributed_rank import with_global_row_number
+
+    ranked = with_global_row_number(
+        rev, [F.col("r_u").asc(), F.col("user_id").asc()], out="i"
+    ).select("r_u", "i")
+    # One 1-row pass for (n, tot, iwsum); the top-decile filter needs n,
+    # so broadcast the 1-row stats back and aggregate once more — both
+    # passes touch only the USER-sized `ranked` aggregate, never events.
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_u").alias("tot_u"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r_u")).alias(
+            "iw"
+        ),
     )
-    ranked = rev.select(
-        "r_u",
-        F.row_number().over(wrank).alias("i"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("r_u").over(wall).alias("tot_u"),
-    )
-    topd = ranked.agg(
-        F.sum(
-            F.when(
-                F.col("i") > F.col("n") - F.expr("n div 10"), F.col("r_u")
+    topd = (
+        ranked.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.expr("n div 10"),
+                    F.col("r_u"),
+                )
             )
+            .cast("double")
+            .alias("top_r"),
+            F.max("tot_u").cast("double").alias("tot"),
+            F.max("n").alias("n"),
+            F.max("iw").cast("double").alias("iwsum"),
         )
-        .cast("double")
-        .alias("top_r"),
-        F.max("tot_u").cast("double").alias("tot"),
-        F.max("n").alias("n"),
-        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r_u"))
-        .cast("double")
-        .alias("iwsum"),
     )
     return topd.select(
         F.col("n").cast("long").alias("n_buyers"),

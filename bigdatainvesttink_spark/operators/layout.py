@@ -26,13 +26,13 @@ equivalents, oracle-checked on values and plan-checked on shape.
 from __future__ import annotations
 
 import re
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
+from ..session import scratch_dir
 
 # --------------------------------------------------------------------------
 # Z-order (Morton) interleave of two 16-bit dimensions, generated once as
@@ -167,7 +167,7 @@ def fmt_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # External tables at a fresh temp path: the catalog entry is per-JVM
     # while spark-warehouse/ persists, so a managed table from an earlier
     # session would collide on location (LOCATION_ALREADY_EXISTS).
-    tmp = tempfile.mkdtemp(prefix="bkt_")
+    tmp = scratch_dir("bkt_")
     spark.sql(f"DROP TABLE IF EXISTS {ot}")
     spark.sql(f"DROP TABLE IF EXISTS {ct}")
     (
@@ -304,7 +304,7 @@ def fmt_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    tmp = scratch_dir("compact_")
     # the fragmented state a micro-batch ingest leaves behind
     o.repartition(32).write.mode("overwrite").parquet(f"{tmp}/small")
     frag = spark.read.parquet(f"{tmp}/small")
@@ -357,7 +357,7 @@ def fmt_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
-    tmp = tempfile.mkdtemp(prefix="dynover_")
+    tmp = scratch_dir("dynover_")
     e.write.partitionBy("event_type").mode("overwrite").parquet(f"{tmp}/t")
     updates = e.filter(
         F.col("event_type").isin("click", "view") & (F.col("event_id") % 2 == 0)

@@ -1,11 +1,15 @@
 """Multimodal column plumbing (SURVEY north-star: image/audio/video as
 opaque binary columns with typed metadata).
 
-The container has no image codec, so that DECODE step is a clearly-marked
-stub: ``decode_image`` raises NotImplementedError and the pipeline runs with
-``fake_decode_meta`` — a deterministic stand-in that derives metadata from
-the md5 of the bytes. ``decode_audio`` is REAL for PCM WAV (stdlib ``wave``),
-proving the seam is pluggable; other audio formats raise the same way. What
+Both codec seams now carry one REAL format each, proving pluggability:
+``decode_audio`` decodes PCM WAV (stdlib ``wave``), and ``decode_image``
+decodes 8-bit gray/RGB/RGBA PNG (stdlib ``zlib`` — header parse, inflate,
+scanline un-filter), each with a sample-exact roundtrip test. Formats whose
+entropy coders genuinely need codec libs this container doesn't ship
+(JPEG/WebP, MP3/FLAC) raise a clearly-marked NotImplementedError, and the
+registered pipeline queries run with ``fake_decode_meta`` — a deterministic
+stand-in that derives metadata from the md5 of the bytes (SQL-oracle
+checkable, which a real codec's output would not be). What
 IS real and tested is everything Spark-side: the binary column, the typed
 metadata schema, Arrow-batched ``mapInPandas`` with correct batch iteration,
 and the partition-parallel plan (no driver loops, no collect).
@@ -36,14 +40,120 @@ META_SCHEMA = (
 
 _FORMATS = ("png", "jpeg", "webp")
 
+# decode_image's schema: META_SCHEMA plus the recovered sample bytes (the
+# roundtrip-proof column, same role as the PCM frames in the WAV seam)
+IMAGE_META_SCHEMA = META_SCHEMA + ", decoded_pixels binary"
 
-def decode_image(content: bytes):
-    """Real image decode — deliberately stubbed (no codec libs in this
-    environment). The Spark plumbing around it is real and tested with
-    fake_decode_meta; swap this in production."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_decode_meta "
-        "for plumbing tests"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image(content: bytes) -> dict:
+    """REAL image decode for PNG via stdlib ``zlib`` (VERDICT r4 stretch
+    ask #7) — PNG is just length-prefixed chunks + a zlib-deflated,
+    per-scanline-filtered pixel stream, so no codec library is needed:
+    parse IHDR for dimensions, inflate the IDAT stream, and un-filter
+    scanlines (filter types 0-4) back to raw samples. Returns the same
+    dict-per-row contract as fake_decode_meta through the identical
+    extract_meta mapInPandas harness; ``decoded_pixels`` carries the
+    recovered sample bytes so tests can assert a sample-exact roundtrip
+    (mirroring the WAV proof in decode_audio). Non-PNG payloads raise
+    NotImplementedError — JPEG/WebP entropy coders genuinely need codec
+    libs this container doesn't ship."""
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise NotImplementedError(
+            "only PNG decodable in this environment (stdlib zlib); "
+            "use fake_decode_meta for plumbing tests"
+        )
+    pos, width = len(_PNG_SIG), None
+    height = bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(content):
+        (clen,), ctype = struct.unpack(">I", content[pos:pos + 4]), content[
+            pos + 4:pos + 8
+        ]
+        data = content[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    if bit_depth != 8 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            "PNG subset: 8-bit gray/RGB/RGBA (like the WAV seam, one real "
+            "format proves pluggability)"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = width * nch
+    pixels = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        for x in range(stride):
+            a = line[x - nch] if x >= nch else 0
+            b = prev[x]
+            if ftype == 1:  # Sub
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:  # Up
+                line[x] = (line[x] + b) & 0xFF
+            elif ftype == 3:  # Average
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        pixels += line
+        prev = line
+    return {
+        "n_bytes": len(content),
+        "fmt": "png",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "thumb_width": min(width, 256),
+        "thumb_height": min(height, 256),
+        "decoded_pixels": bytes(pixels),
+    }
+
+
+def encode_png(pixels: bytes, width: int, height: int, nch: int = 3) -> bytes:
+    """Minimal PNG encoder (stdlib zlib, filter 0) — the test-side twin of
+    decode_image, so the roundtrip proof needs no external fixture."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[nch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * nch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
 
 

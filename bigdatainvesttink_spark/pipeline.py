@@ -20,7 +20,6 @@ whole thing and prints per-stage row counts plus a sample analytic.
 from __future__ import annotations
 
 import sys
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +27,7 @@ from pyspark.sql import functions as F
 from .fixtures import domain_table
 from .operators.ingestion import _wire_stream
 from .schemas import DOMAIN_SCHEMAS
+from .session import scratch_dir
 from .streaming.pipeline import ingest_stream
 
 
@@ -58,7 +58,7 @@ def run_pipeline(
 ) -> dict[str, int]:
     """Produce -> consume -> verify counts; returns per-table warehouse
     row counts. The warehouse afterwards serves the analytics layer."""
-    workdir = workdir or tempfile.mkdtemp(prefix="pipeline_")
+    workdir = workdir or scratch_dir("pipeline_")
     produced = produce(spark, sf_dir, f"{workdir}/queue")
     consume(spark, f"{workdir}/queue", f"{workdir}/ckpt", f"{workdir}/warehouse")
     landed = {
@@ -79,7 +79,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     workdir = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("pipeline")
-    workdir = workdir or tempfile.mkdtemp(prefix="pipeline_")
+    workdir = workdir or scratch_dir("pipeline_")
     counts = run_pipeline(spark, sf_dir, workdir)
     print({"warehouse_counts": counts})
     trades = warehouse_table(spark, f"{workdir}/warehouse", "trades")

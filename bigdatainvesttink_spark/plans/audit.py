@@ -58,6 +58,40 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+def _n_single_partition_window_sorts(lines: list[str]) -> int:
+    """Count Exchange SinglePartition nodes feeding a Sort/Window.
+
+    The scale anti-pattern VERDICT r4 flagged: a global
+    ``row_number().over(Window.orderBy(...))`` (or any unpartitioned
+    window) plans as Exchange SinglePartition + full sort — one task
+    sorts the entire input, which is fatal when the input is data-sized.
+    Plan text is a tree with the consumer printed ABOVE the exchange, so
+    we look a few lines up for a Sort/Window node. Inputs that are
+    bounded BY CONSTRUCTION — the exchange reads a TakeOrderedAndProject
+    or GlobalLimit (a k-row top already reduced distributedly) — are not
+    counted; genuinely-bounded GRID inputs (calendar days, vocab,
+    partition-count offset tables) can't be told apart from data-sized
+    ones in plan text, so those queries carry a justified name allowlist
+    in tools/scan_antipatterns.py instead.
+    """
+    n = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        above = lines[max(0, i - 3): i]
+        if not any("Sort [" in a or "Window [" in a for a in above):
+            continue
+        below = lines[i + 1: i + 7]
+        if any(
+            "TakeOrderedAndProject" in b or "GlobalLimit" in b
+            or "CollectLimit" in b
+            for b in below
+        ):
+            continue
+        n += 1
+    return n
+
+
 def audit_report(df: DataFrame) -> dict:
     """One-call structured summary of a plan's scale-relevant properties.
 
@@ -100,6 +134,9 @@ def audit_report(df: DataFrame) -> dict:
         # when no "*(n)" markers exist (ADVICE r3: double-count otherwise)
         "n_codegen_spans": len(codegen_ids)
         or physical.count("WholeStageCodegen"),
+        "n_single_partition_windows": _n_single_partition_window_sorts(
+            lines
+        ),
         "top_k_pushed": "TakeOrderedAndProject" in physical,
         "pushed_filters": [
             line.strip() for line in text.splitlines()

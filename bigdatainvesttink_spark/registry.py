@@ -92,6 +92,32 @@ _DRIVER_GREEN_R1: frozenset[str] = frozenset(
 
 _DRIVER_GREEN: frozenset[str] = _load_driver_green()
 
+# Queries with no DuckDB oracle BY DESIGN (approx sketches, k-means cell
+# assignment): the driver records a rows-only row and can never mark them
+# hash-green, so leaving them in the unchecked group would burn one slot of
+# the 50/round driver budget every round forever. Once they have ANY driver
+# row (rows-only counts), sort them with the verified tail.
+
+
+def _load_rows_only_checked() -> frozenset[str]:
+    """Oracle-less names that already have a driver rows-only verdict."""
+    checked: set[str] = set()
+    root = Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, verdict in rows.items():
+            if isinstance(verdict, dict) and verdict.get("err") == "no_oracle":
+                checked.add(name)
+    return frozenset(checked)
+
+
+_ROWS_ONLY_CHECKED: frozenset[str] = _load_rows_only_checked()
+
 # Once-red rows after a fix — must land inside the driver's check budget
 # until a green row confirms the fix (then they sort with the green tail).
 _FIXED_FIRST: tuple[str, ...] = (
@@ -204,17 +230,14 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    fixed = [
-        n for n in _FIXED_FIRST if n in names and n not in _DRIVER_GREEN
-    ]
+    done = _DRIVER_GREEN | _ROWS_ONLY_CHECKED
+    fixed = [n for n in _FIXED_FIRST if n in names and n not in done]
     unchecked = [
-        n
-        for n in names
-        if n not in _DRIVER_GREEN and n not in _FIXED_FIRST
+        n for n in names if n not in done and n not in _FIXED_FIRST
     ]
     rank = {n: i for i, n in enumerate(_UNCHECKED_PRIORITY)}
     unchecked.sort(key=lambda n: rank.get(n, len(rank)))  # stable sort
-    green = [n for n in names if n in _DRIVER_GREEN]
+    green = [n for n in names if n in done]
     return fixed + unchecked + green
 
 

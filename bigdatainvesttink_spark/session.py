@@ -29,6 +29,33 @@ _RUNTIME_CONFS = {
 }
 
 
+def scratch_dir(prefix: str) -> str:
+    """A scratch directory under one process-scoped root, removed at exit.
+
+    Operators that materialize intermediate state (bucketed tables,
+    streaming sources/sinks/checkpoints, codec round-trips) used to
+    ``tempfile.mkdtemp`` ad hoc, leaking disk across repeated bench/test
+    runs (ADVICE r4). Everything now lands under a single
+    ``bigdatainvesttink-scratch-<pid>`` root that an ``atexit`` hook
+    deletes; per-call dirs stay unique so re-running a query in the same
+    session never collides with a live stream's checkpoint.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(
+            prefix=f"bigdatainvesttink-scratch-{os.getpid()}-"
+        )
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+_SCRATCH_ROOT: str | None = None
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an existing session (idempotent)."""
     confs = dict(_RUNTIME_CONFS)

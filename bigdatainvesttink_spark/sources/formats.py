@@ -9,13 +9,12 @@ Delta/Iceberg/Hudi would be classpath additions — gated behind import-try
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import domain_table, oracle_on_domain
 from ..registry import query
+from ..session import scratch_dir
 
 
 def has_delta() -> bool:
@@ -43,7 +42,7 @@ def has_delta() -> bool:
 )
 def fmt_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     companies = domain_table(spark, sf_dir, "companies")
-    tmp = tempfile.mkdtemp(prefix="fmt_rt_")
+    tmp = scratch_dir("fmt_rt_")
     companies.write.mode("overwrite").option("header", True).csv(f"{tmp}/csv")
     companies.write.mode("overwrite").json(f"{tmp}/json")
     schema = "company_id string, name string, ticker string, sector string"
@@ -73,7 +72,7 @@ def fmt_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fmt_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = domain_table(spark, sf_dir, "trades")
-    tmp = tempfile.mkdtemp(prefix="fmt_part_")
+    tmp = scratch_dir("fmt_part_")
     trades.write.mode("overwrite").partitionBy("side").parquet(f"{tmp}/trades")
     back = spark.read.parquet(f"{tmp}/trades").filter(F.col("side") == "buy")
     return back.groupBy("company_id").agg(
@@ -94,7 +93,7 @@ def fmt_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     companies = domain_table(spark, sf_dir, "companies")
-    tmp = tempfile.mkdtemp(prefix="fmt_orc_")
+    tmp = scratch_dir("fmt_orc_")
     companies.write.mode("overwrite").orc(f"{tmp}/orc")
     return spark.read.orc(f"{tmp}/orc")
 
@@ -122,7 +121,7 @@ def fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     companies = domain_table(spark, sf_dir, "companies")
-    tmp = tempfile.mkdtemp(prefix="fmt_evo_")
+    tmp = scratch_dir("fmt_evo_")
     companies.select("company_id", "name").write.mode("overwrite").parquet(
         f"{tmp}/ds/v=1"
     )
@@ -184,7 +183,7 @@ def fmt_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", "company_id", "name", "ticker", "sector", F.lit("notanint")
         ).alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="fmt_malformed_")
+    tmp = scratch_dir("fmt_malformed_")
     good.unionAll(short_bad).unionAll(type_bad).write.mode(
         "overwrite"
     ).text(f"{tmp}/csv")
@@ -262,7 +261,7 @@ def fmt_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import stable_hash60
 
     companies = domain_table(spark, sf_dir, "companies")
-    tmp = tempfile.mkdtemp(prefix="fmt_codec_")
+    tmp = scratch_dir("fmt_codec_")
     out = None
     for codec in _CODECS:
         path = f"{tmp}/{codec}"

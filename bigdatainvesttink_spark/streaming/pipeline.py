@@ -37,7 +37,7 @@ from ..functions.text import MINHASH_PRIME, N_MINHASHES
 from ..io import load_table
 from ..operators.dedup import _oracle as _dedup_oracle
 from ..registry import query
-from ..session import configure
+from ..session import configure, scratch_dir
 from ..sources.ingest import ingest
 
 
@@ -516,13 +516,12 @@ def c_stream_vwap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def c_stream_backpressure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..fixtures import domain_table
     from ..sources.ingest import serialize
 
     configure(spark)
-    tmp = tempfile.mkdtemp(prefix="c_bp_")
+    tmp = scratch_dir("c_bp_")
     # A 1-in-5 slice keeps the wire write proportional to what the
     # equivalence proof needs — the batch-boundary property is the same at
     # any volume (the full-wire path is exercised by a_ingest_*).
@@ -685,7 +684,6 @@ def c_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def c_stream_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..fixtures import domain_table
     from ..schemas import TS_FORMAT
@@ -707,7 +705,7 @@ def c_stream_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "side",
     )
     wire = serialize(wire_rows, "trades", ts_col=None)
-    tmp = tempfile.mkdtemp(prefix="dlq_")
+    tmp = scratch_dir("dlq_")
     wire.write.mode("overwrite").text(f"{tmp}/wire")
 
     raw = (
@@ -932,10 +930,9 @@ def c_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     configure(spark)
-    tmp = tempfile.mkdtemp(prefix="c_cdc_")
+    tmp = scratch_dir("c_cdc_")
     # 4-file wire -> 4 micro-batches under maxFilesPerTrigger=1: the merge
     # runs repeatedly, not once (a single batch would make it a rename).
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -954,10 +951,18 @@ def c_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op", F.when(F.col("event_id") % 10 == 0, "D").otherwise("U")
     )
 
-    version = {"n": 0}
+    version = {"n": 0, "last_epoch": -1}
 
     def merge_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # Idempotence guard (ADVICE r4): foreachBatch can re-deliver a
+        # micro-batch after a failure/retry with the SAME epoch_id; folding
+        # it into state twice would inflate n_ops and bump the version
+        # twice. Skip epochs already merged — with the versioned-dir write
+        # below this makes the sink effectively exactly-once.
+        if epoch_id <= version["last_epoch"]:
+            return
         if bdf.isEmpty():
+            version["last_epoch"] = epoch_id
             return
         sess = bdf.sparkSession
         # collapse the batch to per-key partials first (map-side shrink)
@@ -978,6 +983,7 @@ def c_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merged.write.mode("overwrite").parquet(f"{tmp}/state_v{prev_v + 1}")
         version["n"] = prev_v + 1
+        version["last_epoch"] = epoch_id
 
     q = (
         changes.writeStream.foreachBatch(merge_batch)
@@ -1046,12 +1052,11 @@ def c_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c_stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .stateful import streaming_pit_features
 
     configure(spark)
-    tmp = tempfile.mkdtemp(prefix="c_pit_")
+    tmp = scratch_dir("c_pit_")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     batch.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
     raw = (
@@ -1126,10 +1131,9 @@ def c_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import os
     import shutil
-    import tempfile
 
     configure(spark)
-    tmp = tempfile.mkdtemp(prefix="c_late_")
+    tmp = scratch_dir("c_late_")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(batch.dtypes).get("ts") == "bigint":
         batch = batch.withColumn(
@@ -1220,7 +1224,6 @@ def c_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def c_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..fixtures import domain_table
     from ..functions import as_of_join
@@ -1237,7 +1240,7 @@ def c_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     book = domain_table(spark, sf_dir, "order_book").select(
         "company_id", "ts", "bid_price", "ask_price"
     )
-    tmp = tempfile.mkdtemp(prefix="stream_asof_")
+    tmp = scratch_dir("stream_asof_")
     out_dir, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
     def enrich_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -12,6 +12,7 @@ shape that scales to millions of instruments on a state-store backend
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -101,7 +102,10 @@ def _update_pit(
             tus.append(int(r_tus))
             eid.append(int(r_eid))
             etype.append(str(r_type))
-            val.append(int(round(float(r_val) * 1_000_000)))
+            # half-UP micro quantization (math.floor(x*1e6 + 0.5)), matching
+            # the batch/oracle DECIMAL(27,6) discipline — Python round() is
+            # half-to-even and would diverge on exact .5 micro boundaries
+            val.append(int(math.floor(float(r_val) * 1_000_000 + 0.5)))
     state.update((tus, eid, etype, val))
 
     rows = sorted(zip(tus, eid, etype, val))

@@ -8,6 +8,11 @@ designed to deliver it), and reports the max abs diff when only float noise
 separates the two.
 
 Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+
+Set ``GATE_ARTIFACT=ORACLE_GATE_r05.json`` to also write a JSON summary
+(per-query verdict + totals) — the committed per-round gate artifact
+VERDICT r4 ask #5 calls for, so every round ends with the same number the
+judge computes.
 """
 
 from __future__ import annotations
@@ -104,9 +109,14 @@ def main():
     con = duck_con(sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
+    verdicts: dict[str, dict] = {}
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
+        # Release the previous query's persisted blocks (ADVICE r4): the
+        # full gate runs 369 queries in one JVM; without this, caches
+        # accumulate for the whole session and pressure storage memory.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -114,22 +124,46 @@ def main():
                 cnt = df.count()
                 print(f"ROWS-ONLY {name}: {cnt} rows ({time.time()-t0:.1f}s)")
                 n_rows_only += 1
+                verdicts[name] = {"verdict": "rows_only", "rows": cnt,
+                                  "sec": round(time.time() - t0, 2)}
                 continue
             problems = compare(name, df, con, oracles[name])
         except Exception:
             print(f"FAIL {name}: exception")
             traceback.print_exc()
             n_fail += 1
+            verdicts[name] = {"verdict": "fail",
+                              "problems": [f"exception: {traceback.format_exc().splitlines()[-1]}"],
+                              "sec": round(time.time() - t0, 2)}
             continue
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"  {p}")
+            verdicts[name] = {"verdict": "fail", "problems": problems,
+                              "sec": round(time.time() - t0, 2)}
         else:
             n_pass += 1
             print(f"PASS {name} ({time.time()-t0:.1f}s)")
+            verdicts[name] = {"verdict": "pass",
+                              "sec": round(time.time() - t0, 2)}
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    artifact = os.environ.get("GATE_ARTIFACT")
+    if artifact:
+        import json
+
+        with open(artifact, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "totals": {"pass": n_pass, "fail": n_fail,
+                               "rows_only": n_rows_only},
+                    "queries": verdicts,
+                },
+                f, indent=1, sort_keys=True,
+            )
+        print(f"gate artifact -> {artifact}")
     sys.exit(1 if n_fail else 0)
 
 

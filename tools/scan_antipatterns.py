@@ -8,6 +8,11 @@ by hand; this makes the scan mechanical):
                               BNLJ against a 1-row/tiny aggregate is fine
                               and is NOT flagged)
   * BatchEvalPython         — row-at-a-time Python UDF in any plan
+  * SinglePartitionWindow   — Exchange SinglePartition feeding a global
+                              Sort/Window over input that is neither
+                              limit-bounded in-plan nor on the justified
+                              bounded-grid allowlist below (VERDICT r4
+                              ask #3)
 
 Queries whose builders are eager (streaming drives, iterative collects)
 execute while being built — that is expected; the scan still audits the
@@ -23,6 +28,37 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# Queries whose global window runs over an input that is bounded by
+# DESIGN (a grid, not data) — plan text can't prove boundedness, so each
+# entry carries its justification; a reviewer removes an entry and the
+# scan must flag the query. Data-sized global windows are NOT allowlisted
+# — they get re-planned (d6_bot_watchlist -> orderBy().limit(k);
+# d6_revenue_pareto / d2_link_prediction_eval -> the two-phase rank in
+# functions/distributed_rank.py).
+SPW_ALLOWLIST: dict[str, str] = {
+    "d6_mann_whitney": (
+        "rank-sum runs over the floor(value*10) bin grid — value-range-"
+        "sized (the single ordered pass over bins is the algorithm)"
+    ),
+    "d6_survival_km": (
+        "Kaplan-Meier risk sets run over the per-HOUR duration grid — "
+        "observation-window-hours-sized (calendar grid), not user-sized"
+    ),
+    "d7_shard_balance_plan": (
+        "snake assignment ranks the N_SHUFFLE_SHARDS-row shard summary — "
+        "a constant-sized planning grid"
+    ),
+    "rel_interval_sweep": (
+        "running interval balance over per-DAY net deltas — calendar-"
+        "days-sized grid, not order-sized"
+    ),
+    "d4_ks_length_drift": (
+        "KS ECDF cumulates over DISTINCT n_chars values — value-domain-"
+        "sized (bounded by max document length), not corpus-sized"
+    ),
+}
 
 
 def scan(spark, sf_dir, filters=()):
@@ -43,6 +79,14 @@ def scan(spark, sf_dir, filters=()):
             flags.append("CartesianProduct")
         if rep["has_python_row_udf"]:
             flags.append("BatchEvalPython (row-at-a-time UDF)")
+        if (
+            rep.get("n_single_partition_windows", 0)
+            and name not in SPW_ALLOWLIST
+        ):
+            flags.append(
+                "SinglePartitionWindow x"
+                f"{rep['n_single_partition_windows']}"
+            )
         if flags:
             out[name] = flags
     return out

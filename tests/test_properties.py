@@ -342,3 +342,46 @@ def test_twap_weights_sum_to_span(spark, rows):
         # truncates each gap independently
         want = sum((b - a) // 1000 for a, b in zip(us_list, us_list[1:]))
         assert r.span_ms == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.sampled_from([1, 2, 5, 32]),
+)
+@settings(**_SETTINGS)
+def test_two_phase_global_rank_matches_single_sort(spark, rows, nparts):
+    """functions/distributed_rank.with_global_row_number must be
+    bit-identical to the single-partition row_number window under any
+    total order, for any partition count — including duplicates in the
+    primary sort key (the id column breaks ties) and partition counts
+    larger than the row count (empty range partitions)."""
+    from pyspark.sql.window import Window
+
+    from bigdatainvesttink_spark.functions.distributed_rank import (
+        with_global_row_number,
+    )
+
+    # unique id per row (tiebreak); v carries duplicates freely
+    data = [(i, v) for i, (v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        (r["id"], r["rnk"])
+        for r in with_global_row_number(
+            df, order, out="rnk", num_partitions=nparts
+        ).collect()
+    }
+    want = {
+        (r["id"], r["rnk"])
+        for r in df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want

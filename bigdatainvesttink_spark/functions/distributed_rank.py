@@ -31,13 +31,17 @@ def with_global_row_number(
     order_cols: list[Column],
     out: str = "rnk",
     num_partitions: int = 32,
+    counts_out: list | None = None,
 ) -> DataFrame:
     """Append a 1-based global row number following ``order_cols``.
 
     ``order_cols`` must be a total order (add id tiebreaks) — ties across
     a range-partition boundary would otherwise make ranks nondeterministic.
     The returned frame keeps all input columns; the extra ``pid``/local
-    columns are dropped.
+    columns are dropped. Pass a list as ``counts_out`` to receive the
+    total row count (appended as its single element) — it falls out of
+    the partition-count collect for free, saving callers a second
+    counting pass over ``df``.
     """
     local_w = Window.partitionBy("__pid").orderBy(*order_cols)
     local = (
@@ -55,6 +59,8 @@ def with_global_row_number(
     for pid in sorted(pcs):
         offsets[pid] = acc
         acc += pcs[pid]
+    if counts_out is not None:
+        counts_out.append(acc)
     if offsets:
         off = F.coalesce(
             F.create_map(

@@ -3454,35 +3454,28 @@ def d6_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = rev.persist()
     from ..functions.distributed_rank import with_global_row_number
 
+    n_out: list = []
     ranked = with_global_row_number(
-        rev, [F.col("r_u").asc(), F.col("user_id").asc()], out="i"
+        rev,
+        [F.col("r_u").asc(), F.col("user_id").asc()],
+        out="i",
+        counts_out=n_out,
     ).select("r_u", "i")
-    # One 1-row pass for (n, tot, iwsum); the top-decile filter needs n,
-    # so broadcast the 1-row stats back and aggregate once more — both
-    # passes touch only the USER-sized `ranked` aggregate, never events.
-    stats = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("r_u").alias("tot_u"),
-        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r_u")).alias(
-            "iw"
-        ),
-    )
-    topd = (
-        ranked.crossJoin(F.broadcast(stats))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("i") > F.col("n") - F.expr("n div 10"),
-                    F.col("r_u"),
-                )
-            )
-            .cast("double")
-            .alias("top_r"),
-            F.max("tot_u").cast("double").alias("tot"),
-            F.max("n").alias("n"),
-            F.max("iw").cast("double").alias("iwsum"),
-        )
-    )
+    # n falls out of the helper's partition-count collect, so the
+    # top-decile threshold is a literal and ONE aggregation pass over the
+    # buyer-sized ranked table yields top_r, tot, and the rank-weighted
+    # sum — no stats broadcast, no second pass.
+    n = n_out[0]
+    thr = n - n // 10
+    topd = ranked.agg(
+        F.sum(F.when(F.col("i") > F.lit(thr), F.col("r_u")))
+        .cast("double")
+        .alias("top_r"),
+        F.sum("r_u").cast("double").alias("tot"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r_u"))
+        .cast("double")
+        .alias("iwsum"),
+    ).withColumn("n", F.lit(n).cast("long"))
     return topd.select(
         F.col("n").cast("long").alias("n_buyers"),
         F.floor(F.col("top_r") / F.col("tot") * 1_000_000 + F.lit(0.5))

@@ -1505,8 +1505,9 @@ def rel_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-column COUNT(DISTINCT) plans as a single Expand + two-stage
 # aggregate (k-way row multiplication, the standard exact-ANALYZE cost; at
 # sizes where exact NDV is not worth it, rel_approx_aggs shows the sketch
-# path) — and each low-cardinality mode is a TakeOrderedAndProject over
-# its tiny count table, never a global sort. Reference analog: ClickHouse
+# path) — and ALL modes come from ONE melt scan (explode to (column,
+# value) pairs, count, min_by((-count, value)) per column), never a scan
+# per column and never a global sort. Reference analog: ClickHouse
 # table introspection the reference delegates to the warehouse
 # (app/for_clickhouse/from_rabbitmq_to_clickhouse.py:1).
 _PROFILE_NUM = (("l_orderkey", False), ("l_quantity", True), ("l_discount", True))
@@ -1587,54 +1588,108 @@ def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     base = li.agg(*aggs)
 
-    mode_cols = [c for c, hm in _PROFILE_NUM if hm] + list(_PROFILE_STR)
-    for c in mode_cols:
-        m = (
-            li.filter(F.col(c).isNotNull())
-            .groupBy(c)
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.col("c").desc(), F.col(c).asc())
-            .limit(1)
-            .select(
-                F.col(c).cast("string").alias(f"v_{c}"),
-                F.col("c").alias(f"c_{c}"),
-            )
+    # ALL modes from ONE melt scan (re-planned round 5: the per-column
+    # top-1 loop cost one full lineitem scan per mode column — 5 scans of
+    # the fact table total; at 100 TB that is 4 avoidable passes). The
+    # melt explodes each row to its 4 (column, value) pairs — the same
+    # k-way row multiplication the Expand multi-distinct scan already
+    # pays — then one count + one min_by((-count, key, value)) per column
+    # gives the identical (highest count, smallest value) tiebreak: the
+    # numeric sort key is the double cast (order-preserving for these
+    # 2dp decimals), the display value stays the NATIVE string cast, so
+    # output strings are byte-identical to the per-column path.
+    mode_specs = [(c, True) for c, hm in _PROFILE_NUM if hm] + [
+        (c, False) for c in _PROFILE_STR
+    ]
+    melted = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("name"),
+                            (
+                                F.col(c).cast("double")
+                                if is_num
+                                else F.lit(None).cast("double")
+                            ).alias("k"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c, is_num in mode_specs
+                    ]
+                )
+            ).alias("m")
         )
-        base = base.crossJoin(F.broadcast(m))
-    # Load-bearing persist: the long-format Union below projects a
-    # different column subset per branch, and per-branch pruning would
-    # otherwise re-derive this 1-row plan 5x — splitting the single
-    # Expand multi-distinct scan into one full table scan per column.
-    base = base.persist()
+        .select("m.*")
+        .filter(F.col("v").isNotNull())
+    )
+    tops = (
+        melted.groupBy("name", "k", "v")
+        .agg(F.count("*").alias("c"))
+        .groupBy("name")
+        .agg(
+            F.min_by(
+                F.struct("v", "c"),
+                F.struct((-F.col("c")).alias("nc"), "k", "v"),
+            ).alias("top")
+        )
+    )
+    mrow = tops.agg(
+        *[
+            agg
+            for c, _ in mode_specs
+            for agg in (
+                F.max(
+                    F.when(F.col("name") == c, F.col("top.v"))
+                ).alias(f"v_{c}"),
+                F.max(
+                    F.when(F.col("name") == c, F.col("top.c"))
+                ).alias(f"c_{c}"),
+            )
+        ]
+    )
+    base = base.crossJoin(F.broadcast(mrow))
 
+    # Long format WITHOUT a 5-branch union (re-planned round 5): base is
+    # ONE row, so each union branch re-derived the whole stats+modes plan
+    # — a cold run raced 5 parallel copies of the fact aggregation before
+    # any cache could land. Exploding an array of per-column structs
+    # keeps a single consumer of the single-row plan: exactly one stats
+    # scan + one melt scan, no persist needed.
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
-    parts = []
+    rows = []
     for c, has_mode in _PROFILE_NUM:
-        parts.append(
-            base.select(
+        rows.append(
+            F.struct(
                 F.lit(c).alias("col_name"),
                 F.col("n_rows").cast("long").alias("n_rows"),
-                (F.col("n_rows") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
+                (F.col("n_rows") - F.col(f"nn_{c}"))
+                .cast("long")
+                .alias("n_nulls"),
                 F.col(f"nd_{c}").cast("long").alias("n_distinct"),
                 F.col(f"mn_{c}").alias("min_num"),
                 F.col(f"mx_{c}").alias("max_num"),
                 null_s.alias("min_str"),
                 null_s.alias("max_str"),
                 null_l.alias("n_chars_total"),
-                (F.col(f"v_{c}") if has_mode else null_s).alias("top_value"),
+                (F.col(f"v_{c}") if has_mode else null_s).alias(
+                    "top_value"
+                ),
                 (
                     F.col(f"c_{c}").cast("long") if has_mode else null_l
                 ).alias("top_count"),
             )
         )
     for c in _PROFILE_STR:
-        parts.append(
-            base.select(
+        rows.append(
+            F.struct(
                 F.lit(c).alias("col_name"),
                 F.col("n_rows").cast("long").alias("n_rows"),
-                (F.col("n_rows") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
+                (F.col("n_rows") - F.col(f"nn_{c}"))
+                .cast("long")
+                .alias("n_nulls"),
                 F.col(f"nd_{c}").cast("long").alias("n_distinct"),
                 null_d.alias("min_num"),
                 null_d.alias("max_num"),
@@ -1645,10 +1700,7 @@ def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"c_{c}").cast("long").alias("top_count"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return base.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
 # --------------------------------------------------------------------------

@@ -657,13 +657,17 @@ def test_stream_neardup_index_join_is_broadcast(spark):
 
 
 def test_column_profile_single_expand_pass_and_heap_modes(spark):
-    # all NDVs from ONE multi-distinct scan (Expand + two-stage agg), each
-    # mode a TakeOrderedAndProject heap — no global sort, nothing Python
+    # all NDVs from ONE multi-distinct scan (Expand + two-stage agg) and
+    # ALL modes from ONE melt scan (explode + count + min_by tiebreak):
+    # exactly TWO fact-table passes regardless of column count — the
+    # round-5 re-plan that retired the scan-per-mode-column loop. No
+    # global sort, nothing Python.
     df = _q("rel_column_profile", spark)
     text = plan_text(df)
     physical = text.split("== Physical Plan ==")[-1]
     assert "Expand" in physical
-    assert "TakeOrderedAndProject" in physical
+    assert sum(line.count("FileScan") for line in physical.splitlines()) == 2
+    assert "min_by" in physical or "MinBy" in physical
     assert "BatchEvalPython" not in physical
     rows = {r["col_name"]: r for r in df.collect()}
     assert rows["l_returnflag"]["n_distinct"] == 3

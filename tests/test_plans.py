@@ -603,6 +603,27 @@ def test_replanned_rankings_have_no_single_partition_window(spark):
         assert rpt["n_single_partition_windows"] == 0, name
 
 
+def test_spw_allowlist_entries_are_load_bearing(spark):
+    # every bounded-grid allowlist entry must still TRIP the detector —
+    # a stale entry (query re-planned but left allowlisted) would mask a
+    # future genuine regression behind its name
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from scan_antipatterns import SPW_ALLOWLIST
+
+    from bigdatainvesttink_spark.plans.audit import audit_report
+
+    assert SPW_ALLOWLIST, "allowlist unexpectedly empty"
+    for name, why in SPW_ALLOWLIST.items():
+        assert why and len(why) > 20, f"{name}: justification required"
+        rpt = audit_report(_q(name, spark))
+        assert rpt["n_single_partition_windows"] >= 1, (
+            f"{name} no longer trips the detector - remove it from "
+            "SPW_ALLOWLIST"
+        )
+
+
 def test_covariance_products_aggregate_mapside(spark):
     # the 2080 upper-triangle products per vector must partially aggregate
     # BEFORE the shuffle (map-side combine collapses every partition to

@@ -1563,7 +1563,8 @@ def d2_bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.filter(F.col("u") % 97 == 0).select(F.col("u").alias("node"))
         .distinct()
     )
-    spark_rows = [(0, frontier.count(), frontier.count())]
+    n0 = frontier.count()
+    spark_rows = [(0, n0, n0)]
     reached = frontier
     for hop in range(1, BFS_HOPS + 1):
         expanded = (

@@ -29,6 +29,8 @@ the timestamp column (avoids cross-dialect quoting of the reserved-ish
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import load_table
@@ -130,9 +132,38 @@ def oracle_on_domain(select_sql: str) -> str:
     return f"{domain_ctes()}\n{select_sql}"
 
 
+# Process-scoped materialization cache: (abs sf_dir, table) -> parquet path.
+_FIX_CACHE: dict[tuple[str, str], str] = {}
+
+
 def domain_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Materialize one domain table as a DataFrame (same SQL text as oracle)."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    if name == "candles":
-        spark.sql(FIXTURE_SQL["trades"]).createOrReplaceTempView("trades")
-    return spark.sql(FIXTURE_SQL[name])
+    """One domain table as a DataFrame (same SQL text as the oracle CTEs).
+
+    Materialized ONCE per (process, sf_dir) to scratch parquet and read from
+    storage thereafter — mirroring the reference architecture, where the
+    consumer ingests into ClickHouse tables once and every query reads the
+    STORED tables (from_rabbitmq_to_clickhouse.py:54-111) rather than
+    re-deriving from the wire per query. Before this cache, every candles
+    consumer re-ran two full windows over the events-sized trades set.
+
+    Exactness is unaffected: parquet round-trips every fixture dtype
+    losslessly (BIGINT / IEEE double / string / timestamp_ntz micros), and
+    the DuckDB oracle side still derives via the identical CTE text. Row
+    ORDER is not preserved across the round-trip, which operators may not
+    rely on anyway (every oracle compare sorts; tie-sensitive windows order
+    on explicit keys).
+    """
+    key = (os.path.abspath(sf_dir), name)
+    path = _FIX_CACHE.get(key)
+    if path is None:
+        from .session import scratch_dir
+
+        load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+        if name == "candles":
+            # Derive from the cached trades table (bit-identical to the CTE
+            # derivation) so the window pass reads storage, not a re-plan.
+            domain_table(spark, sf_dir, "trades").createOrReplaceTempView("trades")
+        path = f"{scratch_dir('fixcache-')}/{name}"
+        spark.sql(FIXTURE_SQL[name]).write.parquet(path)
+        _FIX_CACHE[key] = path
+    return spark.read.parquet(path)

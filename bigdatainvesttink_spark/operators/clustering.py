@@ -3,21 +3,34 @@ repeated DataFrame joins/aggregations — the IVF coarse quantizer for
 similarity search at scale (SURVEY north-star: "IVF or LSH-bucketed variant
 as the scale path"; the LSH variant is d3_ann_lsh_bucketed).
 
-Iterative algorithms are the one place the driver contract allows a
-rows-only check (no single SQL statement expresses a fixed-point loop), so
-determinism is enforced structurally instead: centroids initialize from the
-first k vectors by vec_id, every reduction is a decimal-exact sum, and ties
-in assignment break on centroid id — two runs produce identical output, and
-tests assert the k-means objective is non-increasing per iteration.
+Exactness (upgraded from the rows-only check this query shipped with):
+the loop runs entirely on the integer-micro grid — embeddings quantize to
+``xu = floor(x * 1e6 + 0.5)`` (the d3_pca_* / d6_markov_stationary
+discipline), so every distance is an EXACT int64, every per-cluster sum an
+exact decimal, and the centroid update requantizes through one
+correctly-rounded double division + ``floor(s/n + 0.5)`` — the identical
+IEEE expression on both engines. That makes the full fixed-point loop
+replayable as unrolled DuckDB CTEs and the query exactly oracle-checked;
+ties in assignment break on centroid id on both sides (numpy ``argmin``
+returns the first minimal index; the oracle ranks ``(d2, cid)``).
 
-Scale shape per iteration: one broadcast of k centroids (k*dim doubles — KB
-at any realistic k), one scan of the corpus computing argmin distance
-JVM-side, one partial+final aggregation on k keys. No driver-side loops over
-data — only over the k centroid rows collected per iteration (k is a model
-hyperparameter, not data-sized).
+Numeric headroom (documented bounds, asserted nowhere because they are
+static): |xu| <= ~2e6 for any |x| <= 2, so per-pair d2 <= 64 * (4e6)^2
+~ 1e15 fits int64 with 4 orders to spare; per-cluster within-SS sums ride
+DECIMAL(38,0)/HUGEINT and convert to double only at the end — keep that
+conversion under 2^53 (true through sf0.1 by ~6x; at larger corpora scale
+the micro grid down, same knob as the PCA matvec).
+
+Scale shape per iteration: one broadcast of k centroids (k*dim int64 — KB
+at any realistic k), one scan of the corpus computing argmin distance in an
+Arrow-batched int64 kernel, one partial+final aggregation on k keys. No
+driver-side loops over data — only over the k centroid rows collected per
+iteration (k is a model hyperparameter, not data-sized).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,8 +43,20 @@ N_ITER = 3  # demonstration default; convergence tested separately
 DIM = 64
 
 
+def quantize_micros(e: DataFrame) -> DataFrame:
+    """(vec_id, label, xu: array<long>) — embeddings on the integer-micro
+    grid, the exact same expression as the oracle's ``ex`` CTEs."""
+    xu = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return e.select("vec_id", "label", xu.alias("xu"))
+
+
 def kmeans_assign(
-    vectors: DataFrame, centroids: list[tuple[int, list[float]]]
+    vectors: DataFrame, centroids: list[tuple[int, list[int]]]
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (ties -> lowest id).
 
@@ -39,43 +64,55 @@ def kmeans_assign(
     zip_with folds chained through CASE) compiles a huge expression tree per
     iteration and ran 10x slower; batched argmin over a broadcast k x dim
     matrix is the shape that scales (centroids are KB-sized at any real k).
-    numpy argmin returns the FIRST minimal index, so ties deterministically
-    go to the lowest centroid id."""
+    All arithmetic is int64 — distances are exact, so the argmin is exact,
+    and numpy returns the FIRST minimal index: ties deterministically go to
+    the lowest centroid id."""
     import numpy as np
     import pandas as pd
 
-    cmat = np.array([c for _, c in sorted(centroids)], dtype=np.float64)
-    cids = np.array([cid for cid, _ in sorted(centroids)])
-    cnorm2 = (cmat * cmat).sum(axis=1)
+    cmat = np.array([c for _, c in sorted(centroids)], dtype=np.int64)
+    cids = np.array([cid for cid, _ in sorted(centroids)], dtype=np.int64)
 
     def assign(batches):
         for pdf in batches:
-            v = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-            d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ cmat.T) + cnorm2[None, :]
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["xu"].to_numpy()).astype(np.int64)
+            diff = v[:, None, :] - cmat[None, :, :]
+            d2 = (diff * diff).sum(axis=2)  # exact int64
             best = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "label": pdf["label"],
-                    "e": pdf["e"],
+                    "xu": pdf["xu"],
                     "cluster": cids[best],
-                    "dist2": d2[np.arange(len(best)), best],
+                    "d2": d2[np.arange(len(best)), best],
                 }
             )
 
     return vectors.mapInPandas(
         assign,
-        schema="vec_id bigint, label int, e array<double>, cluster int, dist2 double",
+        schema="vec_id bigint, label int, xu array<bigint>, cluster bigint, d2 bigint",
     )
 
 
 def kmeans_fit(vectors: DataFrame, k: int = K, n_iter: int = N_ITER):
-    """Lloyd's iterations; returns (assignments DataFrame, objective list)."""
+    """Lloyd's iterations on micro-grid vectors (from ``quantize_micros``);
+    returns (assignments DataFrame, objective list in micro^2 units).
+
+    Objectives are exact Python ints. Note the update requantizes the mean
+    to the micro grid, so the classic Lloyd monotonicity holds only up to
+    the rounding perturbation: rounding moves each centroid at most 0.5
+    micro per dimension, adding at most ``n * dim * 0.25`` micro^2 to the
+    objective (parallel-axis theorem) — callers asserting monotonicity must
+    allow that slack."""
     first = (
         vectors.orderBy("vec_id").limit(k).collect()
     )  # k rows only — deterministic seed, not a data-sized collect
-    centroids = [(i, list(r["e"])) for i, r in enumerate(first)]
-    objectives: list[float] = []
+    centroids = [(i, [int(x) for x in r["xu"]]) for i, r in enumerate(first)]
+    dim = len(centroids[0][1])
+    objectives: list[int] = []
     assigned = None
     for _ in range(n_iter):
         assigned = kmeans_assign(vectors, centroids)
@@ -83,42 +120,113 @@ def kmeans_fit(vectors: DataFrame, k: int = K, n_iter: int = N_ITER):
             assigned.groupBy("cluster")
             .agg(
                 *[
-                    F.sum(F.element_at("e", i + 1).cast("decimal(27,6)")).alias(
+                    F.sum(F.element_at("xu", i + 1).cast("decimal(38,0)")).alias(
                         f"s{i}"
                     )
-                    for i in range(DIM)
+                    for i in range(dim)
                 ],
                 F.count("*").alias("n"),
-                F.sum(F.col("dist2").cast("decimal(27,6)"))
-                .cast("double")
-                .alias("obj"),
+                F.sum(F.col("d2").cast("decimal(38,0)")).alias("obj"),
             )
             .collect()
         )  # k rows — the only driver-side data each iteration
-        objectives.append(sum(r["obj"] for r in stats))
+        objectives.append(sum(int(r["obj"]) for r in stats))
+        by_cid = {int(r["cluster"]): r for r in stats}
         centroids = [
-            (r["cluster"], [float(r[f"s{i}"]) / r["n"] for i in range(DIM)])
-            for r in sorted(stats, key=lambda r: r["cluster"])
+            (
+                cid,
+                [
+                    # floor(s/n + 0.5) over exact ints < 2^53: the identical
+                    # IEEE expression the oracle runs (CAST(s AS DOUBLE)/n)
+                    int(math.floor(float(int(by_cid[cid][f"s{i}"]))
+                                   / int(by_cid[cid]["n"]) + 0.5))
+                    for i in range(dim)
+                ],
+            )
+            if cid in by_cid
+            else (cid, cu)  # empty cluster keeps its centroid
+            for cid, cu in centroids
         ]
     return assigned, objectives
 
 
+def _kmeans_oracle(k: int = K, n_iter: int = N_ITER, dim: int = DIM) -> str:
+    """The full fixed-point loop as unrolled CTEs: a{t} assigns against
+    c{t-1} (rank on (d2, cid) = numpy first-minimal argmin), c{t} requantizes
+    the per-cluster mean with the LEFT JOIN keeping empty clusters' previous
+    centroids — mirroring kmeans_fit step for step."""
+    sql = f"""
+        WITH exq AS (
+            SELECT vec_id, i AS pos,
+                   CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS xu
+            FROM embeddings, (SELECT unnest(range({dim})) AS i)
+        ),
+        seed AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) f
+        ),
+        c0 AS (
+            SELECT s.cid, e.pos, e.xu AS cu
+            FROM seed s JOIN exq e ON e.vec_id = s.vec_id
+        )"""
+    for t in range(1, n_iter + 1):
+        sql += f""",
+        d{t} AS (
+            SELECT e.vec_id, c.cid,
+                   SUM((e.xu - c.cu) * (e.xu - c.cu)) AS d2
+            FROM exq e JOIN c{t - 1} c ON c.pos = e.pos
+            GROUP BY e.vec_id, c.cid
+        ),
+        a{t} AS (
+            SELECT vec_id, cid, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+                FROM d{t}) r
+            WHERE rn = 1
+        )"""
+        if t < n_iter:
+            sql += f""",
+        s{t} AS (
+            SELECT a.cid, e.pos, SUM(CAST(e.xu AS HUGEINT)) AS s,
+                   COUNT(*) AS n
+            FROM a{t} a JOIN exq e ON e.vec_id = a.vec_id
+            GROUP BY a.cid, e.pos
+        ),
+        c{t} AS (
+            SELECT c.cid, c.pos,
+                   CAST(COALESCE(
+                       floor(CAST(s.s AS DOUBLE) / s.n + 0.5),
+                       c.cu) AS BIGINT) AS cu
+            FROM c{t - 1} c
+            LEFT JOIN s{t} s ON s.cid = c.cid AND s.pos = c.pos
+        )"""
+    sql += f"""
+        SELECT CAST(cid AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / 1000000000000.0
+                   AS within_ss,
+               MIN(vec_id) AS min_vec_id
+        FROM a{n_iter}
+        GROUP BY cid"""
+    return sql
+
+
 # --------------------------------------------------------------------------
-# Rows-only entry (iterative fixed point — not single-statement SQL): the
-# final cluster assignment + per-cluster sizes and within-cluster spread.
-@query("d3_kmeans_ivf_clusters")
+# The final cluster assignment + per-cluster sizes and within-cluster
+# spread, exactly oracle-checked (the whole loop is exact integer/IEEE
+# arithmetic — see module docstring). within_ss converts the exact
+# micro^2 sum to double at the very end (identical conversion both
+# engines while the sum stays under 2^53).
+@query("d3_kmeans_ivf_clusters", oracle=_kmeans_oracle())
 def d3_kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    vectors = e.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
+    vectors = quantize_micros(load_table(spark, sf_dir, "embeddings"))
     assigned, _ = kmeans_fit(vectors)
     return assigned.groupBy("cluster").agg(
-        F.count("*").alias("n_vectors"),
-        F.round(F.sum(F.col("dist2").cast("decimal(27,6)")).cast("double"), 6).alias(
-            "within_ss"
-        ),
+        F.count("*").cast("long").alias("n_vectors"),
+        (
+            F.sum(F.col("d2").cast("decimal(38,0)")).cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("within_ss"),
         F.min("vec_id").alias("min_vec_id"),
     )

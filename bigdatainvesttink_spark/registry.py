@@ -130,6 +130,9 @@ _FIXED_FIRST: tuple[str, ...] = (
     "d1_dedup_stats",
     "d2_dup_ngram_coverage",
     "d3_truncation_recall_eval",
+    # round-5 rows-only -> exact-oracle upgrade: needs its first real
+    # hash-checked driver row
+    "d3_kmeans_ivf_clusters",
     # r2 fixes (driver-green since; kept for provenance, sort green now)
     "d7_sequence_packing",
     "d6_sessionization",
@@ -230,7 +233,11 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    done = _DRIVER_GREEN | _ROWS_ONLY_CHECKED
+    # A rows-only verdict is stale once the query gains an exact oracle
+    # (e.g. d3_kmeans_ivf_clusters' integer-micro upgrade): the name must
+    # rotate back into the unchecked pool for a real hash-checked row.
+    fresh_rows_only = {n for n in _ROWS_ONLY_CHECKED if n not in _ORACLE}
+    done = _DRIVER_GREEN | fresh_rows_only
     fixed = [n for n in _FIXED_FIRST if n in names and n not in done]
     unchecked = [
         n for n in names if n not in done and n not in _FIXED_FIRST

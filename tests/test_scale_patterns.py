@@ -153,17 +153,22 @@ def test_end_to_end_pipeline(spark, tmp_path):
 
 def test_kmeans_objective_nonincreasing_and_deterministic(spark):
     from bigdatainvesttink_spark.io import load_table
-    from bigdatainvesttink_spark.operators.clustering import kmeans_fit
-
-    e = load_table(spark, SF_SMALL, "embeddings")
-    vectors = e.select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    from bigdatainvesttink_spark.operators.clustering import (
+        kmeans_fit,
+        quantize_micros,
     )
+
+    vectors = quantize_micros(load_table(spark, SF_SMALL, "embeddings"))
+    n = vectors.count()
+    dim = len(vectors.first()["xu"])
     a1, obj1 = kmeans_fit(vectors, k=4, n_iter=4)
     a2, obj2 = kmeans_fit(vectors, k=4, n_iter=4)
-    assert obj1 == obj2  # decimal-exact reductions -> bit-identical runs
-    assert all(b <= a + 1e-9 for a, b in zip(obj1, obj1[1:]))  # Lloyd monotone
+    assert obj1 == obj2  # exact integer objectives -> bit-identical runs
+    # Lloyd monotone up to the micro-grid requantization of the centroid:
+    # rounding moves each centroid <= 0.5 micro per dim, adding at most
+    # n * dim * 0.25 micro^2 (parallel-axis theorem; kmeans_fit docstring)
+    slack = n * dim * 0.25
+    assert all(b <= a + slack for a, b in zip(obj1, obj1[1:]))
     s1 = sorted(map(tuple, a1.select("vec_id", "cluster").collect()))
     s2 = sorted(map(tuple, a2.select("vec_id", "cluster").collect()))
     assert s1 == s2

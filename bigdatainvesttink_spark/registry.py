@@ -86,7 +86,8 @@ _DRIVER_GREEN_R1: frozenset[str] = frozenset(
         "rel_join_fact_fact", "rel_join_semi", "rel_join_anti",
         "rel_agg_distinct", "rel_rollup", "rel_cube", "rel_grouping_sets",
         "rel_window_topk_per_group", "rel_window_running_sum",
-        "d3_kmeans_ivf_clusters",
+        # d3_kmeans_ivf_clusters had its rows-only r1 acceptance here until
+        # the round-5 exact-oracle upgrade sent it back for a real hash row
     }
 )
 

@@ -174,6 +174,70 @@ def test_kmeans_objective_nonincreasing_and_deterministic(spark):
     assert s1 == s2
 
 
+def test_kmeans_matches_pure_python_replay(spark):
+    """Independence check (beside the DuckDB oracle): replay the exact
+    integer-micro Lloyd's loop in plain numpy on the collected sf0.001
+    embeddings and demand bit-identical assignments, objectives, and
+    within-SS — the same derivation written a third way."""
+    import math
+
+    import numpy as np
+
+    from bigdatainvesttink_spark.io import load_table
+    from bigdatainvesttink_spark.operators.clustering import (
+        K,
+        N_ITER,
+        kmeans_fit,
+        quantize_micros,
+    )
+
+    vectors = quantize_micros(load_table(spark, SF_SMALL, "embeddings"))
+    rows = sorted(vectors.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    v = np.array([r["xu"] for r in rows], dtype=np.int64)
+
+    cmat = v[:K].copy()  # first K by vec_id — the deterministic seed
+    objectives = []
+    best = None
+    for _ in range(N_ITER):
+        diff = v[:, None, :] - cmat[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        best = d2.argmin(axis=1)
+        bd2 = d2[np.arange(len(best)), best]
+        objectives.append(int(bd2.sum()))
+        for cid in range(K):
+            members = v[best == cid]
+            if len(members):
+                s = members.sum(axis=0)
+                cmat[cid] = np.array(
+                    [int(math.floor(float(int(si)) / len(members) + 0.5))
+                     for si in s],
+                    dtype=np.int64,
+                )
+
+    assigned, obj_spark = kmeans_fit(vectors)
+    assert obj_spark == objectives
+    got = {
+        int(r["cluster"]): (int(r["n_vectors"]), r["within_ss"],
+                            int(r["min_vec_id"]))
+        for r in assigned.groupBy("cluster").agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("d2").alias("ss_u"),
+            F.min("vec_id").alias("min_vec_id"),
+        ).withColumn("within_ss", F.col("ss_u")).collect()
+    }
+    want = {
+        cid: (
+            int((best == cid).sum()),
+            int(d2[best == cid, cid].sum()) if (best == cid).any() else 0,
+            int(ids[best == cid].min()),
+        )
+        for cid in set(best.tolist())
+    }
+    got = {c: (n, int(ss), mn) for c, (n, ss, mn) in got.items()}
+    assert got == want
+
+
 def test_stream_static_broadcast_enrich(spark):
     """Stream-static join: the streaming trades feed enriched with the
     broadcast companies dimension — the standard streaming enrich shape."""

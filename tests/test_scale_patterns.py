@@ -53,29 +53,37 @@ def test_bucketed_join_has_no_shuffle(spark):
     suffix = uuid.uuid4().hex[:8]
     o = load_table(spark, SF_SMALL, "orders")
     l = load_table(spark, SF_SMALL, "lineitem")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
-        f"orders_b_{suffix}"
-    )
-    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
-        f"lineitem_b_{suffix}"
-    )
-    ob = spark.table(f"orders_b_{suffix}")
-    lb = spark.table(f"lineitem_b_{suffix}")
-    # sf0.001 tables are broadcast-sized; disable auto-broadcast so the plan
-    # shows what a 100 TB fact-fact join would do (SMJ over co-located buckets)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
-            "o_orderpriority"
-        ).count()
-        text = joined._jdf.queryExecution().toString()
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"orders_b_{suffix}")
+        l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"lineitem_b_{suffix}")
+        ob = spark.table(f"orders_b_{suffix}")
+        lb = spark.table(f"lineitem_b_{suffix}")
+        # sf0.001 tables are broadcast-sized; disable auto-broadcast so the
+        # plan shows what a 100 TB fact-fact join would do (SMJ over
+        # co-located buckets)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+                "o_orderpriority"
+            ).count()
+            text = joined._jdf.queryExecution().toString()
+            got = sorted(map(tuple, joined.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # managed tables: DROP removes the spark-warehouse/ data too —
+        # without this every suite run leaked two table dirs (ADVICE r4's
+        # scratch-leak class)
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
     physical = text.split("== Physical Plan ==")[-1]
     # the join itself must not shuffle either side (only the tiny final
     # groupBy may exchange)
-    join_part = physical.split("HashAggregate")[-1]
     assert "SortMergeJoin" in physical
     assert "Exchange hashpartitioning(l_orderkey" not in physical
     assert "Exchange hashpartitioning(o_orderkey" not in physical
@@ -83,7 +91,7 @@ def test_bucketed_join_has_no_shuffle(spark):
     plain = (
         l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
     )
-    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    assert got == sorted(map(tuple, plain.collect()))
 
 
 def test_stateful_running_vwap_across_batches(spark, tmp_path):

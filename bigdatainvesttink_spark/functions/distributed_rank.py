@@ -14,6 +14,16 @@ distributedly, the way ``RDD.zipWithIndex`` does:
      one driver-side step, same as zipWithIndex) and turn cumulative
      offsets into a literal map: global rank = local rank + offset(pid).
 
+Correctness depends on the counts job and the downstream job seeing the
+SAME range-partition boundaries, so the helper persists the
+range-partitioned frame before collecting counts (the counts collect
+materializes the cache; every later job reads the pinned blocks instead
+of re-sampling range bounds). Without the pin, a nondeterministic or
+re-computed input could shift a boundary between the two jobs and
+silently corrupt ranks (ADVICE r5, medium). If a partition id somehow
+misses the offset map anyway, the rank expression raises instead of
+defaulting to offset 0.
+
 The result is bit-identical to the single-sort rank for any total
 ordering (give explicit tiebreak columns, per the repo's exactness
 discipline).
@@ -21,6 +31,7 @@ discipline).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -32,23 +43,36 @@ def with_global_row_number(
     out: str = "rnk",
     num_partitions: int = 32,
     counts_out: list | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Append a 1-based global row number following ``order_cols``.
 
     ``order_cols`` must be a total order (add id tiebreaks) — ties across
     a range-partition boundary would otherwise make ranks nondeterministic.
     The returned frame keeps all input columns; the extra ``pid``/local
-    columns are dropped. Pass a list as ``counts_out`` to receive the
-    total row count (appended as its single element) — it falls out of
-    the partition-count collect for free, saving callers a second
-    counting pass over ``df``.
+    columns are dropped.
+
+    The range-partitioned intermediate is persisted (MEMORY_AND_DISK) to
+    pin partition boundaries across the two jobs; the persist is ALSO the
+    natural reuse point for callers that scan the ranked rows more than
+    once. Pass a list as ``persisted_out`` to receive the persisted
+    DataFrame so you can ``unpersist()`` it after the final action —
+    callers that don't are covered only by harness-side
+    ``spark.catalog.clearCache()``.
+
+    Pass a list as ``counts_out`` to receive the total row count
+    (appended as its single element) — it falls out of the
+    partition-count collect for free, saving callers a second counting
+    pass over ``df``.
     """
     local_w = Window.partitionBy("__pid").orderBy(*order_cols)
     local = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__li", F.row_number().over(local_w).cast("long"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_out is not None:
+        persisted_out.append(local)
     pcs = {
         r["__pid"]: r["pc"]
         for r in local.groupBy("__pid")
@@ -62,12 +86,30 @@ def with_global_row_number(
     if counts_out is not None:
         counts_out.append(acc)
     if offsets:
-        off = F.coalesce(
-            F.create_map(
-                *[F.lit(x) for kv in offsets.items() for x in kv]
-            )[F.col("__pid")],
-            F.lit(0),
-        ).cast("long")
+        # No silent fallback: a __pid absent from the collected counts
+        # means the partitioning shifted between jobs — rank would be
+        # wrong, so raise instead of assigning offset 0.
+        raw_off = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__pid")]
+        off = (
+            F.when(raw_off.isNotNull(), raw_off)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "with_global_row_number: partition id "
+                        ),
+                        F.col("__pid").cast("string"),
+                        F.lit(
+                            " missing from offset map — range "
+                            "partitioning shifted between jobs"
+                        ),
+                    )
+                )
+            )
+            .cast("long")
+        )
     else:
         off = F.lit(0).cast("long")
     return local.withColumn(out, F.col("__li") + off).drop(

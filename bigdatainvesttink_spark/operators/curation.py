@@ -3852,11 +3852,18 @@ def d2_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel, bit-identical under the total (aa, pa, pb) order.
     from ..functions.distributed_rank import with_global_row_number
 
-    cand = cand.persist()
+    # The helper persists the range-partitioned wedge-pair frame itself
+    # (pins boundaries, reused by the preds scan); counts_out hands back
+    # |cand| for free, replacing the separate counting pass. The handle
+    # is unpersisted after the final 1-row collect (ADVICE r5 #4).
+    ncand_out: list = []
+    pinned: list = []
     ranked = with_global_row_number(
         cand,
         [F.col("aa").desc(), F.col("pa").asc(), F.col("pb").asc()],
         out="rnk",
+        counts_out=ncand_out,
+        persisted_out=pinned,
     )
     preds = ranked.crossJoin(F.broadcast(nh)).filter(
         F.col("rnk") <= F.col("n_hidden")
@@ -3874,11 +3881,13 @@ def d2_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = (
         alledges.agg(F.count("*").cast("long").alias("n_edges"))
-        .crossJoin(cand.agg(F.count("*").cast("long").alias("n_candidates")))
+        .withColumn(
+            "n_candidates", F.lit(ncand_out[0]).cast("long")
+        )
         .crossJoin(F.broadcast(nh.select(F.col("n_hidden").cast("long")
                                          .alias("n_hidden"))))
     )
-    return sizes.crossJoin(F.broadcast(stats)).select(
+    result = sizes.crossJoin(F.broadcast(stats)).select(
         "n_edges",
         "n_hidden",
         "n_candidates",
@@ -3890,6 +3899,17 @@ def d2_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("n_hidden * 1000000 div n_candidates"))
         .alias("random_baseline_u"),
     )
+    # Materialize the 1-row readout (bounded collect) so the helper's
+    # persisted wedge-pair frame is released here, not by harness-side
+    # clearCache. The lazy plan stays attached for the plan audits
+    # (plans/audit._unwrap).
+    rows = result.collect()
+    schema = result.schema
+    for p in pinned:
+        p.unpersist()
+    out = spark.createDataFrame(rows, schema)
+    out._lazy_plan = result
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -3447,19 +3447,21 @@ def d6_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the old global Window.orderBy row_number forced an Exchange
     # SinglePartition + full sort of every buyer; the helper range-
     # partitions and ranks locally, bit-identical under the total
-    # (r_u, user_id) order. Persisting the buyer-sized `rev` stops the
-    # events scan from re-running per DAG cut (partition counts, stats,
-    # final agg); blocks are one row per buyer and the bench/oracle
-    # harnesses clear the cache after each query.
-    rev = rev.persist()
+    # (r_u, user_id) order. The helper persists the buyer-sized ranked
+    # frame itself (pins range boundaries + stops events rescans); we
+    # take the handle so we can unpersist after the final 1-row
+    # aggregate instead of leaking cache into long-lived sessions
+    # (ADVICE r5 #4).
     from ..functions.distributed_rank import with_global_row_number
 
     n_out: list = []
+    pinned: list = []
     ranked = with_global_row_number(
         rev,
         [F.col("r_u").asc(), F.col("user_id").asc()],
         out="i",
         counts_out=n_out,
+        persisted_out=pinned,
     ).select("r_u", "i")
     # n falls out of the helper's partition-count collect, so the
     # top-decile threshold is a literal and ONE aggregation pass over the
@@ -3476,7 +3478,7 @@ def d6_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("iwsum"),
     ).withColumn("n", F.lit(n).cast("long"))
-    return topd.select(
+    result = topd.select(
         F.col("n").cast("long").alias("n_buyers"),
         F.floor(F.col("top_r") / F.col("tot") * 1_000_000 + F.lit(0.5))
         .cast("long")
@@ -3492,3 +3494,14 @@ def d6_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_u"),
     )
+    # Materialize the 1-row summary (bounded collect) so the helper's
+    # persisted buyer frame can be released here rather than relying on
+    # harness-side clearCache. The lazy plan stays attached for the plan
+    # audits (plans/audit._unwrap).
+    rows = result.collect()
+    schema = result.schema
+    for p in pinned:
+        p.unpersist()
+    out = spark.createDataFrame(rows, schema)
+    out._lazy_plan = result
+    return out

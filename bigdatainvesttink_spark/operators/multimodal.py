@@ -77,9 +77,24 @@ def decode_image(content: bytes) -> dict:
         ]
         data = content[pos + 8:pos + 8 + clen]
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type = struct.unpack(
-                ">IIBB", data[:10]
-            )
+            (
+                width,
+                height,
+                bit_depth,
+                color_type,
+                compression,
+                filter_method,
+                interlace,
+            ) = struct.unpack(">IIBBBBB", data[:13])
+            # the un-filter below assumes sequential scanlines and
+            # zlib/filter-0 coding — an Adam7-interlaced (or nonzero
+            # compression/filter-method) PNG would pass the depth/color
+            # gate yet decode to garbage (ADVICE r5 #2)
+            if compression != 0 or filter_method != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "PNG subset: zlib-deflate, filter method 0, "
+                    "non-interlaced (Adam7 not implemented)"
+                )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":

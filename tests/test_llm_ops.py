@@ -146,6 +146,23 @@ def test_png_decode_roundtrip_through_seam(spark):
         "decoded_pixels"
     ]
 
+    # Adam7-interlaced (and nonzero compression/filter-method) headers
+    # must raise the documented NotImplementedError, not silently
+    # un-filter a sequential layout that isn't there (ADVICE r5 #2)
+    import pytest
+
+    for comp, fm, il in ((0, 0, 1), (1, 0, 0), (0, 1, 0)):
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, comp, fm, il)
+            )
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_image(bad)
+
 
 def test_compression_ratio_orders_quality(spark):
     """zlib ratio must (a) be reproducible, (b) rate repeated text far

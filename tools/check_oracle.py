@@ -153,10 +153,23 @@ def main():
     if artifact:
         import json
 
+        # A filtered run covers only a subset; writing it under the
+        # committed full-gate filename would silently misrepresent round
+        # totals (ADVICE r5 #3). Record the filters in the payload AND
+        # divert filtered artifacts to a .partial.json name.
+        if filters:
+            base, ext = os.path.splitext(artifact)
+            diverted = f"{base}.partial{ext or '.json'}"
+            print(
+                f"WARNING: name filters active {list(filters)} — "
+                f"writing partial artifact to {diverted}, not {artifact}"
+            )
+            artifact = diverted
         with open(artifact, "w") as f:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "filters": list(filters),
                     "totals": {"pass": n_pass, "fail": n_fail,
                                "rows_only": n_rows_only},
                     "queries": verdicts,

@@ -745,9 +745,11 @@ def d4_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # length) GRID, never on documents: per-cell counts, per-source running
 # sums over the global length grid (densified by a bounded
 # grid-x-sources cross join — at 100 TB you quantize lengths into
-# buckets first, same grid bound), and ECDF ratios that are exact
-# integer divisions — the max |ECDF_s - ECDF_rest| needs no rounding
-# policy at all.
+# buckets first, same grid bound), the all-sources cumulation via the
+# two-phase prefix-sum helper (the grid is domain-bounded, not
+# constant-bounded, so it gets no single-partition sort either), and
+# ECDF ratios that are exact integer divisions — the max
+# |ECDF_s - ECDF_rest| needs no rounding policy at all.
 @query(
     "d4_ks_length_drift",
     oracle="""
@@ -791,6 +793,25 @@ def d4_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = lens.groupBy("source").agg(F.count("*").alias("n_s"))
     tot = lens.agg(F.count("*").alias("n_all"))
     grid = lens.select("val").distinct()
+    # cum_all depends only on val: it's the inclusive prefix sum of the
+    # PER-VAL total counts over the length grid. The grid is only
+    # domain-bounded (max doc length), so the fold runs through the
+    # two-phase prefix-sum helper — parallel range-partitioned cumsums +
+    # a <=32-row offset collect — instead of a single-partition RANGE
+    # window (VERDICT r5 ask #2); the grid-sized result broadcasts back
+    # onto the dense (grid x sources) frame.
+    from ..functions.distributed_rank import with_global_prefix_sum
+
+    gtot = counts.groupBy("val").agg(F.sum("c").cast("long").alias("ct"))
+    pinned: list = []
+    cum_all_by_val = with_global_prefix_sum(
+        gtot,
+        [F.col("val").asc()],
+        "ct",
+        out="cum_all",
+        inclusive=True,
+        persisted_out=pinned,
+    ).select("val", "cum_all")
     dense = (
         grid.crossJoin(F.broadcast(srcs))
         .join(counts, ["source", "val"], "left")
@@ -799,17 +820,12 @@ def d4_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_s = Window.partitionBy("source").orderBy(F.col("val").asc())
-    # global cumulative: RANGE frame so every row at value v sees the
-    # total of ALL sources' counts up to and including v
-    w_all = Window.orderBy(F.col("val").asc()).rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     cum = dense.select(
         "source",
+        "val",
         "n_s",
         F.sum("c").over(w_s).alias("cum_s"),
-        F.sum("c").over(w_all).alias("cum_all"),
-    )
+    ).join(F.broadcast(cum_all_by_val), "val")
     ks = (
         cum.crossJoin(F.broadcast(tot))
         .select(
@@ -827,7 +843,16 @@ def d4_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("diff").alias("ks_stat"),
         )
     )
-    return ks
+    # Materialize the per-source readout (bounded by the source catalog)
+    # so the helper's persisted grid is released here; the lazy plan
+    # stays attached for the plan audits (plans/audit._unwrap).
+    rows = ks.collect()
+    schema = ks.schema
+    for p in pinned:
+        p.unpersist()
+    out = spark.createDataFrame(rows, schema)
+    out._lazy_plan = ks
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -385,3 +385,53 @@ def test_two_phase_global_rank_matches_single_sort(spark, rows, nparts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.sampled_from([1, 2, 5, 32]),
+    inclusive=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_two_phase_prefix_sum_matches_single_window(
+    spark, rows, nparts, inclusive
+):
+    """functions/distributed_rank.with_global_prefix_sum must be
+    bit-identical to the single-partition running-sum window, inclusive
+    and exclusive, for any partition count (including empty range
+    partitions). Order keys are unique (the helper's total-order
+    contract)."""
+    from pyspark.sql.window import Window
+
+    from bigdatainvesttink_spark.functions.distributed_rank import (
+        with_global_prefix_sum,
+    )
+
+    data = [(i, v) for i, v in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long")
+    got = {
+        (r["id"], r["cum"])
+        for r in with_global_prefix_sum(
+            df,
+            [F.col("id").asc()],
+            "v",
+            out="cum",
+            num_partitions=nparts,
+            inclusive=inclusive,
+        ).collect()
+    }
+    hi = Window.currentRow if inclusive else -1
+    w = Window.orderBy(F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, hi
+    )
+    want = {
+        (r["id"], r["cum"])
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want

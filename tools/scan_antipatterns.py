@@ -38,10 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # d6_revenue_pareto / d2_link_prediction_eval -> the two-phase rank in
 # functions/distributed_rank.py).
 SPW_ALLOWLIST: dict[str, str] = {
-    "d6_mann_whitney": (
-        "rank-sum runs over the floor(value*10) bin grid — value-range-"
-        "sized (the single ordered pass over bins is the algorithm)"
-    ),
+    # VERDICT r5 ask #2: the two VALUE-DOMAIN-bounded entries
+    # (d6_mann_whitney's bin grid, d4_ks_length_drift's distinct-length
+    # ECDF) were re-planned onto functions/distributed_rank.
+    # with_global_prefix_sum in round 6 — only CONSTANT-grid entries
+    # remain.
     "d6_survival_km": (
         "Kaplan-Meier risk sets run over the per-HOUR duration grid — "
         "observation-window-hours-sized (calendar grid), not user-sized"
@@ -53,10 +54,6 @@ SPW_ALLOWLIST: dict[str, str] = {
     "rel_interval_sweep": (
         "running interval balance over per-DAY net deltas — calendar-"
         "days-sized grid, not order-sized"
-    ),
-    "d4_ks_length_drift": (
-        "KS ECDF cumulates over DISTINCT n_chars values — value-domain-"
-        "sized (bounded by max document length), not corpus-sized"
     ),
 }
 

@@ -123,7 +123,7 @@ def rate_wire_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFr
 
 
 def kafka_wire_stream(
-    spark: SparkSession, brokers: str, topic: str
+    spark: SparkSession, brokers: str, topic: str, format_name: str = "kafka"
 ) -> DataFrame:
     """Production arm of ``rate_wire_stream`` — THE single swap point.
 
@@ -131,12 +131,16 @@ def kafka_wire_stream(
     every downstream stage (``ingest()`` dispatch/validate, ``queue_ingest``
     sink, checkpointing) runs unchanged against a real durable queue — the
     role RabbitMQ plays in the reference
-    (from_rabbitmq_to_clickhouse.py:179-197). Requires the
-    spark-sql-kafka-0-10 package on the classpath (not present in this
-    container; the smoke test skips when the data source can't load).
+    (from_rabbitmq_to_clickhouse.py:179-197). The default format needs the
+    spark-sql-kafka-0-10 package on the classpath; where that is absent
+    (this container), ``format_name="mock_kafka"`` points the SAME options
+    and projection at the file-backed broker double in
+    ``streaming/mock_kafka.py`` (Spark reserves the name ``kafka`` in its
+    provider registry, so the double cannot simply shadow it) — the smoke
+    test runs the seam for real in that configuration instead of skipping.
     """
     raw = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(format_name)
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .load()

@@ -1,0 +1,482 @@
+"""Baseline JPEG codec on stdlib + numpy (VERDICT r5 stretch #7).
+
+Retires the ``decode_image`` JPEG NotImplementedError guard the same way
+rounds 4/5 retired WAV and PNG: no codec library, just the published
+format — ITU-T T.81 baseline sequential DCT, Huffman entropy coding,
+8-bit samples. Supported: grayscale and YCbCr 4:4:4 / 4:2:2 / 4:2:0
+(any h/v factors <= 2), restart markers, multiple DQT/DHT segments.
+Out of scope (documented raises, not silent garbage): progressive
+(SOF2), extended/lossless/arithmetic variants, 12-bit precision.
+
+The encoder twin (`encode_jpeg_baseline`) exists for the tests'
+roundtrip proof, mirroring `encode_png` / the WAV writer: gray or RGB
+4:4:4, Annex K standard Huffman tables, all-ones quantization by
+default so the only roundtrip error is DCT rounding (uniform blocks
+roundtrip EXACTLY; arbitrary content within a few LSB).
+
+Everything is numpy matrix algebra per 8x8 block — IDCT/FDCT are
+orthonormal DCT-II/III basis products, exact to float64 — and the bit
+plumbing is plain Python, fine for the test-scale payloads that flow
+through the Arrow-batched mapInPandas seam (`multimodal.extract_meta`).
+Scale note: per-image decode parallelism comes from the Spark seam
+(one image per row, partitions across executors), not from this module.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i of the scan -> (row, col) in the 8x8 block
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# orthonormal DCT-II basis: C[u, x] = a(u) cos((2x+1) u pi / 16);
+# FDCT(b) = C b C^T, IDCT(B) = C^T B C — exact transposes of each other
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+# ----------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker (0xFF xx, xx != 0)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:  # a real marker: no more entropy data
+                raise EOFError("marker inside entropy segment")
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+            if b == 0xFF:  # skip the stuffed 0x00
+                self.pos += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Skip padding to the byte boundary, then consume one RSTn."""
+        if self.bit:
+            cur = self.data[self.pos]
+            self.pos += 1
+            if cur == 0xFF:  # padded byte was 0xFF -> stuffed 0x00 follows
+                self.pos += 1
+            self.bit = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman: (length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a `size`-bit magnitude to its signed
+    value (top bit 0 means negative)."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Decode baseline JPEG to ``{width, height, n_components, pixels}``
+    with pixels as interleaved uint8 bytes (gray or RGB)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if prec == 0:
+                    vals = list(seg[p:p + 64])
+                    p += 64
+                else:
+                    vals = list(
+                        struct.unpack(">64H", seg[p:p + 128])
+                    )
+                    p += 128
+                t = np.zeros((8, 8))
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    t[r, c] = vals[i]
+                qt[tid] = t
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1:p + 17])
+                n = sum(counts)
+                symbols = seg[p + 17:p + 17 + n]
+                huff[(cls, tid)] = _build_huffman(counts, symbols)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError("JPEG subset: 8-bit precision")
+            h, w, nc = struct.unpack(">HHB", seg[1:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG subset: baseline sequential Huffman only "
+                f"(SOF marker 0x{marker:02X} is progressive/hierarchical/"
+                "arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = {}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i:3 + 2 * i]
+                scan[cid] = {"dc": tt >> 4, "ac": tt & 0xF}
+            pos += seglen
+            return _decode_scan(
+                data, pos, frame, scan, qt, huff, restart_interval
+            )
+        pos += seglen
+    raise ValueError("no SOS segment found")
+
+
+def _decode_block(br, dc_tab, ac_tab, pred: int):
+    coef = np.zeros((8, 8))
+    s = _huff_decode(br, dc_tab)
+    diff = _extend(br.read_bits(s), s)
+    dc = pred + diff
+    coef[0, 0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[_ZIGZAG[k]] = _extend(br.read_bits(s), s)
+        k += 1
+    return coef, dc
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    if frame is None:
+        raise ValueError("SOS before SOF")
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+        for c in comps
+    }
+    preds = {c["id"]: 0 for c in comps}
+    br = _BitReader(data, pos)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.align_to_marker()  # consume RSTn
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef, preds[c["id"]] = _decode_block(
+                            br,
+                            huff[(0, scan[c["id"]]["dc"])],
+                            huff[(1, scan[c["id"]]["ac"])],
+                            preds[c["id"]],
+                        )
+                        block = _C.T @ (coef * qt[c["tq"]]) @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+            n_mcu += 1
+    # upsample each component to full resolution (sample replication)
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        pixels = out.tobytes()
+        ncomp = 1
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        pixels = out.tobytes()
+        ncomp = 3
+    else:
+        raise NotImplementedError("JPEG subset: 1 or 3 components")
+    return {
+        "width": w,
+        "height": h,
+        "n_components": ncomp,
+        "pixels": pixels,
+    }
+
+
+# ----------------------------------------------------------------- encode
+
+# Annex K.3 typical Huffman tables (counts per code length 1..16, then
+# the symbol values) — the interchange-standard tables every baseline
+# encoder ships
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _encode_table(counts, symbols):
+    """(length, code) per symbol for the canonical table."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg_baseline(
+    pixels: bytes, width: int, height: int, nch: int = 1
+) -> bytes:
+    """Minimal baseline encoder (gray / RGB 4:4:4, all-ones quant, Annex K
+    luminance Huffman tables for every component) — the test-side twin of
+    ``decode_jpeg``. All-ones quantization makes the roundtrip exact up
+    to DCT coefficient rounding (uniform blocks roundtrip exactly)."""
+    if nch not in (1, 3):
+        raise ValueError("gray or RGB input only")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, nch
+    ).astype(np.float64)
+    if nch == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [img[..., 0]]
+
+    dc_tab = _encode_table(*_DC_LUM)
+    ac_tab = _encode_table(_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: one all-ones 8-bit table, id 0
+    zz_q = bytes(1 for _ in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    # SOF0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])  # 4:4:4, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC + AC tables (class 0/1, id 0)
+    for cls, (counts, symbols) in (
+        (0, _DC_LUM),
+        (1, (_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)),
+    ):
+        payload = bytes([cls << 4]) + bytes(counts) + bytes(symbols)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOS
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    bh, bwd = (height + 7) // 8, (width + 7) // 8
+    preds = [0] * ncomp
+    for my in range(bh):
+        for mx in range(bwd):
+            for ci, plane in enumerate(planes):
+                ys, xs = my * 8, mx * 8
+                src = plane[ys:min(ys + 8, height), xs:min(xs + 8, width)]
+                # edge-replicate partial blocks
+                block = np.pad(
+                    src,
+                    ((0, 8 - src.shape[0]), (0, 8 - src.shape[1])),
+                    mode="edge",
+                )
+                coef = _C @ (block - 128.0) @ _C.T
+                q = np.rint(coef).astype(np.int64)  # quant table = 1s
+                # DC
+                diff = int(q[0, 0]) - preds[ci]
+                preds[ci] = int(q[0, 0])
+                s = _category(diff)
+                length, code = dc_tab[s]
+                bw.write(code, length)
+                if s:
+                    mag = diff if diff > 0 else diff + (1 << s) - 1
+                    bw.write(mag, s)
+                # AC
+                zz = [int(q[rc]) for rc in _ZIGZAG[1:]]
+                run = 0
+                last_nz = -1
+                for i, v in enumerate(zz):
+                    if v:
+                        last_nz = i
+                for i, v in enumerate(zz):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_tab[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    s = _category(v)
+                    length, code = ac_tab[(run << 4) | s]
+                    bw.write(code, length)
+                    mag = v if v > 0 else v + (1 << s) - 1
+                    bw.write(mag, s)
+                    run = 0
+                # EOB only when the block ends BEFORE coefficient 63
+                # (zz holds indices 0..62 for coefficients 1..63): a
+                # nonzero final coefficient already completes the block
+                if last_nz < 62:
+                    length, code = ac_tab[0x00]  # EOB
+                    bw.write(code, length)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -113,6 +113,66 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_to_scratch(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    batch_transform=None,
+) -> DataFrame:
+    """Drive a streaming frame to completion, landing in scratch PARQUET.
+
+    The scale-safe twin of :func:`run_to_memory` for DATA-SIZED streamed
+    output: the memory sink collects every landed row into DRIVER memory,
+    which is fine for grid-sized complete-mode aggregates but fatal when
+    the stream emits per-event rows or join pairs (found empirically in
+    the round-6 10x scale run — the stream-stream interval join's pair
+    output OOM-pressured the driver). foreachBatch writes each
+    micro-batch to executor-side parquet instead; the returned frame
+    reads the landed table from storage.
+
+    ``batch_transform`` optionally maps each micro-batch DataFrame before
+    landing — the map-side-combine hook: landing per-batch PARTIAL
+    aggregates instead of raw rows collapses data-sized output to
+    grid-sized storage while keeping associative folds (count/sum on
+    exact decimals) bit-identical after the final combine.
+    """
+    from ..session import scratch_dir
+
+    spark = sdf.sparkSession
+    root = scratch_dir("streamland-")
+    path = f"{root}/t"
+    landed_schema = (
+        batch_transform(
+            spark.createDataFrame([], sdf.schema)
+        ).schema
+        if batch_transform
+        else sdf.schema
+    )
+    # pre-create the table so an empty stream still reads back cleanly
+    spark.createDataFrame([], landed_schema).write.parquet(path)
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_transform(batch_df) if batch_transform else batch_df
+        out.write.mode("append").parquet(path)
+
+    with _SHUFFLE_OVERRIDE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        try:
+            q = (
+                sdf.writeStream.foreachBatch(_write)
+                .outputMode(output_mode)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(path)
+
+
 def ingest_stream(
     spark: SparkSession,
     source_dir: str,
@@ -314,8 +374,19 @@ def c_stream_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cast is a bijection and the dedup key semantics are unchanged.
     doubled = doubled.withColumn("ts", F.col("ts").cast("timestamp"))
     deduped = stream_dedup(doubled, ["event_id"], watermark="1 hour")
-    landed = run_to_memory(deduped, "append")
-    return landed.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    # Deduped events are data-sized; the stateful dedup emits each unique
+    # event exactly once ACROSS batches, so per-batch partial counts
+    # combine exactly (scale-safe executor-side landing, round 6)
+    landed = run_to_scratch(
+        deduped,
+        "append",
+        batch_transform=lambda b: b.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ),
+    )
+    return landed.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -368,12 +439,23 @@ def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(sb.withWatermark("b_ts", "1 hour"), cond)
         .select("company_id", "bid_price")
     )
-    landed = run_to_memory(joined, "append")
+    # Interval-join output is quadratic in per-key density (every trade x
+    # every in-horizon snapshot) — landing raw pairs in a driver memory
+    # sink broke the round-6 10x scale run. Land per-BATCH partial
+    # aggregates instead (grid-sized: <= n_companies rows per
+    # micro-batch); count and exact-decimal sum are associative, so the
+    # final combine is bit-identical to aggregating the raw pairs.
+    landed = run_to_scratch(
+        joined,
+        "append",
+        batch_transform=lambda b: b.groupBy("company_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bid_price").cast("decimal(27,6)")).alias("s"),
+        ),
+    )
     return landed.groupBy("company_id").agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.col("bid_price").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("bid_sum"),
+        F.sum("n").cast("long").alias("n_pairs"),
+        F.sum("s").cast("double").alias("bid_sum"),
     )
 
 
@@ -586,10 +668,20 @@ def c_stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = raw.filter((F.col("text") != "") & (F.col("n_chars") >= 200))
     keyed = gated.withColumn("h", stable_hash60(F.col("text")))
     deduped = keyed.dropDuplicates(["source", "h"])
-    landed = run_to_memory(deduped, "append")
+    # corpus-sized deduped docs: land per-batch partial (count, sum)
+    # instead of raw rows — stateful dropDuplicates guarantees cross-batch
+    # uniqueness, so the partials combine exactly (scale-safe, round 6)
+    landed = run_to_scratch(
+        deduped,
+        "append",
+        batch_transform=lambda b: b.groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("ch"),
+        ),
+    )
     return landed.groupBy("source").agg(
-        F.count("*").alias("n_unique_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n").cast("long").alias("n_unique_docs"),
+        F.sum("ch").cast("bigint").alias("total_chars"),
     )
 
 
@@ -880,7 +972,12 @@ def c_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("idx_doc") != F.col("doc_id"))
         .select("doc_id", "idx_doc")
     )
-    landed = run_to_memory(hits, "append")
+    # candidate pairs are data-sized; per-batch distinct pre-shrinks the
+    # landing (the final cross-batch distinct below still applies) and
+    # the executor-side parquet sink keeps pairs off the driver (round 6)
+    landed = run_to_scratch(
+        hits, "append", batch_transform=lambda b: b.distinct()
+    )
     return (
         landed.distinct()
         .select(
@@ -1076,7 +1173,9 @@ def c_stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    landed = run_to_memory(streaming_pit_features(st), "update")
+    # per-event feature rows (data-sized update output): executor-side
+    # parquet landing instead of the driver memory sink (round 6)
+    landed = run_to_scratch(streaming_pit_features(st), "update")
     w = Window.partitionBy("event_id").orderBy(F.desc("n_seen"))
     return (
         landed.withColumn("rn", F.row_number().over(w))

@@ -27,3 +27,84 @@ def cosine_pandas(xs: pd.Series, ys: pd.Series) -> pd.Series:
     dots = np.einsum("ij,ij->i", a, b)
     norms = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
     return pd.Series(dots / norms)
+
+
+def brute_force_topk(v, q, k: int):
+    """Exact cosine top-k per query WITHOUT materializing the pair relation.
+
+    The round-5 plan for brute-force truth (query side broadcast into a
+    BroadcastNestedLoopJoin, one scored row per (query, corpus) pair) is
+    correct but its intermediate is |Q| x |corpus| rows each carrying two
+    64-dim arrays — ~41 GB at the round-6 10x scale run, where it became
+    the wall (BENCH_SCALE.md). This helper computes the identical result
+    as one corpus scan:
+
+      1. the query side (sample-sized by every caller's registered spec)
+         is collected into a numpy matrix and broadcast;
+      2. ``mapInPandas`` computes each Arrow batch's score matrix as a
+         single matmul and emits, per query, only the rows that could
+         still reach the global top-k after 6dp rounding — batch k-th raw
+         score minus a 2e-6 margin. Proof of the margin: rounding to the
+         1e-6 grid is monotone, so a row whose raw score trails k
+         same-batch rows by >= 2e-6 trails their ROUNDED scores by >= one
+         grid step and can never tie into the top-k;
+      3. rounding (F.round half-up — numpy's banker rounding never touches
+         values), ranking, and the rnk <= k filter stay JVM-side over the
+         grid-sized candidate superset, so the (cosine desc, neighbor_id
+         asc) order is computed exactly as before.
+
+    Raw scores come from numpy's pairwise summation vs the JVM fold's
+    sequential order (~1e-15 relative) — interchangeable under the module
+    round-6dp contract, verified by the tri-scale oracle gate.
+
+    v: (vec_id long, e array<double>, norm double) — the corpus;
+    q: (query_id long, qe array<double>, qnorm double). Self-pairs
+    (vec_id == query_id) are excluded, matching every caller.
+    Returns (query_id, neighbor_id, cosine[6dp], rnk), rnk <= k.
+    """
+    from pyspark.sql.window import Window
+
+    spark = v.sparkSession
+    qpdf = q.select("query_id", "qe", "qnorm").toPandas()
+    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
+    qnorm = qpdf["qnorm"].to_numpy(dtype=np.float64)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def gen(batches):
+        ids, qm, qn = bq.value
+        nq = len(ids)
+        for pdf in batches:
+            if pdf.empty or nq == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            emat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            vnorm = pdf["norm"].to_numpy(dtype=np.float64)
+            raw = (emat @ qm.T) / np.outer(vnorm, qn)  # (m, nq)
+            raw[vid[:, None] == ids[None, :]] = -np.inf  # self-pairs
+            m = raw.shape[0]
+            if m > k:
+                kth = np.partition(raw, m - k, axis=0)[m - k, :]
+                keep = raw >= (kth - 2e-6)[None, :]
+            else:
+                keep = np.isfinite(raw)
+            rows, cols = np.nonzero(keep & np.isfinite(raw))
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[cols],
+                    "neighbor_id": vid[rows],
+                    "cosine": raw[rows, cols],
+                }
+            )
+
+    cand = v.select("vec_id", "e", "norm").mapInPandas(
+        gen, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("cosine", F.round("cosine", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -3,14 +3,19 @@ cosine top-k as the exactness baseline, label-blocked near-dup pairs, and a
 sign-LSH bucketed variant as the 100 TB path.
 
 All vector math runs on float64 (embeddings are float32 at rest — both
-engines widen before multiplying) with JVM-side higher-order functions
-(zip_with / aggregate): no UDFs, no data leaves Tungsten. Scores are rounded
-to 6dp on both engines before ranking so cross-engine float noise (~1e-15)
-can never reorder results; ties break on vec_id.
+engines widen before multiplying). Blocked/grid-sized scoring stays in
+JVM-side higher-order functions (zip_with / aggregate — no data leaves
+Tungsten); the UNBLOCKED brute-force truth paths run through the Arrow
+matmul top-k (functions/vectorized.brute_force_topk, round-6 re-plan —
+the pair-join form materialized |Q| x |corpus| array-carrying rows and
+was the 10x scale run's wall). Scores are rounded to 6dp on both engines
+before ranking so cross-engine float noise (~1e-15) can never reorder
+results; ties break on vec_id.
 
 Scale notes:
   * brute force is O(Q*N) — correct baseline, and the right choice when Q is
-    small (the broadcast side is the query set);
+    small; the matmul kernel emits only the could-be-top-k superset, so
+    O(Q*N) is compute, never rows;
   * the near-dup pair search blocks on `label` (the IVF-cell analog): work
     drops from N^2 to sum(block^2); at 100 TB blocks come from a coarse
     quantizer and the same plan applies;
@@ -81,26 +86,21 @@ _O_VEC = """
     """,
 )
 def d3_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Re-planned round 6: the BroadcastNestedLoopJoin materialized one
+    # row per (query, corpus) pair carrying both 64-dim arrays — the
+    # wall of the 10x scale run. brute_force_topk scans the corpus once,
+    # scores each Arrow batch with a single matmul, and only the
+    # could-be-top-k superset ever becomes rows (proof of exact
+    # equivalence in functions/vectorized.py).
+    from ..functions.vectorized import brute_force_topk
+
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("norm").alias("qnorm"),
     )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return brute_force_topk(v, q, 5)
 
 
 # --------------------------------------------------------------------------
@@ -647,27 +647,18 @@ def d3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # truth re-planned round 6 onto the one-scan matmul top-k (see
+    # functions/vectorized.brute_force_topk — the pair-join predecessor
+    # was the 10x scale run's wall)
+    from ..functions.vectorized import brute_force_topk
+
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") % 13 == 1).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("norm").alias("qnorm"),
     )
-    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
-        ).alias("cosine"),
-    )
-    wt = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    truth = (
-        scored.withColumn("rnk", F.row_number().over(wt))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id")
-    )
+    truth = brute_force_topk(v, q, 5).select("query_id", "neighbor_id")
     assigned = _ivf_assigned(v).select("query_id", "cell")
     cand = v.join(
         F.broadcast(assigned),
@@ -1020,22 +1011,25 @@ def d3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     t = v.filter(F.col("vec_id") % 10 != 0)
-    scored = t.join(F.broadcast(q)).select(
-        "query_id",
-        "true_label",
-        F.col("label").alias("n_label"),
-        F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")),
-            6,
-        ).alias("cosine"),
-        F.col("vec_id").alias("neighbor_id"),
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    # neighbor search re-planned round 6 onto the one-scan matmul top-k
+    # (functions/vectorized.brute_force_topk); the 5-row-per-query
+    # survivors pick up labels via broadcast joins afterwards
+    from ..functions.vectorized import brute_force_topk
+
     top5 = (
-        scored.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= 5)
+        brute_force_topk(t, q.select("query_id", "qe", "qnorm"), 5)
+        .join(
+            F.broadcast(q.select("query_id", "true_label")), "query_id"
+        )
+        .join(
+            # corpus-sized label map: no broadcast hint — the survivors
+            # side is 5|Q| rows, Catalyst/AQE picks the strategy
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
         .select("query_id", "true_label", "n_label")
     )
     votes = top5.groupBy("query_id", "true_label", "n_label").agg(
@@ -1210,28 +1204,19 @@ def d3_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qt = vt.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("et").alias("qet"),
-        F.col("normt").alias("qnormt"),
+        F.col("et").alias("qe"),
+        F.col("normt").alias("qnorm"),
     )
-    scored = vt.join(
-        F.broadcast(qt), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("qet"), F.col("et"))
-            / (F.col("qnormt") * F.col("normt")),
-            6,
-        ).alias("cosine"),
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    trunc_top = (
-        scored.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id")
-    )
+    # one-scan matmul top-k over the truncated space (round-6 re-plan,
+    # functions/vectorized.brute_force_topk)
+    from ..functions.vectorized import brute_force_topk
+
+    trunc_top = brute_force_topk(
+        vt.select("vec_id", F.col("et").alias("e"),
+                  F.col("normt").alias("norm")),
+        qt,
+        5,
+    ).select("query_id", "neighbor_id")
     hit = trunc_top.withColumn("hit", F.lit(1))
     return (
         truth.join(hit, ["query_id", "neighbor_id"], "left")
@@ -1350,22 +1335,11 @@ def d3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crnk") <= max(NPROBES))
         .select("query_id", "cell", "crnk")
     )
-    wt = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    # truth re-planned round 6 onto the one-scan matmul top-k
+    from ..functions.vectorized import brute_force_topk
+
     truth = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qe"), F.col("e"))
-                / (F.col("qnorm") * F.col("norm")),
-                6,
-            ).alias("cosine"),
-        )
-        .withColumn("rnk", F.row_number().over(wt))
-        .filter(F.col("rnk") <= 5)
+        brute_force_topk(v, q.select("query_id", "qe", "qnorm"), 5)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -2100,21 +2074,21 @@ def d3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("norm").alias("qnorm"),
     )
-    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("nid"),
-        F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")),
-            6,
-        ).alias("rel"),
-    )
+    # candidate stage re-planned round 6 onto the one-scan matmul top-k
+    # (functions/vectorized.brute_force_topk); the MMR algebra below is
+    # unchanged and runs over the 8-row-per-query survivors
+    from ..functions.vectorized import brute_force_topk
+
     wrel = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("nid").asc()
     )
     topk = (
-        scored.withColumn("rnk", F.row_number().over(wrel))
-        .filter(F.col("rnk") <= 8)
-        .select("query_id", "nid", "rel")
+        brute_force_topk(v, q, 8)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("nid"),
+            F.col("cosine").alias("rel"),
+        )
         .persist()  # four consumers below; one corpus scan
     )
     va = v.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
@@ -2998,24 +2972,13 @@ def d3_stale_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
 
+    # both index generations share the one-scan matmul top-k (round-6
+    # re-plan, functions/vectorized.brute_force_topk)
+    from ..functions.vectorized import brute_force_topk
+
     def topk(corpus: DataFrame) -> DataFrame:
-        scored = corpus.join(
-            F.broadcast(q), F.col("vec_id") != F.col("query_id")
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qe"), F.col("e"))
-                / (F.col("qnorm") * F.col("norm")),
-                6,
-            ).alias("cosine"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
-        )
         return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 5)
+            brute_force_topk(corpus, q, 5)
             .select("query_id", "neighbor_id")
         )
 

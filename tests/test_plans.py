@@ -97,14 +97,18 @@ def test_scan_only_needed_columns_everywhere(spark):
 
 
 def test_broadcast_threshold_respected_for_queries(spark):
-    # ANN brute force is a non-equi pairing: the right plan is a
-    # BroadcastNestedLoopJoin with the SMALL query side as the build —
-    # i.e. one scan of the corpus against an in-memory query table. What
-    # must never appear is a CartesianProduct (both sides shuffled).
+    # ANN brute force re-planned round 6: ONE corpus scan through an
+    # Arrow matmul kernel (MapInPandas) emitting only the could-be-top-k
+    # superset — the r5 BroadcastNestedLoopJoin was correct but
+    # materialized |Q| x |corpus| pair rows carrying both arrays (the
+    # 10x scale run's wall). No pair join of any kind may reappear.
     df = _q("d3_ann_bruteforce_topk", spark)
     text = plan_text(df)
-    assert "BroadcastNestedLoopJoin BuildRight" in text
-    assert "CartesianProduct" not in text
+    physical = text.split("== Physical Plan ==")[-1]
+    assert "MapInPandas" in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "CartesianProduct" not in physical
+    assert "BatchEvalPython" not in physical  # Arrow-batched, not row-UDF
 
 
 def test_mapside_suites_have_no_shuffle(spark):

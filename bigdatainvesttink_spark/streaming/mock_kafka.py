@@ -134,4 +134,13 @@ def produce_wire(spark: SparkSession, brokers: str, topic: str, n: int) -> None:
     os.makedirs(brokers, exist_ok=True)
     with open(topic_path(brokers, topic), "a", encoding="utf-8") as f:
         for m in msgs:
-            f.write(m.replace("\n", " ") + "\n")
+            # line-per-offset framing: a payload newline would silently
+            # split one message into two offsets and diverge the wire
+            # from the batch-ingest oracle — fail loudly, never mutate
+            if "\n" in m:
+                raise ValueError(
+                    "mock broker framing is line-per-offset; message "
+                    "payloads must not contain newlines (got one from "
+                    "synth_wire)"
+                )
+            f.write(m + "\n")

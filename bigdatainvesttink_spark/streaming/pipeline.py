@@ -75,6 +75,70 @@ STREAM_STATE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 )
 
+
+def _stream_join_salt() -> int:
+    """Hot-key salt factor for stream-stream joins (read per call so the
+    scale harness and tests can set it per run). 1 = off (default: the
+    fixtures' key densities don't warrant replication); production sets
+    it with SPARK_GRAFT_STREAM_JOIN_SALT when one instrument dominates
+    the feed."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_JOIN_SALT", "1"))
+
+
+def _stream_join_hot_keys() -> list[str]:
+    """Optional CSV of hot join keys to restrict salting to
+    (SPARK_GRAFT_STREAM_JOIN_HOT_KEYS); empty = salt every key."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_JOIN_HOT_KEYS", "")
+    return [k for k in raw.split(",") if k]
+
+
+def with_stream_join_salt(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n_salts: int,
+    hot_keys: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a skewed stream-stream join key into ``n_salts`` sub-buckets
+    (VERDICT r6 ask #3). Stream-stream join state is hash-partitioned by
+    the EQUALITY keys, so one hot instrument serializes onto one state
+    partition no matter how many partitions exist — the measured wall of
+    the 10x interval-join run (BENCH_SCALE.md). The probe side gets a
+    deterministic row-hash salt (``__t_salt``); the build side is
+    replicated once per salt (``__b_salt`` exploded 0..n-1), so every
+    probe row still meets every build row of its key EXACTLY ONCE and the
+    join output is bit-identical for any n_salts. Cost: build-side state
+    x n_salts (for the salted keys only, when ``hot_keys`` is given) —
+    the classic replicate-the-sparse-side skew trade.
+
+    Adding ``__t_salt == __b_salt`` to the join condition is what splits
+    the state: the (key, salt) pair becomes the partitioning key, so a
+    hot key's quadratic probe work spreads over n_salts state partitions.
+    """
+    probe_hot = (
+        F.col(probe_key).isin(hot_keys) if hot_keys else F.lit(True)
+    )
+    build_hot = (
+        F.col(build_key).isin(hot_keys) if hot_keys else F.lit(True)
+    )
+    salted_probe = probe.withColumn(
+        "__t_salt",
+        F.when(
+            probe_hot,
+            F.pmod(F.xxhash64(*probe.columns), F.lit(n_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    salted_build = build.withColumn(
+        "__b_salt",
+        F.explode(
+            F.when(
+                build_hot, F.sequence(F.lit(0), F.lit(n_salts - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return salted_probe, salted_build
+
 # Serializes the shuffle-partition override below: spark.conf is
 # session-global, so without this lock a query planned concurrently on the
 # shared SparkSession would silently inherit the streaming setting
@@ -463,6 +527,17 @@ def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("b_ts") >= F.col("t_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("b_ts") <= F.col("t_ts"))
     )
+    # Hot-key salting (off by default): when one instrument dominates the
+    # feed, (company_id, salt) becomes the state-partitioning key so the
+    # hot key's quadratic probe work spreads across n_salts partitions —
+    # output bit-identical (proof in with_stream_join_salt).
+    n_salts = _stream_join_salt()
+    if n_salts > 1:
+        st, sb = with_stream_join_salt(
+            st, sb, "company_id", "b_company_id", n_salts,
+            _stream_join_hot_keys() or None,
+        )
+        cond = cond & (F.col("__t_salt") == F.col("__b_salt"))
     joined = (
         st.withWatermark("t_ts", "1 hour")
         .join(sb.withWatermark("b_ts", "1 hour"), cond)

@@ -1,0 +1,526 @@
+"""Pure-stdlib+numpy FLAC codec (decode + a subset encoder for fixtures).
+
+Retires the ``decode_audio`` FLAC NotImplementedError guard the same way
+jpeg_codec.py retired the JPEG one (VERDICT r6 stretch #8): a real
+bit-level implementation of the public FLAC format (RFC 9639 / the
+xiph.org specification), NOT a wrapper — this container has no audio
+libraries. Scope:
+
+- decoder: STREAMINFO parsing; frame headers (all block-size/sample-rate/
+  bit-depth codes, UTF-8-style coded numbers, CRC-8 verified); subframe
+  types CONSTANT, VERBATIM, FIXED (orders 0-4) and LPC (any order);
+  wasted bits; Rice/Rice2 residual with any partition order including
+  escaped raw partitions; stereo decorrelation (left/side, right/side,
+  mid/side); frame CRC-16 verified. FLAC is lossless, so decode is
+  SAMPLE-EXACT — the roundtrip test asserts bit equality, a stronger
+  proof than the JPEG 1-LSB bound.
+- encoder (fixture generator): 8/16-bit PCM, mono or stereo (left/side),
+  FIXED order-2 prediction with Rice residuals — enough to exercise the
+  decoder's prediction, Rice, alignment and decorrelation paths with
+  spec-correct CRCs.
+
+Reference parity note: the reference repo ships no audio handling at all
+(it is an AMQP->ClickHouse market-data pipeline); this module exists for
+the multimodal column family of the large-scale training-data pipeline
+(SURVEY.md LLM-ops section), where audio payloads are opaque binary
+columns until a decode seam makes them features.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRCs (FLAC frame integrity): CRC-8 poly 0x07 over the frame header,
+# CRC-16 poly 0x8005 over the whole frame, both init 0, MSB-first.
+
+_CRC8_TABLE = []
+for _b in range(256):
+    _r = _b
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x07) & 0xFF if _r & 0x80 else (_r << 1) & 0xFF
+    _CRC8_TABLE.append(_r)
+
+_CRC16_TABLE = []
+for _b in range(256):
+    _r = _b << 8
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x8005) & 0xFFFF if _r & 0x8000 else (_r << 1) & 0xFFFF
+    _CRC16_TABLE.append(_r)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TABLE[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ _CRC16_TABLE[((c >> 8) ^ b) & 0xFF]
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O (MSB-first, as the format specifies)
+
+
+class _BitReader:
+    __slots__ = ("data", "byte", "bit")
+
+    def __init__(self, data: bytes, byte: int = 0) -> None:
+        self.data = data
+        self.byte = byte
+        self.bit = 0  # bits already consumed from data[byte]
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        while n > 0:
+            if self.byte >= len(self.data):
+                raise ValueError("FLAC: bitstream ended mid-field")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            cur = self.data[self.byte]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+            n -= take
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read_bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        """Count 0 bits up to the terminating 1 bit."""
+        q = 0
+        while self.read_bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write_bits(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, v: int, n: int) -> None:
+        self.write_bits(v & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write_bits(0, 32)
+            q -= 32
+        self.write_bits(1, q + 1)  # q zeros then the 1 terminator
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write_bits(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0, "unaligned"
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+
+_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                13: 8192, 14: 16384, 15: 32768}
+_SAMPLE_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+                 6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+                 11: 96000}
+_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+# FIXED predictor coefficients by order (x(n) ~= sum c_i * x(n-1-i))
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _read_coded_number(br: _BitReader) -> int:
+    """UTF-8-style variable-length frame/sample number."""
+    b0 = br.read_bits(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("FLAC: invalid coded number prefix")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = br.read_bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC: bad coded-number continuation byte")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _decode_residual(br: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = br.read_bits(2)
+    if method > 1:
+        raise ValueError("FLAC: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read_bits(4)
+    if blocksize % (1 << porder):
+        raise ValueError("FLAC: partition order does not divide block size")
+    res: list[int] = []
+    for p in range(1 << porder):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC: predictor order exceeds first partition")
+        param = br.read_bits(pbits)
+        if param == escape:
+            raw = br.read_bits(5)
+            res.extend(
+                br.read_signed(raw) if raw else 0 for _ in range(n)
+            )
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                u = (q << param) | br.read_bits(param) if param else q
+                res.append((u >> 1) ^ -(u & 1))  # zigzag
+    return res
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read_bits(1):
+        raise ValueError("FLAC: subframe header padding bit set")
+    stype = br.read_bits(6)
+    wasted = 0
+    if br.read_bits(1):
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        x = [br.read_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        x = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED
+        order = stype - 8
+        x = [br.read_signed(bps) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for e in res:
+            pred = sum(c * x[-1 - i] for i, c in enumerate(coefs))
+            x.append(e + pred)
+    elif stype >= 32:  # LPC
+        order = (stype & 31) + 1
+        x = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read_bits(4)
+        if prec == 15:
+            raise ValueError("FLAC: invalid LPC precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        for e in res:
+            acc = sum(c * x[-1 - i] for i, c in enumerate(coefs))
+            x.append(e + (acc >> shift))
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {stype}")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+def decode_flac(data: bytes) -> dict:
+    """Decode a FLAC stream to
+    ``{n_channels, sample_width, frame_rate, n_frames, samples}`` where
+    samples is an interleaved numpy int32 array (sample-exact — FLAC is
+    lossless). CRC-8 (headers) and CRC-16 (frames) are verified."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos = 4
+    info = None
+    while True:  # metadata blocks
+        hdr = data[pos]
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1:pos + 4])
+        body = data[pos + 4:pos + 4 + blen]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            br = _BitReader(body)
+            br.read_bits(16)  # min block size
+            br.read_bits(16)  # max block size
+            br.read_bits(24)
+            br.read_bits(24)
+            rate = br.read_bits(20)
+            nch = br.read_bits(3) + 1
+            bps = br.read_bits(5) + 1
+            total = br.read_bits(36)
+            info = {"rate": rate, "nch": nch, "bps": bps, "total": total}
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+
+    channels: list[list[int]] = [[] for _ in range(info["nch"])]
+    n_decoded = 0
+    while pos < len(data) and (
+        info["total"] == 0 or n_decoded < info["total"]
+    ):
+        frame_start = pos
+        br = _BitReader(data, pos)
+        if br.read_bits(14) != 0x3FFE:
+            raise ValueError("FLAC: lost frame sync")
+        br.read_bits(1)  # reserved
+        br.read_bits(1)  # blocking strategy
+        bs_code = br.read_bits(4)
+        sr_code = br.read_bits(4)
+        ch_code = br.read_bits(4)
+        bps_code = br.read_bits(3)
+        br.read_bits(1)  # reserved
+        _read_coded_number(br)
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved block size code")
+        elif bs_code == 6:
+            blocksize = br.read_bits(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read_bits(16) + 1
+        else:
+            blocksize = _BLOCK_SIZES[bs_code]
+        if sr_code == 0:
+            pass  # from STREAMINFO
+        elif sr_code == 12:
+            br.read_bits(8)
+        elif sr_code in (13, 14):
+            br.read_bits(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC: invalid sample rate code")
+        bps = info["bps"] if bps_code == 0 else _BITS[bps_code]
+        br.align()
+        header_len = br.byte - frame_start
+        want_crc8 = data[br.byte]
+        if _crc8(data[frame_start:br.byte]) != want_crc8:
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+        br.byte += 1
+
+        if ch_code <= 7:
+            nch, mode = ch_code + 1, "indep"
+        elif ch_code == 8:
+            nch, mode = 2, "left_side"
+        elif ch_code == 9:
+            nch, mode = 2, "right_side"
+        elif ch_code == 10:
+            nch, mode = 2, "mid_side"
+        else:
+            raise ValueError("FLAC: reserved channel assignment")
+        if nch != info["nch"]:
+            raise ValueError("FLAC: frame channel count != STREAMINFO")
+
+        subs = []
+        for ch in range(nch):
+            side = (
+                (mode == "left_side" and ch == 1)
+                or (mode == "right_side" and ch == 0)
+                or (mode == "mid_side" and ch == 1)
+            )
+            subs.append(_decode_subframe(br, blocksize, bps + (1 if side else 0)))
+        br.align()
+        (want_crc16,) = struct.unpack(">H", data[br.byte:br.byte + 2])
+        if _crc16(data[frame_start:br.byte]) != want_crc16:
+            raise ValueError("FLAC: frame CRC-16 mismatch")
+        pos = br.byte + 2
+
+        if mode == "left_side":
+            left, s = subs
+            subs = [left, [l - v for l, v in zip(left, s)]]
+        elif mode == "right_side":
+            s, right = subs
+            subs = [[r + v for r, v in zip(right, s)], right]
+        elif mode == "mid_side":
+            mid, s = subs
+            left, right = [], []
+            for m, v in zip(mid, s):
+                m = (m << 1) | (v & 1)
+                left.append((m + v) >> 1)
+                right.append((m - v) >> 1)
+            subs = [left, right]
+        for ch in range(nch):
+            channels[ch].extend(subs[ch])
+        n_decoded += blocksize
+
+    if info["total"] and n_decoded > info["total"]:
+        # the last block may be padded by the encoder's fixed grid
+        channels = [c[: info["total"]] for c in channels]
+        n_decoded = info["total"]
+    inter = np.empty(n_decoded * info["nch"], dtype=np.int64)
+    for ch, xs in enumerate(channels):
+        inter[ch::info["nch"]] = xs
+    return {
+        "n_channels": info["nch"],
+        "sample_width": (info["bps"] + 7) // 8,
+        "frame_rate": info["rate"],
+        "n_frames": n_decoded,
+        "samples": inter,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Subset encoder (fixture generator)
+
+
+def _encode_residual(bw: _BitWriter, res: list[int]) -> None:
+    """Rice method 0, partition order 0, parameter fitted to the data."""
+    bw.write_bits(0, 2)  # method: 4-bit Rice
+    bw.write_bits(0, 4)  # partition order 0
+    zig = [(e << 1) if e >= 0 else ((-e) << 1) - 1 for e in res]
+    mean = (sum(zig) // max(1, len(zig))) or 1
+    param = min(14, max(0, mean.bit_length() - 1))
+    bw.write_bits(param, 4)
+    for u in zig:
+        bw.write_unary(u >> param)
+        if param:
+            bw.write_bits(u & ((1 << param) - 1), param)
+
+
+def _encode_subframe(
+    bw: _BitWriter, x: list[int], bps: int, predictor: str = "fixed2"
+) -> None:
+    """FIXED order-2 (default) or LPC order-1 when the block is long
+    enough, else VERBATIM. The LPC variant (coef=1, shift=0 — the x(n-1)
+    predictor spelled through the generic LPC machinery) exists to
+    exercise the decoder's LPC path with a stream whose exact samples
+    are independently known."""
+    if len(x) > 2 and predictor == "fixed2":
+        bw.write_bits(0, 1)
+        bw.write_bits(8 + 2, 6)  # FIXED order 2
+        bw.write_bits(0, 1)  # no wasted bits
+        bw.write_signed(x[0], bps)
+        bw.write_signed(x[1], bps)
+        _encode_residual(
+            bw, [x[i] - 2 * x[i - 1] + x[i - 2] for i in range(2, len(x))]
+        )
+    elif len(x) > 2 and predictor == "lpc1":
+        bw.write_bits(0, 1)
+        bw.write_bits(32, 6)  # LPC, order (32 & 31) + 1 = 1
+        bw.write_bits(0, 1)  # no wasted bits
+        bw.write_signed(x[0], bps)  # warmup
+        bw.write_bits(4 - 1, 4)  # coefficient precision 4 bits
+        bw.write_signed(0, 5)  # shift 0
+        bw.write_signed(1, 4)  # single coefficient: 1
+        _encode_residual(
+            bw, [x[i] - x[i - 1] for i in range(1, len(x))]
+        )
+    else:
+        bw.write_bits(0, 1)
+        bw.write_bits(1, 6)  # VERBATIM
+        bw.write_bits(0, 1)
+        for v in x:
+            bw.write_signed(v, bps)
+
+
+def encode_flac(
+    samples, rate: int, n_channels: int, bps: int = 16,
+    block_size: int = 256, stereo_mode: str = "left_side",
+    predictor: str = "fixed2",
+) -> bytes:
+    """Encode interleaved integer samples as a real FLAC stream (subset:
+    FIXED order-2 or LPC order-1 + Rice, stereo as left/right/mid-side
+    decorrelation or independent, spec-correct CRCs).
+    ``samples``: flat interleaved ints in [-(2^(bps-1)), 2^(bps-1))."""
+    if n_channels not in (1, 2):
+        raise ValueError("encoder subset: mono or stereo")
+    if stereo_mode not in ("left_side", "right_side", "mid_side", "indep"):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if rate >= (1 << 16):
+        raise ValueError("encoder subset: rate must fit 16 bits")
+    xs = np.asarray(samples, dtype=np.int64)
+    if len(xs) % n_channels:
+        raise ValueError("sample count not divisible by channel count")
+    total = len(xs) // n_channels
+    chans = [xs[c::n_channels] for c in range(n_channels)]
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write_bits(block_size, 16)
+    si.write_bits(block_size, 16)
+    si.write_bits(0, 24)
+    si.write_bits(0, 24)
+    si.write_bits(rate, 20)
+    si.write_bits(n_channels - 1, 3)
+    si.write_bits(bps - 1, 5)
+    si.write_bits(total, 36)
+    body = si.bytes() + b"\x00" * 16  # md5 unset (all zero = unknown)
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    for fn in range(0, max(1, (total + block_size - 1) // block_size)):
+        lo, hi = fn * block_size, min(total, (fn + 1) * block_size)
+        if hi <= lo:
+            break
+        bs = hi - lo
+        hw = _BitWriter()
+        hw.write_bits(0x3FFE, 14)
+        hw.write_bits(0, 1)  # reserved
+        hw.write_bits(0, 1)  # fixed-blocksize strategy
+        hw.write_bits(7, 4)  # block size: explicit 16-bit at header end
+        hw.write_bits(13, 4)  # sample rate: explicit 16-bit Hz
+        ch_code = (
+            0 if n_channels == 1
+            else {"left_side": 8, "right_side": 9, "mid_side": 10,
+                  "indep": 1}[stereo_mode]
+        )
+        hw.write_bits(ch_code, 4)
+        bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+        hw.write_bits(bps_code, 3)
+        hw.write_bits(0, 1)  # reserved
+        if fn >= 0x80:
+            raise ValueError("encoder subset: <128 frames per stream")
+        hw.write_bits(fn, 8)  # coded frame number (single byte)
+        hw.write_bits(bs - 1, 16)
+        hw.write_bits(rate, 16)
+        header = hw.bytes()
+        frame = bytearray(header)
+        frame.append(_crc8(header))
+
+        sw = _BitWriter()
+        if n_channels == 2:
+            left = chans[0][lo:hi]
+            right = chans[1][lo:hi]
+            side = (left - right).tolist()
+            if stereo_mode == "left_side":
+                _encode_subframe(sw, left.tolist(), bps, predictor)
+                _encode_subframe(sw, side, bps + 1, predictor)
+            elif stereo_mode == "right_side":
+                _encode_subframe(sw, side, bps + 1, predictor)
+                _encode_subframe(sw, right.tolist(), bps, predictor)
+            elif stereo_mode == "mid_side":
+                mid = ((left + right) >> 1).tolist()
+                _encode_subframe(sw, mid, bps, predictor)
+                _encode_subframe(sw, side, bps + 1, predictor)
+            else:  # indep
+                _encode_subframe(sw, left.tolist(), bps, predictor)
+                _encode_subframe(sw, right.tolist(), bps, predictor)
+        else:
+            _encode_subframe(sw, chans[0][lo:hi].tolist(), bps, predictor)
+        sw.align()
+        frame += sw.bytes()
+        frame += struct.pack(">H", _crc16(bytes(frame)))
+        out += frame
+    return bytes(out)

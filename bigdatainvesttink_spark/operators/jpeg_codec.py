@@ -143,6 +143,11 @@ def decode_jpeg(data: bytes) -> dict:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them, else a padded stream would misread the
+        # next byte pair as (marker=0xFF, bogus segment length)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -200,6 +205,14 @@ def decode_jpeg(data: bytes) -> dict:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            if frame is None or ns != len(frame["comps"]):
+                # a partial scan (ns < nc, legal in progressive streams)
+                # would KeyError deep in _decode_scan — guard it here as
+                # a documented subset limit instead (ADVICE r6)
+                raise NotImplementedError(
+                    "JPEG subset: single interleaved scan naming every "
+                    "frame component"
+                )
             scan = {}
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i:3 + 2 * i]

@@ -1,12 +1,15 @@
 """Multimodal column plumbing (SURVEY north-star: image/audio/video as
 opaque binary columns with typed metadata).
 
-Both codec seams now carry one REAL format each, proving pluggability:
-``decode_audio`` decodes PCM WAV (stdlib ``wave``), and ``decode_image``
-decodes 8-bit gray/RGB/RGBA PNG (stdlib ``zlib`` — header parse, inflate,
-scanline un-filter), each with a sample-exact roundtrip test. Formats whose
-entropy coders genuinely need codec libs this container doesn't ship
-(JPEG/WebP, MP3/FLAC) raise a clearly-marked NotImplementedError, and the
+Both codec seams carry REAL formats, proving pluggability: ``decode_audio``
+decodes PCM WAV (stdlib ``wave``) and FLAC (flac_codec.py — bit-level
+lossless decode, CRC-verified, round 7); ``decode_image`` decodes 8-bit
+gray/RGB/RGBA PNG (stdlib ``zlib`` — header parse, inflate, scanline
+un-filter) and baseline JPEG (jpeg_codec.py — Huffman + IDCT, round 6),
+each with a sample-exact (or 1-LSB for lossy JPEG) roundtrip test. Formats
+whose entropy coders genuinely need codec libs this container doesn't ship
+(WebP/VP8, MP3's hybrid filterbank) raise a clearly-marked
+NotImplementedError, and the
 registered pipeline queries run with ``fake_decode_meta`` — a deterministic
 stand-in that derives metadata from the md5 of the bytes (SQL-oracle
 checkable, which a real codec's output would not be). What
@@ -201,14 +204,31 @@ def decode_audio(content: bytes) -> dict:
     """REAL audio decode for PCM WAV via stdlib ``wave`` — the proof that
     the NotImplementedError codec seam is genuinely pluggable (VERDICT r3
     ask #7): same dict-per-row contract as fake_decode_meta, driven through
-    the identical extract_meta mapInPandas harness. Non-WAV payloads still
-    raise, same as decode_image, because no other codec ships here."""
+    the identical extract_meta mapInPandas harness. FLAC decodes for real
+    too (round 7 — flac_codec.py, stdlib + numpy bit-level lossless
+    decoder, CRC-verified). Other payloads (MP3 etc.) still raise,
+    same as decode_image, because no other codec ships here."""
     import io
     import wave as _wave
 
+    if content.startswith(b"fLaC"):
+        from .flac_codec import decode_flac
+
+        fl = decode_flac(content)
+        rate = fl["frame_rate"]
+        return {
+            "n_bytes": len(content),
+            "fmt": "flac",
+            "n_channels": fl["n_channels"],
+            "sample_width": fl["sample_width"],
+            "frame_rate": rate,
+            "n_frames": fl["n_frames"],
+            "duration_ms": (fl["n_frames"] * 1000) // rate if rate else 0,
+        }
     if not content.startswith(b"RIFF"):
         raise NotImplementedError(
-            "only PCM WAV decodable in this environment (stdlib wave)"
+            "only PCM WAV and FLAC decodable in this environment "
+            "(stdlib wave; flac_codec.py)"
         )
     with _wave.open(io.BytesIO(content)) as w:
         n_frames = w.getnframes()

@@ -227,6 +227,50 @@ def test_jpeg_decode_roundtrip_through_seam(spark):
         decode_jpeg(prog)
 
 
+def test_jpeg_marker_fill_bytes_and_partial_scan(spark):
+    """External baseline JPEGs exercise two T.81 legalities the test
+    encoder never emits (ADVICE r6): (a) repeated 0xFF FILL bytes before
+    a marker must be skipped, not parsed as a bogus segment; (b) an SOS
+    naming fewer components than the frame (progressive-style partial
+    scan) must raise the documented subset NotImplementedError, not a
+    KeyError deep in the MCU loop."""
+    import pytest
+
+    from bigdatainvesttink_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    px = bytes((x * 7 + y * 13) % 256 for y in range(9) for x in range(11))
+    base = encode_jpeg_baseline(px, 11, 9, 1)
+    want = decode_jpeg(base)
+
+    # (a) pad every metadata marker with fill bytes: insert 0xFF before
+    # the DQT, DHT, SOF0 and SOS markers
+    padded = base
+    for m in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        k = padded.find(m)
+        assert k > 0, f"marker {m!r} not found in test stream"
+        padded = padded[:k] + b"\xff\xff" + padded[k:]
+    got = decode_jpeg(padded)
+    assert got["pixels"] == want["pixels"]
+    assert (got["width"], got["height"]) == (want["width"], want["height"])
+
+    # (b) SOS naming fewer components than the frame
+    rgb = bytes(
+        (x * 3 + y * 5 + c) % 256
+        for y in range(8)
+        for x in range(8)
+        for c in range(3)
+    )
+    stream = encode_jpeg_baseline(rgb, 8, 8, 3)
+    k = stream.find(b"\xff\xda")
+    ns_at = k + 4  # marker(2) + seglen(2) -> ns byte
+    partial = stream[:ns_at] + b"\x01" + stream[ns_at + 1:]
+    with pytest.raises(NotImplementedError, match="scan"):
+        decode_jpeg(partial)
+
+
 def test_compression_ratio_orders_quality(spark):
     """zlib ratio must (a) be reproducible, (b) rate repeated text far
     below unique prose — the property the quality gate relies on."""
@@ -296,3 +340,68 @@ def test_real_wav_codec_through_mapinpandas_harness(spark):
 
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x89PNG not audio")
+
+
+def test_real_flac_codec_through_mapinpandas_harness(spark):
+    """VERDICT r6 stretch #8: FLAC through the same pluggable seam as the
+    WAV/PNG/JPEG proofs. FLAC is lossless, so the roundtrip assertion is
+    SAMPLE-EXACT (stronger than JPEG's 1-LSB bound); the bitstream is
+    decoded for real — Rice residuals, FIXED/LPC prediction, stereo
+    decorrelation, CRC-8/CRC-16 verified (flac_codec.py)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from bigdatainvesttink_spark.operators.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+    from bigdatainvesttink_spark.operators.multimodal import (
+        AUDIO_META_SCHEMA,
+        decode_audio,
+        extract_meta,
+    )
+
+    mono = [int(500 * math.sin(i / 9)) + (i * 13 % 37) for i in range(3001)]
+    stereo = []
+    for i in range(2000):
+        left = int(1000 * math.sin(i / 20)) + (i % 7)
+        stereo += [left, left - (i % 13) + 5]
+    specs = [  # (doc_id, samples, rate, nch, bps, block, mode, predictor)
+        (1, mono, 8000, 1, 16, 256, "left_side", "fixed2"),
+        (2, stereo, 44100 % 65536, 2, 16, 192, "mid_side", "lpc1"),
+        (3, [(i * 11 % 200) - 100 for i in range(500)], 16000, 1, 8, 64,
+         "left_side", "fixed2"),
+    ]
+    payloads, want = [], {}
+    for i, xs, rate, nch, bps, blk, mode, pred in specs:
+        enc = encode_flac(xs, rate, nch, bps=bps, block_size=blk,
+                          stereo_mode=mode, predictor=pred)
+        assert len(enc) < 2 * len(xs) * bps // 8, "no compression happened"
+        # bit-level lossless roundtrip, all samples
+        assert np.array_equal(decode_flac(enc)["samples"], np.array(xs))
+        want[i] = (nch, bps // 8, rate, len(xs) // nch)
+        payloads.append((i, enc))
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_meta(
+            df, decoder=decode_audio, schema=AUDIO_META_SCHEMA
+        ).collect()
+    }
+    for i, *_ in specs:
+        r = got[i]
+        nch, sw, rate, nframes = want[i]
+        assert (r["n_channels"], r["sample_width"], r["frame_rate"],
+                r["n_frames"]) == (nch, sw, rate, nframes)
+        assert r["fmt"] == "flac"
+        assert r["duration_ms"] == nframes * 1000 // rate
+    # a corrupted frame fails CRC loudly, never silent garbage
+    bad = bytearray(payloads[0][1])
+    bad[len(bad) // 2] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+    # MP3 keeps the documented raise
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00 not decodable")

@@ -1,0 +1,361 @@
+"""Pure-stdlib GIF codec (decode + an encoder for fixtures).
+
+Retires the ``decode_image`` "only PNG and baseline JPEG" guard one more
+notch the same way flac_codec.py retired the FLAC one (VERDICT r6
+stretch #8 family): a real bit-level implementation of the public GIF
+format (GIF87a/GIF89a, the CompuServe/W3C specification), NOT a wrapper —
+this container has no image libraries. GIF is also the repo's first REAL
+multi-frame format: an animated payload decodes to n_frames > 1 actual
+canvases, so the frame-sampling seam (multimodal.sample_frames) finally
+has a format whose frame count isn't synthetic.
+
+Scope:
+
+- decoder: header + logical screen descriptor; global and local color
+  tables; graphic-control extensions (frame delay, transparency index,
+  disposal methods 0-3 including restore-to-background and
+  restore-to-previous); NETSCAPE/comment/plain-text extensions skipped
+  per spec framing; interlaced images (the 4-pass row shuffle); variable
+  code-width LSB-first LZW with clear/EOI handling and table growth to
+  4095. GIF is palette-lossless, so decode is PIXEL-EXACT — the
+  roundtrip test asserts byte equality of every composed frame.
+- encoder (fixture generator): GIF89a, one global palette, full-canvas
+  frames with per-frame delay/disposal/transparency and optional
+  interlacing — enough to exercise every decoder path above with
+  spec-correct framing.
+
+Reference parity note: the reference repo ships no image handling at all
+(it is an AMQP->ClickHouse market-data pipeline); this module exists for
+the multimodal column family of the large-scale training-data pipeline
+(SURVEY.md LLM-ops section), where image/animation payloads stay opaque
+binary columns until a decode seam turns them into features.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_HEADERS = (b"GIF87a", b"GIF89a")
+_MAX_CODE = 4096  # LZW table ceiling fixed by the spec (12-bit codes)
+
+# interlace pass layout: (first row, row step) per pass
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF variant: LSB-first bit packing, variable 3..12-bit codes)
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
+    """Decode one image's LZW stream to palette indices.
+
+    GIF packs codes least-significant-bit first; the code width starts at
+    ``min_code_size + 1`` and grows by one each time the table reaches the
+    current width's capacity, capping at 12 bits. A clear code resets the
+    table and width; EOI ends the stream.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while True:
+        while bits < width:
+            if pos >= len(data):
+                # missing EOI: tolerated by every mainstream decoder;
+                # treat end-of-data as end-of-image
+                return out
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"malformed GIF: LZW code {code} out of range")
+        out += entry
+        if len(out) >= n_pixels:
+            return out
+        if prev is not None and len(table) < _MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Encode palette indices as a spec-correct GIF LZW stream
+    (leading clear code, table reset at 4096, trailing EOI)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes((b,))
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < _MAX_CODE:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes((b,))
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Container framing
+
+
+def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate length-prefixed sub-blocks starting at ``pos``;
+    returns (payload, position after the 0x00 terminator)."""
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("malformed GIF: unterminated sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        chunks.append(data[pos:pos + n])
+        pos += n
+
+
+def _deinterlace(indices: bytearray, width: int, height: int) -> bytearray:
+    rows = [indices[r * width:(r + 1) * width] for r in range(height)]
+    out: list[bytes | None] = [None] * height
+    src = 0
+    for first, step in _INTERLACE_PASSES:
+        for r in range(first, height, step):
+            out[r] = rows[src]
+            src += 1
+    return bytearray(b"".join(out))  # type: ignore[arg-type]
+
+
+def decode_gif(data: bytes) -> dict:
+    """Decode a GIF87a/GIF89a payload to fully-composed RGB frames.
+
+    Returns ``{"width", "height", "n_frames", "frames", "delays_ms"}``
+    where ``frames`` is a list of ``width*height*3`` RGB byte strings —
+    each frame composed onto the logical-screen canvas honoring the
+    previous frame's disposal method and the current frame's transparent
+    index, which is what a training-data frame sampler needs (raw
+    per-image sub-rectangles are a GIF encoding artifact, not frames).
+    """
+    if data[:6] not in _HEADERS:
+        raise ValueError("malformed GIF: bad signature")
+    if len(data) < 13:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    width, height = struct.unpack("<HH", data[6:10])
+    packed, bg_index = data[10], data[11]
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+
+    # canvas state: RGB bytearray + disposal bookkeeping
+    if gct is not None and bg_index * 3 + 3 <= len(gct):
+        bg_rgb = gct[bg_index * 3:bg_index * 3 + 3]
+    else:
+        bg_rgb = b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (width * height))
+    frames: list[bytes] = []
+    delays: list[int] = []
+    # pending graphic-control state for the NEXT image
+    transparent: int | None = None
+    delay_cs = 0
+    disposal = 0
+
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("malformed GIF: truncated extension")
+            label = data[pos]
+            pos += 1
+            payload, pos = _sub_blocks(data, pos)
+            if label == 0xF9 and len(payload) >= 4:  # graphic control
+                flags = payload[0]
+                delay_cs = struct.unpack("<H", payload[1:3])[0]
+                transparent = payload[3] if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
+            # NETSCAPE loop / comment / plain text: framing consumed above
+            continue
+        if block != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
+        # image descriptor
+        ix, iy, iw, ih = struct.unpack("<HHHH", data[pos:pos + 8])
+        ipacked = data[pos + 8]
+        pos += 9
+        lct: bytes | None = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = data[pos:pos + 3 * n]
+            pos += 3 * n
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("malformed GIF: image with no color table")
+        if pos >= len(data):
+            raise ValueError("malformed GIF: truncated image data")
+        min_code_size = data[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(
+                f"malformed GIF: LZW min code size {min_code_size}"
+            )
+        stream, pos = _sub_blocks(data, pos)
+        indices = _lzw_decode(min_code_size, stream, iw * ih)
+        if len(indices) < iw * ih:
+            raise ValueError("malformed GIF: short LZW pixel stream")
+        if ipacked & 0x40:
+            indices = _deinterlace(indices, iw, ih)
+
+        before = bytes(canvas) if disposal == 3 else None
+        for r in range(ih):
+            cy = iy + r
+            if cy >= height:
+                continue
+            row = indices[r * iw:(r + 1) * iw]
+            for c, idx in enumerate(row):
+                cx = ix + c
+                if cx >= width or idx == transparent:
+                    continue
+                o = (cy * width + cx) * 3
+                canvas[o:o + 3] = palette[idx * 3:idx * 3 + 3]
+        frames.append(bytes(canvas))
+        delays.append(delay_cs * 10)
+        # dispose AFTER snapshotting the displayed frame
+        if disposal == 2:  # restore to background color
+            for r in range(ih):
+                cy = iy + r
+                if cy >= height:
+                    continue
+                o = (cy * width + ix) * 3
+                span = min(iw, width - ix)
+                canvas[o:o + 3 * span] = bg_rgb * span
+        elif disposal == 3 and before is not None:  # restore to previous
+            canvas = bytearray(before)
+        transparent, delay_cs, disposal = None, 0, 0
+
+    if not frames:
+        raise ValueError("malformed GIF: no image blocks")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "frames": frames,
+        "delays_ms": delays,
+    }
+
+
+def encode_gif(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    palette: bytes,
+    delays_ms: list[int] | None = None,
+    transparent: int | None = None,
+    disposal: int = 1,
+    interlace: bool = False,
+) -> bytes:
+    """Encode full-canvas palette-index frames as a GIF89a (fixture
+    generator for the decoder's tests — real LZW, real framing).
+
+    ``frames`` are ``width*height`` bytes of palette indices each;
+    ``palette`` is packed RGB whose length is padded up to a power of
+    two. Pixel-lossless: decode_gif(encode_gif(...)) recovers every
+    composed frame exactly (for disposal=1 full-canvas frames the
+    composed frame IS the input frame mapped through the palette).
+    """
+    n_colors = len(palette) // 3
+    if n_colors < 2 or n_colors > 256:
+        raise ValueError("palette must hold 2..256 RGB colors")
+    depth = 1
+    while (1 << depth) < n_colors:
+        depth += 1
+    padded = palette + b"\x00" * ((1 << depth) * 3 - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((depth - 1) & 0x07))  # GCT present, 2^depth entries
+    out += b"\x00\x00"  # bg index 0, no aspect ratio
+    out += padded
+    mcs = max(2, depth)
+    for i, frame in enumerate(frames):
+        if len(frame) != width * height:
+            raise ValueError("frame size must be width*height indices")
+        delay_cs = (delays_ms[i] // 10) if delays_ms else 0
+        flags = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            flags |= 0x01
+            tidx = transparent
+        out += b"\x21\xf9\x04"
+        out.append(flags)
+        out += struct.pack("<H", delay_cs)
+        out.append(tidx)
+        out += b"\x00"  # GCE terminator
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out.append(0x40 if interlace else 0x00)
+        if interlace:
+            shuffled = bytearray()
+            for first, step in _INTERLACE_PASSES:
+                for r in range(first, height, step):
+                    shuffled += frame[r * width:(r + 1) * width]
+            frame = bytes(shuffled)
+        out.append(mcs)
+        stream = _lzw_encode(mcs, frame)
+        for off in range(0, len(stream), 255):
+            chunk = stream[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

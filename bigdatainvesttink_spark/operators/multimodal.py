@@ -65,11 +65,32 @@ def decode_image(content: bytes) -> dict:
     Huffman/IDCT). Animated GIF decodes for real too (round 7 —
     gif_codec.py, stdlib LZW + frame composition), making it the first
     format whose n_frames is an actual decoded frame count rather than
-    header metadata. Remaining raises: WebP (VP8 entropy coder genuinely
-    needs a codec lib) and the documented PNG/JPEG subset guards."""
+    header metadata. WebP-LOSSLESS (VP8L) decodes for real as well
+    (round 7 — webp_codec.py, canonical-prefix-coded so no codec lib is
+    needed; validated bit-exact against libwebp in the tests). Remaining
+    raises: lossy WebP (the VP8 arithmetic coder stays out of scope) and
+    the documented PNG/JPEG subset guards."""
     import struct
     import zlib
 
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        # REAL WebP-lossless decode (round 7): VP8L prefix codes + LZ77 +
+        # color cache + all four transforms in webp_codec.py;
+        # decoded_pixels carries the RGBA samples. Lossy VP8/VP8X raise
+        # NotImplementedError inside decode_webp_lossless.
+        from .webp_codec import decode_webp_lossless
+
+        v = decode_webp_lossless(content)
+        return {
+            "n_bytes": len(content),
+            "fmt": "webp",
+            "width": v["width"],
+            "height": v["height"],
+            "n_frames": 1,
+            "thumb_width": min(v["width"], 256),
+            "thumb_height": min(v["height"], 256),
+            "decoded_pixels": v["pixels"],
+        }
     if content[:6] in (b"GIF87a", b"GIF89a"):
         # REAL GIF decode (round 7): stdlib LZW + disposal/transparency
         # frame composition in gif_codec.py; decoded_pixels carries the
@@ -107,8 +128,9 @@ def decode_image(content: bytes) -> dict:
         }
     if not content.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "only PNG, baseline JPEG and GIF decodable in this environment "
-            "(stdlib zlib/numpy); use fake_decode_meta for plumbing tests"
+            "only PNG, baseline JPEG, GIF and lossless WebP decodable in "
+            "this environment (stdlib zlib/numpy); use fake_decode_meta "
+            "for plumbing tests"
         )
     pos, width = len(_PNG_SIG), None
     height = bit_depth = color_type = None

@@ -652,3 +652,109 @@ def test_webp_codec_bit_exact_vs_libwebp():
         mine = decode_webp_lossless(enc)
         assert (mine["width"], mine["height"]) == (w, h)
         assert mine["pixels"] == ref == rgba
+
+
+def test_gif_codec_cross_validated_vs_giflib():
+    """Independent-oracle check for gif_codec (test oracle only, like the
+    libwebp one): giflib's DGifSlurp must recover this encoder's exact
+    palette indices — across plain LZW, full-alphabet streams that force
+    code-width growth and a 4096-entry table reset, the 2-color
+    min-code-size clamp, and interlacing (DGifSlurp deinterlaces, so
+    screen-order equality also validates the 4-pass layout). Skipped when
+    the shared library is absent."""
+    import ctypes
+    import os
+    import random as _random
+    import tempfile
+
+    import pytest
+
+    try:
+        lib = ctypes.CDLL("libgif.so.7")
+    except OSError:
+        pytest.skip("libgif.so.7 not available in this environment")
+
+    GifWord = ctypes.c_int
+
+    class ColorMapObject(ctypes.Structure):
+        _fields_ = [("ColorCount", ctypes.c_int), ("BitsPerPixel", ctypes.c_int),
+                    ("SortFlag", ctypes.c_bool),
+                    ("Colors", ctypes.c_void_p)]
+
+    class GifImageDesc(ctypes.Structure):
+        _fields_ = [("Left", GifWord), ("Top", GifWord), ("Width", GifWord),
+                    ("Height", GifWord), ("Interlace", ctypes.c_bool),
+                    ("ColorMap", ctypes.POINTER(ColorMapObject))]
+
+    class ExtensionBlock(ctypes.Structure):
+        _fields_ = [("ByteCount", ctypes.c_int),
+                    ("Bytes", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("Function", ctypes.c_int)]
+
+    class SavedImage(ctypes.Structure):
+        _fields_ = [("ImageDesc", GifImageDesc),
+                    ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("ExtensionBlockCount", ctypes.c_int),
+                    ("ExtensionBlocks", ctypes.POINTER(ExtensionBlock))]
+
+    class GifFileType(ctypes.Structure):
+        _fields_ = [("SWidth", GifWord), ("SHeight", GifWord),
+                    ("SColorResolution", GifWord), ("SBackGroundColor", GifWord),
+                    ("AspectByte", ctypes.c_ubyte),
+                    ("SColorMap", ctypes.POINTER(ColorMapObject)),
+                    ("ImageCount", ctypes.c_int), ("Image", GifImageDesc),
+                    ("SavedImages", ctypes.POINTER(SavedImage)),
+                    ("ExtensionBlockCount", ctypes.c_int),
+                    ("ExtensionBlocks", ctypes.POINTER(ExtensionBlock)),
+                    ("Error", ctypes.c_int), ("UserData", ctypes.c_void_p),
+                    ("Private", ctypes.c_void_p)]
+
+    lib.DGifOpenFileName.restype = ctypes.POINTER(GifFileType)
+    lib.DGifOpenFileName.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.DGifSlurp.argtypes = [ctypes.POINTER(GifFileType)]
+
+    def slurp_rasters(data):
+        fd, fn = tempfile.mkstemp(suffix=".gif")
+        try:
+            os.write(fd, data)
+            os.close(fd)
+            err = ctypes.c_int(0)
+            gf = lib.DGifOpenFileName(fn.encode(), ctypes.byref(err))
+            assert gf, f"giflib refused the stream (err {err.value})"
+            assert lib.DGifSlurp(gf) == 1, "DGifSlurp failed"
+            g = gf.contents
+            out = []
+            for i in range(g.ImageCount):
+                si = g.SavedImages[i]
+                d = si.ImageDesc
+                n = d.Width * d.Height
+                out.append(bytes(bytearray(
+                    (ctypes.c_ubyte * n).from_address(
+                        ctypes.addressof(si.RasterBits.contents)))))
+            return out
+        finally:
+            os.unlink(fn)
+
+    from bigdatainvesttink_spark.operators.gif_codec import encode_gif
+
+    rnd = _random.Random(4)
+    # multi-frame plain LZW
+    w, h, nc = 13, 9, 5
+    pal = bytes(rnd.randrange(256) for _ in range(3 * nc))
+    frames = [bytes(rnd.randrange(nc) for _ in range(w * h)) for _ in range(3)]
+    assert slurp_rasters(encode_gif(frames, w, h, pal)) == frames
+    # interlaced (DGifSlurp returns screen order)
+    w, h = 17, 23
+    pal16 = bytes(rnd.randrange(256) for _ in range(3 * 16))
+    fr = bytes(rnd.randrange(16) for _ in range(w * h))
+    assert slurp_rasters(encode_gif([fr], w, h, pal16, interlace=True)) == [fr]
+    # 256 colors, large frame: code-width growth + table reset at 4096
+    w2, h2 = 200, 150
+    pal256 = bytes((i * 7) % 256 for i in range(256 * 3))
+    fr2 = bytes((x * x + y * 3) % 256 for y in range(h2) for x in range(w2))
+    assert slurp_rasters(encode_gif([fr2], w2, h2, pal256)) == [fr2]
+    # 2-color palette: the min-code-size >= 2 clamp
+    fr3 = bytes(rnd.randrange(2) for _ in range(31 * 7))
+    assert slurp_rasters(
+        encode_gif([fr3], 31, 7, bytes([0, 0, 0, 255, 255, 255]))
+    ) == [fr3]

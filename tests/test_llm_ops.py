@@ -758,3 +758,290 @@ def test_gif_codec_cross_validated_vs_giflib():
     assert slurp_rasters(
         encode_gif([fr3], 31, 7, bytes([0, 0, 0, 255, 255, 255]))
     ) == [fr3]
+
+
+def _compile_shim(name: str, source: str, libs: list) -> "ctypes.CDLL | None":
+    """Compile a tiny C oracle shim at test time (gcc + dev headers are
+    present in this container; gated — returns None when they aren't).
+    The shims exist because libjpeg/libpng's full C APIs are impractical
+    through raw ctypes; the PRODUCT decode path stays pure-Python."""
+    import ctypes
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("gcc") is None:
+        return None
+    d = tempfile.mkdtemp(prefix="codec_shim_")
+    src = os.path.join(d, f"{name}.c")
+    so = os.path.join(d, f"{name}.so")
+    with open(src, "w") as f:
+        f.write(source)
+    r = subprocess.run(
+        ["gcc", "-shared", "-fPIC", "-O2", src, "-o", so]
+        + [f"-l{x}" for x in libs],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        return None
+    return ctypes.CDLL(so)
+
+
+_JPEG_SHIM_SRC = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <jpeglib.h>
+int shim_decode_jpeg(const unsigned char* buf, unsigned long len,
+                     unsigned char** out, int* w, int* h, int* ncomp) {
+  struct jpeg_decompress_struct cinfo;
+  struct jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) return 1;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width; *h = cinfo.output_height;
+  *ncomp = cinfo.output_components;
+  unsigned char* data = malloc((size_t)(*w) * (*h) * (*ncomp));
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row = data + (size_t)cinfo.output_scanline * (*w) * (*ncomp);
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out = data;
+  return 0;
+}
+int shim_encode_jpeg(const unsigned char* pixels, int w, int h, int ncomp,
+                     int quality, int subsample,
+                     unsigned char** out, unsigned long* outlen) {
+  struct jpeg_compress_struct cinfo;
+  struct jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_compress(&cinfo);
+  *out = NULL; *outlen = 0;
+  jpeg_mem_dest(&cinfo, out, outlen);
+  cinfo.image_width = w; cinfo.image_height = h;
+  cinfo.input_components = ncomp;
+  cinfo.in_color_space = (ncomp == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  if (!subsample && ncomp == 3) {
+    cinfo.comp_info[0].h_samp_factor = 1;
+    cinfo.comp_info[0].v_samp_factor = 1;
+  }
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = (JSAMPROW)(pixels + (size_t)cinfo.next_scanline * w * ncomp);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  return 0;
+}
+void shim_free(unsigned char* p) { free(p); }
+"""
+
+
+def test_jpeg_codec_cross_validated_vs_libjpeg():
+    """Independent-oracle check for jpeg_codec: (a) this encoder's
+    streams decode in libjpeg within the T.81 IDCT-rounding bound;
+    (b) libjpeg-ENCODED streams (its own quant + Huffman tables, with
+    and without 4:2:0 subsampling) decode here within a small bound of
+    libjpeg's own output — gray is the tight case (no color convert),
+    chroma-subsampled content differs only by the spec-legal upsampling
+    filter choice (sample replication here vs libjpeg's fancy triangle).
+    Skipped when gcc or jpeglib.h is absent."""
+    import ctypes
+
+    import numpy as np
+    import pytest
+
+    lib = _compile_shim("jpeg_shim", _JPEG_SHIM_SRC, ["jpeg"])
+    if lib is None:
+        pytest.skip("gcc/libjpeg-dev not available in this environment")
+    lib.shim_decode_jpeg.restype = ctypes.c_int
+    lib.shim_decode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_ulong,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.shim_encode_jpeg.restype = ctypes.c_int
+    lib.shim_encode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_ulong),
+    ]
+
+    def jdec(data):
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        w, h, nc = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        assert lib.shim_decode_jpeg(
+            data, len(data), ctypes.byref(out),
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc)) == 0
+        n = w.value * h.value * nc.value
+        buf = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n)).contents))
+        lib.shim_free(out)
+        return w.value, h.value, nc.value, buf
+
+    def jenc(px, w, h, nc, quality=90, subsample=0):
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        n = ctypes.c_ulong()
+        assert lib.shim_encode_jpeg(
+            px, w, h, nc, quality, subsample,
+            ctypes.byref(out), ctypes.byref(n)) == 0
+        buf = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n.value)).contents))
+        lib.shim_free(out)
+        return buf
+
+    from bigdatainvesttink_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    # (a) my encoder -> libjpeg decoder
+    for w, h, nch, gen in [
+        (24, 17, 1, lambda x, y, c: (x * 7 + y * 13) % 256),
+        (16, 8, 3, lambda x, y, c: (x * 31 + y * 17 + c * 5) % 256),
+        (40, 33, 3, lambda x, y, c: (x * x + 3 * y + c * 11) % 256),
+    ]:
+        px = bytes(gen(x, y, c)
+                   for y in range(h) for x in range(w) for c in range(nch))
+        jw, jh, jnc, jbuf = jdec(encode_jpeg_baseline(px, w, h, nch))
+        assert (jw, jh, jnc) == (w, h, nch)
+        a = np.frombuffer(jbuf, np.uint8).astype(int)
+        b = np.frombuffer(decode_jpeg(encode_jpeg_baseline(px, w, h, nch))
+                          ["pixels"], np.uint8).astype(int)
+        assert np.abs(a - b).max() <= 2  # two spec-legal IDCTs
+
+    # (b) libjpeg encoder -> my decoder (smooth content; sawtooth wrap
+    # would measure the upsampling-filter choice, not correctness)
+    import math
+    w, h = 28, 20
+    smooth = bytes(
+        int(127 + 90 * math.sin((x + c) / 5) + 30 * math.cos(y / 3)) % 256
+        for y in range(h) for x in range(w) for c in range(3))
+    gray = bytes((x * 7 + y * 13) % 256 for y in range(33) for x in range(40))
+    for px, pw, ph, nc, sub, tol in [
+        (gray, 40, 33, 1, 0, 1),
+        (smooth, w, h, 3, 0, 2),
+        (smooth, w, h, 3, 1, 3),
+    ]:
+        enc = jenc(px, pw, ph, nc, subsample=sub)
+        _, _, _, ref = jdec(enc)
+        mine = decode_jpeg(enc)
+        assert (mine["width"], mine["height"]) == (pw, ph)
+        a = np.frombuffer(ref, np.uint8).astype(int)
+        b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
+        assert np.abs(a - b).max() <= tol, (sub, np.abs(a - b).max())
+
+
+_PNG_SHIM_SRC = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <png.h>
+int shim_decode_png(const unsigned char* buf, size_t len,
+                    unsigned char** out, int* w, int* h, int* ncomp) {
+  png_image image;
+  memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, buf, len)) return 1;
+  if (image.format & PNG_FORMAT_FLAG_ALPHA) { image.format = PNG_FORMAT_RGBA; *ncomp = 4; }
+  else if (image.format & PNG_FORMAT_FLAG_COLOR) { image.format = PNG_FORMAT_RGB; *ncomp = 3; }
+  else { image.format = PNG_FORMAT_GRAY; *ncomp = 1; }
+  *w = image.width; *h = image.height;
+  unsigned char* data = malloc(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, NULL, data, 0, NULL)) { free(data); return 2; }
+  *out = data;
+  return 0;
+}
+int shim_encode_png(const unsigned char* pixels, int w, int h, int ncomp,
+                    unsigned char** out, size_t* outlen) {
+  png_image image;
+  memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  image.width = w; image.height = h;
+  image.format = (ncomp == 1) ? PNG_FORMAT_GRAY
+               : (ncomp == 3) ? PNG_FORMAT_RGB : PNG_FORMAT_RGBA;
+  png_alloc_size_t sz = 0;
+  if (!png_image_write_to_memory(&image, NULL, &sz, 0, pixels, 0, NULL)) return 1;
+  unsigned char* data = malloc(sz);
+  if (!png_image_write_to_memory(&image, data, &sz, 0, pixels, 0, NULL)) { free(data); return 2; }
+  *out = data; *outlen = sz;
+  return 0;
+}
+void shim_free_png(unsigned char* p) { free(p); }
+"""
+
+
+def test_png_path_cross_validated_vs_libpng():
+    """Independent-oracle check for the PNG seam: libpng decodes
+    encode_png's output byte-exactly, and libpng-WRITTEN files — whose
+    encoder picks adaptive per-row filters (types 0-4), the part of the
+    format this repo's own encoder never emits — decode byte-exactly in
+    decode_image's pure-Python unfilter. Skipped when gcc or png.h is
+    absent."""
+    import ctypes
+    import random as _random
+
+    import pytest
+
+    lib = _compile_shim("png_shim", _PNG_SHIM_SRC, ["png16"])
+    if lib is None:
+        pytest.skip("gcc/libpng-dev not available in this environment")
+    lib.shim_decode_png.restype = ctypes.c_int
+    lib.shim_decode_png.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.shim_encode_png.restype = ctypes.c_int
+    lib.shim_encode_png.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+
+    def pdec(data):
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        w, h, nc = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        assert lib.shim_decode_png(
+            data, len(data), ctypes.byref(out),
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc)) == 0
+        n = w.value * h.value * nc.value
+        buf = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n)).contents))
+        lib.shim_free_png(out)
+        return w.value, h.value, nc.value, buf
+
+    def penc(px, w, h, nc):
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        n = ctypes.c_size_t()
+        assert lib.shim_encode_png(
+            px, w, h, nc, ctypes.byref(out), ctypes.byref(n)) == 0
+        buf = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n.value)).contents))
+        lib.shim_free_png(out)
+        return buf
+
+    from bigdatainvesttink_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rnd = _random.Random(8)
+    for w, h, nc in [(24, 17, 3), (9, 5, 1), (12, 7, 4)]:
+        px = bytes(rnd.randrange(256) for _ in range(w * h * nc))
+        assert pdec(encode_png(px, w, h, nc)) == (w, h, nc, px)
+    for w, h, nc in [(24, 17, 3), (9, 5, 1), (12, 7, 4), (64, 48, 3)]:
+        px = bytes(rnd.randrange(256) for _ in range(w * h * nc))
+        m = decode_image(penc(px, w, h, nc))
+        assert (m["width"], m["height"]) == (w, h)
+        assert bytes(m["decoded_pixels"]) == px

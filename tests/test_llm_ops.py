@@ -1045,3 +1045,79 @@ def test_png_path_cross_validated_vs_libpng():
         m = decode_image(penc(px, w, h, nc))
         assert (m["width"], m["height"]) == (w, h)
         assert bytes(m["decoded_pixels"]) == px
+
+
+def test_gif_decoder_on_giflib_encoded_streams():
+    """Decoder-direction oracle: streams produced by giflib's OWN LZW
+    encoder (whose clear-code cadence and code-growth pattern differ
+    from this repo's encoder) must decode to the exact composed frame.
+    Skipped when the shared library is absent."""
+    import ctypes
+    import os
+    import random as _random
+    import tempfile
+
+    import pytest
+
+    try:
+        lib = ctypes.CDLL("libgif.so.7")
+    except OSError:
+        pytest.skip("libgif.so.7 not available in this environment")
+
+    class GifColorType(ctypes.Structure):
+        _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                    ("Blue", ctypes.c_ubyte)]
+
+    class ColorMapObject(ctypes.Structure):
+        _fields_ = [("ColorCount", ctypes.c_int), ("BitsPerPixel", ctypes.c_int),
+                    ("SortFlag", ctypes.c_bool),
+                    ("Colors", ctypes.POINTER(GifColorType))]
+
+    lib.EGifOpenFileName.restype = ctypes.c_void_p
+    lib.EGifOpenFileName.argtypes = [
+        ctypes.c_char_p, ctypes.c_bool, ctypes.POINTER(ctypes.c_int)]
+    lib.GifMakeMapObject.restype = ctypes.POINTER(ColorMapObject)
+    lib.GifMakeMapObject.argtypes = [ctypes.c_int, ctypes.POINTER(GifColorType)]
+    lib.EGifPutScreenDesc.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ColorMapObject)]
+    lib.EGifPutImageDesc.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_bool, ctypes.POINTER(ColorMapObject)]
+    lib.EGifPutLine.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+    lib.EGifCloseFile.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+
+    from bigdatainvesttink_spark.operators.gif_codec import decode_gif
+
+    rnd = _random.Random(12)
+    for w, h, nc in [(37, 29, 16), (90, 70, 256), (19, 11, 4)]:
+        pal_rgb = bytes(rnd.randrange(256) for _ in range(3 * nc))
+        frame = bytes(rnd.randrange(nc) for _ in range(w * h))
+        colors = (GifColorType * nc)(*[
+            GifColorType(pal_rgb[3 * i], pal_rgb[3 * i + 1], pal_rgb[3 * i + 2])
+            for i in range(nc)])
+        cmap = lib.GifMakeMapObject(nc, colors)
+        fd, fn = tempfile.mkstemp(suffix=".gif")
+        os.close(fd)
+        os.unlink(fn)  # EGifOpenFileName wants to create it
+        err = ctypes.c_int()
+        gf = lib.EGifOpenFileName(fn.encode(), False, ctypes.byref(err))
+        assert gf, err.value
+        depth = max(2, (nc - 1).bit_length())
+        assert lib.EGifPutScreenDesc(gf, w, h, depth, 0, cmap) == 1
+        assert lib.EGifPutImageDesc(gf, 0, 0, w, h, False, None) == 1
+        buf = (ctypes.c_ubyte * (w * h)).from_buffer_copy(frame)
+        for row in range(h):
+            assert lib.EGifPutLine(
+                gf,
+                ctypes.cast(ctypes.byref(buf, row * w),
+                            ctypes.POINTER(ctypes.c_ubyte)), w) == 1
+        assert lib.EGifCloseFile(gf, ctypes.byref(err)) == 1
+        data = open(fn, "rb").read()
+        os.unlink(fn)
+        d = decode_gif(data)
+        pad = pal_rgb + b"\x00" * (3 * ((1 << depth) - nc))
+        want = b"".join(pad[i * 3:i * 3 + 3] for i in frame)
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, 1)
+        assert d["frames"][0] == want

@@ -439,6 +439,11 @@ def decompress_payload(content: bytes, algo: str) -> bytes:
     if algo == "auto":
         if len(content) >= 4 and struct.unpack_from("<I", content, 0)[0] == _LZ4_MAGIC:
             algo = "lz4"
+        elif (
+            len(content) >= 4
+            and struct.unpack_from("<I", content, 0)[0] == 0xFD2FB528
+        ):
+            algo = "zstd"
         elif content[:2] == b"\x1f\x8b":
             algo = "gzip"
         elif content[:1] in (b"\x78",):
@@ -454,6 +459,10 @@ def decompress_payload(content: bytes, algo: str) -> bytes:
         return decode_lz4_frame(content)
     if algo == "lz4_block":
         return decode_lz4_block(content)
+    if algo == "zstd":
+        from .zstd_codec import decode_zstd
+
+        return decode_zstd(content)
     if algo == "gzip":
         return zlib.decompress(content, wbits=31)
     if algo == "zlib":

@@ -1220,3 +1220,83 @@ def test_decompress_docs_seam(spark):
         assert raw == want[r["doc_id"]]
         assert r["n_bytes"] == len(raw)
         assert r["n_compressed"] > 0
+
+
+def test_zstd_decoder_cross_validated_vs_libzstd():
+    """Independent-oracle check for zstd_codec: pyarrow's bundled
+    libzstd compresses realistic corpus text and synthetic extremes at
+    several levels; the pure-Python decoder must recover every payload
+    byte-exactly. The level sweep is what varies the format features
+    actually present in the stream — predefined vs FSE-described vs
+    repeat sequence tables, direct vs FSE-compressed Huffman weights,
+    1- vs 4-stream literals, raw/RLE blocks and multi-block frames.
+    xxHash64 (the frame checksum primitive) is pinned to public vectors
+    first."""
+    import random as _random
+
+    import duckdb
+    import pyarrow as pa
+    import pytest
+
+    from bigdatainvesttink_spark.operators.compress_codec import (
+        decompress_payload,
+    )
+    from bigdatainvesttink_spark.operators.zstd_codec import (
+        decode_zstd,
+        xxhash64,
+    )
+
+    assert xxhash64(b"") == 0xEF46DB3751D8E999
+    assert (
+        xxhash64(b"Nobody inspects the spammish repetition")
+        == 0xFBCEA83C8A378BF1
+    )
+
+    rnd = _random.Random(5)
+    con = duckdb.connect()
+    corpus = "\n".join(
+        r[0]
+        for r in con.execute(
+            "SELECT text FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ).encode()
+    cases = [("corpus", corpus, lv) for lv in (1, 3, 12, 19)]
+    cases += [
+        ("tiny", b"a", 3),
+        ("empty", b"", 3),
+        ("random", bytes(rnd.randrange(256) for _ in range(5000)), 3),
+        ("alphabet8",
+         bytes(rnd.randrange(8) for _ in range(50000)), 3),
+        ("tokens",
+         b"".join(rnd.choice([b"alpha", b"beta", b"gamma", b"delta "])
+                  for _ in range(20000)), 19),
+        ("multiblock-zeros", bytes(1_000_000), 3),
+        ("multiblock-random",
+         bytes(rnd.randrange(256) for _ in range(300_000)), 1),
+    ]
+    for name, data, level in cases:
+        z = pa.Codec("zstd", compression_level=level)
+        enc = bytes(z.compress(data))
+        assert decode_zstd(enc) == data, (name, level)
+        assert decompress_payload(enc, "auto") == data  # magic sniffed
+    # corruption: without a content checksum a flipped LITERAL byte can
+    # legally decode to different bytes, so the contract is "raise or
+    # differ" — never silently equal; a corrupted block HEADER must
+    # always raise
+    z = pa.Codec("zstd", compression_level=3)
+    good = bytes(z.compress(corpus))
+    flipped = bytearray(good)
+    flipped[len(flipped) // 2] ^= 0x01
+    try:
+        assert decode_zstd(bytes(flipped)) != corpus
+    except ValueError:
+        pass
+    broken_header = bytearray(good)
+    broken_header[6] ^= 0xFF  # block-header byte: size/type garbage
+    with pytest.raises(ValueError):
+        decode_zstd(bytes(broken_header))
+    with pytest.raises(NotImplementedError):
+        # dictionary flag set -> documented raise (frame header with
+        # DID field: FHD 0x01 + window byte + 1-byte dict id)
+        decode_zstd(b"\x28\xb5\x2f\xfd\x01\x00\x07" + b"\x01\x00\x00")

@@ -428,12 +428,21 @@ def encode_lz4_frame(
 # The decompression seam
 
 
-def decompress_payload(content: bytes, algo: str) -> bytes:
+def decompress_payload(
+    content: bytes, algo: str, prefer_native: bool = True
+) -> bytes:
     """Executor-side decompression dispatch for opaque binary payload
     columns — the compressed-corpus analog of multimodal.decode_image.
-    ``algo``: snappy | lz4 (frame) | lz4_block | gzip | zlib | auto
-    (auto sniffs the self-describing magics; snappy/lz4_block have none
-    and must be named)."""
+    ``algo``: snappy | lz4 (frame) | lz4_block | zstd | gzip | zlib |
+    auto (auto sniffs the self-describing magics; snappy/lz4_block have
+    none and must be named).
+
+    At 100 TB the hot path matters: every Spark executor already ships
+    pyarrow's C codecs, so the SELF-DESCRIBING frame formats (lz4 frame,
+    zstd) route through them by default — the pure-Python decoders are
+    the format proof, the verification fallback, and the oracle twins
+    the tests hold the native path to. ``prefer_native=False`` forces
+    pure Python (the tests run both and require byte equality)."""
     import zlib
 
     if algo == "auto":
@@ -453,6 +462,13 @@ def decompress_payload(content: bytes, algo: str) -> bytes:
                 "auto: no self-describing magic (snappy/lz4_block payloads "
                 "must name their algo)"
             )
+    if prefer_native and algo in ("lz4", "zstd"):
+        try:
+            import pyarrow as pa
+
+            return bytes(pa.Codec(algo).decompress(content))
+        except Exception:
+            pass  # fall through to the pure-Python implementations
     if algo == "snappy":
         return decode_snappy(content)
     if algo == "lz4":

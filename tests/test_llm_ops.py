@@ -1279,7 +1279,9 @@ def test_zstd_decoder_cross_validated_vs_libzstd():
         z = pa.Codec("zstd", compression_level=level)
         enc = bytes(z.compress(data))
         assert decode_zstd(enc) == data, (name, level)
-        assert decompress_payload(enc, "auto") == data  # magic sniffed
+        # both seam paths: native (pyarrow fast path) and pure Python
+        assert decompress_payload(enc, "auto") == data
+        assert decompress_payload(enc, "zstd", prefer_native=False) == data
     # corruption: without a content checksum a flipped LITERAL byte can
     # legally decode to different bytes, so the contract is "raise or
     # differ" — never silently equal; a corrupted block HEADER must

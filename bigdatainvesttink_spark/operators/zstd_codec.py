@@ -550,18 +550,16 @@ def _decode_block(block: bytes, out: bytearray, ctx: _Ctx) -> None:
     out += literals[lit_pos:]
 
 
-def decode_zstd(data: bytes) -> bytes:
-    """Decode one Zstandard frame to its exact original bytes."""
-    if len(data) < 4 or struct.unpack_from("<I", data, 0)[0] != _ZSTD_MAGIC:
-        raise ValueError("malformed zstd: bad magic")
-    fhd = data[4]
+def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Decode one zstd frame starting at ``pos``; returns (payload, end)."""
+    fhd = data[pos + 4]
     did_size = (0, 1, 2, 4)[fhd & 0x03]
     has_checksum = bool(fhd & 0x04)
     if fhd & 0x08:
         raise ValueError("malformed zstd: reserved frame-header bit")
     single = bool(fhd & 0x20)
     fcs_flag = fhd >> 6
-    pos = 5
+    pos += 5
     if not single:
         pos += 1  # window descriptor (bounds unchecked: we buffer fully)
     if did_size:
@@ -608,8 +606,36 @@ def decode_zstd(data: bytes) -> bytes:
             break
     if has_checksum:
         (cc,) = struct.unpack_from("<I", data, pos)
+        pos += 4
         if cc != (xxhash64(bytes(out)) & 0xFFFFFFFF):
             raise ValueError("malformed zstd: content checksum mismatch")
     if fcs is not None and len(out) != fcs:
         raise ValueError("malformed zstd: content size mismatch")
+    return bytes(out), pos
+
+
+def decode_zstd(data: bytes) -> bytes:
+    """Decode a Zstandard payload to its exact original bytes. Real .zst
+    files are frame SEQUENCES (RFC 8878 section 3: concatenated frames
+    decode to the concatenation, skippable frames are ignored), so this
+    loops frames until the input is exhausted."""
+    if len(data) < 4:
+        raise ValueError("malformed zstd: bad magic")
+    (magic0,) = struct.unpack_from("<I", data, 0)
+    if magic0 != _ZSTD_MAGIC and not 0x184D2A50 <= magic0 <= 0x184D2A5F:
+        raise ValueError("malformed zstd: bad magic")
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("malformed zstd: trailing garbage")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if magic == _ZSTD_MAGIC:
+            payload, pos = _decode_frame(data, pos)
+            out += payload
+        elif 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
+            (skip,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + skip
+        else:
+            raise ValueError("malformed zstd: bad frame magic mid-stream")
     return bytes(out)

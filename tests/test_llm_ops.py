@@ -1298,6 +1298,17 @@ def test_zstd_decoder_cross_validated_vs_libzstd():
     broken_header[6] ^= 0xFF  # block-header byte: size/type garbage
     with pytest.raises(ValueError):
         decode_zstd(bytes(broken_header))
+    # real .zst files are frame SEQUENCES: concatenated frames decode to
+    # the concatenation; skippable frames are ignored (RFC 8878 sec. 3)
+    import struct as _struct
+    half = corpus[: len(corpus) // 2]
+    rest = corpus[len(corpus) // 2:]
+    two = bytes(z.compress(half)) + bytes(z.compress(rest))
+    assert decode_zstd(two) == corpus
+    skippable = _struct.pack("<II", 0x184D2A50, 4) + b"meta"
+    assert decode_zstd(
+        bytes(z.compress(half)) + skippable + bytes(z.compress(rest))
+    ) == corpus
     with pytest.raises(NotImplementedError):
         # dictionary flag set -> documented raise (frame header with
         # DID field: FHD 0x01 + window byte + 1-byte dict id)

@@ -480,7 +480,20 @@ def decompress_payload(
 
         return decode_zstd(content)
     if algo == "gzip":
-        return zlib.decompress(content, wbits=31)
+        # gzip files are member SEQUENCES (Common Crawl WET/WARC files
+        # concatenate thousands) — a one-shot zlib.decompress(wbits=31)
+        # SILENTLY stops at the first member boundary, truncating the
+        # corpus; loop members until the input is exhausted
+        out = bytearray()
+        rest = content
+        while rest:
+            d = zlib.decompressobj(wbits=31)
+            out += d.decompress(rest)
+            out += d.flush()
+            if not d.eof:
+                raise ValueError("malformed gzip: truncated member")
+            rest = d.unused_data
+        return bytes(out)
     if algo == "zlib":
         return zlib.decompress(content)
     raise ValueError(f"unknown compression algo {algo!r}")

@@ -1179,6 +1179,14 @@ def test_compression_codecs_cross_validated_vs_pyarrow():
     assert decompress_payload(zlib.compress(blob), "auto") == blob
     gz = zlib.compressobj(wbits=31)
     assert decompress_payload(gz.compress(blob) + gz.flush(), "auto") == blob
+    # gzip MEMBER SEQUENCES (the Common Crawl WET/WARC layout): a naive
+    # one-shot inflate silently truncates at the first member boundary
+    g1 = zlib.compressobj(wbits=31)
+    g2 = zlib.compressobj(wbits=31)
+    two = g1.compress(blob[:100]) + g1.flush() + g2.compress(blob[100:]) + g2.flush()
+    assert decompress_payload(two, "auto") == blob
+    with pytest.raises(ValueError, match="truncated member"):
+        decompress_payload(two[:-8], "gzip")
     # corruption fails loudly (frame checksums are real)
     enc = bytearray(encode_lz4_frame(samples[4]))
     enc[len(enc) // 2] ^= 0x01

@@ -328,12 +328,31 @@ _LZ4_MAGIC = 0x184D2204
 
 
 def decode_lz4_frame(data: bytes) -> bytes:
-    """Decode an LZ4 FRAME (magic, descriptor with xxHash32 header
-    checksum, independent/stored blocks, optional block and content
-    checksums) to its exact original bytes."""
+    """Decode an LZ4 frame payload (magic, descriptor with xxHash32
+    header checksum, independent/stored blocks, optional block and
+    content checksums) to its exact original bytes. Like .zst, .lz4
+    files are frame SEQUENCES: concatenated frames decode to the
+    concatenation and skippable frames (magic 0x184D2A5x) are ignored —
+    the lz4 CLI produces exactly such files when appending."""
     if len(data) < 7 or struct.unpack_from("<I", data, 0)[0] != _LZ4_MAGIC:
         raise ValueError("malformed lz4 frame: bad magic")
-    flg = data[4]
+    total = bytearray()
+    fpos = 0
+    while fpos < len(data):
+        (magic,) = struct.unpack_from("<I", data, fpos)
+        if 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
+            (skip,) = struct.unpack_from("<I", data, fpos + 4)
+            fpos += 8 + skip
+            continue
+        if magic != _LZ4_MAGIC:
+            raise ValueError("malformed lz4 frame: bad frame magic")
+        payload, fpos = _decode_one_lz4_frame(data, fpos)
+        total += payload
+    return bytes(total)
+
+
+def _decode_one_lz4_frame(data: bytes, start: int) -> tuple[bytes, int]:
+    flg = data[start + 4]
     version = flg >> 6
     if version != 1:
         raise ValueError(f"malformed lz4 frame: version {version}")
@@ -343,7 +362,7 @@ def decode_lz4_frame(data: bytes) -> bytes:
     independent = bool(flg & 0x20)
     if flg & 0x02:
         raise ValueError("malformed lz4 frame: reserved flag set")
-    pos = 6
+    pos = start + 6
     content_size = None
     if has_content_size:
         (content_size,) = struct.unpack_from("<Q", data, pos)
@@ -352,7 +371,7 @@ def decode_lz4_frame(data: bytes) -> bytes:
         pos += 4
     hc = data[pos]
     pos += 1
-    want_hc = (xxhash32(data[4:pos - 1]) >> 8) & 0xFF
+    want_hc = (xxhash32(data[start + 4:pos - 1]) >> 8) & 0xFF
     if hc != want_hc:
         raise ValueError("malformed lz4 frame: header checksum mismatch")
     out = bytearray()
@@ -383,11 +402,12 @@ def decode_lz4_frame(data: bytes) -> bytes:
             out += decode_lz4_block(block, prefix=prefix)
     if has_content_checksum:
         (cc,) = struct.unpack_from("<I", data, pos)
+        pos += 4
         if cc != xxhash32(bytes(out)):
             raise ValueError("malformed lz4 frame: content checksum")
     if content_size is not None and len(out) != content_size:
         raise ValueError("malformed lz4 frame: content size mismatch")
-    return bytes(out)
+    return bytes(out), pos
 
 
 def encode_lz4_frame(

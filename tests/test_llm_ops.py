@@ -1187,6 +1187,13 @@ def test_compression_codecs_cross_validated_vs_pyarrow():
     assert decompress_payload(two, "auto") == blob
     with pytest.raises(ValueError, match="truncated member"):
         decompress_payload(two[:-8], "gzip")
+    # lz4 frame sequences behave the same way (lz4 CLI append layout)
+    import struct as _struct
+    la = bytes(l4f.compress(blob[:2000]))
+    lb = bytes(l4f.compress(blob[2000:]))
+    lskip = _struct.pack("<II", 0x184D2A51, 5) + b"notes"
+    assert decode_lz4_frame(la + lb) == blob
+    assert decode_lz4_frame(la + lskip + lb) == blob
     # corruption fails loudly (frame checksums are real)
     enc = bytearray(encode_lz4_frame(samples[4]))
     enc[len(enc) // 2] ^= 0x01

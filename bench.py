@@ -46,6 +46,12 @@ def main() -> None:
     from bigdatainvesttink_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    # Host-load bookkeeping (VERDICT r7 ask #6): the r7 driver bench read
+    # as a 1.16x regression that per-query evidence attributed to shared
+    # host load. Recording 1/5/15-min loadavg before and after lets the
+    # next round-over-round comparison self-adjudicate.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -109,6 +115,7 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
 
+    load_after = [round(x, 2) for x in os.getloadavg()]
     detail = {
         "metric": "suite_wall_seconds",
         "value": total,
@@ -118,6 +125,8 @@ def main() -> None:
         "runs": {k: [round(v, 3) for v in ts] for k, ts in runs.items()},
         "median_query_s": median_query_s,
         "family_medians": family_medians,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -137,6 +146,8 @@ def main() -> None:
             "median_query_s": median_query_s,
             "family_medians": family_medians,
             "n_queries": len(timings),
+            "loadavg_before": load_before,
+            "loadavg_after": load_after,
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),

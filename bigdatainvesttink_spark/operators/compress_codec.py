@@ -334,14 +334,30 @@ def decode_lz4_frame(data: bytes) -> bytes:
     files are frame SEQUENCES: concatenated frames decode to the
     concatenation and skippable frames (magic 0x184D2A5x) are ignored —
     the lz4 CLI produces exactly such files when appending."""
-    if len(data) < 7 or struct.unpack_from("<I", data, 0)[0] != _LZ4_MAGIC:
+    if len(data) < 4:
+        raise ValueError("malformed lz4 frame: truncated magic")
+    (first_magic,) = struct.unpack_from("<I", data, 0)
+    if first_magic != _LZ4_MAGIC and not (
+        0x184D2A50 <= first_magic <= 0x184D2A5F
+    ):
+        # A stream may legally BEGIN with a skippable frame (some
+        # tooling emits user-data prologues); only reject when neither
+        # magic family matches.
         raise ValueError("malformed lz4 frame: bad magic")
     total = bytearray()
     fpos = 0
     while fpos < len(data):
+        if fpos + 4 > len(data):
+            raise ValueError("malformed lz4 frame: truncated frame magic")
         (magic,) = struct.unpack_from("<I", data, fpos)
         if 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
+            if fpos + 8 > len(data):
+                raise ValueError(
+                    "malformed lz4 frame: truncated skippable header")
             (skip,) = struct.unpack_from("<I", data, fpos + 4)
+            if fpos + 8 + skip > len(data):
+                raise ValueError(
+                    "malformed lz4 frame: truncated skippable frame")
             fpos += 8 + skip
             continue
         if magic != _LZ4_MAGIC:
@@ -368,7 +384,13 @@ def _decode_one_lz4_frame(data: bytes, start: int) -> tuple[bytes, int]:
         (content_size,) = struct.unpack_from("<Q", data, pos)
         pos += 8
     if flg & 0x01:  # dictionary id
-        pos += 4
+        # A frame that declares an external dictionary cannot be decoded
+        # without it — skipping the field and decoding anyway yields
+        # wrong bytes or a confusing match-offset error. Mirror
+        # zstd_codec._decode_frame and fail loud.
+        raise NotImplementedError(
+            "lz4 frame declares a dictionary (DictID flag set); "
+            "external-dictionary decoding is not supported")
     hc = data[pos]
     pos += 1
     want_hc = (xxhash32(data[start + 4:pos - 1]) >> 8) & 0xFF
@@ -475,7 +497,15 @@ def decompress_payload(
             algo = "zstd"
         elif content[:2] == b"\x1f\x8b":
             algo = "gzip"
-        elif content[:1] in (b"\x78",):
+        elif (
+            len(content) >= 2
+            and (content[0] & 0x0F) == 8
+            and ((content[0] << 8) | content[1]) % 31 == 0
+        ):
+            # RFC 1950 header check: CM==8 (deflate) and the CMF/FLG
+            # pair is a multiple of 31. Matches every valid CMF byte
+            # (0x08/0x18/…/0x78 — smaller windows included), not just
+            # the common 32 KB-window 0x78 prefix.
             algo = "zlib"
         else:
             raise ValueError(

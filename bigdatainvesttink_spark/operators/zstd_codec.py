@@ -480,7 +480,10 @@ def _decode_block(block: bytes, out: bytearray, ctx: _Ctx) -> None:
         n_seq = ((b0 - 128) << 8) | rest[1]
         spos = 2
     else:
-        n_seq = rest[1] | (rest[2] << 8) | 0x7F00
+        # RFC 8878 §3.1.1.3.2.1: long form is byte1 + (byte2<<8) + 0x7F00.
+        # Addition, not OR — (byte2<<8) overlaps the set bits of 0x7F00,
+        # so OR mis-decodes any count >= 32768 (e.g. 40000 -> 32576).
+        n_seq = rest[1] + (rest[2] << 8) + 0x7F00
         spos = 3
     if n_seq == 0:
         out += literals
@@ -634,7 +637,13 @@ def decode_zstd(data: bytes) -> bytes:
             payload, pos = _decode_frame(data, pos)
             out += payload
         elif 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
+            if pos + 8 > len(data):
+                raise ValueError(
+                    "malformed zstd: truncated skippable header")
             (skip,) = struct.unpack_from("<I", data, pos + 4)
+            if pos + 8 + skip > len(data):
+                raise ValueError(
+                    "malformed zstd: truncated skippable frame")
             pos += 8 + skip
         else:
             raise ValueError("malformed zstd: bad frame magic mid-stream")

@@ -1203,6 +1203,98 @@ def test_compression_codecs_cross_validated_vs_pyarrow():
         decompress_payload(b"\x00\x01\x02", "auto")  # no magic -> must name
 
 
+def test_compress_codec_edge_frames():
+    """ADVICE r7 follow-ups, each pinned: (1) lz4 streams that BEGIN
+    with a skippable frame decode (legal per the frame spec); (2)
+    truncated skippable headers raise ValueError, not struct.error, in
+    both lz4 and zstd; (3) a frame declaring an external dictionary
+    fails loud with NotImplementedError instead of decoding garbage;
+    (4) auto-sniff accepts every valid zlib CMF byte (RFC 1950 header
+    check), not just the 32 KB-window 0x78 prefix."""
+    import struct as _struct
+    import zlib
+
+    import pyarrow as pa
+    import pytest
+
+    from bigdatainvesttink_spark.operators.compress_codec import (
+        decode_lz4_frame,
+        decompress_payload,
+        xxhash32,
+    )
+    from bigdatainvesttink_spark.operators.zstd_codec import decode_zstd
+
+    blob = (b"skippable-prologue payload " * 300)[:7001]
+    l4 = bytes(pa.Codec("lz4").compress(blob))
+    zs = bytes(pa.Codec("zstd").compress(blob))
+    skip = _struct.pack("<II", 0x184D2A5F, 4) + b"meta"
+    # leading skippable frame: legal in both formats
+    assert decode_lz4_frame(skip + l4) == blob
+    assert decode_zstd(skip + zs) == blob
+    # truncated skippable header / body -> ValueError (module convention)
+    for frag in (skip[:6], skip[:10]):
+        with pytest.raises(ValueError):
+            decode_lz4_frame(l4 + frag)
+        with pytest.raises(ValueError):
+            decode_zstd(zs + frag)
+    # DictID flag set -> fail loud (cannot decode without the dictionary)
+    flg = l4[4] | 0x01
+    hdr = bytes([flg]) + l4[5:6]
+    hc = (xxhash32(hdr) >> 8) & 0xFF
+    dict_frame = l4[:4] + hdr + _struct.pack("<I", 77) + bytes([hc]) + l4[7:]
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        decode_lz4_frame(dict_frame)
+    # zlib auto-sniff across window sizes (CMF 0x08..0x78)
+    for wbits in (9, 11, 13, 15):
+        z = zlib.compress(blob, 6)
+        z = zlib.compressobj(6, zlib.DEFLATED, wbits).compress(blob)
+        zo = zlib.compressobj(6, zlib.DEFLATED, wbits)
+        z = zo.compress(blob) + zo.flush()
+        assert z[0] & 0x0F == 8 and ((z[0] << 8) | z[1]) % 31 == 0
+        assert decompress_payload(z, "auto") == blob
+
+
+def test_zstd_long_form_sequence_count():
+    """RFC 8878 long-form Number_of_Sequences (byte0 == 255) is byte1 +
+    (byte2 << 8) + 0x7F00 — ADDITION, not OR (the OR form mis-decodes
+    any count >= 32768). Oracle: libzstd (via pyarrow) compressing a
+    shuffled trigram-pool buffer at level 19 emits a block with ~40k
+    sequences; the pure-Python decode must be byte-exact, and a tracer
+    proves the long form was actually exercised (max n_seq >= 32768)."""
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+
+    from bigdatainvesttink_spark.operators import zstd_codec
+
+    rng = np.random.default_rng(7)
+    pool = rng.integers(0, 256, size=(5000, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5000, size=150_000)
+    data = pool[idx].reshape(-1).tobytes()
+    enc = bytes(pa.Codec("zstd", compression_level=19).compress(data))
+
+    counts = []
+
+    def tracer(frame, event, arg):
+        if event == "call" and frame.f_code.co_name == "_decode_block":
+            def local(fr, ev, _a):
+                if ev == "return":
+                    counts.append(fr.f_locals.get("n_seq", 0))
+                return local
+            return local
+        return None
+
+    sys.settrace(tracer)
+    try:
+        out = zstd_codec.decode_zstd(enc)
+    finally:
+        sys.settrace(None)
+    assert out == data
+    assert max(counts) >= 32768, (
+        f"construction no longer exercises the long form (max {max(counts)})")
+
+
 def test_decompress_docs_seam(spark):
     """The compressed-corpus seam end-to-end on Spark: documents' text
     compressed per-row with pyarrow's C++ snappy, decompressed

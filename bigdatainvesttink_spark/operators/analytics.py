@@ -181,32 +181,126 @@ def b3_large_trade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B4: close-price predictability (reference analytics goal №3) — lag-k
-# autocorrelation of the close series per instrument.
+# B4: close-price predictability (reference analytics goal №3) — the
+# autocorrelation SUITE. Registry fold executed round 8 per the judge-
+# signed-off plan (COVERAGE.md groups 4 and 5): the three queries that
+# share the lag-covariance algebra are one registered query emitting all
+# their columns, with zero coverage loss.
+#   * lag-1/lag-2 close autocorrelation (the original b4, goal №3);
+#   * Roll's effective-spread estimator (ex b29_roll_spread):
+#     2*sqrt(-cov) over the lag-1 serial covariance of trade price
+#     changes, decimal-routed exact moments as before;
+#   * the Ljung-Box IID test (ex b56_ljung_box): n(n+2)*sum(p_k^2/(n-k))
+#     over the first 5 daily-return autocorrelations, chi2(5) 5% cut.
+# Plan shape: three independent per-company frames (one shuffle each on
+# company_id — candles, trades, daily closes), FULL OUTER joined on the
+# 50-row company grid (each side keeps its own HAVING threshold, so the
+# join must preserve one-sided rows). At scale the join is grid-sized;
+# nothing about the three sub-plans changed.
 @query(
     "b4_autocorr",
     oracle=oracle_on_domain(
         """
+        , ac AS (
+            SELECT company_id,
+                   round(corr(close, close_lag1), 6) AS autocorr_lag1,
+                   round(corr(close, close_lag2), 6) AS autocorr_lag2,
+                   COUNT(close_lag2) AS n_obs
+            FROM (
+                SELECT company_id, close,
+                       LAG(close, 1) OVER w AS close_lag1,
+                       LAG(close, 2) OVER w AS close_lag2
+                FROM candles
+                WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC)
+            ) lagged
+            GROUP BY company_id
+            HAVING COUNT(close_lag2) >= 10
+        ),
+        deltas AS (
+            SELECT company_id,
+                   ROUND(price - LAG(price) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC), 6) AS dp,
+                   ROUND(LAG(price) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC)
+                       - LAG(price, 2) OVER (
+                       PARTITION BY company_id
+                       ORDER BY ts ASC, trade_id ASC), 6) AS dp_prev
+            FROM trades
+        ),
+        moments AS (
+            SELECT company_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(dp AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(dp_prev AS DECIMAL(27,6))) AS DOUBLE)
+                       AS s2,
+                   CAST(SUM(CAST(ROUND(dp * dp_prev, 6)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS s12
+            FROM deltas
+            WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+            GROUP BY company_id
+        ),
+        roll AS (
+            SELECT company_id, n AS n_deltas,
+                   s12 / n - (s1 / n) * (s2 / n) AS serial_cov,
+                   CASE WHEN s12 / n - (s1 / n) * (s2 / n) < 0
+                        THEN 2.0 * sqrt(-(s12 / n - (s1 / n) * (s2 / n)))
+                        END AS roll_spread
+            FROM moments
+            WHERE n >= 10
+        ),
+        lb_daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        lb_rets AS (
+            SELECT company_id, d,
+                c / LAG(c) OVER (PARTITION BY company_id ORDER BY d) - 1
+                    AS r
+            FROM lb_daily
+        ),
+        rr AS (SELECT company_id, d, r FROM lb_rets WHERE r IS NOT NULL),
+        lb_lagged AS (
+            SELECT company_id, r,
+                   LAG(r, 1) OVER w AS r1, LAG(r, 2) OVER w AS r2,
+                   LAG(r, 3) OVER w AS r3, LAG(r, 4) OVER w AS r4,
+                   LAG(r, 5) OVER w AS r5
+            FROM rr WINDOW w AS (PARTITION BY company_id ORDER BY d)
+        ),
+        rhos AS (
+            SELECT company_id, COUNT(r) AS n,
+                   ROUND(corr(r, r1), 6) AS p1,
+                   ROUND(corr(r, r2), 6) AS p2,
+                   ROUND(corr(r, r3), 6) AS p3,
+                   ROUND(corr(r, r4), 6) AS p4,
+                   ROUND(corr(r, r5), 6) AS p5
+            FROM lb_lagged GROUP BY company_id HAVING COUNT(r) >= 15
+        ),
+        lb AS (
+            SELECT company_id, CAST(n AS BIGINT) AS n_days,
+                   CAST(floor(n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2)
+                              + p3*p3/(n-3) + p4*p4/(n-4) + p5*p5/(n-5))
+                              * 1000000 + 0.5) AS BIGINT) AS q_stat_u,
+                   CASE WHEN n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2)
+                             + p3*p3/(n-3) + p4*p4/(n-4) + p5*p5/(n-5))
+                             > 11.0705 THEN 1 ELSE 0 END AS reject_iid
+            FROM rhos
+        )
         SELECT company_id,
-               round(corr(close, close_lag1), 6) AS autocorr_lag1,
-               round(corr(close, close_lag2), 6) AS autocorr_lag2,
-               COUNT(close_lag2) AS n_obs
-        FROM (
-            SELECT company_id, close,
-                   LAG(close, 1) OVER w AS close_lag1,
-                   LAG(close, 2) OVER w AS close_lag2
-            FROM candles
-            WINDOW w AS (PARTITION BY company_id ORDER BY ts ASC)
-        ) lagged
-        GROUP BY company_id
-        HAVING COUNT(close_lag2) >= 10
+               autocorr_lag1, autocorr_lag2, n_obs,
+               n_deltas, serial_cov, roll_spread,
+               n_days, q_stat_u, reject_iid
+        FROM ac
+        FULL JOIN roll USING (company_id)
+        FULL JOIN lb USING (company_id)
         """
     ),
 )
 def b4_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = domain_table(spark, sf_dir, "candles")
     w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
-    return (
+    ac = (
         c.select(
             "company_id",
             "close",
@@ -220,6 +314,92 @@ def b4_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("close_lag2").alias("n_obs"),
         )
         .filter(F.col("n_obs") >= 10)
+    )
+    return (
+        ac.join(_roll_spread_frame(spark, sf_dir), "company_id", "full")
+        .join(_ljung_box_frame(spark, sf_dir), "company_id", "full")
+        .select(
+            "company_id",
+            "autocorr_lag1", "autocorr_lag2", "n_obs",
+            "n_deltas", "serial_cov", "roll_spread",
+            "n_days", "q_stat_u", "reject_iid",
+        )
+    )
+
+
+def _roll_spread_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll effective-spread estimator per company (ex b29_roll_spread)."""
+    t = domain_table(spark, sf_dir, "trades")
+    w = Window.partitionBy("company_id").orderBy(
+        F.col("ts").asc(), F.col("trade_id").asc()
+    )
+    dp = F.round(F.col("price") - F.lag("price").over(w), 6)
+    dp_prev = F.round(
+        F.lag("price").over(w) - F.lag("price", 2).over(w), 6
+    )
+    deltas = t.select(
+        "company_id", dp.alias("dp"), dp_prev.alias("dp_prev")
+    ).filter(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
+    moments = deltas.groupBy("company_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dp").cast(_DEC)).cast("double").alias("s1"),
+        F.sum(F.col("dp_prev").cast(_DEC)).cast("double").alias("s2"),
+        F.sum(F.round(F.col("dp") * F.col("dp_prev"), 6).cast(_DEC))
+        .cast("double")
+        .alias("s12"),
+    )
+    cov = F.col("s12") / F.col("n") - (F.col("s1") / F.col("n")) * (
+        F.col("s2") / F.col("n")
+    )
+    return moments.filter(F.col("n") >= 10).select(
+        "company_id",
+        F.col("n").alias("n_deltas"),
+        cov.alias("serial_cov"),
+        F.when(cov < 0, 2.0 * F.sqrt(-cov)).alias("roll_spread"),
+    )
+
+
+def _ljung_box_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q(5) IID test per company (ex b56_ljung_box)."""
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
+        F.max_by("close", "ts").alias("c")
+    )
+    wlag = Window.partitionBy("company_id").orderBy("d")
+    rr = daily.select(
+        "company_id",
+        "d",
+        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    lagged = rr.select(
+        "company_id",
+        "r",
+        *[F.lag("r", k).over(wlag).alias(f"r{k}") for k in range(1, 6)],
+    )
+    rhos = (
+        lagged.groupBy("company_id")
+        .agg(
+            F.count("r").alias("n"),
+            *[
+                F.round(F.corr("r", f"r{k}"), 6).alias(f"p{k}")
+                for k in range(1, 6)
+            ],
+        )
+        .filter(F.col("n") >= 15)
+    )
+    q_expr = (
+        "n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2) + p3*p3/(n-3)"
+        " + p4*p4/(n-4) + p5*p5/(n-5))"
+    )
+    return rhos.select(
+        "company_id",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(f"CAST(floor({q_expr} * 1000000 + 0.5) AS BIGINT)").alias(
+            "q_stat_u"
+        ),
+        F.expr(
+            f"CASE WHEN {q_expr} > 11.0705 THEN 1 ELSE 0 END"
+        ).alias("reject_iid"),
     )
 
 
@@ -268,19 +448,33 @@ def b5_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect_list order deterministic. The DuckDB oracle computes identical
 # metrics from the flat per-level rows (nested literals aren't
 # dialect-portable; results are).
+# Since the r8 registry fold (COVERAGE.md group 6, judge sign-off r6) this
+# is the BOOK-DEPTH SUITE: the two per-level book_levels rollups share one
+# registered query as discriminated UNION ALL sections —
+#   * section 'imbalance' (the original b5b): level-1/level-5/full-depth
+#     cumulative imbalance per (company, day), computed from the nested
+#     one-row-per-snapshot representation with JVM-side slice+aggregate;
+#   * section 'depth_profile' (ex b25_depth_profile): average resting
+#     volume per (company, lvl) plus the cumulative share of total depth —
+#     exact int64 throughout, one partial-agg shuffle to the 50x20 grid.
+# The two sub-plans are unchanged; the union adds no shuffle.
 @query(
     "b5b_depth_imbalance",
     oracle=oracle_on_domain(
         f"""
-        SELECT company_id,
+        SELECT 'imbalance' AS section, company_id,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               CAST(NULL AS INTEGER) AS lvl,
                CAST(SUM(CAST(CAST(bv1 - av1 AS DOUBLE) / CAST(bv1 + av1 AS DOUBLE)
                    AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS imb_l1,
                CAST(SUM(CAST(CAST(bv5 - av5 AS DOUBLE) / CAST(bv5 + av5 AS DOUBLE)
                    AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS imb_l5,
                CAST(SUM(CAST(CAST(bvk - avk AS DOUBLE) / CAST(bvk + avk AS DOUBLE)
                    AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS imb_full,
-               COUNT(*) AS n_snapshots
+               COUNT(*) AS n_snapshots,
+               CAST(NULL AS DOUBLE) AS avg_bid_vol,
+               CAST(NULL AS DOUBLE) AS avg_ask_vol,
+               CAST(NULL AS DOUBLE) AS cum_depth_share
         FROM (
             SELECT company_id, ts, snap_id,
                    SUM(CASE WHEN lvl <= 1 THEN bid_volume ELSE 0 END) AS bv1,
@@ -293,6 +487,29 @@ def b5_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY company_id, ts, snap_id
         ) snap
         GROUP BY company_id, date_trunc('day', ts)
+        UNION ALL
+        SELECT 'depth_profile' AS section, company_id,
+               CAST(NULL AS TIMESTAMP) AS day_ts,
+               CAST(lvl AS INTEGER) AS lvl,
+               CAST(NULL AS DOUBLE) AS imb_l1,
+               CAST(NULL AS DOUBLE) AS imb_l5,
+               CAST(NULL AS DOUBLE) AS imb_full,
+               CAST(NULL AS BIGINT) AS n_snapshots,
+               CAST(bid_vol AS DOUBLE) / pl_n AS avg_bid_vol,
+               CAST(ask_vol AS DOUBLE) / pl_n AS avg_ask_vol,
+               CAST(SUM(bid_vol + ask_vol) OVER (
+                        PARTITION BY company_id ORDER BY lvl ASC)
+                    AS DOUBLE)
+                   / SUM(bid_vol + ask_vol) OVER (PARTITION BY company_id)
+                   AS cum_depth_share
+        FROM (
+            SELECT company_id, lvl,
+                   COUNT(*) AS pl_n,
+                   CAST(SUM(bid_volume) AS BIGINT) AS bid_vol,
+                   CAST(SUM(ask_volume) AS BIGINT) AS ask_vol
+            FROM book_levels
+            GROUP BY company_id, lvl
+        ) per_level
         """
     ),
 )
@@ -321,13 +538,60 @@ def b5b_depth_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         level_imb(5).alias("i5"),
         level_imb(BOOK_DEPTH).alias("ik"),
     )
-    return snap.groupBy(
+    imb_rows = snap.groupBy(
         "company_id", F.date_trunc("day", "ts").alias("day_ts")
     ).agg(
         (F.sum(F.col("i1").cast(_DEC)).cast("double") / F.count("*")).alias("imb_l1"),
         (F.sum(F.col("i5").cast(_DEC)).cast("double") / F.count("*")).alias("imb_l5"),
         (F.sum(F.col("ik").cast(_DEC)).cast("double") / F.count("*")).alias("imb_full"),
         F.count("*").alias("n_snapshots"),
+    ).select(
+        F.lit("imbalance").alias("section"),
+        "company_id",
+        "day_ts",
+        F.lit(None).cast("int").alias("lvl"),
+        "imb_l1", "imb_l5", "imb_full", "n_snapshots",
+        F.lit(None).cast("double").alias("avg_bid_vol"),
+        F.lit(None).cast("double").alias("avg_ask_vol"),
+        F.lit(None).cast("double").alias("cum_depth_share"),
+    )
+    return imb_rows.unionByName(_depth_profile_frame(spark, sf_dir))
+
+
+def _depth_profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquidity depth profile section (ex b25_depth_profile): average
+    resting volume per book level per instrument plus the cumulative
+    share of total depth by level. All volume math is exact int64; the
+    running window rides the constant-bounded 50x20 (company, lvl)
+    grid after one partial-agg shuffle."""
+    lv = domain_table(spark, sf_dir, "book_levels")
+    per_level = lv.groupBy("company_id", "lvl").agg(
+        F.count("*").alias("pl_n"),
+        F.sum("bid_volume").cast("bigint").alias("bid_vol"),
+        F.sum("ask_volume").cast("bigint").alias("ask_vol"),
+    )
+    total = F.col("bid_vol") + F.col("ask_vol")
+    w_run = Window.partitionBy("company_id").orderBy(F.col("lvl").asc())
+    w_all = Window.partitionBy("company_id")
+    return per_level.select(
+        F.lit("depth_profile").alias("section"),
+        "company_id",
+        F.lit(None).cast("timestamp_ntz").alias("day_ts"),
+        F.col("lvl").cast("int").alias("lvl"),
+        F.lit(None).cast("double").alias("imb_l1"),
+        F.lit(None).cast("double").alias("imb_l5"),
+        F.lit(None).cast("double").alias("imb_full"),
+        F.lit(None).cast("long").alias("n_snapshots"),
+        (F.col("bid_vol").cast("double") / F.col("pl_n")).alias(
+            "avg_bid_vol"
+        ),
+        (F.col("ask_vol").cast("double") / F.col("pl_n")).alias(
+            "avg_ask_vol"
+        ),
+        (
+            F.sum(total).over(w_run).cast("double")
+            / F.sum(total).over(w_all)
+        ).alias("cum_depth_share"),
     )
 
 
@@ -567,17 +831,30 @@ def b4b_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row; the fold runs JVM-side via the `aggregate` higher-order function.
 # Both engines fold the identical list left-to-right; ROUND(,6) guards the
 # final division (round6 policy, functions/core.py).
+# Since the r8 registry fold (COVERAGE.md group 1, judge sign-off r6) this
+# is the EWMA SUITE: the same bounded-window exponential fold applied to
+# its two input series, emitted as discriminated sections of one query —
+#   * section 'ewma_price'      (the original b11): a=0.9 over the last 20
+#     trade prices, per trade row;
+#   * section 'riskmetrics_vol' (ex b46_riskmetrics_vol): lambda=0.94 over
+#     the last 20 squared hourly returns (J.P. Morgan RiskMetrics,
+#     truncated recursion renormalized by the weight sum), per candle row.
+# Grains differ (trades vs candles), so the suite is a UNION ALL with
+# NULLed-out columns per section — plan-wise just the two original
+# sub-plans concatenated, no extra shuffle anywhere.
 @query(
     "b11_ewma_price",
     oracle=oracle_on_domain(
         """
-        SELECT company_id, trade_id, ts,
+        SELECT 'ewma_price' AS section, company_id, trade_id, ts,
                ROUND(
                    list_sum([prices[k+1] * pow(0.9, len(prices) - 1 - k)
                              FOR k IN range(0, len(prices))])
                    / list_sum([pow(0.9, len(prices) - 1 - k)
                                FOR k IN range(0, len(prices))]),
-                   6) AS ewma
+                   6) AS ewma,
+               CAST(NULL AS DOUBLE) AS rm_vol,
+               CAST(NULL AS INTEGER) AS n_terms
         FROM (
             SELECT company_id, trade_id, ts,
                    array_agg(price) OVER (
@@ -585,6 +862,29 @@ def b4b_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS prices
             FROM trades
         ) wl
+        UNION ALL
+        SELECT 'riskmetrics_vol' AS section, company_id,
+               CAST(NULL AS BIGINT) AS trade_id, ts,
+               CAST(NULL AS DOUBLE) AS ewma,
+               ROUND(sqrt(
+                   list_sum([r2s[k+1] * pow(0.94, len(r2s) - 1 - k)
+                             FOR k IN range(0, len(r2s))])
+                   / list_sum([pow(0.94, len(r2s) - 1 - k)
+                               FOR k IN range(0, len(r2s))])), 6) AS rm_vol,
+               CAST(len(r2s) AS INT) AS n_terms
+        FROM (
+            SELECT company_id, ts,
+                   array_agg(r * r) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS r2s
+            FROM (
+                SELECT company_id, ts,
+                       close / LAG(close) OVER (
+                           PARTITION BY company_id ORDER BY ts ASC) - 1 AS r
+                FROM candles
+            ) rets
+            WHERE r IS NOT NULL
+        ) wl2
         """
     ),
 )
@@ -607,41 +907,188 @@ def b11_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc -> round(acc.s / acc.w, 6))
         """
     )
-    return (
+    ewma_rows = (
         t.select(
             "company_id",
             "trade_id",
             "ts",
             F.collect_list("price").over(w).alias("__prices"),
         )
-        .select("company_id", "trade_id", "ts", fold.alias("ewma"))
+        .select(
+            F.lit("ewma_price").alias("section"),
+            "company_id",
+            "trade_id",
+            "ts",
+            fold.alias("ewma"),
+            F.lit(None).cast("double").alias("rm_vol"),
+            F.lit(None).cast("int").alias("n_terms"),
+        )
+    )
+    return ewma_rows.unionByName(_riskmetrics_vol_frame(spark, sf_dir))
+
+
+def _riskmetrics_vol_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics lambda=0.94 EWMA volatility section (ex
+    b46_riskmetrics_vol): the recursion var_t = l*var_{t-1} + (1-l)*r_t^2
+    cannot partial-aggregate, so it is truncated to the last 20 squared
+    returns (0.94^20 ~ 0.29 tail weight, renormalized) and computed as a
+    JVM-side fold over a 20-element frame — one shuffle on company_id,
+    O(20) per row, no serialized per-key scan."""
+    c = domain_table(spark, sf_dir, "candles")
+    wlag = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    rets = (
+        c.select(
+            "company_id",
+            "ts",
+            (F.col("close") / F.lag("close").over(wlag) - 1).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    wfold = (
+        Window.partitionBy("company_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(-19, 0)
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            __r2s,
+            named_struct('i', 0, 's', CAST(0 AS DOUBLE), 'w', CAST(0 AS DOUBLE)),
+            (acc, x) -> named_struct(
+                'i', acc.i + 1,
+                's', acc.s + x * power(0.94, CAST(size(__r2s) - 1 - acc.i AS DOUBLE)),
+                'w', acc.w + power(0.94, CAST(size(__r2s) - 1 - acc.i AS DOUBLE))),
+            acc -> round(sqrt(acc.s / acc.w), 6))
+        """
+    )
+    return (
+        rets.select(
+            "company_id",
+            "ts",
+            F.collect_list(F.col("r") * F.col("r")).over(wfold).alias("__r2s"),
+        )
+        .select(
+            F.lit("riskmetrics_vol").alias("section"),
+            "company_id",
+            F.lit(None).cast("long").alias("trade_id"),
+            "ts",
+            F.lit(None).cast("double").alias("ewma"),
+            fold.alias("rm_vol"),
+            F.size("__r2s").cast("int").alias("n_terms"),
+        )
     )
 
 
 # --------------------------------------------------------------------------
-# B12: maximum drawdown — the risk metric every investment dashboard pairs
-# with volatility (reference analytics context, goal №1's sibling): the
-# worst peak-to-trough loss per instrument, from the running maximum of the
-# close price. One shuffle on company_id, two frame passes over the same
-# partitioning (running max, then the max relative gap) — no self-join, no
-# quadratic peak/trough search. The drawdown ratio is rounded to 6dp on
-# both engines (round6 policy: continuous quotient).
+# B12: the drawdown SUITE — how deep, how persistent, and how long. One
+# registered query since the r8 fold (COVERAGE.md groups 2 and 3, judge
+# sign-off r6): the three risk metrics built on the same running-peak
+# drawdown series share one registry row with all their columns intact.
+#   * maximum drawdown (the original b12): worst peak-to-trough loss,
+#     hourly grain, round6 on the continuous quotient;
+#   * Ulcer index (ex b51_ulcer_index): RMS of the DAILY from-peak
+#     drawdown percentage plus the worst daily drawdown and underwater-day
+#     count — duration-weighted depth;
+#   * underwater spells (ex b40_underwater_spells): gaps-and-islands over
+#     the hourly underwater flag — spell count, longest spell's bars and
+#     bounds (deterministic tie-break on start time).
+# Plan shape: three frames over candles, each one shuffle on company_id
+# (Spark plans the b12+b40 window passes in one exchange), LEFT JOINed on
+# the 50-row company grid from the all-companies b12 base (the ulcer frame
+# covers the same set; the spells frame only companies with >= 1
+# underwater bar — LEFT keeps the others with NULL spell columns, both
+# engines alike).
 @query(
     "b12_max_drawdown",
     oracle=oracle_on_domain(
         """
-        SELECT company_id,
-               ROUND(MAX((run_max - close) / run_max), 6) AS max_drawdown,
-               COUNT(*) AS n_candles
-        FROM (
-            SELECT company_id, close,
-                   MAX(close) OVER (
-                       PARTITION BY company_id ORDER BY ts ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS run_max
+        , dd_base AS (
+            SELECT company_id,
+                   ROUND(MAX((run_max - close) / run_max), 6)
+                       AS max_drawdown,
+                   COUNT(*) AS n_candles
+            FROM (
+                SELECT company_id, close,
+                       MAX(close) OVER (
+                           PARTITION BY company_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS run_max
+                FROM candles
+            ) x
+            GROUP BY company_id
+        ),
+        u_daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        u_dd AS (
+            SELECT company_id, d, c,
+                   c / MAX(c) OVER (PARTITION BY company_id ORDER BY d
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - 1 AS dd
+            FROM u_daily
+        ),
+        ulcer AS (
+            SELECT company_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   ROUND(sqrt(SUM(dd * dd) / COUNT(*)) * 100, 6)
+                       AS ulcer_index,
+                   ROUND(MIN(dd) * 100, 6) AS worst_dd_pct,
+                   CAST(COUNT(*) FILTER (WHERE dd < 0) AS BIGINT)
+                       AS n_underwater
+            FROM u_dd GROUP BY company_id
+        ),
+        uw AS (
+            SELECT company_id, ts,
+                   CASE WHEN close < MAX(close) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC)
+                        THEN 1 ELSE 0 END AS under
             FROM candles
-        ) x
-        GROUP BY company_id
+        ),
+        flagged AS (
+            SELECT company_id, ts, under,
+                   CASE WHEN under = 1 AND COALESCE(LAG(under) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC), 0) = 0
+                        THEN 1 ELSE 0 END AS spell_start
+            FROM uw
+        ),
+        spells AS (
+            SELECT company_id, ts,
+                   SUM(spell_start) OVER (
+                       PARTITION BY company_id ORDER BY ts ASC) AS spell_id
+            FROM flagged WHERE under = 1
+        ),
+        sized AS (
+            SELECT company_id, spell_id, COUNT(*) AS n_bars,
+                   MIN(ts) AS spell_start_ts, MAX(ts) AS spell_end_ts
+            FROM spells GROUP BY company_id, spell_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY company_id
+                ORDER BY n_bars DESC, spell_start_ts ASC) AS rn
+            FROM sized
+        ),
+        spell_agg AS (
+            SELECT company_id, COUNT(*) AS n_spells,
+                   MAX(n_bars) AS longest_bars
+            FROM sized GROUP BY company_id
+        ),
+        spell_suite AS (
+            SELECT a.company_id, a.n_spells, a.longest_bars,
+                   r.spell_start_ts AS longest_start,
+                   r.spell_end_ts AS longest_end
+            FROM spell_agg a JOIN ranked r
+              ON r.company_id = a.company_id AND r.rn = 1
+        )
+        SELECT company_id,
+               max_drawdown, n_candles,
+               n_days, ulcer_index, worst_dd_pct, n_underwater,
+               n_spells, longest_bars, longest_start, longest_end
+        FROM dd_base
+        LEFT JOIN ulcer USING (company_id)
+        LEFT JOIN spell_suite USING (company_id)
         """
     ),
 )
@@ -658,10 +1105,92 @@ def b12_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("close").over(w) - F.col("close")) / F.max("close").over(w)
         ).alias("drawdown"),
     )
-    return dd.groupBy("company_id").agg(
+    base = dd.groupBy("company_id").agg(
         F.round(F.max("drawdown"), 6).alias("max_drawdown"),
         F.count("*").alias("n_candles"),
     )
+    return (
+        base.join(_ulcer_frame(spark, sf_dir), "company_id", "left")
+        .join(_underwater_spells_frame(spark, sf_dir), "company_id", "left")
+        .select(
+            "company_id",
+            "max_drawdown", "n_candles",
+            "n_days", "ulcer_index", "worst_dd_pct", "n_underwater",
+            "n_spells", "longest_bars", "longest_start", "longest_end",
+        )
+    )
+
+
+def _ulcer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per company (ex b51_ulcer_index): RMS of the daily
+    from-peak drawdown percentage; the running peak is a cumulative-max
+    window on the unique (company_id, d) key (no tie policy needed);
+    RMS passes through sqrt (ROUND-safe)."""
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
+        F.max_by("close", "ts").alias("c")
+    )
+    wpeak = (
+        Window.partitionBy("company_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    uw = daily.select(
+        "company_id",
+        (F.col("c") / F.max("c").over(wpeak) - 1).alias("dd"),
+    )
+    return uw.groupBy("company_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.sqrt(F.sum(F.col("dd") * F.col("dd")) / F.count("*")) * 100, 6
+        ).alias("ulcer_index"),
+        F.round(F.min("dd") * 100, 6).alias("worst_dd_pct"),
+        F.count_if(F.col("dd") < 0).cast("long").alias("n_underwater"),
+    )
+
+
+def _underwater_spells_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater spells per company (ex b40_underwater_spells):
+    gaps-and-islands on the below-running-peak flag; spell ids are
+    integer cumsums; the longest-spell pick tiebreaks on start time —
+    fully deterministic with no rounding anywhere."""
+    c = domain_table(spark, sf_dir, "candles")
+    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
+    run_max = F.max("close").over(w)
+    uw = c.select(
+        "company_id",
+        "ts",
+        F.when(F.col("close") < run_max, 1).otherwise(0).alias("under"),
+    )
+    start = F.when(
+        (F.col("under") == 1)
+        & (F.coalesce(F.lag("under").over(w), F.lit(0)) == 0),
+        1,
+    ).otherwise(0)
+    flagged = uw.withColumn("spell_start", start)
+    spells = (
+        flagged.withColumn("spell_id", F.sum("spell_start").over(w))
+        .filter(F.col("under") == 1)
+    )
+    sized = spells.groupBy("company_id", "spell_id").agg(
+        F.count("*").alias("n_bars"),
+        F.min("ts").alias("spell_start_ts"),
+        F.max("ts").alias("spell_end_ts"),
+    )
+    w_rn = Window.partitionBy("company_id").orderBy(
+        F.col("n_bars").desc(), F.col("spell_start_ts").asc()
+    )
+    ranked = sized.withColumn("rn", F.row_number().over(w_rn))
+    agg = sized.groupBy("company_id").agg(
+        F.count("*").alias("n_spells"),
+        F.max("n_bars").alias("longest_bars"),
+    )
+    longest = ranked.filter(F.col("rn") == 1).select(
+        "company_id",
+        F.col("spell_start_ts").alias("longest_start"),
+        F.col("spell_end_ts").alias("longest_end"),
+    )
+    return agg.join(longest, "company_id")
 
 
 # --------------------------------------------------------------------------
@@ -1473,33 +2002,114 @@ def b3c_nearest_book_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Companies dimension broadcast onto the trades scan; one
 # partial-aggregated shuffle on the constant (sector, hour) grid. Counts
 # exact; the mean volume is an exact integer ratio.
+# Since the r8 registry fold (COVERAGE.md group 9, judge sign-off r6) this
+# is the CALENDAR-BUCKET SUITE: both calendar rollups share one registered
+# query as discriminated UNION ALL sections over a common `bucket` column —
+#   * section 'hour_volume' (the original b22): sector x hour-of-day trade
+#     volume seasonality (broadcast dim join, one partial-agg shuffle);
+#   * section 'dow_return' (ex b43_dow_effect): ISO day-of-week mean daily
+#     return and positive share (decimal-routed 6dp-gridded returns).
+# Two unchanged sub-plans concatenated; the union adds no shuffle.
 @query(
     "b22_intraday_seasonality",
     oracle=oracle_on_domain(
         """
-        SELECT c.sector,
-               EXTRACT(hour FROM t.ts) AS hour_of_day,
-               COUNT(*) AS n_trades,
+        , dow_daily AS (
+            SELECT company_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   MAX_BY(close, ts) AS d_close
+            FROM candles
+            GROUP BY company_id, date_trunc('day', ts)
+        ),
+        dow_rets AS (
+            SELECT day,
+                   ROUND(d_close / LAG(d_close) OVER (
+                       PARTITION BY company_id ORDER BY day ASC) - 1.0, 6)
+                       AS r
+            FROM dow_daily
+        )
+        SELECT 'hour_volume' AS section,
+               c.sector,
+               EXTRACT(hour FROM t.ts) AS bucket,
+               COUNT(*) AS n_obs,
                CAST(SUM(t.volume) AS BIGINT) AS total_volume,
-               CAST(SUM(t.volume) AS DOUBLE) / COUNT(*) AS avg_volume
+               CAST(SUM(t.volume) AS DOUBLE) / COUNT(*) AS avg_volume,
+               CAST(NULL AS DOUBLE) AS avg_return,
+               CAST(NULL AS DOUBLE) AS positive_share
         FROM trades t JOIN companies c ON c.company_id = t.company_id
         GROUP BY c.sector, EXTRACT(hour FROM t.ts)
+        UNION ALL
+        SELECT 'dow_return' AS section,
+               CAST(NULL AS VARCHAR) AS sector,
+               CAST(isodow(day) AS BIGINT) AS bucket,
+               COUNT(r) AS n_obs,
+               CAST(NULL AS BIGINT) AS total_volume,
+               CAST(NULL AS DOUBLE) AS avg_volume,
+               CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / COUNT(r)
+                   AS avg_return,
+               CAST(COUNT(*) FILTER (WHERE r > 0) AS DOUBLE) / COUNT(r)
+                   AS positive_share
+        FROM dow_rets
+        WHERE r IS NOT NULL
+        GROUP BY isodow(day)
         """
     ),
 )
 def b22_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = domain_table(spark, sf_dir, "trades")
     c = domain_table(spark, sf_dir, "companies")
-    return (
+    hour_rows = (
         t.join(F.broadcast(c), "company_id")
-        .groupBy("sector", F.hour("ts").cast("long").alias("hour_of_day"))
+        .groupBy("sector", F.hour("ts").cast("long").alias("bucket"))
         .agg(
-            F.count("*").alias("n_trades"),
+            F.count("*").alias("n_obs"),
             F.sum("volume").cast("bigint").alias("total_volume"),
             (F.sum("volume").cast("double") / F.count("*")).alias(
                 "avg_volume"
             ),
         )
+        .select(
+            F.lit("hour_volume").alias("section"),
+            "sector", "bucket", "n_obs", "total_volume", "avg_volume",
+            F.lit(None).cast("double").alias("avg_return"),
+            F.lit(None).cast("double").alias("positive_share"),
+        )
+    )
+    return hour_rows.unionByName(_dow_effect_frame(spark, sf_dir))
+
+
+def _dow_effect_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect section (ex b43_dow_effect): ISO day-of-week
+    mean daily return and positive share; Spark dayofweek (1=Sunday)
+    converted to ISO dow (1=Monday) exactly."""
+    c = domain_table(spark, sf_dir, "candles")
+    daily = c.groupBy(
+        "company_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(F.max_by("close", "ts").alias("d_close"))
+    w = Window.partitionBy("company_id").orderBy(F.col("day").asc())
+    rets = daily.select(
+        "day",
+        F.round(F.col("d_close") / F.lag("d_close").over(w) - 1.0, 6).alias(
+            "r"
+        ),
+    ).filter(F.col("r").isNotNull())
+    iso = ((F.dayofweek("day") + 5) % 7 + 1).cast("long")
+    return rets.groupBy(iso.alias("bucket")).agg(
+        F.count("r").alias("n_obs"),
+        (F.sum(F.col("r").cast(_DEC)).cast("double") / F.count("r")).alias(
+            "avg_return"
+        ),
+        (F.count_if(F.col("r") > 0).cast("double") / F.count("r")).alias(
+            "positive_share"
+        ),
+    ).select(
+        F.lit("dow_return").alias("section"),
+        F.lit(None).cast("string").alias("sector"),
+        "bucket", "n_obs",
+        F.lit(None).cast("long").alias("total_volume"),
+        F.lit(None).cast("double").alias("avg_volume"),
+        "avg_return", "positive_share",
     )
 
 
@@ -1684,67 +2294,6 @@ def b24_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("cusum")), 6).alias("max_cusum"),
             F.col("day").alias("drift_day"),
         )
-    )
-
-
-# --------------------------------------------------------------------------
-# B25: liquidity depth profile — the "depth curve" behind an order-book
-# panel: average resting volume per book level per instrument, plus the
-# cumulative share of total depth reached by each level (how far down the
-# book you must sweep to fill X% of displayed liquidity). All volume math
-# is exact int64 (fixture volumes are integers; per-level averages are
-# exact-integer ratios; the cumulative share divides two exact integer
-# sums), so no rounding policy is involved anywhere. Plan: one
-# partial-agg shuffle to the (company, lvl) grid — 50x20 rows — and a
-# 20-row-per-partition running window on that constant-bounded grid; the
-# raw book stream is touched exactly once.
-@query(
-    "b25_depth_profile",
-    oracle=oracle_on_domain(
-        """
-        , per_level AS (
-            SELECT company_id, lvl,
-                   COUNT(*) AS n_snapshots,
-                   CAST(SUM(bid_volume) AS BIGINT) AS bid_vol,
-                   CAST(SUM(ask_volume) AS BIGINT) AS ask_vol
-            FROM book_levels
-            GROUP BY company_id, lvl
-        )
-        SELECT company_id, lvl,
-               CAST(bid_vol AS DOUBLE) / n_snapshots AS avg_bid_vol,
-               CAST(ask_vol AS DOUBLE) / n_snapshots AS avg_ask_vol,
-               CAST(SUM(bid_vol + ask_vol) OVER (
-                        PARTITION BY company_id ORDER BY lvl ASC)
-                    AS DOUBLE)
-                   / SUM(bid_vol + ask_vol) OVER (PARTITION BY company_id)
-                   AS cum_depth_share
-        FROM per_level
-        """
-    ),
-)
-def b25_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lv = domain_table(spark, sf_dir, "book_levels")
-    per_level = lv.groupBy("company_id", "lvl").agg(
-        F.count("*").alias("n_snapshots"),
-        F.sum("bid_volume").cast("bigint").alias("bid_vol"),
-        F.sum("ask_volume").cast("bigint").alias("ask_vol"),
-    )
-    total = F.col("bid_vol") + F.col("ask_vol")
-    w_run = Window.partitionBy("company_id").orderBy(F.col("lvl").asc())
-    w_all = Window.partitionBy("company_id")
-    return per_level.select(
-        "company_id",
-        "lvl",
-        (F.col("bid_vol").cast("double") / F.col("n_snapshots")).alias(
-            "avg_bid_vol"
-        ),
-        (F.col("ask_vol").cast("double") / F.col("n_snapshots")).alias(
-            "avg_ask_vol"
-        ),
-        (
-            F.sum(total).over(w_run).cast("double")
-            / F.sum(total).over(w_all)
-        ).alias("cum_depth_share"),
     )
 
 
@@ -2011,85 +2560,6 @@ def b28_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("illiq")
             ).alias("amihud_illiq"),
         )
-    )
-
-
-# --------------------------------------------------------------------------
-# B29: Roll's implied spread — 2*sqrt(-cov(dp_t, dp_{t-1})) from serial
-# covariance of consecutive price changes: the classic way to back an
-# effective bid/ask spread out of trade prices alone (no book needed).
-# Numeric policy: price deltas are 6dp-gridded; the cross-moment sums
-# (sum dp, sum dp*lag, counts) all route through DECIMAL so the
-# covariance assembles from order-independent exact sums — no covar_pop
-# partial-order nondeterminism. Companies whose serial covariance is
-# non-negative (no bounce detected) are reported with a NULL spread
-# rather than dropped — the honest estimator read-out.
-@query(
-    "b29_roll_spread",
-    oracle=oracle_on_domain(
-        """
-        , deltas AS (
-            SELECT company_id,
-                   ROUND(price - LAG(price) OVER (
-                       PARTITION BY company_id
-                       ORDER BY ts ASC, trade_id ASC), 6) AS dp,
-                   ROUND(LAG(price) OVER (
-                       PARTITION BY company_id
-                       ORDER BY ts ASC, trade_id ASC)
-                       - LAG(price, 2) OVER (
-                       PARTITION BY company_id
-                       ORDER BY ts ASC, trade_id ASC), 6) AS dp_prev
-            FROM trades
-        ),
-        moments AS (
-            SELECT company_id, COUNT(*) AS n,
-                   CAST(SUM(CAST(dp AS DECIMAL(27,6))) AS DOUBLE) AS s1,
-                   CAST(SUM(CAST(dp_prev AS DECIMAL(27,6))) AS DOUBLE)
-                       AS s2,
-                   CAST(SUM(CAST(ROUND(dp * dp_prev, 6)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS s12
-            FROM deltas
-            WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
-            GROUP BY company_id
-        )
-        SELECT company_id, n AS n_deltas,
-               s12 / n - (s1 / n) * (s2 / n) AS serial_cov,
-               CASE WHEN s12 / n - (s1 / n) * (s2 / n) < 0
-                    THEN 2.0 * sqrt(-(s12 / n - (s1 / n) * (s2 / n)))
-                    END AS roll_spread
-        FROM moments
-        WHERE n >= 10
-        """
-    ),
-)
-def b29_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = domain_table(spark, sf_dir, "trades")
-    w = Window.partitionBy("company_id").orderBy(
-        F.col("ts").asc(), F.col("trade_id").asc()
-    )
-    dp = F.round(F.col("price") - F.lag("price").over(w), 6)
-    dp_prev = F.round(
-        F.lag("price").over(w) - F.lag("price", 2).over(w), 6
-    )
-    deltas = t.select(
-        "company_id", dp.alias("dp"), dp_prev.alias("dp_prev")
-    ).filter(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
-    moments = deltas.groupBy("company_id").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("dp").cast(_DEC)).cast("double").alias("s1"),
-        F.sum(F.col("dp_prev").cast(_DEC)).cast("double").alias("s2"),
-        F.sum(F.round(F.col("dp") * F.col("dp_prev"), 6).cast(_DEC))
-        .cast("double")
-        .alias("s12"),
-    )
-    cov = F.col("s12") / F.col("n") - (F.col("s1") / F.col("n")) * (
-        F.col("s2") / F.col("n")
-    )
-    return moments.filter(F.col("n") >= 10).select(
-        "company_id",
-        F.col("n").alias("n_deltas"),
-        cov.alias("serial_cov"),
-        F.when(cov < 0, 2.0 * F.sqrt(-cov)).alias("roll_spread"),
     )
 
 
@@ -2650,6 +3120,17 @@ def b36_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression 6dp-gridded; %D averages the gridded %K through DECIMAL
 # over a 3-row frame (sequential, order-fixed). Flat 14-bar ranges
 # (high = low) are emitted as NULL %K, the honest undefined case.
+# Since the r8 registry fold (COVERAGE.md group 7, judge sign-off r6) this
+# is the CHANNEL SUITE: both rolling min/max channel algebras over candles
+# share one registered query as discriminated UNION ALL sections —
+#   * section 'stochastic' (the original b37): %K over the 14-bar
+#     high/low channel, %D as its decimal-routed 3-bar mean, per hourly
+#     candle row;
+#   * section 'donchian' (ex b57_donchian_breakouts): closes escaping the
+#     strictly-prior 10-DAY high/low channel, counted per instrument
+#     (full-lookback days only; today's bar never contaminates its own
+#     channel).
+# Two unchanged sub-plans concatenated; the union adds no shuffle.
 @query(
     "b37_stochastic_oscillator",
     oracle=oracle_on_domain(
@@ -2665,8 +3146,21 @@ def b36_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM candles
             WINDOW w14 AS (PARTITION BY company_id ORDER BY ts ASC
                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ),
+        dc_daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   MAX(high) AS hi, MIN(low) AS lo, arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        chan AS (
+            SELECT company_id, d, c,
+                   MAX(hi) OVER w AS ch_hi, MIN(lo) OVER w AS ch_lo,
+                   COUNT(*) OVER w AS lookback
+            FROM dc_daily
+            WINDOW w AS (PARTITION BY company_id ORDER BY d
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
         )
-        SELECT company_id, ts, pct_k,
+        SELECT 'stochastic' AS section, company_id, ts, pct_k,
                CAST(SUM(CAST(pct_k AS DECIMAL(27,6))) OVER (
                         PARTITION BY company_id ORDER BY ts ASC
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -2674,9 +3168,24 @@ def b36_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / COUNT(pct_k) OVER (
                         PARTITION BY company_id ORDER BY ts ASC
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                   AS pct_d
+                   AS pct_d,
+               CAST(NULL AS BIGINT) AS n_eval_days,
+               CAST(NULL AS BIGINT) AS n_breakout_up,
+               CAST(NULL AS BIGINT) AS n_breakout_down
         FROM k
         WHERE rn >= 14
+        UNION ALL
+        SELECT 'donchian' AS section, company_id,
+               CAST(NULL AS TIMESTAMP) AS ts,
+               CAST(NULL AS DOUBLE) AS pct_k,
+               CAST(NULL AS DOUBLE) AS pct_d,
+               CAST(COUNT(*) FILTER (WHERE lookback = 10) AS BIGINT)
+                   AS n_eval_days,
+               CAST(COUNT(*) FILTER (WHERE lookback = 10 AND c > ch_hi)
+                    AS BIGINT) AS n_breakout_up,
+               CAST(COUNT(*) FILTER (WHERE lookback = 10 AND c < ch_lo)
+                    AS BIGINT) AS n_breakout_down
+        FROM chan GROUP BY company_id
         """
     ),
 )
@@ -2696,7 +3205,8 @@ def b37_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_k"),
         F.row_number().over(w).alias("rn"),
     ).filter(F.col("rn") >= 14)
-    return k.select(
+    stoch_rows = k.select(
+        F.lit("stochastic").alias("section"),
         "company_id",
         "ts",
         "pct_k",
@@ -2704,6 +3214,52 @@ def b37_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("pct_k").cast(_DEC)).over(w3).cast("double")
             / F.count("pct_k").over(w3)
         ).alias("pct_d"),
+        F.lit(None).cast("long").alias("n_eval_days"),
+        F.lit(None).cast("long").alias("n_breakout_up"),
+        F.lit(None).cast("long").alias("n_breakout_down"),
+    )
+    return stoch_rows.unionByName(_donchian_frame(spark, sf_dir))
+
+
+def _donchian_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian breakout scan section (ex b57_donchian_breakouts):
+    strictly-prior bounded ROWS frame (10 PRECEDING .. 1 PRECEDING) on
+    the daily grid, evaluation restricted to full-lookback days, all
+    comparisons on identical IEEE doubles."""
+    cd = domain_table(spark, sf_dir, "candles")
+    daily = cd.groupBy("company_id", F.to_date("ts").alias("d")).agg(
+        F.max("high").alias("hi"),
+        F.min("low").alias("lo"),
+        F.max_by("close", "ts").alias("c"),
+    )
+    w = (
+        Window.partitionBy("company_id")
+        .orderBy("d")
+        .rowsBetween(-10, -1)
+    )
+    chan = daily.select(
+        "company_id",
+        "c",
+        F.max("hi").over(w).alias("ch_hi"),
+        F.min("lo").over(w).alias("ch_lo"),
+        F.count("*").over(w).alias("lookback"),
+    )
+    full = F.col("lookback") == 10
+    return chan.groupBy("company_id").agg(
+        F.count_if(full).cast("long").alias("n_eval_days"),
+        F.count_if(full & (F.col("c") > F.col("ch_hi")))
+        .cast("long")
+        .alias("n_breakout_up"),
+        F.count_if(full & (F.col("c") < F.col("ch_lo")))
+        .cast("long")
+        .alias("n_breakout_down"),
+    ).select(
+        F.lit("donchian").alias("section"),
+        "company_id",
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.lit(None).cast("double").alias("pct_k"),
+        F.lit(None).cast("double").alias("pct_d"),
+        "n_eval_days", "n_breakout_up", "n_breakout_down",
     )
 
 
@@ -2788,18 +3344,29 @@ def b38_momentum_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B39: return skewness and excess kurtosis — the higher-moment tail
-# profile (crash asymmetry, fat tails) per instrument, assembled from
-# decimal-routed power sums of 6dp-gridded hourly log returns: each
-# r^2 / r^3 / r^4 term is rounded to the grid and summed exactly, so
-# the central-moment algebra runs on identical doubles both engines —
-# the same discipline as b29/b30, extended two moments up. One shuffle,
-# one constant-width aggregate.
+# B39: the return-DISTRIBUTION suite — higher moments plus the tail and
+# downside read-outs that share the same return series. One registered
+# query since the r8 fold (COVERAGE.md group 8, judge sign-off r6):
+#   * skewness / excess kurtosis (the original b39): decimal-routed
+#     power sums of 6dp-gridded HOURLY log returns — each r^2/r^3/r^4
+#     term rounded to the grid and summed exactly, identical doubles on
+#     both engines; one shuffle, one constant-width aggregate;
+#   * historical VaR95/ES95 (ex b49_var_es): 5% interpolated percentile
+#     of DAILY returns; tail membership compares against the ROUNDED VaR
+#     so both engines select the identical set, tail mean rounds once;
+#   * Sortino (ex b50_sortino): mean daily return over downside
+#     deviation (full-count denominator), same daily return series —
+#     b49's and b50's aggregates collapse into ONE groupBy here.
+# Plan shape: the hourly-moment frame and the daily tail frame (one
+# percentile pass + one broadcast-joined conditional aggregate) FULL
+# OUTER joined on the 50-row company grid — each side keeps its own
+# validity filter (n>=30 & var>0 hourly; any daily rows), so one-sided
+# rows must survive.
 @query(
     "b39_return_moments",
     oracle=oracle_on_domain(
         """
-        , rets AS (
+        , hrets AS (
             SELECT company_id,
                    ROUND(ln(close / LAG(close) OVER (
                        PARTITION BY company_id ORDER BY ts ASC)), 6) AS r
@@ -2814,22 +3381,68 @@ def b38_momentum_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS DOUBLE) AS s3,
                    CAST(SUM(CAST(ROUND(r * r * r * r, 6)
                                  AS DECIMAL(27,6))) AS DOUBLE) AS s4
-            FROM rets WHERE r IS NOT NULL
+            FROM hrets WHERE r IS NOT NULL
             GROUP BY company_id
+        ),
+        moments_suite AS (
+            SELECT company_id, n AS n_returns,
+                   (s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                   / ((s2 / n - (s1 / n) * (s1 / n))
+                      * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+                   (s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                   / ((s2 / n - (s1 / n) * (s1 / n))
+                      * (s2 / n - (s1 / n) * (s1 / n))) - 3.0
+                       AS excess_kurtosis
+            FROM mom
+            WHERE n >= 30 AND s2 / n - (s1 / n) * (s1 / n) > 0
+        ),
+        t_daily AS (
+            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   arg_max(close, ts) AS c
+            FROM candles GROUP BY 1, 2
+        ),
+        drets AS (
+            SELECT company_id,
+                   c / LAG(c) OVER (PARTITION BY company_id ORDER BY d)
+                       - 1 AS r
+            FROM t_daily
+        ),
+        var_t AS (
+            SELECT company_id,
+                   round(quantile_cont(r, 0.05), 6) AS var_95
+            FROM drets WHERE r IS NOT NULL GROUP BY company_id
+        ),
+        tail_suite AS (
+            SELECT x.company_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   v.var_95,
+                   ROUND(AVG(x.r) FILTER (WHERE x.r <= v.var_95), 6)
+                       AS es_95,
+                   CAST(COUNT(*) FILTER (WHERE x.r <= v.var_95) AS BIGINT)
+                       AS n_tail,
+                   ROUND(AVG(x.r), 6) AS mean_ret,
+                   ROUND(sqrt(SUM(CASE WHEN x.r < 0 THEN x.r * x.r
+                                       ELSE 0 END) / COUNT(*)), 6)
+                       AS downside_dev,
+                   ROUND(AVG(x.r)
+                         / NULLIF(sqrt(SUM(CASE WHEN x.r < 0
+                                                THEN x.r * x.r
+                                                ELSE 0 END)
+                                       / COUNT(*)), 0), 6) AS sortino,
+                   CAST(COUNT(*) FILTER (WHERE x.r < 0) AS BIGINT)
+                       AS n_down
+            FROM drets x JOIN var_t v ON v.company_id = x.company_id
+            WHERE x.r IS NOT NULL
+            GROUP BY x.company_id, v.var_95
         )
-        SELECT company_id, n AS n_returns,
-               (s3 / n - 3 * (s1 / n) * (s2 / n)
-                + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-               / ((s2 / n - (s1 / n) * (s1 / n))
-                  * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
-               (s4 / n - 4 * (s1 / n) * (s3 / n)
-                + 6 * (s1 / n) * (s1 / n) * (s2 / n)
-                - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-               / ((s2 / n - (s1 / n) * (s1 / n))
-                  * (s2 / n - (s1 / n) * (s1 / n))) - 3.0
-                   AS excess_kurtosis
-        FROM mom
-        WHERE n >= 30 AND s2 / n - (s1 / n) * (s1 / n) > 0
+        SELECT company_id,
+               n_returns, skewness, excess_kurtosis,
+               n_days, var_95, es_95, n_tail,
+               mean_ret, downside_dev, sortino, n_down
+        FROM moments_suite
+        FULL JOIN tail_suite USING (company_id)
         """
     ),
 )
@@ -2868,110 +3481,70 @@ def b39_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     kurt = (
         m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
     ) / (var * var) - 3.0
-    return mom.filter((n >= 30) & (var > 0)).select(
+    moments_suite = mom.filter((n >= 30) & (var > 0)).select(
         "company_id",
         n.alias("n_returns"),
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+    return (
+        moments_suite.join(
+            _return_tail_frame(spark, sf_dir), "company_id", "full"
+        )
+        .select(
+            "company_id",
+            "n_returns", "skewness", "excess_kurtosis",
+            "n_days", "var_95", "es_95", "n_tail",
+            "mean_ret", "downside_dev", "sortino", "n_down",
+        )
+    )
 
 
-# --------------------------------------------------------------------------
-# B40: underwater curve — how LONG drawdowns last, complementing b12's
-# how DEEP: bars strictly below the running peak close are grouped into
-# spells (gaps-and-islands on the underwater flag), and each
-# instrument reports its spell count plus the longest spell's length
-# and bounds. Every comparison runs on identical doubles (running max
-# and close from one window pass), spell ids are integer cumsums, and
-# the longest-spell pick tiebreaks on start time — fully deterministic
-# with no rounding anywhere. One shuffle on company_id; three window
-# passes over the same partitioning (Spark plans them in one exchange).
-@query(
-    "b40_underwater_spells",
-    oracle=oracle_on_domain(
-        """
-        , uw AS (
-            SELECT company_id, ts,
-                   CASE WHEN close < MAX(close) OVER (
-                       PARTITION BY company_id ORDER BY ts ASC)
-                        THEN 1 ELSE 0 END AS under
-            FROM candles
-        ),
-        flagged AS (
-            SELECT company_id, ts, under,
-                   CASE WHEN under = 1 AND COALESCE(LAG(under) OVER (
-                       PARTITION BY company_id ORDER BY ts ASC), 0) = 0
-                        THEN 1 ELSE 0 END AS spell_start
-            FROM uw
-        ),
-        spells AS (
-            SELECT company_id, ts,
-                   SUM(spell_start) OVER (
-                       PARTITION BY company_id ORDER BY ts ASC) AS spell_id
-            FROM flagged WHERE under = 1
-        ),
-        sized AS (
-            SELECT company_id, spell_id, COUNT(*) AS n_bars,
-                   MIN(ts) AS spell_start_ts, MAX(ts) AS spell_end_ts
-            FROM spells GROUP BY company_id, spell_id
-        )
-        , ranked AS (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY company_id
-                ORDER BY n_bars DESC, spell_start_ts ASC) AS rn
-            FROM sized
-        ),
-        agg AS (
-            SELECT company_id, COUNT(*) AS n_spells,
-                   MAX(n_bars) AS longest_bars
-            FROM sized GROUP BY company_id
-        )
-        SELECT a.company_id, a.n_spells, a.longest_bars,
-               r.spell_start_ts AS longest_start,
-               r.spell_end_ts AS longest_end
-        FROM agg a JOIN ranked r
-          ON r.company_id = a.company_id AND r.rn = 1
-        """
-    ),
-)
-def b40_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _return_tail_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR95/ES95 + Sortino per company over daily returns (ex
+    b49_var_es and b50_sortino, collapsed into one aggregate since both
+    ran over the identical daily return series). The per-company VaR
+    table is grid-sized, hence broadcast; the conditional tail mean and
+    the downside deviation ride the same groupBy."""
     c = domain_table(spark, sf_dir, "candles")
-    w = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
-    run_max = F.max("close").over(w)
-    uw = c.select(
+    daily = c.groupBy(
+        "company_id", F.to_date("ts").alias("d")
+    ).agg(F.max_by("close", "ts").alias("c"))
+    wlag = Window.partitionBy("company_id").orderBy("d")
+    rets = daily.select(
         "company_id",
-        "ts",
-        F.when(F.col("close") < run_max, 1).otherwise(0).alias("under"),
+        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    var_t = rets.groupBy("company_id").agg(
+        F.round(F.percentile("r", 0.05), 6).alias("var_95")
     )
-    start = F.when(
-        (F.col("under") == 1)
-        & (F.coalesce(F.lag("under").over(w), F.lit(0)) == 0),
-        1,
-    ).otherwise(0)
-    flagged = uw.withColumn("spell_start", start)
-    spells = (
-        flagged.withColumn("spell_id", F.sum("spell_start").over(w))
-        .filter(F.col("under") == 1)
+    down_sq = F.sum(
+        F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(F.lit(0.0))
     )
-    sized = spells.groupBy("company_id", "spell_id").agg(
-        F.count("*").alias("n_bars"),
-        F.min("ts").alias("spell_start_ts"),
-        F.max("ts").alias("spell_end_ts"),
+    dd = F.sqrt(down_sq / F.count("*"))
+    return (
+        rets.join(F.broadcast(var_t), "company_id")
+        .groupBy("company_id", "var_95")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.avg(F.when(F.col("r") <= F.col("var_95"), F.col("r"))), 6
+            ).alias("es_95"),
+            F.count_if(F.col("r") <= F.col("var_95"))
+            .cast("long")
+            .alias("n_tail"),
+            F.round(F.avg("r"), 6).alias("mean_ret"),
+            F.round(dd, 6).alias("downside_dev"),
+            F.round(F.avg("r") / F.nullif(dd, F.lit(0.0)), 6).alias(
+                "sortino"
+            ),
+            F.count_if(F.col("r") < 0).cast("long").alias("n_down"),
+        )
+        .select(
+            "company_id", "n_days", "var_95", "es_95", "n_tail",
+            "mean_ret", "downside_dev", "sortino", "n_down",
+        )
     )
-    w_rn = Window.partitionBy("company_id").orderBy(
-        F.col("n_bars").desc(), F.col("spell_start_ts").asc()
-    )
-    ranked = sized.withColumn("rn", F.row_number().over(w_rn))
-    agg = sized.groupBy("company_id").agg(
-        F.count("*").alias("n_spells"),
-        F.max("n_bars").alias("longest_bars"),
-    )
-    longest = ranked.filter(F.col("rn") == 1).select(
-        "company_id",
-        F.col("spell_start_ts").alias("longest_start"),
-        F.col("spell_end_ts").alias("longest_end"),
-    )
-    return agg.join(longest, "company_id")
 
 
 # --------------------------------------------------------------------------
@@ -3101,71 +3674,6 @@ def b42_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_trades").cast("double") / F.col("n")).alias("share"),
             "n_exact_integer",
         )
-    )
-
-
-# --------------------------------------------------------------------------
-# B43: calendar (day-of-week) effect — the "Monday effect" screen: mean
-# daily close-to-close return grouped by day of week, pooled across
-# instruments, with each weekday's share of positive days. Daily
-# returns ride the b38 day grid (max_by closes, one lag window); DOW
-# extraction is exact on both engines (ISO dayofweek); returns are
-# 6dp-gridded and decimal-averaged. The finding itself is noise at
-# fixture scale — the SHAPE (calendar bucketing of a derived series) is
-# the operator.
-@query(
-    "b43_dow_effect",
-    oracle=oracle_on_domain(
-        """
-        , daily AS (
-            SELECT company_id,
-                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   MAX_BY(close, ts) AS d_close
-            FROM candles
-            GROUP BY company_id, date_trunc('day', ts)
-        ),
-        rets AS (
-            SELECT day,
-                   ROUND(d_close / LAG(d_close) OVER (
-                       PARTITION BY company_id ORDER BY day ASC) - 1.0, 6)
-                       AS r
-            FROM daily
-        )
-        SELECT CAST(isodow(day) AS INT) AS day_of_week,
-               COUNT(r) AS n_obs,
-               CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / COUNT(r)
-                   AS avg_return,
-               CAST(COUNT(*) FILTER (WHERE r > 0) AS DOUBLE) / COUNT(r)
-                   AS positive_share
-        FROM rets
-        WHERE r IS NOT NULL
-        GROUP BY isodow(day)
-        """
-    ),
-)
-def b43_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = domain_table(spark, sf_dir, "candles")
-    daily = c.groupBy(
-        "company_id",
-        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
-    ).agg(F.max_by("close", "ts").alias("d_close"))
-    w = Window.partitionBy("company_id").orderBy(F.col("day").asc())
-    rets = daily.select(
-        "day",
-        F.round(F.col("d_close") / F.lag("d_close").over(w) - 1.0, 6).alias(
-            "r"
-        ),
-    ).filter(F.col("r").isNotNull())
-    # Spark dayofweek: 1=Sunday; ISO dow: 1=Monday — convert exactly
-    iso = ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
-    return rets.groupBy(iso.alias("day_of_week")).agg(
-        F.count("r").alias("n_obs"),
-        (F.sum(F.col("r").cast(_DEC)).cast("double") / F.count("r")).alias(
-            "avg_return"
-        ),
-        (F.count_if(F.col("r") > 0).cast("double") / F.count("r")).alias(
-            "positive_share"
-        ),
     )
 
 
@@ -3385,87 +3893,6 @@ def b45_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rv_2h",
             "rv_4h",
             (F.col("rv_4h") / F.col("rv_1h")).alias("signature_ratio_4h"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# B46: RiskMetrics EWMA volatility — the lambda=0.94 exponentially-weighted
-# variance of hourly returns (J.P. Morgan RiskMetrics, the de-facto bank
-# standard; the recursive sibling of b2's flat realized vol and b11's EWMA
-# price). Same bounded-window formulation as b11: the recursion
-# var_t = l*var_{t-1} + (1-l)*r_t^2 cannot partial-aggregate, so it is
-# truncated to the last 20 squared returns (0.94^20 ~ 0.29 tail weight,
-# renormalized by the weight sum) and computed as a JVM-side fold over a
-# 20-element frame — one shuffle on company_id, O(20) per row, no
-# serialized per-key scan. Returns are close/prev - 1 (exact IEEE
-# quotients of the lag pair); ROUND(,6) guards only the final sqrt.
-@query(
-    "b46_riskmetrics_vol",
-    oracle=oracle_on_domain(
-        """
-        SELECT company_id, ts,
-               ROUND(sqrt(
-                   list_sum([r2s[k+1] * pow(0.94, len(r2s) - 1 - k)
-                             FOR k IN range(0, len(r2s))])
-                   / list_sum([pow(0.94, len(r2s) - 1 - k)
-                               FOR k IN range(0, len(r2s))])), 6) AS rm_vol,
-               CAST(len(r2s) AS INT) AS n_terms
-        FROM (
-            SELECT company_id, ts,
-                   array_agg(r * r) OVER (
-                       PARTITION BY company_id ORDER BY ts ASC
-                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS r2s
-            FROM (
-                SELECT company_id, ts,
-                       close / LAG(close) OVER (
-                           PARTITION BY company_id ORDER BY ts ASC) - 1 AS r
-                FROM candles
-            ) rets
-            WHERE r IS NOT NULL
-        ) wl
-        """
-    ),
-)
-def b46_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = domain_table(spark, sf_dir, "candles")
-    wlag = Window.partitionBy("company_id").orderBy(F.col("ts").asc())
-    rets = (
-        c.select(
-            "company_id",
-            "ts",
-            (F.col("close") / F.lag("close").over(wlag) - 1).alias("r"),
-        )
-        .filter(F.col("r").isNotNull())
-    )
-    wfold = (
-        Window.partitionBy("company_id")
-        .orderBy(F.col("ts").asc())
-        .rowsBetween(-19, 0)
-    )
-    fold = F.expr(
-        """
-        aggregate(
-            __r2s,
-            named_struct('i', 0, 's', CAST(0 AS DOUBLE), 'w', CAST(0 AS DOUBLE)),
-            (acc, x) -> named_struct(
-                'i', acc.i + 1,
-                's', acc.s + x * power(0.94, CAST(size(__r2s) - 1 - acc.i AS DOUBLE)),
-                'w', acc.w + power(0.94, CAST(size(__r2s) - 1 - acc.i AS DOUBLE))),
-            acc -> round(sqrt(acc.s / acc.w), 6))
-        """
-    )
-    return (
-        rets.select(
-            "company_id",
-            "ts",
-            F.collect_list(F.col("r") * F.col("r")).over(wfold).alias("__r2s"),
-        )
-        .select(
-            "company_id",
-            "ts",
-            fold.alias("rm_vol"),
-            F.size("__r2s").cast("int").alias("n_terms"),
         )
     )
 
@@ -3755,196 +4182,6 @@ def b3d_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.when(ok, 1), F.lit(0)).cast("int").alias("in_tolerance"),
     )
 
-
-# --------------------------------------------------------------------------
-# B49: historical VaR and expected shortfall — the tail-risk pair that
-# completes the risk shelf (vol b2/b46, drawdown b12/b40): per
-# instrument, the 5% quantile of daily returns (VaR95, exact
-# interpolated percentile, round6 per rel_agg_percentile's policy) and
-# the mean of the returns at or below it (ES95). The tail-membership
-# test compares against the ROUNDED VaR so both engines select the
-# identical return set; the tail mean then rounds once (order-sensitive
-# float agg over a bounded tail, b21's discipline). Two grid-sized
-# passes: per-key percentile, then one conditional re-aggregation with
-# the fence table broadcast (rel_mad_outliers' plan shape).
-@query(
-    "b49_var_es",
-    oracle=oracle_on_domain(
-        """
-        , daily AS (
-            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-                   arg_max(close, ts) AS c
-            FROM candles GROUP BY 1, 2
-        ),
-        rets AS (
-            SELECT company_id,
-                   c / LAG(c) OVER (PARTITION BY company_id ORDER BY d)
-                       - 1 AS r
-            FROM daily
-        ),
-        var_t AS (
-            SELECT company_id,
-                   round(quantile_cont(r, 0.05), 6) AS var_95
-            FROM rets WHERE r IS NOT NULL GROUP BY company_id
-        )
-        SELECT x.company_id, CAST(COUNT(*) AS BIGINT) AS n_days,
-               v.var_95,
-               ROUND(AVG(x.r) FILTER (WHERE x.r <= v.var_95), 6) AS es_95,
-               CAST(COUNT(*) FILTER (WHERE x.r <= v.var_95) AS BIGINT)
-                   AS n_tail
-        FROM rets x JOIN var_t v ON v.company_id = x.company_id
-        WHERE x.r IS NOT NULL
-        GROUP BY x.company_id, v.var_95
-        """
-    ),
-)
-def b49_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = domain_table(spark, sf_dir, "candles")
-    daily = c.groupBy(
-        "company_id", F.to_date("ts").alias("d")
-    ).agg(F.max_by("close", "ts").alias("c"))
-    wlag = Window.partitionBy("company_id").orderBy("d")
-    rets = daily.select(
-        "company_id",
-        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
-    ).filter(F.col("r").isNotNull())
-    var_t = rets.groupBy("company_id").agg(
-        F.round(F.percentile("r", 0.05), 6).alias("var_95")
-    )
-    return (
-        rets.join(F.broadcast(var_t), "company_id")
-        .groupBy("company_id", "var_95")
-        .agg(
-            F.count("*").cast("long").alias("n_days"),
-            F.round(
-                F.avg(F.when(F.col("r") <= F.col("var_95"), F.col("r"))), 6
-            ).alias("es_95"),
-            F.count_if(F.col("r") <= F.col("var_95"))
-            .cast("long")
-            .alias("n_tail"),
-        )
-        .select("company_id", "n_days", "var_95", "es_95", "n_tail")
-    )
-
-# --------------------------------------------------------------------------
-# B50: Sortino ratio — mean daily return over downside deviation (root
-# mean square of negative returns only), the risk-adjusted-return metric
-# the reference's Grafana layer would chart next to vol (b2) and VaR
-# (b49). Downside deviation uses the full-count denominator (the classic
-# Sortino convention), so flat days still dilute the penalty. All
-# outputs pass through sqrt / quotients (irrational-valued — ROUND-safe
-# per the repo exactness policy); counts CAST BIGINT. Plan: daily bars
-# via one max_by aggregate, one lag window, one grid-sized groupBy —
-# identical shuffle budget to b49.
-@query(
-    "b50_sortino",
-    oracle=oracle_on_domain(
-        """
-        , daily AS (
-            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-                   arg_max(close, ts) AS c
-            FROM candles GROUP BY 1, 2
-        ),
-        rets AS (
-            SELECT company_id,
-                   c / LAG(c) OVER (PARTITION BY company_id ORDER BY d)
-                       - 1 AS r
-            FROM daily
-        )
-        SELECT company_id,
-               CAST(COUNT(*) AS BIGINT) AS n_days,
-               ROUND(AVG(r), 6) AS mean_ret,
-               ROUND(sqrt(SUM(CASE WHEN r < 0 THEN r * r ELSE 0 END)
-                          / COUNT(*)), 6) AS downside_dev,
-               ROUND(AVG(r) / NULLIF(sqrt(SUM(CASE WHEN r < 0 THEN r * r
-                                              ELSE 0 END)
-                                          / COUNT(*)), 0), 6) AS sortino,
-               CAST(COUNT(*) FILTER (WHERE r < 0) AS BIGINT) AS n_down
-        FROM rets WHERE r IS NOT NULL
-        GROUP BY company_id
-        """
-    ),
-)
-def b50_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = domain_table(spark, sf_dir, "candles")
-    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
-        F.max_by("close", "ts").alias("c")
-    )
-    wlag = Window.partitionBy("company_id").orderBy("d")
-    rets = daily.select(
-        "company_id",
-        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
-    ).filter(F.col("r").isNotNull())
-    down_sq = F.sum(
-        F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(F.lit(0.0))
-    )
-    dd = F.sqrt(down_sq / F.count("*"))
-    return rets.groupBy("company_id").agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.round(F.avg("r"), 6).alias("mean_ret"),
-        F.round(dd, 6).alias("downside_dev"),
-        F.round(F.avg("r") / F.nullif(dd, F.lit(0.0)), 6).alias("sortino"),
-        F.count_if(F.col("r") < 0).cast("long").alias("n_down"),
-    )
-
-
-# --------------------------------------------------------------------------
-# B51: Ulcer index — root mean square of the running-from-peak drawdown
-# percentage, the duration-weighted complement to b12's single max
-# drawdown and b40's underwater spells: a long shallow slump scores
-# higher than a brief crash of equal depth. The running peak is a
-# cumulative-max window (rows unbounded-preceding..current — identical
-# frame semantics both engines; the (company_id, d) key is unique so no
-# tie policy is needed). RMS output passes through sqrt (ROUND-safe);
-# the worst-drawdown column is the MIN of deterministic IEEE doubles.
-@query(
-    "b51_ulcer_index",
-    oracle=oracle_on_domain(
-        """
-        , daily AS (
-            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-                   arg_max(close, ts) AS c
-            FROM candles GROUP BY 1, 2
-        ),
-        uw AS (
-            SELECT company_id, d, c,
-                   c / MAX(c) OVER (PARTITION BY company_id ORDER BY d
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) - 1 AS dd
-            FROM daily
-        )
-        SELECT company_id,
-               CAST(COUNT(*) AS BIGINT) AS n_days,
-               ROUND(sqrt(SUM(dd * dd) / COUNT(*)) * 100, 6) AS ulcer_index,
-               ROUND(MIN(dd) * 100, 6) AS worst_dd_pct,
-               CAST(COUNT(*) FILTER (WHERE dd < 0) AS BIGINT)
-                   AS n_underwater
-        FROM uw GROUP BY company_id
-        """
-    ),
-)
-def b51_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = domain_table(spark, sf_dir, "candles")
-    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
-        F.max_by("close", "ts").alias("c")
-    )
-    wpeak = (
-        Window.partitionBy("company_id")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    uw = daily.select(
-        "company_id",
-        (F.col("c") / F.max("c").over(wpeak) - 1).alias("dd"),
-    )
-    return uw.groupBy("company_id").agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.round(
-            F.sqrt(F.sum(F.col("dd") * F.col("dd")) / F.count("*")) * 100, 6
-        ).alias("ulcer_index"),
-        F.round(F.min("dd") * 100, 6).alias("worst_dd_pct"),
-        F.count_if(F.col("dd") < 0).cast("long").alias("n_underwater"),
-    )
 
 # --------------------------------------------------------------------------
 # B52: lead-lag cross-correlation screen — corr(r_A(t), r_B(t+k)) for
@@ -4268,164 +4505,4 @@ def b55_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("MAX(v) * 1000000 div MAX(tv)")
         .cast("long")
         .alias("top1_share_u"),
-    )
-
-# --------------------------------------------------------------------------
-# B56: Ljung-Box portmanteau test — is the daily return series
-# distinguishable from IID noise? Q = n(n+2) sum_k rho_k^2/(n-k) over
-# lags 1..5, flagged against the chi-square(5) 95% critical value
-# (11.0705): the formal backstop behind b4's raw autocorrelations and
-# the predictability goal — a random-walk tape should NOT reject. The
-# five lag columns ride ONE window pass; each rho is a ROUND-safe corr;
-# Q combines the rounded rhos with identical IEEE arithmetic both
-# engines, floor-quantized, and the reject flag is a compare on the
-# same expression.
-@query(
-    "b56_ljung_box",
-    oracle=oracle_on_domain(
-        """
-        , daily AS (
-            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-                   arg_max(close, ts) AS c
-            FROM candles GROUP BY 1, 2
-        ),
-        rets AS (
-            SELECT company_id, d,
-                c / LAG(c) OVER (PARTITION BY company_id ORDER BY d) - 1
-                    AS r
-            FROM daily
-        ),
-        rr AS (SELECT company_id, d, r FROM rets WHERE r IS NOT NULL),
-        lagged AS (
-            SELECT company_id, r,
-                   LAG(r, 1) OVER w AS r1, LAG(r, 2) OVER w AS r2,
-                   LAG(r, 3) OVER w AS r3, LAG(r, 4) OVER w AS r4,
-                   LAG(r, 5) OVER w AS r5
-            FROM rr WINDOW w AS (PARTITION BY company_id ORDER BY d)
-        ),
-        rhos AS (
-            SELECT company_id, COUNT(r) AS n,
-                   ROUND(corr(r, r1), 6) AS p1,
-                   ROUND(corr(r, r2), 6) AS p2,
-                   ROUND(corr(r, r3), 6) AS p3,
-                   ROUND(corr(r, r4), 6) AS p4,
-                   ROUND(corr(r, r5), 6) AS p5
-            FROM lagged GROUP BY company_id HAVING COUNT(r) >= 15
-        )
-        SELECT company_id, CAST(n AS BIGINT) AS n_days,
-               CAST(floor(n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2)
-                          + p3*p3/(n-3) + p4*p4/(n-4) + p5*p5/(n-5))
-                          * 1000000 + 0.5) AS BIGINT) AS q_stat_u,
-               CASE WHEN n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2)
-                         + p3*p3/(n-3) + p4*p4/(n-4) + p5*p5/(n-5))
-                         > 11.0705 THEN 1 ELSE 0 END AS reject_iid
-        FROM rhos
-        """
-    ),
-)
-def b56_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = domain_table(spark, sf_dir, "candles")
-    daily = c.groupBy("company_id", F.to_date("ts").alias("d")).agg(
-        F.max_by("close", "ts").alias("c")
-    )
-    wlag = Window.partitionBy("company_id").orderBy("d")
-    rr = daily.select(
-        "company_id",
-        "d",
-        (F.col("c") / F.lag("c").over(wlag) - 1).alias("r"),
-    ).filter(F.col("r").isNotNull())
-    lagged = rr.select(
-        "company_id",
-        "r",
-        *[F.lag("r", k).over(wlag).alias(f"r{k}") for k in range(1, 6)],
-    )
-    rhos = (
-        lagged.groupBy("company_id")
-        .agg(
-            F.count("r").alias("n"),
-            *[
-                F.round(F.corr("r", f"r{k}"), 6).alias(f"p{k}")
-                for k in range(1, 6)
-            ],
-        )
-        .filter(F.col("n") >= 15)
-    )
-    q_expr = (
-        "n * (n + 2) * (p1*p1/(n-1) + p2*p2/(n-2) + p3*p3/(n-3)"
-        " + p4*p4/(n-4) + p5*p5/(n-5))"
-    )
-    return rhos.select(
-        "company_id",
-        F.col("n").cast("long").alias("n_days"),
-        F.expr(f"CAST(floor({q_expr} * 1000000 + 0.5) AS BIGINT)").alias(
-            "q_stat_u"
-        ),
-        F.expr(
-            f"CASE WHEN {q_expr} > 11.0705 THEN 1 ELSE 0 END"
-        ).alias("reject_iid"),
-    )
-
-# --------------------------------------------------------------------------
-# B57: Donchian channel breakout scan — closes escaping the prior
-# 10-day high/low channel, the turtle-trader breakout count per
-# instrument (sparse on a random-walk tape — itself the sanity check).
-# Strictly-prior bounded ROWS frame (10 PRECEDING .. 1 PRECEDING), so
-# today's bar never contaminates its own channel; evaluation restricted
-# to full-lookback days; all comparisons on identical IEEE doubles.
-@query(
-    "b57_donchian_breakouts",
-    oracle=oracle_on_domain(
-        """
-        , daily AS (
-            SELECT company_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-                   MAX(high) AS hi, MIN(low) AS lo, arg_max(close, ts) AS c
-            FROM candles GROUP BY 1, 2
-        ),
-        chan AS (
-            SELECT company_id, d, c,
-                   MAX(hi) OVER w AS ch_hi, MIN(lo) OVER w AS ch_lo,
-                   COUNT(*) OVER w AS lookback
-            FROM daily
-            WINDOW w AS (PARTITION BY company_id ORDER BY d
-                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
-        )
-        SELECT company_id,
-               CAST(COUNT(*) FILTER (WHERE lookback = 10) AS BIGINT)
-                   AS n_eval_days,
-               CAST(COUNT(*) FILTER (WHERE lookback = 10 AND c > ch_hi)
-                    AS BIGINT) AS n_breakout_up,
-               CAST(COUNT(*) FILTER (WHERE lookback = 10 AND c < ch_lo)
-                    AS BIGINT) AS n_breakout_down
-        FROM chan GROUP BY company_id
-        """
-    ),
-)
-def b57_donchian_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cd = domain_table(spark, sf_dir, "candles")
-    daily = cd.groupBy("company_id", F.to_date("ts").alias("d")).agg(
-        F.max("high").alias("hi"),
-        F.min("low").alias("lo"),
-        F.max_by("close", "ts").alias("c"),
-    )
-    w = (
-        Window.partitionBy("company_id")
-        .orderBy("d")
-        .rowsBetween(-10, -1)
-    )
-    chan = daily.select(
-        "company_id",
-        "c",
-        F.max("hi").over(w).alias("ch_hi"),
-        F.min("lo").over(w).alias("ch_lo"),
-        F.count("*").over(w).alias("lookback"),
-    )
-    full = F.col("lookback") == 10
-    return chan.groupBy("company_id").agg(
-        F.count_if(full).cast("long").alias("n_eval_days"),
-        F.count_if(full & (F.col("c") > F.col("ch_hi")))
-        .cast("long")
-        .alias("n_breakout_up"),
-        F.count_if(full & (F.col("c") < F.col("ch_lo")))
-        .cast("long")
-        .alias("n_breakout_down"),
     )

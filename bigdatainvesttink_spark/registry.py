@@ -119,6 +119,22 @@ def _load_rows_only_checked() -> frozenset[str]:
 
 _ROWS_ONLY_CHECKED: frozenset[str] = _load_rows_only_checked()
 
+# Queries whose OUTPUT SCHEMA changed after they already had a green
+# driver row — their old verdicts describe a different shape, so they must
+# re-enter the driver's check budget ahead of everything (overriding the
+# green tail) until a fresh row lands. Round 8: the seven absorbing
+# queries of the judge-signed-off b-family registry fold (COVERAGE.md
+# groups 1-9) gained their folded siblings' columns.
+_SCHEMA_CHANGED: tuple[str, ...] = (
+    "b4_autocorr",              # + roll_spread, ljung_box columns
+    "b11_ewma_price",           # + riskmetrics_vol section
+    "b12_max_drawdown",         # + ulcer, underwater-spell columns
+    "b22_intraday_seasonality",  # + dow_return section
+    "b37_stochastic_oscillator",  # + donchian section
+    "b39_return_moments",       # + var_es, sortino columns
+    "b5b_depth_imbalance",      # + depth_profile section
+)
+
 # Once-red rows after a fix — must land inside the driver's check budget
 # until a green row confirms the fix (then they sort with the green tail).
 _FIXED_FIRST: tuple[str, ...] = (
@@ -210,7 +226,7 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d6_attribution_last_touch", "d6_rfm_segments",
     "b22_intraday_seasonality",
     # closing round-4 batch
-    "b50_sortino", "b51_ulcer_index", "d4_tokenizer_fertility",
+    "d4_tokenizer_fertility",
     "rel_rle_compression_audit", "d2_label_propagation",
     "b52_lead_lag_xcorr", "d1_bitemporal_asof", "fmt_rowgroup_planner",
     "d4_source_overlap_matrix", "b53_effective_spread",
@@ -226,11 +242,38 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
     "d7_split_balance_audit", "rel_temporal_fk_audit",
     "d6_concurrency_profile", "a_backfill_idempotency",
     "d3_stale_index_recall", "d7_effective_epochs", "d2_rich_club",
-    "b56_ljung_box", "fmt_compression_codecs",
+    "fmt_compression_codecs",
     "d2_link_prediction_eval", "d7_budget_curation", "d6_revenue_pareto",
-    "rel_skyline_pareto", "b57_donchian_breakouts", "d7_interleave_schedule",
+    "rel_skyline_pareto", "d7_interleave_schedule",
     "d1_scd2_fact_join", "d1_retention_ttl_whatif", "d7_shuffle_quality",
 )
+
+
+def _load_green_since(round_no: int) -> frozenset[str]:
+    """Names with a fully green driver row in round >= ``round_no``."""
+    import re
+
+    green: set[str] = set()
+    root = Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m or int(m.group(1)) < round_no:
+            continue
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, verdict in rows.items():
+            if (
+                isinstance(verdict, dict)
+                and verdict.get("rows_match")
+                and verdict.get("schema_match")
+                and verdict.get("hash_match")
+            ):
+                green.add(name)
+    return frozenset(green)
 
 
 def _driver_order(names: list[str]) -> list[str]:
@@ -239,14 +282,25 @@ def _driver_order(names: list[str]) -> list[str]:
     # rotate back into the unchecked pool for a real hash-checked row.
     fresh_rows_only = {n for n in _ROWS_ONLY_CHECKED if n not in _ORACLE}
     done = _DRIVER_GREEN | fresh_rows_only
-    fixed = [n for n in _FIXED_FIRST if n in names and n not in done]
+    # Schema-changed absorbers (r8 fold): pre-r8 green rows describe the
+    # old shape — re-check first until a round >= 8 green row exists.
+    regreen = _load_green_since(8)
+    recheck = [
+        n for n in _SCHEMA_CHANGED if n in names and n not in regreen
+    ]
+    recheck_set = set(recheck)
+    fixed = [
+        n for n in _FIXED_FIRST
+        if n in names and n not in done and n not in recheck_set
+    ]
     unchecked = [
-        n for n in names if n not in done and n not in _FIXED_FIRST
+        n for n in names
+        if n not in done and n not in _FIXED_FIRST and n not in recheck_set
     ]
     rank = {n: i for i, n in enumerate(_UNCHECKED_PRIORITY)}
     unchecked.sort(key=lambda n: rank.get(n, len(rank)))  # stable sort
-    green = [n for n in names if n in done]
-    return fixed + unchecked + green
+    green = [n for n in names if n in done and n not in recheck_set]
+    return recheck + fixed + unchecked + green
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -46,6 +46,12 @@ def test_coverage_query_names_exist():
         and n not in {
             # fixture tables / range shorthand used in prose
             "book_levels", "tpch_q2", "tpch_q22",
+            # r8 registry fold: folded names legitimately survive in the
+            # pruning-history section (each points at its absorbing suite)
+            "b25_depth_profile", "b29_roll_spread", "b40_underwater_spells",
+            "b43_dow_effect", "b46_riskmetrics_vol", "b49_var_es",
+            "b50_sortino", "b51_ulcer_index", "b56_ljung_box",
+            "b57_donchian_breakouts",
         }
     }
     # every ghost is a doc typo or a renamed/removed query

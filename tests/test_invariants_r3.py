@@ -253,7 +253,13 @@ def test_clustering_coefficient_bounds(spark):
 
 
 def test_depth_profile_monotone_share(spark):
-    df = _q("b25_depth_profile", spark).orderBy("company_id", "lvl")
+    # depth profile is the 'depth_profile' section of the b5b book-depth
+    # suite since the r8 registry fold (COVERAGE.md group 6).
+    df = (
+        _q("b5b_depth_imbalance", spark)
+        .filter(F.col("section") == "depth_profile")
+        .orderBy("company_id", "lvl")
+    )
     from collections import defaultdict
 
     by_company = defaultdict(list)
@@ -393,7 +399,14 @@ def test_anomaly_alerts_all_exceed_threshold(spark):
 
 
 def test_roll_spread_sign_convention(spark):
-    rows = _q("b29_roll_spread", spark).collect()
+    # Roll estimator lives in the b4_autocorr suite since the r8 registry
+    # fold (COVERAGE.md group 4); rows without a roll section are the
+    # FULL-OUTER remainder of the other sections.
+    rows = (
+        _q("b4_autocorr", spark)
+        .filter(F.col("n_deltas").isNotNull())
+        .collect()
+    )
     assert rows
     for r in rows:
         if r.serial_cov < 0:
@@ -751,7 +764,13 @@ def test_return_moments_kurtosis_floor(spark):
 
 
 def test_underwater_spells_within_series(spark):
-    rows = _q("b40_underwater_spells", spark).collect()
+    # spells live in the b12_max_drawdown suite since the r8 registry fold
+    # (COVERAGE.md group 3); LEFT-JOIN remainder rows carry NULL spells.
+    rows = (
+        _q("b12_max_drawdown", spark)
+        .filter(F.col("n_spells").isNotNull())
+        .collect()
+    )
     assert rows
     for r in rows:
         assert r.n_spells >= 1
@@ -845,9 +864,15 @@ def test_dlq_roundtrip_conserves_wire(spark):
 
 
 def test_dow_effect_partitions_days(spark):
-    rows = _q("b43_dow_effect", spark).collect()
+    # DOW effect is the 'dow_return' section of the b22 calendar-bucket
+    # suite since the r8 registry fold (COVERAGE.md group 9).
+    rows = (
+        _q("b22_intraday_seasonality", spark)
+        .filter(F.col("section") == "dow_return")
+        .collect()
+    )
     assert rows
-    assert all(1 <= r.day_of_week <= 7 for r in rows)
+    assert all(1 <= r.bucket <= 7 for r in rows)
     assert all(0 <= r.positive_share <= 1 for r in rows)
     # pooled observations = all (company, day) return rows
     from bigdatainvesttink_spark.fixtures import domain_table

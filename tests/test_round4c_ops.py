@@ -13,7 +13,13 @@ def _q(name, spark):
 
 
 def test_sortino_identities(spark):
-    rows = _q("b50_sortino", spark).collect()
+    # Sortino lives in the b39_return_moments suite since the r8 registry
+    # fold (COVERAGE.md group 8).
+    rows = (
+        _q("b39_return_moments", spark)
+        .filter("n_days IS NOT NULL")
+        .collect()
+    )
     assert rows
     for r in rows:
         assert 0 <= r["n_down"] <= r["n_days"]
@@ -31,7 +37,13 @@ def test_sortino_identities(spark):
 
 
 def test_ulcer_index_bounds(spark):
-    rows = _q("b51_ulcer_index", spark).collect()
+    # ulcer index lives in the b12_max_drawdown suite since the r8 registry
+    # fold (COVERAGE.md group 2).
+    rows = (
+        _q("b12_max_drawdown", spark)
+        .filter("ulcer_index IS NOT NULL")
+        .collect()
+    )
     assert rows
     for r in rows:
         # drawdowns live in (-100, 0]; RMS depth can't exceed worst depth
@@ -661,7 +673,13 @@ def test_rich_club_monotone(spark):
 
 
 def test_ljung_box_regime(spark):
-    rows = _q("b56_ljung_box", spark).collect()
+    # Ljung-Box lives in the b4_autocorr suite since the r8 registry fold
+    # (COVERAGE.md group 5); select its section via the non-null test stat.
+    rows = (
+        _q("b4_autocorr", spark)
+        .filter("q_stat_u IS NOT NULL")
+        .collect()
+    )
     assert rows
     n_reject = sum(r["reject_iid"] for r in rows)
     for r in rows:
@@ -769,7 +787,13 @@ def test_skyline_dominance(spark):
 
 
 def test_donchian_breakouts_sparse(spark):
-    rows = _q("b57_donchian_breakouts", spark).collect()
+    # Donchian scan is the 'donchian' section of the b37 channel suite
+    # since the r8 registry fold (COVERAGE.md group 7).
+    rows = (
+        _q("b37_stochastic_oscillator", spark)
+        .filter("section = 'donchian'")
+        .collect()
+    )
     assert rows
     for r in rows:
         assert 0 <= r["n_breakout_up"] + r["n_breakout_down"] <= r["n_eval_days"]

@@ -78,8 +78,19 @@ def kmeans_assign(
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf["xu"].to_numpy()).astype(np.int64)
-            diff = v[:, None, :] - cmat[None, :, :]
-            d2 = (diff * diff).sum(axis=2)  # exact int64
+            # d2 = |v|^2 - 2 v.c + |c|^2 via exact integer matmul: the
+            # expanded form needs O(batch*k) memory where the naive
+            # (v - c) diff tensor needs O(batch*k*dim) — the difference
+            # between 60 MB and 4 GB per batch once k is data-derived
+            # (d3_semdedup_cell_blocked scales k ~ n/128). All terms stay
+            # far inside int64 (|xu| <= ~2e6, dim 64 -> |v.c| <= 2.6e14),
+            # so distances and the argmin remain exact.
+            cross = v @ cmat.T
+            d2 = (
+                (v * v).sum(axis=1)[:, None]
+                - 2 * cross
+                + (cmat * cmat).sum(axis=1)[None, :]
+            )
             best = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {

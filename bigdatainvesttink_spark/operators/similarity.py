@@ -951,6 +951,197 @@ def d3_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup cell-blocked SCALE PATH (VERDICT r7 ask #4): the registered
+# d3_semantic_dedup_clusters twin is label-blocked all-pairs BY SPEC
+# (quadratic in the block, 24.6x at 10x). This query is the configuration
+# that survives 100 TB: k-means CELLS from the exact integer-micro
+# fixed-point loop of d3_kmeans_ivf_clusters (same quantization, same
+# first-k seeding, same floor(s/n + 0.5) requantized update, 3 Lloyd
+# iterations), with the cell count scaled to hold CELL SIZE constant
+# (k = max(8, n // 128) — Abbas et al.'s SemDeDup shape, where cluster
+# count grows with the corpus so within-cell pairing is ~n * 128, linear).
+# Candidate pairs exist ONLY within a cell — missing cross-cell near-dups
+# is the documented recall trade, not a bug. The oracle re-runs the entire
+# fit as unrolled CTEs over the same augmented table, so the cell
+# assignment is embedded in the oracle and blocking cannot drift.
+# Plan shape: per Lloyd iteration one broadcast of k centroids + one
+# Arrow-batched int64 matmul argmin scan + one k-row aggregate; pairing is
+# a cell-key equi-join; components via large-star/small-star. The only
+# driver-side data are k centroid rows per iteration and one COUNT scalar.
+SEMDEDUP_CELL = 128
+
+
+def _semdedup_cell_oracle(n_iter: int = 3, dim: int = 64) -> str:
+    sql = f"""
+        WITH RECURSIVE v AS ({_O_VEC}),
+        nxt AS (
+            SELECT a.vec_id, a.label,
+                   [3.0 * a.e[i+1] + b.e[i+1] FOR i IN range({dim})] AS e
+            FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+        ),
+        aug AS (
+            SELECT vec_id, label, e FROM v
+            UNION ALL
+            SELECT vec_id + 100000, label, e FROM nxt
+        ),
+        augn AS (
+            SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm
+            FROM aug
+        ),
+        kk AS (
+            SELECT GREATEST(8, COUNT(*) // {SEMDEDUP_CELL}) AS k FROM aug
+        ),
+        exq AS (
+            SELECT vec_id, i AS pos,
+                   CAST(floor(e[i + 1] * 1000000 + 0.5) AS BIGINT) AS xu
+            FROM aug, (SELECT unnest(range({dim})) AS i)
+        ),
+        seed AS (
+            SELECT vec_id, rn - 1 AS cid FROM (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                FROM aug
+            ) r WHERE rn <= (SELECT k FROM kk)
+        ),
+        c0 AS (
+            SELECT s.cid, e.pos, e.xu AS cu
+            FROM seed s JOIN exq e ON e.vec_id = s.vec_id
+        )"""
+    for t in range(1, n_iter + 1):
+        sql += f""",
+        d{t} AS (
+            SELECT e.vec_id, c.cid,
+                   SUM((e.xu - c.cu) * (e.xu - c.cu)) AS d2
+            FROM exq e JOIN c{t - 1} c ON c.pos = e.pos
+            GROUP BY e.vec_id, c.cid
+        ),
+        a{t} AS (
+            SELECT vec_id, cid, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+                FROM d{t}) r
+            WHERE rn = 1
+        )"""
+        if t < n_iter:
+            sql += f""",
+        s{t} AS (
+            SELECT a.cid, e.pos, SUM(CAST(e.xu AS HUGEINT)) AS s,
+                   COUNT(*) AS n
+            FROM a{t} a JOIN exq e ON e.vec_id = a.vec_id
+            GROUP BY a.cid, e.pos
+        ),
+        c{t} AS (
+            SELECT c.cid, c.pos,
+                   CAST(COALESCE(
+                       floor(CAST(s.s AS DOUBLE) / s.n + 0.5),
+                       c.cu) AS BIGINT) AS cu
+            FROM c{t - 1} c
+            LEFT JOIN s{t} s ON s.cid = c.cid AND s.pos = c.pos
+        )"""
+    sql += f""",
+        cells AS (SELECT vec_id, cid AS cell FROM a{n_iter}),
+        prs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM augn a
+            JOIN cells ca ON ca.vec_id = a.vec_id
+            JOIN cells cb ON cb.cell = ca.cell
+            JOIN augn b ON b.vec_id = cb.vec_id
+                       AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+                  >= 0.9
+        ),
+        edges AS (
+            SELECT vec_a AS u, vec_b AS v FROM prs
+            UNION ALL
+            SELECT vec_b AS u, vec_a AS v FROM prs
+        ),
+        reach(src, node) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT r.src AS vec_id, c.cell,
+               MIN(r.node) AS cluster_id,
+               COUNT(DISTINCT r.node) AS cluster_size,
+               CAST(r.src = MIN(r.node) AS INT) AS is_canonical
+        FROM reach r JOIN cells c ON c.vec_id = r.src
+        GROUP BY r.src, c.cell
+    """
+    return sql
+
+
+@query("d3_semdedup_cell_blocked", oracle=_semdedup_cell_oracle())
+def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .clustering import kmeans_fit
+    from .curation import connected_components
+
+    v = _vectors(spark, sf_dir).select("vec_id", "label", "e")
+    nxt = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            (F.col("a.vec_id") + 100000).alias("vec_id"),
+            F.col("a.label").alias("label"),
+            F.zip_with(
+                "a.e", "b.e", lambda x, y: F.lit(3.0) * x + y
+            ).alias("e"),
+        )
+    )
+    aug = v.unionByName(nxt)
+    # One bounded scalar to the driver: the cell count is a model
+    # hyperparameter derived from corpus size (constant expected cell
+    # size is what makes within-cell pairing linear in n).
+    n = aug.count()
+    k = max(8, n // SEMDEDUP_CELL)
+    xu = F.transform(
+        "e",
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    assigned, _ = kmeans_fit(
+        aug.select("vec_id", "label", xu.alias("xu")), k=k
+    )
+    cells = assigned.select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    augn = aug.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    x = augn.join(cells, "vec_id").alias("x")
+    y = augn.join(cells, "vec_id").alias("y")
+    from ..functions.vectorized import cosine_pandas
+
+    cosine = F.round(cosine_pandas(F.col("x.e"), F.col("y.e")), 6)
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("u"),
+            F.col("y.vec_id").alias("v"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .select("u", "v")
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return (
+        labels.select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("cluster_id"),
+            F.count("*").over(w).alias("cluster_size"),
+            (F.col("node") == F.col("component")).cast("int").alias(
+                "is_canonical"
+            ),
+        )
+        .join(cells, "vec_id")
+        .select(
+            "vec_id", "cell", "cluster_id", "cluster_size", "is_canonical"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # D3: k-NN classification eval — the standard embedding-quality probe:
 # every 10th vector is held out and classified by majority vote of its 5
 # nearest training neighbors (cosine), reported as per-class accuracy.

@@ -1420,3 +1420,39 @@ def test_zstd_decoder_cross_validated_vs_libzstd():
         # dictionary flag set -> documented raise (frame header with
         # DID field: FHD 0x01 + window byte + 1-byte dict id)
         decode_zstd(b"\x28\xb5\x2f\xfd\x01\x00\x07" + b"\x01\x00\x00")
+
+
+def test_semdedup_cell_blocked_invariants(spark):
+    """The SemDeDup scale path (r8, VERDICT ask #4): clusters are
+    CELL-LOCAL by construction (candidate pairs never cross a k-means
+    cell), the canonical flag is the min-id convention, and the synthetic
+    near-dups (vec_id + 100000 = 3a + b neighbors) that land in their
+    base vector's cell are detected — the recall trade is cross-cell
+    misses only, never within-cell ones."""
+    rows = _q("d3_semdedup_cell_blocked")(spark, SF_SMALL).collect()
+    assert rows, "no duplicate clusters found at all"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r["cluster_size"] >= 2
+        assert r["is_canonical"] == (1 if r["vec_id"] == r["cluster_id"] else 0)
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        # one canonical per cluster; every member shares the cell
+        assert sum(m["is_canonical"] for m in members) == 1, cid
+        assert len({m["cell"] for m in members}) == 1, cid
+        assert min(m["vec_id"] for m in members) == cid
+    # within-cell completeness: every synthetic pair whose two ends share
+    # a cell must be clustered together
+    clustered = {r["vec_id"]: r["cluster_id"] for r in rows}
+    cells_df = _q("d3_semdedup_cell_blocked")(spark, SF_SMALL).select(
+        "vec_id", "cell"
+    )
+    cell_of = {r["vec_id"]: r["cell"] for r in cells_df.collect()}
+    checked = 0
+    for vid, cell in cell_of.items():
+        if vid >= 100000 and (vid - 100000) in cell_of:
+            base = vid - 100000
+            if cell_of[base] == cell:
+                assert clustered[vid] == clustered[base], (vid, base)
+                checked += 1
+    assert checked > 0, "no same-cell synthetic pair reached the output"

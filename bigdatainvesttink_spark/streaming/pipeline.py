@@ -76,13 +76,34 @@ STREAM_STATE_PARTITIONS = int(
 )
 
 
-def _stream_join_salt() -> int:
+def _stream_join_salt(n_keys: int | None = None) -> int:
     """Hot-key salt factor for stream-stream joins (read per call so the
-    scale harness and tests can set it per run). 1 = off (default: the
-    fixtures' key densities don't warrant replication); production sets
-    it with SPARK_GRAFT_STREAM_JOIN_SALT when one instrument dominates
-    the feed."""
-    return int(os.environ.get("SPARK_GRAFT_STREAM_JOIN_SALT", "1"))
+    scale harness and tests can set it per run).
+
+    Auto-sizing (VERDICT r7 ask #5): the 10x measurement proved salt=8
+    wins even on uniform keys whenever distinct join keys are FEW relative
+    to state partitions (50 keys vs 32 partitions: 450.7 s -> 274.0 s,
+    output content-hash identical) — with fewer keys than ~2x partitions,
+    hash placement leaves partitions idle while hot ones serialize. So
+    when the caller passes the observed key count and no env override is
+    set, the default becomes: OFF when keys >= 2 * STREAM_STATE_PARTITIONS
+    (placement already smooth), else the smallest power of two making
+    keys * n_salts >= 8 * partitions (>= ~8 sub-keys per partition — the
+    balance point the 10x sweep landed on: 50 keys x salt 8 = 400
+    sub-keys over 32 partitions), capped at 16 to bound build-side state
+    replication. SPARK_GRAFT_STREAM_JOIN_SALT always overrides."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_JOIN_SALT")
+    if raw is not None:
+        return int(raw)
+    if n_keys is None or n_keys <= 0:
+        return 1
+    partitions = STREAM_STATE_PARTITIONS
+    if n_keys >= 2 * partitions:
+        return 1
+    n = 1
+    while n_keys * n < 8 * partitions and n < 16:
+        n *= 2
+    return n
 
 
 def _stream_join_hot_keys() -> list[str]:
@@ -527,11 +548,17 @@ def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("b_ts") >= F.col("t_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("b_ts") <= F.col("t_ts"))
     )
-    # Hot-key salting (off by default): when one instrument dominates the
-    # feed, (company_id, salt) becomes the state-partitioning key so the
-    # hot key's quadratic probe work spreads across n_salts partitions —
-    # output bit-identical (proof in with_stream_join_salt).
-    n_salts = _stream_join_salt()
+    # Hot-key salting, AUTO-SIZED from the observed key count (VERDICT r7
+    # ask #5): the join-key domain is the companies dimension, so its
+    # count is the key statistic (one bounded scan of a grid-sized
+    # table). When keys < 2x state partitions, (company_id, salt) becomes
+    # the state-partitioning key so probe work spreads across partitions
+    # that plain hash placement would leave idle — output bit-identical
+    # (proof in with_stream_join_salt); env override still wins.
+    from ..fixtures import domain_table
+
+    n_keys = domain_table(spark, sf_dir, "companies").count()
+    n_salts = _stream_join_salt(n_keys)
     if n_salts > 1:
         st, sb = with_stream_join_salt(
             st, sb, "company_id", "b_company_id", n_salts,

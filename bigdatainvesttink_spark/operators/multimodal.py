@@ -150,14 +150,13 @@ def decode_image(content: bytes) -> dict:
                 filter_method,
                 interlace,
             ) = struct.unpack(">IIBBBBB", data[:13])
-            # the un-filter below assumes sequential scanlines and
-            # zlib/filter-0 coding — an Adam7-interlaced (or nonzero
-            # compression/filter-method) PNG would pass the depth/color
-            # gate yet decode to garbage (ADVICE r5 #2)
-            if compression != 0 or filter_method != 0 or interlace != 0:
+            # the un-filter assumes zlib/filter-0 coding; interlace may
+            # be 0 (sequential) or 1 (Adam7, real since r8 — the seven
+            # passes unfilter independently and scatter to screen order)
+            if compression != 0 or filter_method != 0 or interlace > 1:
                 raise NotImplementedError(
                     "PNG subset: zlib-deflate, filter method 0, "
-                    "non-interlaced (Adam7 not implemented)"
+                    "interlace 0 or 1 (Adam7)"
                 )
         elif ctype == b"IDAT":
             idat += data
@@ -173,13 +172,66 @@ def decode_image(content: bytes) -> dict:
         )
     nch = {0: 1, 2: 3, 6: 4}[color_type]
     raw = zlib.decompress(idat)
+    if interlace == 0:
+        pixels, _ = _png_unfilter(raw, 0, width, height, nch)
+    else:
+        # Adam7 (PNG spec §8.2): seven reduced images, each filtered
+        # independently (the filter's "previous scanline" never crosses a
+        # pass boundary), concatenated in the single zlib stream; absent
+        # passes (zero width or height) contribute NO bytes at all.
+        # Unfilter each pass, then scatter its pixels to screen order.
+        pixels = bytearray(width * height * nch)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, pw, ph, nch)
+            for j in range(ph):
+                src = j * pw * nch
+                y = y0 + j * dy
+                for i in range(pw):
+                    dst = (y * width + x0 + i * dx) * nch
+                    pixels[dst:dst + nch] = sub[src:src + nch]
+                    src += nch
+        pixels = bytes(pixels)
+    return {
+        "n_bytes": len(content),
+        "fmt": "png",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "thumb_width": min(width, 256),
+        "thumb_height": min(height, 256),
+        "decoded_pixels": bytes(pixels),
+    }
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, width: int, height: int,
+                  nch: int) -> tuple[bytes, int]:
+    """Reverse PNG filter types 0-4 over ``height`` scanlines of
+    ``width * nch`` bytes starting at ``raw[off]``; returns (pixels, next
+    offset). The previous-scanline state starts at zero — each Adam7 pass
+    (and the whole image when non-interlaced) filters independently."""
     stride = width * nch
     pixels = bytearray()
     prev = bytearray(stride)
-    for y in range(height):
-        off = y * (stride + 1)
+    for _ in range(height):
+        if off >= len(raw):
+            raise ValueError("malformed PNG: truncated scanline data")
         ftype = raw[off]
         line = bytearray(raw[off + 1:off + 1 + stride])
+        if len(line) != stride:
+            raise ValueError("malformed PNG: truncated scanline data")
+        off += 1 + stride
         for x in range(stride):
             a = line[x - nch] if x >= nch else 0
             b = prev[x]
@@ -197,21 +249,20 @@ def decode_image(content: bytes) -> dict:
                 line[x] = (line[x] + pred) & 0xFF
         pixels += line
         prev = line
-    return {
-        "n_bytes": len(content),
-        "fmt": "png",
-        "width": width,
-        "height": height,
-        "n_frames": 1,
-        "thumb_width": min(width, 256),
-        "thumb_height": min(height, 256),
-        "decoded_pixels": bytes(pixels),
-    }
+    return bytes(pixels), off
 
 
-def encode_png(pixels: bytes, width: int, height: int, nch: int = 3) -> bytes:
+def encode_png(
+    pixels: bytes, width: int, height: int, nch: int = 3,
+    interlace: bool = False,
+) -> bytes:
     """Minimal PNG encoder (stdlib zlib, filter 0) — the test-side twin of
-    decode_image, so the roundtrip proof needs no external fixture."""
+    decode_image, so the roundtrip proof needs no external fixture.
+    ``interlace=True`` writes Adam7 pass order (r8): passes extracted on
+    the same grid the decoder scatters back from, each pass's scanlines
+    filtered (type 0) independently — libpng decodes these byte-exactly,
+    which is the cross-check that the pass extraction isn't a mirrored
+    bug."""
     import struct
     import zlib
 
@@ -223,11 +274,30 @@ def encode_png(pixels: bytes, width: int, height: int, nch: int = 3) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    stride = width * nch
-    raw = b"".join(
-        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    stride = width * nch
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + pixels[y * stride:(y + 1) * stride]
+            for y in range(height)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j in range(ph):
+                y = y0 + j * dy
+                row = bytearray(b"\x00")
+                for i in range(pw):
+                    src = (y * width + x0 + i * dx) * nch
+                    row += pixels[src:src + nch]
+                parts.append(bytes(row))
+        raw = b"".join(parts)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -147,12 +147,12 @@ def test_png_decode_roundtrip_through_seam(spark):
         "decoded_pixels"
     ]
 
-    # Adam7-interlaced (and nonzero compression/filter-method) headers
-    # must raise the documented NotImplementedError, not silently
-    # un-filter a sequential layout that isn't there (ADVICE r5 #2)
+    # nonzero compression/filter-method headers must raise the documented
+    # NotImplementedError (ADVICE r5 #2); interlace=1 is REAL since r8
+    # (Adam7 roundtrip + libpng cross-check below/in the libpng test)
     import pytest
 
-    for comp, fm, il in ((0, 0, 1), (1, 0, 0), (0, 1, 0)):
+    for comp, fm, il in ((1, 0, 0), (0, 1, 0), (0, 0, 2)):
         bad = (
             b"\x89PNG\r\n\x1a\n"
             + chunk(
@@ -163,6 +163,14 @@ def test_png_decode_roundtrip_through_seam(spark):
         )
         with pytest.raises(NotImplementedError):
             decode_image(bad)
+
+    # Adam7 self-roundtrip through the pure-Python pair (the libpng
+    # cross-validation lives in test_png_path_cross_validated_vs_libpng)
+    for aw, ah, anc in ((5, 4, 3), (16, 16, 1), (11, 2, 4)):
+        apx = bytes((x * 29 + 5) % 256 for x in range(aw * ah * anc))
+        m7 = decode_image(encode_png(apx, aw, ah, anc, interlace=True))
+        assert (m7["width"], m7["height"]) == (aw, ah)
+        assert bytes(m7["decoded_pixels"]) == apx
 
 
 def test_jpeg_decode_roundtrip_through_seam(spark):
@@ -976,6 +984,45 @@ int shim_encode_png(const unsigned char* pixels, int w, int h, int ncomp,
   *out = data; *outlen = sz;
   return 0;
 }
+typedef struct { unsigned char* buf; size_t len, cap; } membuf;
+static void mb_write(png_structp png, png_bytep data, png_size_t n) {
+  membuf* m = (membuf*)png_get_io_ptr(png);
+  while (m->len + n > m->cap) {
+    m->cap = m->cap ? m->cap * 2 : 65536;
+    m->buf = realloc(m->buf, m->cap);
+  }
+  memcpy(m->buf + m->len, data, n); m->len += n;
+}
+static void mb_flush(png_structp png) { (void)png; }
+/* Full-API writer so the ADAM7 flag is honored (png_image cannot write
+   interlaced) — the independent-encoder direction of the r8 Adam7 test. */
+int shim_encode_png_adam7(const unsigned char* pixels, int w, int h,
+                          int ncomp, unsigned char** out, size_t* outlen) {
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                            NULL, NULL, NULL);
+  if (!png) return 1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_write_struct(&png, NULL); return 1; }
+  membuf m = {0, 0, 0};
+  png_bytep* rows = NULL;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info); free(m.buf); free(rows); return 2;
+  }
+  png_set_write_fn(png, &m, mb_write, mb_flush);
+  int ct = (ncomp == 1) ? PNG_COLOR_TYPE_GRAY
+         : (ncomp == 3) ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_RGBA;
+  png_set_IHDR(png, info, w, h, 8, ct, PNG_INTERLACE_ADAM7,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  rows = malloc((size_t)h * sizeof(png_bytep));
+  for (int y = 0; y < h; y++)
+    rows[y] = (png_bytep)(pixels + (size_t)y * w * ncomp);
+  png_set_rows(png, info, rows);
+  png_write_png(png, info, PNG_TRANSFORM_IDENTITY, NULL);
+  free(rows);
+  png_destroy_write_struct(&png, &info);
+  *out = m.buf; *outlen = m.len;
+  return 0;
+}
 void shim_free_png(unsigned char* p) { free(p); }
 """
 
@@ -1045,6 +1092,40 @@ def test_png_path_cross_validated_vs_libpng():
         m = decode_image(penc(px, w, h, nc))
         assert (m["width"], m["height"]) == (w, h)
         assert bytes(m["decoded_pixels"]) == px
+
+    # --- Adam7 interlace, both directions (r8, VERDICT stretch #8) ---
+    lib.shim_encode_png_adam7.restype = ctypes.c_int
+    lib.shim_encode_png_adam7.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+
+    def penc7(px, w, h, nc):
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        n = ctypes.c_size_t()
+        assert lib.shim_encode_png_adam7(
+            px, w, h, nc, ctypes.byref(out), ctypes.byref(n)) == 0
+        buf = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n.value)).contents))
+        lib.shim_free_png(out)
+        return buf
+
+    # odd sizes exercise absent/narrow passes; 8x8-multiples the full grid;
+    # 1-wide/1-tall the degenerate pass layouts
+    shapes = [(24, 16, 3), (17, 13, 1), (12, 7, 4), (9, 5, 3),
+              (1, 9, 3), (9, 1, 3), (3, 3, 1), (64, 48, 3)]
+    for w, h, nc in shapes:
+        px = bytes(rnd.randrange(256) for _ in range(w * h * nc))
+        # libpng-WRITTEN Adam7 (its encoder picks adaptive per-pass
+        # filters) -> this repo's deinterlacing unfilter, byte-exact
+        m = decode_image(penc7(px, w, h, nc))
+        assert (m["width"], m["height"]) == (w, h), (w, h, nc)
+        assert bytes(m["decoded_pixels"]) == px, (w, h, nc)
+        # this repo's Adam7 pass extraction -> libpng decode, byte-exact
+        # (proves the scatter grid isn't a mirrored bug)
+        assert pdec(encode_png(px, w, h, nc, interlace=True)) == (
+            w, h, nc, px), (w, h, nc)
 
 
 def test_gif_decoder_on_giflib_encoded_streams():

@@ -91,9 +91,15 @@ def main() -> None:
         }
         print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ({factor}x)")
 
+    data_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     print(
         json.dumps(
-            {"small": small, "big": big, "data_factor": 10, "queries": out}
+            {
+                "small": small,
+                "big": big,
+                "data_factor": data_factor,
+                "queries": out,
+            }
         )
     )
 

@@ -53,7 +53,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 10  # default; argv[2] overrides (r8: 100 for the sf10-equivalent)
 
 # key columns shifted by copy * (max_key + 1); every other column rides
 # along unchanged
@@ -88,6 +88,7 @@ COL_TO_SPACE = {
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
     from bigdatainvesttink_spark.io import load_table
     from bigdatainvesttink_spark.session import get_spark
 
@@ -106,7 +107,7 @@ def main() -> None:
             mx = max(mx, int(v))
         moduli[space] = mx + 1
 
-    copies = spark.range(COPIES).select(F.col("id").alias("__k"))
+    copies_df = spark.range(copies).select(F.col("id").alias("__k"))
 
     def write_single_file(df, table: str) -> None:
         """One parquet FILE named <table>.parquet (driver layout —
@@ -132,7 +133,7 @@ def main() -> None:
     for table, keys in KEY_SHIFTS.items():
         t0 = time.time()
         base = load_table(spark, SRC, table)
-        df = base.crossJoin(F.broadcast(copies))
+        df = base.crossJoin(F.broadcast(copies_df))
         for col in keys:
             df = df.withColumn(
                 col,
@@ -166,24 +167,29 @@ def main() -> None:
         if table == "embeddings":
             # circular rotation by the copy index decorrelates copies
             # (an exact-duplicate vector 10x over is a replication
-            # artifact, not a distribution property)
+            # artifact, not a distribution property). Rotation has only
+            # `dim` distinct values, so copies past dim-1 additionally
+            # NEGATE the vector (r8, copies=100 > dim=64): negation
+            # preserves norms and the coordinate distribution, and
+            # cosine(v, -v) = -1, so rotated-and-flipped copies stay
+            # decorrelated for any copies < 2*dim.
             dim = base.select(F.size("embedding").alias("d")).first()["d"]
+            rot = (F.col("__k") % dim).cast("int")
+            rotated = F.when(rot == 0, F.col("embedding")).otherwise(
+                F.concat(
+                    F.slice(
+                        F.col("embedding"),
+                        rot + 1,
+                        F.lit(dim) - rot,
+                    ),
+                    F.slice(F.col("embedding"), F.lit(1), rot),
+                )
+            )
             df = df.withColumn(
                 "embedding",
-                F.when(F.col("__k") == 0, F.col("embedding")).otherwise(
-                    F.concat(
-                        F.slice(
-                            F.col("embedding"),
-                            F.col("__k").cast("int") + 1,
-                            F.lit(dim) - F.col("__k").cast("int"),
-                        ),
-                        F.slice(
-                            F.col("embedding"),
-                            F.lit(1),
-                            F.col("__k").cast("int"),
-                        ),
-                    )
-                ),
+                F.when(
+                    F.col("__k") < dim, rotated
+                ).otherwise(F.transform(rotated, lambda x: -x)),
             )
         df = df.drop("__k")
         write_single_file(df, table)

@@ -1,12 +1,17 @@
-"""Baseline JPEG codec on stdlib + numpy (VERDICT r5 stretch #7).
+"""Baseline + progressive JPEG codec on stdlib + numpy.
 
 Retires the ``decode_image`` JPEG NotImplementedError guard the same way
 rounds 4/5 retired WAV and PNG: no codec library, just the published
-format — ITU-T T.81 baseline sequential DCT, Huffman entropy coding,
-8-bit samples. Supported: grayscale and YCbCr 4:4:4 / 4:2:2 / 4:2:0
-(any h/v factors <= 2), restart markers, multiple DQT/DHT segments.
-Out of scope (documented raises, not silent garbage): progressive
-(SOF2), extended/lossless/arithmetic variants, 12-bit precision.
+format — ITU-T T.81 DCT, Huffman entropy coding, 8-bit samples.
+Supported: grayscale and YCbCr 4:4:4 / 4:2:2 / 4:2:0 (any h/v factors
+<= 2), restart markers, multiple DQT/DHT segments, baseline sequential
+(SOF0/1) and — since r8 — PROGRESSIVE (SOF2): spectral selection +
+successive approximation per T.81 Annex G, i.e. interleaved DC
+first/refinement scans and per-component AC first/refinement scans with
+EOB runs, accumulated into a persistent coefficient store and
+dequantized/IDCT'd once after the last scan. Out of scope (documented
+raises, not silent garbage): hierarchical/lossless/arithmetic variants,
+12-bit precision.
 
 The encoder twin (`encode_jpeg_baseline`) exists for the tests'
 roundtrip proof, mirroring `encode_png` / the WAV writer: gray or RGB
@@ -182,7 +187,7 @@ def decode_jpeg(data: bytes) -> dict:
                 symbols = seg[p + 17:p + 17 + n]
                 huff[(cls, tid)] = _build_huffman(counts, symbols)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (prog)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("JPEG subset: 8-bit precision")
@@ -193,25 +198,43 @@ def decode_jpeg(data: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                store = _ProgressiveStore(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG subset: baseline sequential Huffman only "
-                f"(SOF marker 0x{marker:02X} is progressive/hierarchical/"
+                "JPEG subset: sequential or progressive Huffman only "
+                f"(SOF marker 0x{marker:02X} is hierarchical/lossless/"
                 "arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
-            if frame is None or ns != len(frame["comps"]):
-                # a partial scan (ns < nc, legal in progressive streams)
-                # would KeyError deep in _decode_scan — guard it here as
-                # a documented subset limit instead (ADVICE r6)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if frame.get("progressive"):
+                scan_comps = []
+                for i in range(ns):
+                    cid, tt = seg[1 + 2 * i:3 + 2 * i]
+                    scan_comps.append(
+                        (cid, {"dc": tt >> 4, "ac": tt & 0xF})
+                    )
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                pos = store.decode_scan(
+                    data, pos + seglen, scan_comps, huff,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0xF,
+                )
+                continue
+            if ns != len(frame["comps"]):
+                # a partial sequential scan (ns < nc) would KeyError deep
+                # in _decode_scan — guard it here as a documented subset
+                # limit instead (ADVICE r6)
                 raise NotImplementedError(
                     "JPEG subset: single interleaved scan naming every "
-                    "frame component"
+                    "frame component (sequential)"
                 )
             scan = {}
             for i in range(ns):
@@ -222,6 +245,8 @@ def decode_jpeg(data: bytes) -> dict:
                 data, pos, frame, scan, qt, huff, restart_interval
             )
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return store.reconstruct(qt)
     raise ValueError("no SOS segment found")
 
 
@@ -283,7 +308,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
             n_mcu += 1
-    # upsample each component to full resolution (sample replication)
+    return _finish(frame, planes)
+
+
+def _finish(frame: dict, planes: dict) -> dict:
+    """Upsample each component plane to full resolution (sample
+    replication), color-convert, clip — shared by the sequential and
+    progressive paths."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for c in comps:
         p = planes[c["id"]]
@@ -312,6 +346,226 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
         "n_components": ncomp,
         "pixels": pixels,
     }
+
+
+# natural (row*8+col) index of each zigzag position, for the vectorized
+# zigzag -> natural scatter in the progressive reconstruction
+_Z2N = np.array([r * 8 + c for r, c in _ZIGZAG])
+
+
+class _ProgressiveStore:
+    """Persistent DCT-coefficient store for progressive (SOF2) decoding
+    (T.81 Annex G): each SOS scan deposits its spectral band / bit-plane
+    into per-component zigzag-order block arrays; ``reconstruct``
+    dequantizes and IDCTs once after the last scan.
+
+    Scan kinds (G.1.1): DC first (Ss=0, Ah=0 — the only scan kind that
+    may interleave several components), DC refinement (Ss=0, Ah>0 — one
+    appended bit per block), AC first (Ss>0, Ah=0 — one component, EOB
+    runs), AC refinement (Ss>0, Ah>0 — the correction-bit algorithm of
+    G.1.2.3, mirroring libjpeg's decode_mcu_AC_refine semantics).
+    Restart markers reset DC predictors AND the EOB run."""
+
+    def __init__(self, frame: dict):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        w, h = frame["w"], frame["h"]
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs: dict[int, np.ndarray] = {}
+        self.nonint: dict[int, tuple[int, int]] = {}
+        for c in comps:
+            # MCU-padded grid (interleaved DC scans touch all of it)
+            self.coefs[c["id"]] = np.zeros(
+                (self.mcus_y * c["v"], self.mcus_x * c["h"], 64),
+                dtype=np.int64,
+            )
+            # non-interleaved grid (G.1: single-component scans traverse
+            # ceil(comp_samples / 8), which may be smaller than padded)
+            cw = (w * c["h"] + self.hmax - 1) // self.hmax
+            ch = (h * c["v"] + self.vmax - 1) // self.vmax
+            self.nonint[c["id"]] = ((ch + 7) // 8, (cw + 7) // 8)
+        self._eobrun = 0
+
+    # ---- per-block band decoders ------------------------------------
+
+    def _dc_first(self, br, coef, dc_tab, preds, cid, al):
+        s = _huff_decode(br, dc_tab)
+        diff = _extend(br.read_bits(s), s)
+        preds[cid] += diff
+        coef[0] = preds[cid] << al
+
+    def _dc_refine(self, br, coef, al):
+        if br.read_bit():
+            coef[0] |= 1 << al
+
+    def _ac_first(self, br, coef, ac_tab, ss, se, al):
+        if self._eobrun > 0:
+            self._eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                self._eobrun = (1 << r) - 1  # this block is a member
+                if r:
+                    self._eobrun += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, br, coef, ac_tab, ss, se, al):
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if self._eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid magnitude in AC refinement scan"
+                        )
+                    val = p1 if br.read_bit() else m1
+                elif r != 15:
+                    self._eobrun = 1 << r  # counts this block; tail -= 1
+                    if r:
+                        self._eobrun += br.read_bits(r)
+                    break
+                # advance over r zero-history coefficients, appending a
+                # correction bit to every nonzero one passed on the way
+                while k <= se:
+                    if coef[k] != 0:
+                        if br.read_bit() and not (coef[k] & p1):
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    coef[k] = val
+                k += 1
+        if self._eobrun > 0:
+            while k <= se:  # correction bits for the rest of the band
+                if coef[k] != 0:
+                    if br.read_bit() and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                k += 1
+            self._eobrun -= 1
+
+    # ---- scan driver --------------------------------------------------
+
+    def decode_scan(self, data, pos, scan_comps, huff, restart_interval,
+                    ss, se, ah, al) -> int:
+        """Decode one SOS's entropy segment into the store; returns the
+        position of the next marker."""
+        comps_by_id = {c["id"]: c for c in self.frame["comps"]}
+        br = _BitReader(data, pos)
+        self._eobrun = 0
+        preds = {cid: 0 for cid, _ in scan_comps}
+        n_unit = 0
+
+        def maybe_restart():
+            nonlocal preds
+            if (
+                restart_interval
+                and n_unit
+                and n_unit % restart_interval == 0
+            ):
+                br.align_to_marker()
+                preds = {cid: 0 for cid, _ in scan_comps}
+                self._eobrun = 0
+
+        if ss == 0:  # DC scan (the only kind that may interleave)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            if len(scan_comps) > 1:
+                for my in range(self.mcus_y):
+                    for mx in range(self.mcus_x):
+                        maybe_restart()
+                        for cid, tabs in scan_comps:
+                            c = comps_by_id[cid]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    coef = self.coefs[cid][
+                                        my * c["v"] + by, mx * c["h"] + bx
+                                    ]
+                                    if ah == 0:
+                                        self._dc_first(
+                                            br, coef,
+                                            huff[(0, tabs["dc"])],
+                                            preds, cid, al,
+                                        )
+                                    else:
+                                        self._dc_refine(br, coef, al)
+                        n_unit += 1
+            else:
+                cid, tabs = scan_comps[0]
+                bh, bw = self.nonint[cid]
+                for by in range(bh):
+                    for bx in range(bw):
+                        maybe_restart()
+                        coef = self.coefs[cid][by, bx]
+                        if ah == 0:
+                            self._dc_first(
+                                br, coef, huff[(0, tabs["dc"])],
+                                preds, cid, al,
+                            )
+                        else:
+                            self._dc_refine(br, coef, al)
+                        n_unit += 1
+        else:  # AC scan: exactly one component (T.81 G.1)
+            if len(scan_comps) != 1:
+                raise ValueError("interleaved AC scan is illegal")
+            cid, tabs = scan_comps[0]
+            ac_tab = huff[(1, tabs["ac"])]
+            bh, bw = self.nonint[cid]
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    coef = self.coefs[cid][by, bx]
+                    if ah == 0:
+                        self._ac_first(br, coef, ac_tab, ss, se, al)
+                    else:
+                        self._ac_refine(br, coef, ac_tab, ss, se, al)
+                    n_unit += 1
+        # the entropy segment ends at the next real marker
+        p = br.pos
+        while p + 1 < len(data) and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+        ):
+            p += 1
+        return p
+
+    # ---- reconstruction ------------------------------------------------
+
+    def reconstruct(self, qt: dict) -> dict:
+        planes = {}
+        for c in self.frame["comps"]:
+            z = self.coefs[c["id"]]
+            by, bx = z.shape[0], z.shape[1]
+            nat = np.zeros_like(z, dtype=np.float64)
+            nat[..., _Z2N] = z  # zigzag -> natural scatter
+            blocks = nat.reshape(by, bx, 8, 8) * qt[c["tq"]][None, None]
+            spatial = (
+                np.einsum("ur,yxuv,vc->yxrc", _C, blocks, _C) + 128.0
+            )
+            planes[c["id"]] = (
+                spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            )
+        return _finish(self.frame, planes)
 
 
 # ----------------------------------------------------------------- encode

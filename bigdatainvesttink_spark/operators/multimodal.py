@@ -5,7 +5,8 @@ Both codec seams carry REAL formats, proving pluggability: ``decode_audio``
 decodes PCM WAV (stdlib ``wave``) and FLAC (flac_codec.py — bit-level
 lossless decode, CRC-verified, round 7); ``decode_image`` decodes 8-bit
 gray/RGB/RGBA PNG (stdlib ``zlib`` — header parse, inflate, scanline
-un-filter) and baseline JPEG (jpeg_codec.py — Huffman + IDCT, round 6),
+un-filter incl. Adam7 since r8) and JPEG (jpeg_codec.py — Huffman +
+IDCT; baseline round 6, progressive/SOF2 round 8),
 each with a sample-exact (or 1-LSB for lossy JPEG) roundtrip test. Formats
 whose entropy coders genuinely need codec libs this container doesn't ship
 (WebP/VP8, MP3's hybrid filterbank) raise a clearly-marked
@@ -110,9 +111,9 @@ def decode_image(content: bytes) -> dict:
             "decoded_pixels": g["frames"][0],
         }
     if content.startswith(b"\xff\xd8"):
-        # REAL baseline JPEG decode (VERDICT r5 stretch #7): stdlib +
-        # numpy T.81 sequential-Huffman codec in jpeg_codec.py —
-        # progressive/arithmetic/12-bit raise NotImplementedError there
+        # REAL JPEG decode: stdlib + numpy T.81 codec in jpeg_codec.py —
+        # baseline sequential (r5) AND progressive/SOF2 (r8);
+        # arithmetic/hierarchical/12-bit raise NotImplementedError there
         from .jpeg_codec import decode_jpeg
 
         j = decode_jpeg(content)
@@ -128,7 +129,8 @@ def decode_image(content: bytes) -> dict:
         }
     if not content.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "only PNG, baseline JPEG, GIF and lossless WebP decodable in "
+            "only PNG, JPEG (baseline+progressive), GIF and lossless WebP "
+            "decodable in "
             "this environment (stdlib zlib/numpy); use fake_decode_meta "
             "for plumbing tests"
         )

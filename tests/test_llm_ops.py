@@ -224,14 +224,17 @@ def test_jpeg_decode_roundtrip_through_seam(spark):
     b3 = np.frombuffer(bytes(got[3]["decoded_pixels"]), np.uint8)
     assert np.array_equal(a3, b3)  # uniform image: sample-exact
 
-    # progressive (SOF2) keeps a documented raise, not silent garbage:
-    # rewrite the baseline stream's SOF0 marker to SOF2
+    # SOF2 is REAL since r8 (cross-validated vs libjpeg's progressive
+    # encoder in test_jpeg_codec_cross_validated_vs_libjpeg) — but a
+    # baseline stream MISLABELED as SOF2 must still fail loud, because
+    # its full-band interleaved scan (Ss=0, Se=63) is illegal in
+    # progressive mode (T.81 G.1: a DC scan has Se=0)
     import pytest
 
     base = payloads[0][1]
     k = base.find(b"\xff\xc0")
     prog = base[:k] + b"\xff\xc2" + base[k + 2:]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(prog)
 
 
@@ -822,7 +825,8 @@ int shim_decode_jpeg(const unsigned char* buf, unsigned long len,
   return 0;
 }
 int shim_encode_jpeg(const unsigned char* pixels, int w, int h, int ncomp,
-                     int quality, int subsample,
+                     int quality, int subsample, int progressive,
+                     int restart_interval,
                      unsigned char** out, unsigned long* outlen) {
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
@@ -839,6 +843,8 @@ int shim_encode_jpeg(const unsigned char* pixels, int w, int h, int ncomp,
     cinfo.comp_info[0].h_samp_factor = 1;
     cinfo.comp_info[0].v_samp_factor = 1;
   }
+  if (progressive) jpeg_simple_progression(&cinfo);
+  cinfo.restart_interval = restart_interval;
   jpeg_start_compress(&cinfo, TRUE);
   while (cinfo.next_scanline < cinfo.image_height) {
     JSAMPROW row = (JSAMPROW)(pixels + (size_t)cinfo.next_scanline * w * ncomp);
@@ -879,7 +885,7 @@ def test_jpeg_codec_cross_validated_vs_libjpeg():
     lib.shim_encode_jpeg.restype = ctypes.c_int
     lib.shim_encode_jpeg.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
         ctypes.POINTER(ctypes.c_ulong),
     ]
@@ -896,11 +902,12 @@ def test_jpeg_codec_cross_validated_vs_libjpeg():
         lib.shim_free(out)
         return w.value, h.value, nc.value, buf
 
-    def jenc(px, w, h, nc, quality=90, subsample=0):
+    def jenc(px, w, h, nc, quality=90, subsample=0, progressive=0,
+             restart=0):
         out = ctypes.POINTER(ctypes.c_ubyte)()
         n = ctypes.c_ulong()
         assert lib.shim_encode_jpeg(
-            px, w, h, nc, quality, subsample,
+            px, w, h, nc, quality, subsample, progressive, restart,
             ctypes.byref(out), ctypes.byref(n)) == 0
         buf = bytes(bytearray(
             ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n.value)).contents))
@@ -947,6 +954,38 @@ def test_jpeg_codec_cross_validated_vs_libjpeg():
         a = np.frombuffer(ref, np.uint8).astype(int)
         b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
         assert np.abs(a - b).max() <= tol, (sub, np.abs(a - b).max())
+
+    # (c) PROGRESSIVE (SOF2, r8): libjpeg's jpeg_simple_progression —
+    # interleaved DC first/refine, per-component AC first/refine with
+    # EOB runs across every successive-approximation level — decodes
+    # here within the same two-IDCT bound as the sequential cases;
+    # quality sweep varies which refinement scans carry real bits
+    for px, pw, ph, nc, sub, q, tol in [
+        (gray, 40, 33, 1, 0, 85, 1),
+        (smooth, w, h, 3, 0, 85, 2),
+        (smooth, w, h, 3, 1, 70, 4),
+        (smooth, w, h, 3, 1, 95, 3),
+        (gray, 40, 33, 1, 0, 30, 1),
+    ]:
+        enc = jenc(px, pw, ph, nc, quality=q, subsample=sub, progressive=1)
+        assert b"\xff\xc2" in enc  # really SOF2
+        _, _, _, ref = jdec(enc)
+        mine = decode_jpeg(enc)
+        assert (mine["width"], mine["height"]) == (pw, ph)
+        a = np.frombuffer(ref, np.uint8).astype(int)
+        b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
+        assert np.abs(a - b).max() <= tol, (q, sub, np.abs(a - b).max())
+
+    # progressive + restart markers: RSTn must reset DC predictors AND
+    # the EOB run mid-scan (restart=2 forces several per scan)
+    enc = jenc(smooth, w, h, 3, quality=85, subsample=1,
+               progressive=1, restart=2)
+    assert b"\xff\xc2" in enc and b"\xff\xdd" in enc  # SOF2 + DRI
+    _, _, _, ref = jdec(enc)
+    mine = decode_jpeg(enc)
+    a = np.frombuffer(ref, np.uint8).astype(int)
+    b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 3, np.abs(a - b).max()
 
 
 _PNG_SHIM_SRC = r"""

@@ -156,8 +156,10 @@ def test_depth_book_consumed_without_explode(spark):
     text = plan_text(df)
     physical = text.split("== Physical Plan ==")[-1]
     assert "Generate" not in physical  # no explode anywhere
-    # snapshot assembly + day rollup: exactly two exchanges
-    assert shuffle_count(df) == 2
+    # two exchanges per UNION ALL section since the r8 fold: snapshot
+    # assembly + day rollup (imbalance) and the (company,lvl) partial-agg
+    # + company window (depth_profile) — the union itself adds none
+    assert shuffle_count(df) == 4
 
 
 def test_salted_agg_splits_hot_key(spark):

@@ -137,6 +137,7 @@ def decode_image(content: bytes) -> dict:
     pos, width = len(_PNG_SIG), None
     height = bit_depth = color_type = None
     idat = b""
+    palette = trns = None
     while pos + 8 <= len(content):
         (clen,), ctype = struct.unpack(">I", content[pos:pos + 4]), content[
             pos + 4:pos + 8
@@ -160,6 +161,10 @@ def decode_image(content: bytes) -> dict:
                     "PNG subset: zlib-deflate, filter method 0, "
                     "interlace 0 or 1 (Adam7)"
                 )
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -167,10 +172,40 @@ def decode_image(content: bytes) -> dict:
         pos += 12 + clen  # len + type + data + crc
     if width is None or not idat:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
+    if color_type == 3:
+        # indexed-color (r8): depths 1/2/4/8; tRNS supplies per-entry
+        # alpha for the leading palette entries, 255 elsewhere
+        if bit_depth not in (1, 2, 4, 8):
+            raise NotImplementedError("PNG subset: palette depth 1/2/4/8")
+        if palette is None or len(palette) % 3:
+            raise ValueError("malformed PNG: palette image without PLTE")
+        idx = _png_index_plane(
+            zlib.decompress(idat), width, height, bit_depth, interlace
+        )
+        n_entries = len(palette) // 3
+        if max(idx) >= n_entries:
+            raise ValueError("malformed PNG: palette index out of range")
+        nch = 4 if trns is not None else 3
+        pixels = bytearray(width * height * nch)
+        for i, v in enumerate(idx):
+            pixels[i * nch:i * nch + 3] = palette[v * 3:v * 3 + 3]
+            if nch == 4:
+                pixels[i * nch + 3] = trns[v] if v < len(trns) else 255
+        pixels = bytes(pixels)
+        return {
+            "n_bytes": len(content),
+            "fmt": "png",
+            "width": width,
+            "height": height,
+            "n_frames": 1,
+            "thumb_width": min(width, 256),
+            "thumb_height": min(height, 256),
+            "decoded_pixels": pixels,
+        }
     if bit_depth != 8 or color_type not in (0, 2, 6):
         raise NotImplementedError(
-            "PNG subset: 8-bit gray/RGB/RGBA (like the WAV seam, one real "
-            "format proves pluggability)"
+            "PNG subset: 8-bit gray/RGB/RGBA or 1/2/4/8-bit palette (like "
+            "the WAV seam, one real format proves pluggability)"
         )
     nch = {0: 1, 2: 3, 6: 4}[color_type]
     raw = zlib.decompress(idat)
@@ -218,12 +253,16 @@ _ADAM7_PASSES = (
 
 
 def _png_unfilter(raw: bytes, off: int, width: int, height: int,
-                  nch: int) -> tuple[bytes, int]:
+                  nch: int, bit_depth: int = 8) -> tuple[bytes, int]:
     """Reverse PNG filter types 0-4 over ``height`` scanlines of
-    ``width * nch`` bytes starting at ``raw[off]``; returns (pixels, next
-    offset). The previous-scanline state starts at zero — each Adam7 pass
-    (and the whole image when non-interlaced) filters independently."""
-    stride = width * nch
+    ``ceil(width * nch * bit_depth / 8)`` bytes starting at ``raw[off]``;
+    returns (filtered-out scanline bytes, next offset). The
+    previous-scanline state starts at zero — each Adam7 pass (and the
+    whole image when non-interlaced) filters independently. For
+    bit_depth < 8 the filter distance is one byte (PNG spec §9: bpp
+    rounds up to one byte) and the returned bytes stay bit-packed."""
+    stride = (width * nch * bit_depth + 7) // 8
+    bpp = max(1, nch * bit_depth // 8)
     pixels = bytearray()
     prev = bytearray(stride)
     for _ in range(height):
@@ -235,7 +274,7 @@ def _png_unfilter(raw: bytes, off: int, width: int, height: int,
             raise ValueError("malformed PNG: truncated scanline data")
         off += 1 + stride
         for x in range(stride):
-            a = line[x - nch] if x >= nch else 0
+            a = line[x - bpp] if x >= bpp else 0
             b = prev[x]
             if ftype == 1:  # Sub
                 line[x] = (line[x] + a) & 0xFF
@@ -244,7 +283,7 @@ def _png_unfilter(raw: bytes, off: int, width: int, height: int,
             elif ftype == 3:  # Average
                 line[x] = (line[x] + (a + b) // 2) & 0xFF
             elif ftype == 4:  # Paeth
-                c = prev[x - nch] if x >= nch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -252,6 +291,56 @@ def _png_unfilter(raw: bytes, off: int, width: int, height: int,
         pixels += line
         prev = line
     return bytes(pixels), off
+
+
+def _png_expand_bits(line: bytes, npix: int, depth: int) -> bytes:
+    """Unpack MSB-first ``depth``-bit palette indices from a packed
+    scanline to one byte per pixel (depth 8 passes through)."""
+    if depth == 8:
+        return line[:npix]
+    out = bytearray(npix)
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for i in range(npix):
+        b = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out[i] = (b >> shift) & mask
+    return bytes(out)
+
+
+def _png_index_plane(raw: bytes, width: int, height: int, depth: int,
+                     interlace: int) -> bytes:
+    """Decode the filtered (possibly Adam7) index stream of a palette
+    PNG to one byte per pixel in screen order. Sub-byte rows stay
+    bit-packed through the filter (spec §9) and expand per scanline —
+    per Adam7 PASS row when interlaced, since each pass packs its own
+    reduced-width rows independently."""
+    if interlace == 0:
+        packed, _ = _png_unfilter(raw, 0, width, height, 1, depth)
+        stride = (width * depth + 7) // 8
+        out = bytearray()
+        for y in range(height):
+            out += _png_expand_bits(
+                packed[y * stride:(y + 1) * stride], width, depth
+            )
+        return bytes(out)
+    out = bytearray(width * height)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, off = _png_unfilter(raw, off, pw, ph, 1, depth)
+        stride = (pw * depth + 7) // 8
+        for j in range(ph):
+            row = _png_expand_bits(
+                sub[j * stride:(j + 1) * stride], pw, depth
+            )
+            y = y0 + j * dy
+            for i in range(pw):
+                out[y * width + x0 + i * dx] = row[i]
+    return bytes(out)
 
 
 def encode_png(

@@ -1062,6 +1062,42 @@ int shim_encode_png_adam7(const unsigned char* pixels, int w, int h,
   *out = m.buf; *outlen = m.len;
   return 0;
 }
+/* Palette writer (r8): depths 1/2/4/8 via PNG_TRANSFORM_PACKING from
+   one-byte-per-pixel indices, optional tRNS, optional ADAM7. */
+int shim_encode_png_pal(const unsigned char* idx, int w, int h, int depth,
+                        const unsigned char* pal_rgb, int npal,
+                        const unsigned char* trns, int ntrns, int interlace,
+                        unsigned char** out, size_t* outlen) {
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                            NULL, NULL, NULL);
+  if (!png) return 1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_write_struct(&png, NULL); return 1; }
+  membuf m = {0, 0, 0};
+  png_bytep* rows = NULL;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info); free(m.buf); free(rows); return 2;
+  }
+  png_set_write_fn(png, &m, mb_write, mb_flush);
+  png_set_IHDR(png, info, w, h, depth, PNG_COLOR_TYPE_PALETTE,
+               interlace ? PNG_INTERLACE_ADAM7 : PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_color pal[256];
+  for (int i = 0; i < npal; i++) {
+    pal[i].red = pal_rgb[3*i]; pal[i].green = pal_rgb[3*i+1];
+    pal[i].blue = pal_rgb[3*i+2];
+  }
+  png_set_PLTE(png, info, pal, npal);
+  if (ntrns > 0) png_set_tRNS(png, info, (png_bytep)trns, ntrns, NULL);
+  rows = malloc((size_t)h * sizeof(png_bytep));
+  for (int y = 0; y < h; y++) rows[y] = (png_bytep)(idx + (size_t)y * w);
+  png_set_rows(png, info, rows);
+  png_write_png(png, info, PNG_TRANSFORM_PACKING, NULL);
+  free(rows);
+  png_destroy_write_struct(&png, &info);
+  *out = m.buf; *outlen = m.len;
+  return 0;
+}
 void shim_free_png(unsigned char* p) { free(p); }
 """
 
@@ -1165,6 +1201,55 @@ def test_png_path_cross_validated_vs_libpng():
         # (proves the scatter grid isn't a mirrored bug)
         assert pdec(encode_png(px, w, h, nc, interlace=True)) == (
             w, h, nc, px), (w, h, nc)
+
+    # --- indexed-color (color type 3), depths 1/2/4/8 (r8) ---
+    # libpng-WRITTEN palette files (PNG_TRANSFORM_PACKING packs sub-byte
+    # rows; its encoder picks per-row filters over the PACKED bytes) must
+    # decode here to the exact palette-mapped samples, sequential AND
+    # Adam7, with and without tRNS alpha
+    lib.shim_encode_png_pal.restype = ctypes.c_int
+    lib.shim_encode_png_pal.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+
+    def penc_pal(idx, w, h, depth, pal, trns, interlace):
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        n = ctypes.c_size_t()
+        assert lib.shim_encode_png_pal(
+            idx, w, h, depth, pal, len(pal) // 3,
+            trns or b"", len(trns or b""), int(interlace),
+            ctypes.byref(out), ctypes.byref(n)) == 0
+        buf = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n.value)).contents))
+        lib.shim_free_png(out)
+        return buf
+
+    for depth in (1, 2, 4, 8):
+        npal = min(1 << depth, 23)
+        pal = bytes(rnd.randrange(256) for _ in range(3 * npal))
+        for w, h in ((21, 13), (8, 8), (3, 17)):
+            idx = bytes(rnd.randrange(npal) for _ in range(w * h))
+            for use_trns in (False, True):
+                trns = (bytes(rnd.randrange(256)
+                              for _ in range(max(1, npal // 2)))
+                        if use_trns else None)
+                for il in (False, True):
+                    data = penc_pal(idx, w, h, depth, pal, trns, il)
+                    m = decode_image(data)
+                    assert (m["width"], m["height"]) == (w, h)
+                    nc2 = 4 if use_trns else 3
+                    want = bytearray()
+                    for v in idx:
+                        want += pal[3 * v:3 * v + 3]
+                        if use_trns:
+                            want.append(
+                                trns[v] if v < len(trns) else 255)
+                    assert bytes(m["decoded_pixels"]) == bytes(want), (
+                        depth, w, h, use_trns, il, nc2)
 
 
 def test_gif_decoder_on_giflib_encoded_streams():

@@ -113,6 +113,30 @@ def _stream_join_hot_keys() -> list[str]:
     return [k for k in raw.split(",") if k]
 
 
+def _neardup_index_broadcast_rows() -> int:
+    """Row-count ceiling under which the corpus LSH band index gets a
+    broadcast hint (VERDICT r8 ask #1). A band row is (int band, long sig,
+    long idx_doc) ~ 28 B as an UnsafeRow, so the 400k default tracks the
+    10 MB-class autoBroadcastJoinThreshold semantics. Read per call so the
+    scale harness and plan tests can flip regimes per run;
+    SPARK_GRAFT_NEARDUP_BROADCAST_ROWS overrides."""
+    raw = os.environ.get("SPARK_GRAFT_NEARDUP_BROADCAST_ROWS")
+    return int(raw) if raw is not None else 400_000
+
+
+def _neardup_index_side(idx_sigs: DataFrame, est_index_rows: int) -> DataFrame:
+    """Hint the band index for broadcast only while a bounded statistic
+    says it is small. The index is corpus-derived (data-sized), so a hard
+    ``F.broadcast`` would force the build at ANY corpus size and OOM the
+    executors at a 100 TB corpus; past the threshold the hint is dropped
+    and Spark plans the ordinary shuffled equi-join the docstring
+    promises. Output is identical in both regimes (join strategy only) —
+    pinned by tests/test_scale_patterns.py."""
+    if est_index_rows <= _neardup_index_broadcast_rows():
+        return F.broadcast(idx_sigs)
+    return idx_sigs
+
+
 def with_stream_join_salt(
     probe: DataFrame,
     build: DataFrame,
@@ -591,6 +615,92 @@ def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# DENSITY-CAPPED twin of the stream-stream interval join (VERDICT r8 ask
+# #5): identical join machinery — two watermarked feeds, the same interval
+# condition, the same auto-sized hot-key salt — but the book side keeps
+# only snapshots from a FIXED user cohort (user_id < 150; the scale
+# synthesis shifts copy keys upward, so the cohort — and with it per-key
+# in-horizon snapshot density — stays CONSTANT as data scales). The
+# by-spec quadratic of the headline query is output semantics, not state
+# cost; this twin holds output linear in the trade stream so 10x/100x
+# wall factors measure the state machinery itself. The cap is a stateless
+# map-side filter pushed into the book stream's scan.
+_INTERVAL_CAP_USERS = 150  # ~3 snapshot publishers per company_id
+
+
+@query(
+    "c_stream_interval_join_capped",
+    oracle=oracle_on_domain(
+        f"""
+        SELECT t.company_id, COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(b.bid_price AS DECIMAL(27,6))) AS DOUBLE)
+                   AS bid_sum
+        FROM trades t JOIN (
+            SELECT 'FIGI' || lpad(CAST(user_id % 50 AS STRING), 2, '0')
+                       AS company_id,
+                   ts, (value + 0.01) * 0.999 AS bid_price
+            FROM events
+            WHERE event_id % 3 = 0 AND user_id < {_INTERVAL_CAP_USERS}
+        ) b
+          ON b.company_id = t.company_id
+         AND b.ts >= t.ts - INTERVAL 30 MINUTE AND b.ts <= t.ts
+        GROUP BY t.company_id
+        """
+    ),
+)
+def c_stream_interval_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import _COMPANY, FIXTURE_SQL, domain_table
+
+    configure(spark)
+    events_stream(spark, sf_dir).createOrReplaceTempView("events")
+    st = spark.sql(FIXTURE_SQL["trades"]).select(
+        "company_id", F.col("ts").cast("timestamp").alias("t_ts"), "price"
+    )
+    sb = spark.sql(
+        f"""
+        SELECT {_COMPANY} AS company_id, ts,
+               (value + 0.01) * 0.999 AS bid_price
+        FROM events
+        WHERE event_id % 3 = 0 AND user_id < {_INTERVAL_CAP_USERS}
+        """
+    ).select(
+        F.col("company_id").alias("b_company_id"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
+        "bid_price",
+    )
+    cond = (
+        (F.col("company_id") == F.col("b_company_id"))
+        & (F.col("b_ts") >= F.col("t_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("b_ts") <= F.col("t_ts"))
+    )
+    n_keys = domain_table(spark, sf_dir, "companies").count()
+    n_salts = _stream_join_salt(n_keys)
+    if n_salts > 1:
+        st, sb = with_stream_join_salt(
+            st, sb, "company_id", "b_company_id", n_salts,
+            _stream_join_hot_keys() or None,
+        )
+        cond = cond & (F.col("__t_salt") == F.col("__b_salt"))
+    joined = (
+        st.withWatermark("t_ts", "1 hour")
+        .join(sb.withWatermark("b_ts", "1 hour"), cond)
+        .select("company_id", "bid_price")
+    )
+    landed = run_to_scratch(
+        joined,
+        "append",
+        batch_transform=lambda b: b.groupBy("company_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bid_price").cast("decimal(27,6)")).alias("s"),
+        ),
+    )
+    return landed.groupBy("company_id").agg(
+        F.sum("n").cast("long").alias("n_pairs"),
+        F.sum("s").cast("double").alias("bid_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Stream-STATIC broadcast enrich, oracle-checked: the unbounded event
 # stream joins the bounded companies dimension (the reference's
 # per-message FIGI lookup, from_parser_to_rabbitmq.py:96-100, done as a
@@ -1023,9 +1133,12 @@ def c_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signatures, and stream-static join against the corpus's LSH band index:
 # the flag-before-landing gate every dedup pipeline wants, without waiting
 # for the nightly batch job. The join is stateless equi on (band, sig) —
-# no watermark, no streaming state; the index is broadcast here (120k rows
-# at sf0.1) and becomes an ordinary bucketed shuffle join at index sizes
-# past broadcast range. Oracle: the identical self-join run fully in batch
+# no watermark, no streaming state; the index side's broadcast hint is
+# AUTO-SIZED from a bounded statistic (parquet footer row count x the
+# fixed corpus/band fan-out): hinted below ~400k band rows (120k at
+# sf0.1, so broadcast engages here), dropped above, where Spark plans the
+# ordinary shuffled equi-join — no hard hint on a data-sized side
+# (VERDICT r8 ask #1). Oracle: the identical self-join run fully in batch
 # by DuckDB (raw arrivals = the doc_id < 1e6 partition of the corpus,
 # whose +1e6 rows are mutated near-dups and +2e6 rows exact copies — so
 # the match-kind split is a seeded-truth readout, not just a count).
@@ -1097,6 +1210,13 @@ def c_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_sigs = band_rows(corpus(spark, sf_dir), "idx_doc")
 
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Bounded broadcast statistic: parquet footer row count (metadata-only
+    # scan) x the corpus fan-out (1 + 1/25 mutated + 1/20 copies, see
+    # dedup.CORPUS_SQL) x LSH_BANDS band rows per doc — an upper bound
+    # (short/empty docs are filtered out of the index, never added).
+    from ..functions.text import LSH_BANDS
+
+    est_index_rows = int(batch.count() * 1.09 + 1) * LSH_BANDS
     raw = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1104,7 +1224,7 @@ def c_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         band_rows(raw, "doc_id")
-        .join(F.broadcast(idx_sigs), ["band", "sig"])
+        .join(_neardup_index_side(idx_sigs, est_index_rows), ["band", "sig"])
         .filter(F.col("idx_doc") != F.col("doc_id"))
         .select("doc_id", "idx_doc")
     )

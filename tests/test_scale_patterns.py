@@ -685,3 +685,90 @@ def test_stream_join_salt_autosizing(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_JOIN_SALT", "4")
     assert P._stream_join_salt(50) == 4    # explicit override wins
     assert P._stream_join_salt(None) == 4
+
+
+def test_neardup_index_broadcast_autosized_plan(spark, monkeypatch):
+    """The corpus LSH band index is data-sized, so its broadcast hint must
+    derive from an observed statistic, not be pinned (VERDICT r8 ask #1):
+    below the row threshold the join plans as BroadcastHashJoin; above it
+    the hint is DROPPED and Spark falls back to an ordinary shuffled
+    equi-join instead of attempting (and OOMing on) a 100 TB-corpus
+    broadcast. Session-level size-based broadcast is disabled for the
+    assertion so only the hint decides the strategy."""
+    from bigdatainvesttink_spark.streaming import pipeline as P
+
+    left = spark.range(200).selectExpr(
+        "CAST(id % 8 AS INT) AS band", "id AS sig", "id AS doc_id"
+    )
+    idx = spark.range(200).selectExpr(
+        "CAST(id % 8 AS INT) AS band", "id AS sig", "id + 7 AS idx_doc"
+    )
+
+    def plan(est_rows: int) -> str:
+        joined = left.join(
+            P._neardup_index_side(idx, est_rows), ["band", "sig"]
+        )
+        return joined._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.delenv("SPARK_GRAFT_NEARDUP_BROADCAST_ROWS", raising=False)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        below = plan(400_000)   # at the default ceiling -> hinted
+        above = plan(400_001)   # one past it -> hint dropped
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in below
+    assert "BroadcastHashJoin" not in above
+    assert "SortMergeJoin" in above or "ShuffledHashJoin" in above
+    # env override rewires the threshold (the scale harness's lever)
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_BROADCAST_ROWS", "0")
+    assert P._neardup_index_broadcast_rows() == 0
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_BROADCAST_ROWS", "123")
+    assert P._neardup_index_broadcast_rows() == 123
+
+
+def test_neardup_flags_identical_across_join_regimes(spark, monkeypatch):
+    """Join strategy must be invisible in the output: the full streaming
+    query run with the broadcast hint (default at this scale) and with the
+    hint forced off (threshold 0 -> shuffled join) lands bit-identical
+    match-kind aggregates."""
+    from bigdatainvesttink_spark.streaming.pipeline import (
+        c_stream_neardup_flags,
+    )
+
+    def run():
+        return sorted(
+            map(tuple, c_stream_neardup_flags(spark, SF_SMALL).collect())
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_NEARDUP_BROADCAST_ROWS", raising=False)
+    want = run()
+    assert want, "neardup query produced no flags on the seeded corpus"
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_BROADCAST_ROWS", "0")
+    assert run() == want
+
+
+def test_kmeans_fit_over_k_budget_fails_loud(spark, monkeypatch):
+    """Data-derived k (SemDeDup's n/128) makes the per-iteration centroid
+    collect data-sized in the limit (VERDICT r8 ask #2): kmeans_fit must
+    REFUSE k past the budget with pin-k guidance instead of shipping a
+    multi-GB closure, and the env override must raise the ceiling."""
+    import pytest
+
+    from bigdatainvesttink_spark.operators import clustering
+
+    vecs = spark.range(40).selectExpr(
+        "id AS vec_id",
+        "CAST(id % 3 AS INT) AS label",
+        "array(id, id * 2, 7 - id) AS xu",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_K_BUDGET", "4")
+    with pytest.raises(ValueError, match="KMEANS_K_BUDGET"):
+        clustering.kmeans_fit(vecs, k=5, n_iter=1)
+    # at the ceiling it runs; env override lifts it
+    assigned, obj = clustering.kmeans_fit(vecs, k=4, n_iter=1)
+    assert assigned.count() == 40 and len(obj) == 1
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_K_BUDGET", "6")
+    assigned, _ = clustering.kmeans_fit(vecs, k=5, n_iter=1)
+    assert assigned.count() == 40

@@ -43,6 +43,23 @@ N_ITER = 3  # demonstration default; convergence tested separately
 DIM = 64
 
 
+def _kmeans_k_budget() -> int:
+    """Fail-loud ceiling on k (VERDICT r8 ask #2). ``kmeans_fit`` collects
+    k centroid rows to the driver per iteration and ships k*dim int64
+    through the task closure — KB at any pinned k, but
+    d3_semdedup_cell_blocked derives k = n/128 from DATA, so at 10^9
+    vectors the "k rows only" comments silently become ~8 M rows / ~4 GB.
+    The budget makes that cliff explicit instead of an executor OOM:
+    generous default (65,536 centroids = 32 MB of closure at dim 64,
+    far past the SemDeDup paper's own production shape of 11k fixed cells
+    for 234 M docs), SPARK_GRAFT_KMEANS_K_BUDGET overrides for a cluster
+    with more driver headroom."""
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_KMEANS_K_BUDGET")
+    return int(raw) if raw is not None else 65_536
+
+
 def quantize_micros(e: DataFrame) -> DataFrame:
     """(vec_id, label, xu: array<long>) — embeddings on the integer-micro
     grid, the exact same expression as the oracle's ``ex`` CTEs."""
@@ -118,9 +135,19 @@ def kmeans_fit(vectors: DataFrame, k: int = K, n_iter: int = N_ITER):
     micro per dimension, adding at most ``n * dim * 0.25`` micro^2 to the
     objective (parallel-axis theorem) — callers asserting monotonicity must
     allow that slack."""
+    budget = _kmeans_k_budget()
+    if k > budget:
+        raise ValueError(
+            f"kmeans_fit k={k} exceeds KMEANS_K_BUDGET={budget}: centroid "
+            f"state is driver-collected and closure-shipped each iteration "
+            f"(k*dim int64), so data-derived k (e.g. SemDeDup's n/128) is "
+            f"unbounded in the limit. Pin k to a model hyperparameter (the "
+            f"SemDeDup paper fixes 11k cells for 234M docs) or raise "
+            f"SPARK_GRAFT_KMEANS_K_BUDGET on a driver with the headroom."
+        )
     first = (
         vectors.orderBy("vec_id").limit(k).collect()
-    )  # k rows only — deterministic seed, not a data-sized collect
+    )  # k rows only, k <= KMEANS_K_BUDGET (fail-loud above)
     centroids = [(i, [int(x) for x in r["xu"]]) for i, r in enumerate(first)]
     dim = len(centroids[0][1])
     objectives: list[int] = []
@@ -140,7 +167,7 @@ def kmeans_fit(vectors: DataFrame, k: int = K, n_iter: int = N_ITER):
                 F.sum(F.col("d2").cast("decimal(38,0)")).alias("obj"),
             )
             .collect()
-        )  # k rows — the only driver-side data each iteration
+        )  # k rows — the only driver-side data each iteration (budgeted)
         objectives.append(sum(int(r["obj"]) for r in stats))
         by_cid = {int(r["cluster"]): r for r in stats}
         centroids = [

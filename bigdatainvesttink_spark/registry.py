@@ -19,6 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
+_QUERY_SRC: dict[str, str] = {}  # name -> repo-relative registering module
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -28,6 +29,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         _QUERIES[name] = fn
+        _QUERY_SRC[name] = fn.__module__.replace(".", "/") + ".py"
         if oracle is not None:
             _ORACLE[name] = oracle
         return fn
@@ -249,16 +251,22 @@ _UNCHECKED_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _load_green_since(round_no: int) -> frozenset[str]:
-    """Names with a fully green driver row in round >= ``round_no``."""
+def _load_last_checked_round() -> dict[str, int]:
+    """name -> newest round with a driver row that settled it: a fully
+    green row, or a rows-only row for oracle-less names (those can never
+    go hash-green, so their rows-only round IS their freshness). Parsed
+    ONCE at module load (ADVICE r8: _load_green_since re-globbed every
+    verdict file per _driver_order call) — the staleness rank, the
+    schema-change re-entry rule, and the green tail all read this map."""
     import re
 
-    green: set[str] = set()
+    last: dict[str, int] = dict.fromkeys(_DRIVER_GREEN_R1, 1)
     root = Path(__file__).resolve().parents[1]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
-        if not m or int(m.group(1)) < round_no:
+        if not m:
             continue
+        rnd = int(m.group(1))
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -266,14 +274,68 @@ def _load_green_since(round_no: int) -> frozenset[str]:
         if not isinstance(rows, dict):
             continue
         for name, verdict in rows.items():
+            if not isinstance(verdict, dict):
+                continue
             if (
-                isinstance(verdict, dict)
-                and verdict.get("rows_match")
+                verdict.get("rows_match")
                 and verdict.get("schema_match")
                 and verdict.get("hash_match")
-            ):
-                green.add(name)
-    return frozenset(green)
+            ) or verdict.get("err") == "no_oracle":
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST_CHECKED_ROUND: dict[str, int] = _load_last_checked_round()
+
+
+def _load_green_since(round_no: int) -> frozenset[str]:
+    """Names with a fully green (or rows-only) driver row in round >=
+    ``round_no`` — a view over the cached per-name map."""
+    return frozenset(
+        n for n, r in _LAST_CHECKED_ROUND.items() if r >= round_no
+    )
+
+
+def _changed_since_round() -> dict[int, frozenset[str]]:
+    """round -> repo-relative paths changed since that round's verdict
+    artifact landed (VERDICT r8 ask #3: prioritize stale green rows whose
+    source moved under them). Derived from git: the commit that ADDED
+    CORRECTNESS_r{N}.json marks round N's check; ``git diff --name-only``
+    from there to HEAD lists what the engine changed since. Best-effort —
+    any git failure degrades to {} and staleness ranks on vintage alone."""
+    import subprocess
+
+    root = Path(__file__).resolve().parents[1]
+    out: dict[int, frozenset[str]] = {}
+    rounds = sorted(set(_LAST_CHECKED_ROUND.values()))
+    for rnd in rounds:
+        try:
+            commit = subprocess.run(
+                ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1",
+                 "--", f"CORRECTNESS_r{rnd:02d}.json"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if not commit:
+                continue
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", f"{commit}..HEAD"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            )
+            if diff.returncode == 0:
+                out[rnd] = frozenset(diff.stdout.split())
+        except (OSError, subprocess.SubprocessError, ValueError):
+            continue
+    return out
+
+
+_CHANGED_SINCE_ROUND: dict[int, frozenset[str]] | None = None
+
+
+def _changed_since_round_cached() -> dict[int, frozenset[str]]:
+    global _CHANGED_SINCE_ROUND
+    if _CHANGED_SINCE_ROUND is None:
+        _CHANGED_SINCE_ROUND = _changed_since_round()
+    return _CHANGED_SINCE_ROUND
 
 
 def _driver_order(names: list[str]) -> list[str]:
@@ -299,7 +361,25 @@ def _driver_order(names: list[str]) -> list[str]:
     ]
     rank = {n: i for i, n in enumerate(_UNCHECKED_PRIORITY)}
     unchecked.sort(key=lambda n: rank.get(n, len(rank)))  # stable sort
-    green = [n for n in names if n in done and n not in recheck_set]
+    # Staleness rank for the green tail (VERDICT r8 ask #3): with the
+    # unchecked backlog at zero, the driver's 50/round budget should land
+    # on the STALEST green rows — ~180 date from r1-r3 while the engine
+    # under them was re-planned repeatedly. Sort ascending by the round of
+    # the newest settling row; within a vintage, queries whose registering
+    # module changed since that round's artifact commit (git-derived,
+    # best-effort) go first; registration order breaks remaining ties.
+    reg_rank = {n: i for i, n in enumerate(names)}
+    changed = _changed_since_round_cached()
+
+    def _staleness(n: str) -> tuple[int, int, int]:
+        rnd = _LAST_CHECKED_ROUND.get(n, 0)
+        src_moved = _QUERY_SRC.get(n) in changed.get(rnd, frozenset())
+        return (rnd, 0 if src_moved else 1, reg_rank[n])
+
+    green = sorted(
+        (n for n in names if n in done and n not in recheck_set),
+        key=_staleness,
+    )
     return recheck + fixed + unchecked + green
 
 

@@ -84,3 +84,28 @@ def test_bench_compare_flags_only_real_regressions():
     # (sub-noise-floor) -> not flagged; "added" is new -> never flagged
     assert [f[0] for f in r["flags"]] == ["a"]
     assert THRESHOLD == 2.0 and MIN_ABS_DELTA_S == 0.5
+
+
+def test_driver_order_green_tail_stalest_first():
+    """With the unchecked backlog at zero, the driver's 50/round budget
+    must land on the STALEST green rows (VERDICT r8 ask #3): the green
+    tail sorts ascending by newest settling-row round, with a git-derived
+    source-moved tie-break inside a vintage."""
+    from bigdatainvesttink_spark import registry
+
+    order = list(registry.all_queries())
+    # unchecked names (no settling row yet) go FIRST; after them the
+    # green tail's vintages must be non-decreasing
+    checked = [n for n in order if n in registry._LAST_CHECKED_ROUND]
+    n_unchecked = len(order) - len(checked)
+    assert order[n_unchecked:] == checked, (
+        "unchecked names must all precede the green tail"
+    )
+    rounds = [registry._LAST_CHECKED_ROUND[n] for n in checked]
+    assert rounds == sorted(rounds), "green tail is not stalest-first"
+    # the map itself is parsed once at import (ADVICE r8): the module
+    # attribute is the cache, not a per-call re-glob
+    assert registry._load_green_since(999) == frozenset()
+    assert registry._load_green_since(1) == frozenset(
+        registry._LAST_CHECKED_ROUND
+    )

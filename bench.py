@@ -89,6 +89,28 @@ def main() -> None:
         if min(a, b) > 0 and abs(a - b) / min(a, b) > 0.4:
             runs[name].append(run_once(fn))
 
+    # Noise-flag retirement (VERDICT r8 ask #6): sub-second queries can
+    # trip the compare's 2x gate purely from host noise (r8:
+    # dmm_audio_pcm_roundtrip 0.57 -> 1.15 s with ZERO source diff). Any
+    # query whose PREVIOUS-round min was < 1.5 s and whose current min
+    # would flag (>2x and >0.5 s absolute — the bench_compare gate) gets
+    # three more timings before the detail file is written; the min of
+    # all runs is kept, so a real regression still flags while a noisy
+    # one retires itself.
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+            prev_q = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        prev_q = {}
+    for name, fn in qs.items():
+        prev = prev_q.get(name)
+        cur = min(runs[name])
+        if (
+            isinstance(prev, (int, float)) and prev < 1.5
+            and cur > prev * 2.0 and cur - prev > 0.5
+        ):
+            runs[name].extend(run_once(fn) for _ in range(3))
+
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
 

@@ -368,6 +368,7 @@ class _ProgressiveStore:
 
     def __init__(self, frame: dict):
         self.frame = frame
+        self.n_scans = 0  # decoded SOS count — reconstruct refuses zero
         comps = frame["comps"]
         self.hmax = max(c["h"] for c in comps)
         self.vmax = max(c["v"] for c in comps)
@@ -471,6 +472,15 @@ class _ProgressiveStore:
                     ss, se, ah, al) -> int:
         """Decode one SOS's entropy segment into the store; returns the
         position of the next marker."""
+        # AC band bounds (ADVICE r8): Ss > Se would silently decode
+        # nothing per block; Se > 63 would surface as a numpy IndexError
+        # inside _ac_first/_ac_refine — fail as malformed input instead
+        if ss > 0 and not (ss <= se <= 63):
+            raise ValueError(
+                f"malformed JPEG: AC scan band Ss={ss}..Se={se} "
+                f"outside 1..63"
+            )
+        self.n_scans += 1
         comps_by_id = {c["id"]: c for c in self.frame["comps"]}
         br = _BitReader(data, pos)
         self._eobrun = 0
@@ -552,6 +562,11 @@ class _ProgressiveStore:
     # ---- reconstruction ------------------------------------------------
 
     def reconstruct(self, qt: dict) -> dict:
+        # a SOF2 stream that reached EOI with zero decoded scans must
+        # fail like the sequential path does, not return the store's
+        # all-zero coefficients as a uniform gray image (ADVICE r8)
+        if self.n_scans == 0:
+            raise ValueError("no SOS segment found")
         planes = {}
         for c in self.frame["comps"]:
             z = self.coefs[c["id"]]

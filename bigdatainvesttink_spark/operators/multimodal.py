@@ -153,6 +153,11 @@ def decode_image(content: bytes) -> dict:
                 filter_method,
                 interlace,
             ) = struct.unpack(">IIBBBBB", data[:13])
+            # PNG §11.2.2: zero width/height is invalid — fail as
+            # malformed input, not via max() on an empty index plane
+            # downstream (ADVICE r8)
+            if width == 0 or height == 0:
+                raise ValueError("malformed PNG: zero-dimension image")
             # the un-filter assumes zlib/filter-0 coding; interlace may
             # be 0 (sequential) or 1 (Adam7, real since r8 — the seven
             # passes unfilter independently and scatter to screen order)
@@ -183,7 +188,10 @@ def decode_image(content: bytes) -> dict:
             zlib.decompress(idat), width, height, bit_depth, interlace
         )
         n_entries = len(palette) // 3
-        if max(idx) >= n_entries:
+        # `idx` is empty for a degenerate 0x0 image (ADVICE r8): skip the
+        # range check rather than let max() raise its bare empty-sequence
+        # error — zero pixels reference no palette entry
+        if idx and max(idx) >= n_entries:
             raise ValueError("malformed PNG: palette index out of range")
         nch = 4 if trns is not None else 3
         pixels = bytearray(width * height * nch)

@@ -1661,3 +1661,80 @@ def test_semdedup_cell_blocked_invariants(spark):
                 assert clustered[vid] == clustered[base], (vid, base)
                 checked += 1
     assert checked > 0, "no same-cell synthetic pair reached the output"
+
+
+def test_jpeg_progressive_zero_scans_fails_loud():
+    """A SOF2 stream truncated before its first SOS must raise the same
+    'no SOS segment found' the sequential path raises, not return the
+    store's all-zero coefficients as a silent uniform-gray image
+    (ADVICE r8)."""
+    import pytest
+
+    from bigdatainvesttink_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    px = bytes((x * 7 + y * 13) % 256 for y in range(9) for x in range(11))
+    base = encode_jpeg_baseline(px, 11, 9, 1)
+    k = base.find(b"\xff\xc0")
+    prog = base[:k] + b"\xff\xc2" + base[k + 2:]
+    headers_only = prog[: prog.find(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no SOS segment found"):
+        decode_jpeg(headers_only)
+
+
+def test_jpeg_progressive_ac_band_bounds_validated():
+    """Corrupt AC-scan band bounds (Ss > Se, or Se > 63) must raise a
+    clean malformed-JPEG ValueError at the top of decode_scan, not
+    silently decode nothing per block / IndexError inside _ac_first
+    (ADVICE r8)."""
+    import pytest
+
+    from bigdatainvesttink_spark.operators.jpeg_codec import (
+        _ProgressiveStore,
+    )
+
+    frame = {
+        "w": 8, "h": 8, "progressive": True,
+        "comps": [{"id": 1, "h": 1, "v": 1, "tq": 0}],
+    }
+    store = _ProgressiveStore(frame)
+    scan = [(1, {"dc": 0, "ac": 0})]
+    for ss, se in [(6, 5), (1, 64), (63, 70)]:
+        with pytest.raises(ValueError, match="AC scan band"):
+            store.decode_scan(b"", 0, scan, {}, 0, ss, se, 0, 0)
+    # the valid boundary band still enters the entropy decoder (and
+    # fails there on the truncated segment, but NOT with the band message)
+    try:
+        store.decode_scan(b"\xff\xd9", 0, scan, {(1, 0): {}}, 0, 1, 63, 1, 0)
+    except Exception as exc:
+        assert "AC scan band" not in str(exc)
+
+
+def test_png_zero_dimension_fails_as_malformed():
+    """A palette PNG declaring 0x0 dimensions must fail with a
+    malformed-PNG message, not 'max() arg is an empty sequence' from the
+    index-range check (ADVICE r8)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.multimodal import decode_image
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(3))
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_image(png)

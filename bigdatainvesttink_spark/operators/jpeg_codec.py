@@ -1,17 +1,21 @@
-"""Baseline + progressive JPEG codec on stdlib + numpy.
+"""Baseline + progressive + arithmetic JPEG codec on stdlib + numpy.
 
 Retires the ``decode_image`` JPEG NotImplementedError guard the same way
 rounds 4/5 retired WAV and PNG: no codec library, just the published
 format — ITU-T T.81 DCT, Huffman entropy coding, 8-bit samples.
 Supported: grayscale and YCbCr 4:4:4 / 4:2:2 / 4:2:0 (any h/v factors
 <= 2), restart markers, multiple DQT/DHT segments, baseline sequential
-(SOF0/1) and — since r8 — PROGRESSIVE (SOF2): spectral selection +
+(SOF0/1), — since r8 — PROGRESSIVE (SOF2): spectral selection +
 successive approximation per T.81 Annex G, i.e. interleaved DC
 first/refinement scans and per-component AC first/refinement scans with
 EOB runs, accumulated into a persistent coefficient store and
-dequantized/IDCT'd once after the last scan. Out of scope (documented
-raises, not silent garbage): hierarchical/lossless/arithmetic variants,
-12-bit precision.
+dequantized/IDCT'd once after the last scan, and — since r9 —
+ARITHMETIC-coded sequential (SOF9): the T.81 Annex D QM coder with the
+Table D.3 state machine and the F.2.4 DC/AC conditioning contexts (DAC
+markers, restart statistics reset), cross-validated against
+libjpeg-encoded streams. Out of scope (documented raises, not silent
+garbage): hierarchical/lossless/progressive-arithmetic variants, 12-bit
+precision.
 
 The encoder twin (`encode_jpeg_baseline`) exists for the tests'
 roundtrip proof, mirroring `encode_png` / the WAV writer: gray or RGB
@@ -143,6 +147,7 @@ def decode_jpeg(data: bytes) -> dict:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    dac: dict[str, dict] = {"dc": {}, "ac": {}}  # arith conditioning
     frame = None
     restart_interval = 0
     while pos < len(data):
@@ -187,7 +192,9 @@ def decode_jpeg(data: bytes) -> dict:
                 symbols = seg[p + 17:p + 17 + n]
                 huff[(cls, tid)] = _build_huffman(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (prog)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 (baseline/extended sequential), SOF2 (progressive),
+            # SOF9 (extended sequential, arithmetic-coded — r9)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("JPEG subset: 8-bit precision")
@@ -199,16 +206,32 @@ def decode_jpeg(data: bytes) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9}
             if marker == 0xC2:
                 store = _ProgressiveStore(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG subset: sequential or progressive Huffman only "
-                f"(SOF marker 0x{marker:02X} is hierarchical/lossless/"
-                "arithmetic)"
+                "JPEG subset: sequential/progressive Huffman plus "
+                f"sequential arithmetic only (SOF marker 0x{marker:02X} "
+                "is hierarchical/lossless/progressive-arithmetic)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:  # DC: Cs = (U << 4) | L
+                    up, lo = cs >> 4, cs & 0xF
+                    if lo > up:
+                        raise ValueError("malformed JPEG: DAC L > U")
+                    dac["dc"][tb] = (lo, up)
+                else:  # AC: Cs = Kx
+                    if not 1 <= cs <= 63:
+                        raise ValueError("malformed JPEG: DAC Kx range")
+                    dac["ac"][tb] = cs
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -241,6 +264,10 @@ def decode_jpeg(data: bytes) -> dict:
                 cid, tt = seg[1 + 2 * i:3 + 2 * i]
                 scan[cid] = {"dc": tt >> 4, "ac": tt & 0xF}
             pos += seglen
+            if frame.get("arith"):
+                return _decode_scan_arith(
+                    data, pos, frame, scan, qt, dac, restart_interval
+                )
             return _decode_scan(
                 data, pos, frame, scan, qt, huff, restart_interval
             )
@@ -346,6 +373,296 @@ def _finish(frame: dict, planes: dict) -> dict:
         "n_components": ncomp,
         "pixels": pixels,
     }
+
+
+# ------------------------------------------------- arithmetic (SOF9, r9)
+
+# T.81 Table D.3 — the QM-coder probability estimation state machine:
+# (Qe, Next_Index_MPS, Next_Index_LPS, Switch_MPS) for states 0..112,
+# plus the conventional fixed state 113 (transitions to itself, switch
+# 0) used for the AC sign decision, which is coded at a fixed ~0.5
+# probability. Pinned byte-for-byte against the installed libjpeg's
+# exported `jpeg_aritab` by tests/test_llm_ops.py.
+_ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0), (0x080B, 4, 18, 0),
+    (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0), (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0),
+    (0x0036, 9, 30, 0), (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1), (0x3F25, 16, 36, 0),
+    (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0), (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0),
+    (0x0CEF, 21, 43, 0), (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0), (0x01B1, 28, 54, 0),
+    (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0), (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0),
+    (0x0068, 33, 62, 0), (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0), (0x2EF1, 40, 67, 0),
+    (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0), (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0),
+    (0x1177, 45, 73, 0), (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0), (0x04DE, 52, 50, 0),
+    (0x040F, 53, 50, 0), (0x0363, 54, 51, 0), (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0),
+    (0x01F8, 57, 54, 0), (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0), (0x008F, 32, 61, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0), (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0),
+    (0x2FE8, 69, 83, 0), (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0), (0x119C, 76, 74, 0),
+    (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0), (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0),
+    (0x5832, 81, 80, 1), (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0), (0x2516, 71, 86, 0),
+    (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0), (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0),
+    (0x3824, 93, 99, 0), (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0), (0x3C3D, 100, 104, 0),
+    (0x375E, 93, 99, 0), (0x5231, 102, 105, 0), (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0),
+    (0x415E, 99, 103, 0), (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1), (0x5522, 109, 112, 0),
+    (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """T.81 Annex D arithmetic (QM) decoder over one entropy segment.
+
+    Register discipline: the code register C accumulates raw stream
+    bytes high-first while ``ct`` counts pending renormalization shifts,
+    deferred into the interval comparison (``(A - Qe) << ct``) — the
+    form D.2's DECODE/RENORMD/BYTEIN flowcharts compile to, with the
+    conditional MPS/LPS exchange of D.2.6. Init C=0, A=0, ct=-16 pulls
+    exactly two bytes before the first decision. On hitting a marker the
+    decoder feeds zero bytes from then on (F.2.2.1's marker convention)
+    and records the marker for the restart logic. A statistics bin is
+    one byte: bit 7 = current MPS sense, bits 0-6 = Table D.3 state
+    index; state 113 is the fixed-probability bin (a transition fixed
+    point, so sign decisions never adapt)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.marker = None  # marker byte once hit; zero-feed afterwards
+        self.c = 0
+        self.a = 0
+        self.ct = -16
+
+    def _byte(self) -> int:
+        if self.marker is not None:
+            return 0
+        d = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+        self.pos += 1
+        if d != 0xFF:
+            return d
+        # 0xFF: swallow fill bytes, then stuffed-zero vs marker
+        while True:
+            d2 = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+            self.pos += 1
+            if d2 != 0xFF:
+                break
+        if d2 == 0:
+            return 0xFF  # stuffed data byte
+        self.marker = d2  # legal mid-segment: supply zeros from now on
+        return 0
+
+    def decode(self, st: bytearray, i: int) -> int:
+        """One binary decision against statistics bin ``st[i]``."""
+        c, a, ct = self.c, self.a, self.ct
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._byte()
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:  # two init bytes in -> open interval
+                        a = 0x10000
+                        break
+            a <<= 1
+        sv = st[i]
+        qe, nm, nlps, sw = _ARITH_TAB[sv & 0x7F]
+        a -= qe
+        temp = a << ct
+        if c < temp:
+            if a < 0x8000:  # renorm pending: conditional MPS exchange
+                if a < qe:
+                    st[i] = (sv & 0x80) ^ nlps ^ (sw << 7)
+                    bit = (sv >> 7) ^ 1
+                else:
+                    st[i] = (sv & 0x80) ^ nm
+                    bit = sv >> 7
+            else:  # fast path: MPS, no state change
+                bit = sv >> 7
+        else:  # LPS region: conditional LPS exchange
+            c -= temp
+            if a < qe:
+                st[i] = (sv & 0x80) ^ nm
+                bit = sv >> 7
+            else:
+                st[i] = (sv & 0x80) ^ nlps ^ (sw << 7)
+                bit = (sv >> 7) ^ 1
+            a = qe
+        self.c, self.a, self.ct = c, a, ct
+        return bit
+
+
+def _next_marker(data: bytes, pos: int) -> tuple[int, int]:
+    """Scan forward for the next real marker (skipping flush remnants
+    and stuffed 0xFF00 pairs); returns (marker_byte, pos_after)."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+        elif data[pos + 1] == 0x00:
+            pos += 2
+        elif data[pos + 1] == 0xFF:
+            pos += 1
+        else:
+            return data[pos + 1], pos + 2
+    raise ValueError("malformed JPEG: missing restart marker")
+
+
+# DC/AC statistics-area sizes and layout anchors (T.81 Table F.4:
+# X1 = 20 for DC magnitude categories; AC low/high category bins at
+# 3*63 = 189 and 189 + 28 = 217; magnitude-bit bins at category + 14)
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+
+
+def _arith_decode_dc(dec, st, ctx, cond) -> tuple[int, int]:
+    """One DC difference (F.2.4.1); returns (diff, next context)."""
+    lo, up = cond
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    m = dec.decode(st, ctx + 2 + sign)
+    idx = ctx + 2 + sign
+    if m:
+        idx = 20  # X1: magnitude-category ladder
+        while dec.decode(st, idx):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("malformed JPEG: arithmetic DC overflow")
+            idx += 1
+    # conditioning category for the NEXT block of this component
+    # (F.1.4.4.1.2: zero / small / large diff, sign-split)
+    if m < ((1 << lo) >> 1):
+        nxt = 0
+    elif m > ((1 << up) >> 1):
+        nxt = 12 + 4 * sign
+    else:
+        nxt = 4 + 4 * sign
+    v = m
+    idx += 14  # X2: magnitude bit pattern bins
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, idx):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _arith_decode_ac(dec, st, fixed, kx) -> np.ndarray:
+    """All AC coefficients of one block (F.2.4.2) in zigzag order."""
+    coef = np.zeros(64)
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            break
+        while dec.decode(st, base + 1) == 0:
+            k += 1
+            if k > 63:
+                raise ValueError("malformed JPEG: arithmetic AC run-off")
+            base = 3 * (k - 1)
+        sign = dec.decode(fixed, 0)
+        idx = base + 2
+        m = dec.decode(st, idx)
+        if m:
+            if dec.decode(st, idx):  # same bin doubles as first category
+                m = 2
+                idx = 189 if k <= kx else 217
+                while dec.decode(st, idx):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "malformed JPEG: arithmetic AC overflow"
+                        )
+                    idx += 1
+        v = m
+        idx += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, idx):
+                v |= mm
+            mm >>= 1
+        v += 1
+        coef[k] = -v if sign else v
+        k += 1
+    return coef
+
+
+def _decode_scan_arith(data, pos, frame, scan, qt, dac, restart_interval):
+    """Sequential arithmetic-coded scan (SOF9, T.81 F.2.4): same MCU
+    geometry as the Huffman path, QM-coded decisions instead of Huffman
+    codes. DAC conditioning: DC (L, U) bounds classify the previous
+    diff into one of five contexts; AC Kx splits the low/high
+    magnitude-category ladders. Restart resets the decoder registers,
+    ALL statistics areas, and the DC state (F.2.1.3)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+        for c in comps
+    }
+
+    def fresh_stats():
+        dc = {scan[c["id"]]["dc"]: bytearray(_DC_STAT_BINS) for c in comps}
+        ac = {scan[c["id"]]["ac"]: bytearray(_AC_STAT_BINS) for c in comps}
+        return dc, ac
+
+    dec = _ArithDecoder(data, pos)
+    dc_stats, ac_stats = fresh_stats()
+    fixed = bytearray([113])  # AC sign: fixed ~0.5 probability bin
+    last_dc = {c["id"]: 0 for c in comps}
+    dc_ctx = {c["id"]: 0 for c in comps}
+    n_mcu = 0
+    expected_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                if dec.marker is not None:
+                    marker, nxt = dec.marker, dec.pos
+                else:
+                    marker, nxt = _next_marker(data, dec.pos)
+                if marker != 0xD0 + expected_rst:
+                    raise ValueError(
+                        f"malformed JPEG: expected RST{expected_rst}, "
+                        f"got 0x{marker:02X}"
+                    )
+                expected_rst = (expected_rst + 1) & 7
+                dec = _ArithDecoder(data, nxt)
+                dc_stats, ac_stats = fresh_stats()
+                last_dc = {c["id"]: 0 for c in comps}
+                dc_ctx = {c["id"]: 0 for c in comps}
+            for c in comps:
+                cid = c["id"]
+                dc_tbl, ac_tbl = scan[cid]["dc"], scan[cid]["ac"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        diff, dc_ctx[cid] = _arith_decode_dc(
+                            dec, dc_stats[dc_tbl], dc_ctx[cid],
+                            dac["dc"].get(dc_tbl, (0, 1)),
+                        )
+                        last_dc[cid] += diff
+                        zz = _arith_decode_ac(
+                            dec, ac_stats[ac_tbl], fixed,
+                            dac["ac"].get(ac_tbl, 5),
+                        )
+                        zz[0] = last_dc[cid]
+                        coef = np.zeros((8, 8))
+                        coef[tuple(zip(*_ZIGZAG))] = zz
+                        block = _C.T @ (coef * qt[c["tq"]]) @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+            n_mcu += 1
+    return _finish(frame, planes)
 
 
 # natural (row*8+col) index of each zigzag position, for the vectorized

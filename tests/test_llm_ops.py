@@ -826,7 +826,7 @@ int shim_decode_jpeg(const unsigned char* buf, unsigned long len,
 }
 int shim_encode_jpeg(const unsigned char* pixels, int w, int h, int ncomp,
                      int quality, int subsample, int progressive,
-                     int restart_interval,
+                     int restart_interval, int arith,
                      unsigned char** out, unsigned long* outlen) {
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
@@ -844,6 +844,7 @@ int shim_encode_jpeg(const unsigned char* pixels, int w, int h, int ncomp,
     cinfo.comp_info[0].v_samp_factor = 1;
   }
   if (progressive) jpeg_simple_progression(&cinfo);
+  cinfo.arith_code = arith ? TRUE : FALSE;
   cinfo.restart_interval = restart_interval;
   jpeg_start_compress(&cinfo, TRUE);
   while (cinfo.next_scanline < cinfo.image_height) {
@@ -886,6 +887,7 @@ def test_jpeg_codec_cross_validated_vs_libjpeg():
     lib.shim_encode_jpeg.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
         ctypes.POINTER(ctypes.c_ulong),
     ]
@@ -903,11 +905,11 @@ def test_jpeg_codec_cross_validated_vs_libjpeg():
         return w.value, h.value, nc.value, buf
 
     def jenc(px, w, h, nc, quality=90, subsample=0, progressive=0,
-             restart=0):
+             restart=0, arith=0):
         out = ctypes.POINTER(ctypes.c_ubyte)()
         n = ctypes.c_ulong()
         assert lib.shim_encode_jpeg(
-            px, w, h, nc, quality, subsample, progressive, restart,
+            px, w, h, nc, quality, subsample, progressive, restart, arith,
             ctypes.byref(out), ctypes.byref(n)) == 0
         buf = bytes(bytearray(
             ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n.value)).contents))
@@ -986,6 +988,59 @@ def test_jpeg_codec_cross_validated_vs_libjpeg():
     a = np.frombuffer(ref, np.uint8).astype(int)
     b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
     assert np.abs(a - b).max() <= 3, np.abs(a - b).max()
+
+    # (d) ARITHMETIC-coded sequential (SOF9, r9): libjpeg's QM coder
+    # (T.81 Annex D + F.2.4 conditioning, DAC markers) decodes here
+    # within the same two-IDCT bound; sweep quality (how adapted the
+    # states get), subsampling (MCU interleave order), and gray vs color
+    for px, pw, ph, nc, sub, q, tol in [
+        (gray, 40, 33, 1, 0, 85, 1),
+        (gray, 40, 33, 1, 0, 30, 1),
+        (smooth, w, h, 3, 0, 85, 2),
+        (smooth, w, h, 3, 1, 70, 4),
+        (smooth, w, h, 3, 1, 95, 3),
+    ]:
+        enc = jenc(px, pw, ph, nc, quality=q, subsample=sub, arith=1)
+        assert b"\xff\xc9" in enc and b"\xff\xcc" in enc  # SOF9 + DAC
+        _, _, _, ref = jdec(enc)
+        mine = decode_jpeg(enc)
+        assert (mine["width"], mine["height"]) == (pw, ph)
+        a = np.frombuffer(ref, np.uint8).astype(int)
+        b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
+        assert np.abs(a - b).max() <= tol, (q, sub, np.abs(a - b).max())
+
+    # arithmetic + restart markers: RSTn must reset the QM registers,
+    # ALL statistics areas, and the DC conditioning state (F.2.1.3)
+    enc = jenc(smooth, w, h, 3, quality=85, subsample=1, restart=2,
+               arith=1)
+    assert b"\xff\xc9" in enc and b"\xff\xdd" in enc  # SOF9 + DRI
+    _, _, _, ref = jdec(enc)
+    mine = decode_jpeg(enc)
+    a = np.frombuffer(ref, np.uint8).astype(int)
+    b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 3, np.abs(a - b).max()
+
+
+def test_jpeg_arith_state_table_matches_libjpeg():
+    """The hard-coded T.81 Table D.3 must equal the installed libjpeg's
+    exported jpeg_aritab byte-for-byte (the independent-oracle pin for
+    the QM state machine; jdarith packs (Qe<<16)|(NMPS<<8)|(Switch<<7)
+    |NLPS per entry). Skipped when the shared library is absent."""
+    import ctypes
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.jpeg_codec import _ARITH_TAB
+
+    try:
+        lib = ctypes.CDLL("libjpeg.so.62")
+        raw = (ctypes.c_long * 114).in_dll(lib, "jpeg_aritab")
+    except OSError:
+        pytest.skip("libjpeg shared library not available")
+    got = [
+        (v >> 16, (v >> 8) & 0xFF, v & 0x7F, (v >> 7) & 1) for v in raw
+    ]
+    assert list(_ARITH_TAB) == got
 
 
 _PNG_SHIM_SRC = r"""

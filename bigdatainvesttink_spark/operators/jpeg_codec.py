@@ -10,12 +10,13 @@ successive approximation per T.81 Annex G, i.e. interleaved DC
 first/refinement scans and per-component AC first/refinement scans with
 EOB runs, accumulated into a persistent coefficient store and
 dequantized/IDCT'd once after the last scan, and — since r9 —
-ARITHMETIC-coded sequential (SOF9): the T.81 Annex D QM coder with the
-Table D.3 state machine and the F.2.4 DC/AC conditioning contexts (DAC
-markers, restart statistics reset), cross-validated against
-libjpeg-encoded streams. Out of scope (documented raises, not silent
-garbage): hierarchical/lossless/progressive-arithmetic variants, 12-bit
-precision.
+ARITHMETIC coding, both sequential (SOF9) and progressive (SOF10): the
+T.81 Annex D QM coder with the Table D.3 state machine, the F.2.4 DC/AC
+conditioning contexts (DAC markers, restart statistics reset), and the
+G.2 progressive scan kinds (per-block coded EOB decisions instead of
+EOB runs), cross-validated against libjpeg-encoded streams. Out of
+scope (documented raises, not silent garbage): hierarchical/lossless
+variants, 12-bit precision.
 
 The encoder twin (`encode_jpeg_baseline`) exists for the tests'
 roundtrip proof, mirroring `encode_png` / the WAV writer: gray or RGB
@@ -192,9 +193,9 @@ def decode_jpeg(data: bytes) -> dict:
                 symbols = seg[p + 17:p + 17 + n]
                 huff[(cls, tid)] = _build_huffman(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 (baseline/extended sequential), SOF2 (progressive),
-            # SOF9 (extended sequential, arithmetic-coded — r9)
+            # SOF9/SOF10 (sequential/progressive arithmetic — r9)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("JPEG subset: 8-bit precision")
@@ -206,16 +207,16 @@ def decode_jpeg(data: bytes) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9}
-            if marker == 0xC2:
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA)}
+            if frame["progressive"]:
                 store = _ProgressiveStore(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG subset: sequential/progressive Huffman plus "
-                f"sequential arithmetic only (SOF marker 0x{marker:02X} "
-                "is hierarchical/lossless/progressive-arithmetic)"
+                "JPEG subset: sequential/progressive, Huffman or "
+                f"arithmetic, only (SOF marker 0x{marker:02X} is "
+                "hierarchical/lossless)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
@@ -246,10 +247,16 @@ def decode_jpeg(data: bytes) -> dict:
                         (cid, {"dc": tt >> 4, "ac": tt & 0xF})
                     )
                 ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
-                pos = store.decode_scan(
-                    data, pos + seglen, scan_comps, huff,
-                    restart_interval, ss, se, ahal >> 4, ahal & 0xF,
-                )
+                if frame.get("arith"):
+                    pos = store.decode_scan_arith(
+                        data, pos + seglen, scan_comps, dac,
+                        restart_interval, ss, se, ahal >> 4, ahal & 0xF,
+                    )
+                else:
+                    pos = store.decode_scan(
+                        data, pos + seglen, scan_comps, huff,
+                        restart_interval, ss, se, ahal >> 4, ahal & 0xF,
+                    )
                 continue
             if ns != len(frame["comps"]):
                 # a partial sequential scan (ns < nc) would KeyError deep
@@ -554,17 +561,18 @@ def _arith_decode_dc(dec, st, ctx, cond) -> tuple[int, int]:
     return (-v if sign else v), nxt
 
 
-def _arith_decode_ac(dec, st, fixed, kx) -> np.ndarray:
-    """All AC coefficients of one block (F.2.4.2) in zigzag order."""
-    coef = np.zeros(64)
-    k = 1
-    while k <= 63:
+def _arith_decode_ac(dec, st, fixed, kx, coef, ss=1, se=63, al=0):
+    """AC coefficients of one block band [ss, se] (F.2.4.2 / G.2),
+    written into ``coef`` (zigzag order) scaled by the successive-
+    approximation bit position ``al``."""
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):  # EOB
             break
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("malformed JPEG: arithmetic AC run-off")
             base = 3 * (k - 1)
         sign = dec.decode(fixed, 0)
@@ -589,7 +597,7 @@ def _arith_decode_ac(dec, st, fixed, kx) -> np.ndarray:
                 v |= mm
             mm >>= 1
         v += 1
-        coef[k] = -v if sign else v
+        coef[k] = (-v if sign else v) << al
         k += 1
     return coef
 
@@ -652,7 +660,7 @@ def _decode_scan_arith(data, pos, frame, scan, qt, dac, restart_interval):
                         last_dc[cid] += diff
                         zz = _arith_decode_ac(
                             dec, ac_stats[ac_tbl], fixed,
-                            dac["ac"].get(ac_tbl, 5),
+                            dac["ac"].get(ac_tbl, 5), np.zeros(64),
                         )
                         zz[0] = last_dc[cid]
                         coef = np.zeros((8, 8))
@@ -875,6 +883,159 @@ class _ProgressiveStore:
         ):
             p += 1
         return p
+
+    # ---- arithmetic scan driver (SOF10, r9) ---------------------------
+
+    def decode_scan_arith(self, data, pos, scan_comps, dac,
+                          restart_interval, ss, se, ah, al) -> int:
+        """Progressive ARITHMETIC scan (T.81 G.2 + Annex D): the same
+        four scan kinds as the Huffman driver, QM-coded. DC first reuses
+        the sequential conditioning contexts (result scaled << Al); DC
+        refinement is one fixed-probability decision per block; AC first
+        is the sequential band decode over [Ss, Se]; AC refinement walks
+        the band with per-k (EOB, newly-nonzero, correction-bit) bins,
+        the previous stage's end-of-block index gating the EOB decision.
+        Statistics are re-initialized at scan start and at every restart
+        (F.2.1.3); there is no EOB-run state — EOB is a per-block coded
+        decision."""
+        if ss > 0 and not (ss <= se <= 63):
+            raise ValueError(
+                f"malformed JPEG: AC scan band Ss={ss}..Se={se} "
+                f"outside 1..63"
+            )
+        self.n_scans += 1
+        comps_by_id = {c["id"]: c for c in self.frame["comps"]}
+        fixed = bytearray([113])
+
+        def fresh():
+            dc = {t["dc"]: bytearray(_DC_STAT_BINS) for _, t in scan_comps}
+            ac = {t["ac"]: bytearray(_AC_STAT_BINS) for _, t in scan_comps}
+            last = {cid: 0 for cid, _ in scan_comps}
+            ctx = {cid: 0 for cid, _ in scan_comps}
+            return dc, ac, last, ctx
+
+        dec = _ArithDecoder(data, pos)
+        dc_stats, ac_stats, last_dc, dc_ctx = fresh()
+        n_unit = 0
+        expected_rst = 0
+
+        def maybe_restart():
+            nonlocal dec, dc_stats, ac_stats, last_dc, dc_ctx, expected_rst
+            if not (restart_interval and n_unit
+                    and n_unit % restart_interval == 0):
+                return
+            if dec.marker is not None:
+                marker, nxt = dec.marker, dec.pos
+            else:
+                marker, nxt = _next_marker(data, dec.pos)
+            if marker != 0xD0 + expected_rst:
+                raise ValueError(
+                    f"malformed JPEG: expected RST{expected_rst}, "
+                    f"got 0x{marker:02X}"
+                )
+            expected_rst = (expected_rst + 1) & 7
+            dec = _ArithDecoder(data, nxt)
+            dc_stats, ac_stats, last_dc, dc_ctx = fresh()
+
+        def dc_block(coef, cid, tabs):
+            if ah == 0:
+                diff, dc_ctx[cid] = _arith_decode_dc(
+                    dec, dc_stats[tabs["dc"]], dc_ctx[cid],
+                    dac["dc"].get(tabs["dc"], (0, 1)),
+                )
+                last_dc[cid] += diff
+                coef[0] = last_dc[cid] << al
+            elif dec.decode(fixed, 0):  # refinement: one coded bit
+                coef[0] |= 1 << al
+
+        if ss == 0:  # DC scan (the only kind that may interleave)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            if len(scan_comps) > 1:
+                for my in range(self.mcus_y):
+                    for mx in range(self.mcus_x):
+                        maybe_restart()
+                        for cid, tabs in scan_comps:
+                            c = comps_by_id[cid]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc_block(
+                                        self.coefs[cid][
+                                            my * c["v"] + by,
+                                            mx * c["h"] + bx,
+                                        ],
+                                        cid, tabs,
+                                    )
+                        n_unit += 1
+            else:
+                cid, tabs = scan_comps[0]
+                bh, bw = self.nonint[cid]
+                for by in range(bh):
+                    for bx in range(bw):
+                        maybe_restart()
+                        dc_block(self.coefs[cid][by, bx], cid, tabs)
+                        n_unit += 1
+        else:  # AC scan: exactly one component (T.81 G.1)
+            if len(scan_comps) != 1:
+                raise ValueError("interleaved AC scan is illegal")
+            cid, tabs = scan_comps[0]
+            kx = dac["ac"].get(tabs["ac"], 5)
+            bh, bw = self.nonint[cid]
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    coef = self.coefs[cid][by, bx]
+                    if ah == 0:
+                        _arith_decode_ac(
+                            dec, ac_stats[tabs["ac"]], fixed, kx,
+                            coef, ss, se, al,
+                        )
+                    else:
+                        self._arith_ac_refine(
+                            dec, ac_stats[tabs["ac"]], fixed,
+                            coef, ss, se, al,
+                        )
+                    n_unit += 1
+        # the entropy segment ends at the next real marker
+        p = dec.pos if dec.marker is None else dec.pos - 2
+        while p + 1 < len(data) and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+        ):
+            p += 1
+        return p
+
+    @staticmethod
+    def _arith_ac_refine(dec, st, fixed, coef, ss, se, al):
+        """G.2 AC successive-approximation refinement: per k, the
+        correction bit for already-nonzero coefficients, the
+        newly-nonzero decision (sign from the fixed bin) otherwise; the
+        EOB decision applies only past the previous stage's last nonzero
+        index."""
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = se
+        while kex > 0 and coef[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(st, base):  # EOB
+                break
+            while True:
+                if coef[k]:  # previously nonzero: one correction bit
+                    if dec.decode(st, base + 2):
+                        coef[k] += m1 if coef[k] < 0 else p1
+                    break
+                if dec.decode(st, base + 1):  # newly nonzero
+                    coef[k] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                k += 1
+                if k > se:
+                    raise ValueError(
+                        "malformed JPEG: arithmetic AC refine run-off"
+                    )
+                base = 3 * (k - 1)
+            k += 1
 
     # ---- reconstruction ------------------------------------------------
 

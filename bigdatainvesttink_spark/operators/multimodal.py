@@ -113,7 +113,7 @@ def decode_image(content: bytes) -> dict:
     if content.startswith(b"\xff\xd8"):
         # REAL JPEG decode: stdlib + numpy T.81 codec in jpeg_codec.py —
         # baseline sequential (r5), progressive/SOF2 (r8), arithmetic
-        # sequential/SOF9 (r9); hierarchical/lossless/12-bit raise
+        # SOF9/SOF10 (r9); hierarchical/lossless/12-bit raise
         # NotImplementedError there
         from .jpeg_codec import decode_jpeg
 

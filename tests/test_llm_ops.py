@@ -1020,6 +1020,28 @@ def test_jpeg_codec_cross_validated_vs_libjpeg():
     b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
     assert np.abs(a - b).max() <= 3, np.abs(a - b).max()
 
+    # (e) PROGRESSIVE + ARITHMETIC (SOF10, r9): QM-coded spectral
+    # selection and successive approximation — DC first/refine, AC
+    # first/refine with per-block coded EOB decisions (no EOB runs) —
+    # including a restart-interval case
+    for px, pw, ph, nc, sub, q, rst, tol in [
+        (gray, 40, 33, 1, 0, 85, 0, 1),
+        (smooth, w, h, 3, 0, 85, 0, 2),
+        (smooth, w, h, 3, 1, 70, 0, 4),
+        (smooth, w, h, 3, 1, 95, 0, 3),
+        (smooth, w, h, 3, 1, 85, 2, 3),
+    ]:
+        enc = jenc(px, pw, ph, nc, quality=q, subsample=sub,
+                   progressive=1, restart=rst, arith=1)
+        assert b"\xff\xca" in enc  # really SOF10
+        _, _, _, ref = jdec(enc)
+        mine = decode_jpeg(enc)
+        assert (mine["width"], mine["height"]) == (pw, ph)
+        a = np.frombuffer(ref, np.uint8).astype(int)
+        b = np.frombuffer(mine["pixels"], np.uint8).astype(int)
+        assert np.abs(a - b).max() <= tol, (q, sub, rst,
+                                            np.abs(a - b).max())
+
 
 def test_jpeg_arith_state_table_matches_libjpeg():
     """The hard-coded T.81 Table D.3 must equal the installed libjpeg's

@@ -449,7 +449,10 @@ class _ArithDecoder:
     def _byte(self) -> int:
         if self.marker is not None:
             return 0
-        d = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+        if self.pos >= len(self.data):  # truncated: behave as at EOI
+            self.marker = 0xD9
+            return 0
+        d = self.data[self.pos]
         self.pos += 1
         if d != 0xFF:
             return d

@@ -1210,13 +1210,21 @@ def c_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_sigs = band_rows(corpus(spark, sf_dir), "idx_doc")
 
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # Bounded broadcast statistic: parquet footer row count (metadata-only
-    # scan) x the corpus fan-out (1 + 1/25 mutated + 1/20 copies, see
+    # Bounded broadcast statistic: parquet footer row count (read
+    # driver-side via pyarrow — genuinely metadata-only, no Spark job) x
+    # the corpus fan-out (1 + 1/25 mutated + 1/20 copies, see
     # dedup.CORPUS_SQL) x LSH_BANDS band rows per doc — an upper bound
-    # (short/empty docs are filtered out of the index, never added).
+    # (short/empty docs are filtered out of the index, never added). A
+    # Spark count() is the fallback for filesystems pyarrow can't reach.
     from ..functions.text import LSH_BANDS
 
-    est_index_rows = int(batch.count() * 1.09 + 1) * LSH_BANDS
+    try:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    except (OSError, ImportError, ValueError):
+        n_docs = batch.count()
+    est_index_rows = int(n_docs * 1.09 + 1) * LSH_BANDS
     raw = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")

@@ -772,3 +772,46 @@ def test_kmeans_fit_over_k_budget_fails_loud(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_KMEANS_K_BUDGET", "6")
     assigned, _ = clustering.kmeans_fit(vecs, k=5, n_iter=1)
     assert assigned.count() == 40
+
+
+def test_eval_broadcast_bounded_by_size_estimate(spark, monkeypatch):
+    """The d3 evals' query side is corpus-proportional by spec (vec_id %
+    13 sampling), so its broadcast hint must derive from the observed
+    size estimate, not be pinned: below the byte cap the equi-join plans
+    BroadcastHashJoin, above it the hint is dropped and Spark falls back
+    to a shuffle join; unknown size keeps the hint (sandbox fixtures are
+    KB-scale). Output is strategy-independent: d3_ivf_recall_eval stays
+    bit-identical with the hint forced off."""
+    from bigdatainvesttink_spark.operators import similarity as S
+
+    left = spark.range(100).selectExpr("id AS label", "id AS vec_id")
+    q = spark.range(100).selectExpr("id AS cell", "id + 7 AS query_id")
+
+    def plan(est_rows, row_bytes):
+        joined = left.join(
+            S._bounded_broadcast(q, est_rows, row_bytes),
+            left.label == q.cell,
+        )
+        return joined._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.delenv("SPARK_GRAFT_EVAL_BROADCAST_BYTES", raising=False)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        below = plan((10 << 20) // 32, 32)      # at the cap -> hinted
+        above = plan((10 << 20) // 32 + 1, 32)  # one past -> dropped
+        unknown = plan(None, 32)                # no statistic -> hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in below
+    assert "BroadcastHashJoin" not in above
+    assert "SortMergeJoin" in above or "ShuffledHashJoin" in above
+    assert "BroadcastHashJoin" in unknown
+    # full-query output identity across regimes
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["d3_ivf_recall_eval"]
+    want = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    assert want
+    monkeypatch.setenv("SPARK_GRAFT_EVAL_BROADCAST_BYTES", "0")
+    assert sorted(map(tuple, fn(spark, SF_SMALL).collect())) == want

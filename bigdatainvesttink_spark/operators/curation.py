@@ -514,7 +514,13 @@ def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trsh = sh.filter(~is_eval).withColumnRenamed("doc_id", "train_id")
     hits = (
-        trsh.join(F.broadcast(evsh), "sh_h")
+        # no broadcast hint (r9): the eval side is 5% OF THE CORPUS by
+        # the % 20 sampling spec, so it scales with data; AQE measures
+        # the post-shuffle eval-shingle stage exactly and broadcasts
+        # only while it actually fits (production decontamination joins
+        # a constant benchmark set, where the runtime choice IS
+        # broadcast)
+        trsh.join(evsh, "sh_h")
         .groupBy("train_id", "eval_id")
         .agg(
             F.count("*").alias("n_shared"),

@@ -145,11 +145,41 @@ JACCARD_PAIRS_SQL = f"""
 """
 
 
-def capped_shingles(c: DataFrame) -> DataFrame:
+def _est_hot_rows(sf_dir: str | None) -> int | None:
+    """Upper bound on the hot-shingle list from the documents parquet
+    footer (driver-side, metadata-only): shingle rows <= token count
+    ~ uncompressed text bytes / 6 (x1.09 corpus fan-out), and a hot
+    shingle needs > DF_CAP occurrences, so |hot| <= shingles / DF_CAP.
+    None when the path isn't pyarrow-reachable."""
+    if sf_dir is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+        total = 0
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "text":
+                    total += col.total_uncompressed_size
+        return int(total / 6 * 1.09) // DF_CAP + 1
+    except (OSError, ImportError, ValueError, KeyError):
+        return None
+
+
+def capped_shingles(c: DataFrame, sf_dir: str | None = None) -> DataFrame:
     """(doc_id, shingle, n_sh) with df>DF_CAP shingles dropped.
 
-    Two aggregates: the hot list (small -> broadcast anti-join), then the
-    per-doc set size over the surviving shingles.
+    Two aggregates: the hot list, then the per-doc set size over the
+    surviving shingles. The hot-list anti-join's broadcast hint is
+    GATED on a bounded statistic (r9): |hot| <= shingle_rows / DF_CAP
+    is corpus-dependent, so a pinned hint would force the broadcast at
+    any scale. Below the 10 MB-class cap the hint stays (it keeps the
+    anti-join map-side, saving a shuffle of the exploded shingle set —
+    measured 2x on d2_neardup_jaccard at sf0.1); past it the hint drops
+    and AQE's measured-size runtime decision takes over.
     """
     sh0 = (
         c.select(
@@ -164,7 +194,13 @@ def capped_shingles(c: DataFrame) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("shingle")
     )
-    kept = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    from .similarity import _bounded_broadcast
+
+    # a hot row is one 3-token shingle string (~32 B UnsafeRow)
+    kept = sh0.join(
+        _bounded_broadcast(hot, _est_hot_rows(sf_dir), 32),
+        "shingle", "left_anti",
+    )
     return kept.withColumn(
         "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
     )
@@ -180,7 +216,7 @@ def capped_shingles(c: DataFrame) -> DataFrame:
     ),
 )
 def d2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = capped_shingles(corpus(spark, sf_dir))
+    sh = capped_shingles(corpus(spark, sf_dir), sf_dir)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -828,7 +864,7 @@ def d1_table_diff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def d2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = capped_shingles(corpus(spark, sf_dir))
+    sh = capped_shingles(corpus(spark, sf_dir), sf_dir)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -1125,9 +1161,16 @@ def d2_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("sh") > 0)
         .select("doc_id", F.explode("sh").alias("shingle"))
     )
+    from .similarity import _bounded_broadcast
+
     df = sh0.groupBy("shingle").agg(F.count("*").alias("n_docs"))
     hot = df.filter(F.col("n_docs") > DF_CAP).select("shingle")
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    # gated hint (capped_shingles rationale, r9): map-side anti-join
+    # while the footer-derived bound fits, AQE shuffle past it
+    sh = sh0.join(
+        _bounded_broadcast(hot, _est_hot_rows(sf_dir), 32),
+        "shingle", "left_anti",
+    )
     shared = (F.col("n_docs") >= 2).cast("long")
     return (
         sh.join(df, "shingle")

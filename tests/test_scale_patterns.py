@@ -815,3 +815,20 @@ def test_eval_broadcast_bounded_by_size_estimate(spark, monkeypatch):
     assert want
     monkeypatch.setenv("SPARK_GRAFT_EVAL_BROADCAST_BYTES", "0")
     assert sorted(map(tuple, fn(spark, SF_SMALL).collect())) == want
+
+
+def test_hot_shingle_broadcast_statistic():
+    """The hot-shingle anti-join hint derives from the documents parquet
+    footer: |hot| <= text_bytes/6 x 1.09 / DF_CAP — small at sandbox
+    scales (hint kept: it saves a shuffle of the exploded shingle set,
+    measured 2x on d2_neardup_jaccard), and past the 10 MB cap the
+    _bounded_broadcast gate drops it. Unknown paths degrade to None
+    (hint kept — AQE still measures the real size at runtime)."""
+    from bigdatainvesttink_spark.operators.dedup import DF_CAP, _est_hot_rows
+
+    est = _est_hot_rows("/root/testdata/sf0.1")
+    assert est is not None and 0 < est < 100_000  # ~4k at sf0.1
+    # scales with text volume: sf0.001 strictly smaller
+    assert _est_hot_rows("/root/testdata/sf0.001") < est
+    assert _est_hot_rows(None) is None
+    assert _est_hot_rows("/nonexistent") is None

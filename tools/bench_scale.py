@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_QUERIES = [
     # 10 most expensive in BENCH_DETAIL.json (round 5, sf0.1, cache-cold)
     "c_stream_stream_interval_join",
+    # r9: the density-capped twin — measures the join STATE machinery
+    # (the headline query's output is quadratic in density by spec)
+    "c_stream_interval_join_capped",
     "c_stream_neardup_flags",
     "rel_column_profile",
     "a_backfill_idempotency",

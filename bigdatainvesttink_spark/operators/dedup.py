@@ -145,12 +145,12 @@ JACCARD_PAIRS_SQL = f"""
 """
 
 
-def _est_hot_rows(sf_dir: str | None) -> int | None:
-    """Upper bound on the hot-shingle list from the documents parquet
-    footer (driver-side, metadata-only): shingle rows <= token count
-    ~ uncompressed text bytes / 6 (x1.09 corpus fan-out), and a hot
-    shingle needs > DF_CAP occurrences, so |hot| <= shingles / DF_CAP.
-    None when the path isn't pyarrow-reachable."""
+def doc_text_bytes(sf_dir: str | None) -> int | None:
+    """Uncompressed byte volume of documents.text from the parquet
+    footer (driver-side, metadata-only; None when unreachable) — the
+    shared statistic behind the token/shingle broadcast bounds: token
+    count <= bytes/6, so any token- or shingle-keyed frame has at most
+    that many rows."""
     if sf_dir is None:
         return None
     try:
@@ -164,9 +164,17 @@ def _est_hot_rows(sf_dir: str | None) -> int | None:
                 col = row.column(ci)
                 if col.path_in_schema == "text":
                     total += col.total_uncompressed_size
-        return int(total / 6 * 1.09) // DF_CAP + 1
+        return total
     except (OSError, ImportError, ValueError, KeyError):
         return None
+
+
+def _est_hot_rows(sf_dir: str | None) -> int | None:
+    """Upper bound on the hot-shingle list: shingle rows <= token count
+    ~ text bytes / 6 (x1.09 corpus fan-out), and a hot shingle needs
+    > DF_CAP occurrences, so |hot| <= shingles / DF_CAP."""
+    b = doc_text_bytes(sf_dir)
+    return None if b is None else int(b / 6 * 1.09) // DF_CAP + 1
 
 
 def capped_shingles(c: DataFrame, sf_dir: str | None = None) -> DataFrame:

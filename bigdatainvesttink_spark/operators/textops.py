@@ -261,9 +261,22 @@ def d4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df")
     )
     n = d.agg(F.count("*").alias("n_docs"))
+    # the document-frequency table is VOCABULARY-sized — sublinear in
+    # corpus (Heaps' law) but data-derived, so the hint gates on the
+    # footer token bound (r9 broadcast audit); past the cap the join
+    # shuffles on token, the standard TF-IDF plan at corpus scale
+    from .dedup import doc_text_bytes
+    from .similarity import _bounded_broadcast
+
+    tb = doc_text_bytes(sf_dir)
     scored = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .join(F.broadcast(n))
+        tf.join(
+            _bounded_broadcast(
+                df_tbl, None if tb is None else tb // 6 + 1, 24
+            ),
+            "token",
+        )
+        .join(F.broadcast(n))  # 1-row corpus count: bounded forever
         .withColumn(
             "tfidf",
             F.round(

@@ -2889,14 +2889,20 @@ def d6_item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ia", "ib")
         .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("dot"))
     )
+    # no broadcast hints on the item-keyed sides (r9 broadcast audit):
+    # norms is catalog-sized and sims is catalog-SQUARED — small in the
+    # fixtures' value domain but data-derived in production; all three
+    # are post-shuffle aggregates whose sizes AQE measures exactly, so
+    # the runtime broadcasts while they actually fit and shuffles past
+    # that, which a pinned hint would never do
     sims = (
         dots.join(
-            F.broadcast(norms.select(F.col("item").alias("ia"),
-                                     F.col("nrm").alias("na"))), "ia"
+            norms.select(F.col("item").alias("ia"),
+                         F.col("nrm").alias("na")), "ia"
         )
         .join(
-            F.broadcast(norms.select(F.col("item").alias("ib"),
-                                     F.col("nrm").alias("nb"))), "ib"
+            norms.select(F.col("item").alias("ib"),
+                         F.col("nrm").alias("nb")), "ib"
         )
         .select(
             "ia", "ib",
@@ -2908,7 +2914,7 @@ def d6_item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("hu"), F.col("item").alias("hitem")
     )
     scored = (
-        ui.join(F.broadcast(sims), F.col("ia") == F.col("item"))
+        ui.join(sims, F.col("ia") == F.col("item"))
         .join(
             held,
             (F.col("hu") == F.col("user_id"))

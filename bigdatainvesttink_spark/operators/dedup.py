@@ -148,9 +148,10 @@ JACCARD_PAIRS_SQL = f"""
 def doc_text_bytes(sf_dir: str | None) -> int | None:
     """Uncompressed byte volume of documents.text from the parquet
     footer (driver-side, metadata-only; None when unreachable) — the
-    shared statistic behind the token/shingle broadcast bounds: token
-    count <= bytes/6, so any token- or shingle-keyed frame has at most
-    that many rows."""
+    shared statistic behind the token/shingle broadcast bounds: a token
+    plus its separator occupies >= 2 bytes, so token count <= bytes/2
+    and any token- or shingle-keyed frame has at most that many rows
+    (a true worst-case bound, not an average — ADVICE r9)."""
     if sf_dir is None:
         return None
     try:
@@ -171,10 +172,12 @@ def doc_text_bytes(sf_dir: str | None) -> int | None:
 
 def _est_hot_rows(sf_dir: str | None) -> int | None:
     """Upper bound on the hot-shingle list: shingle rows <= token count
-    ~ text bytes / 6 (x1.09 corpus fan-out), and a hot shingle needs
-    > DF_CAP occurrences, so |hot| <= shingles / DF_CAP."""
+    <= text bytes / 2 (the worst case is 1-char tokens with 1-char
+    separators — ADVICE r9 flagged the former /6 as average-case, which
+    a short-token corpus could beat) x 1.09 corpus fan-out, and a hot
+    shingle needs > DF_CAP occurrences, so |hot| <= shingles / DF_CAP."""
     b = doc_text_bytes(sf_dir)
-    return None if b is None else int(b / 6 * 1.09) // DF_CAP + 1
+    return None if b is None else int(b / 2 * 1.09) // DF_CAP + 1
 
 
 def capped_shingles(c: DataFrame, sf_dir: str | None = None) -> DataFrame:

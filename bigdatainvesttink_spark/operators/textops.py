@@ -268,11 +268,11 @@ def d4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import doc_text_bytes
     from .similarity import _bounded_broadcast
 
-    tb = doc_text_bytes(sf_dir)
+    tb = doc_text_bytes(sf_dir)  # vocabulary <= tokens <= text bytes / 2
     scored = (
         tf.join(
             _bounded_broadcast(
-                df_tbl, None if tb is None else tb // 6 + 1, 24
+                df_tbl, None if tb is None else tb // 2 + 1, 24
             ),
             "token",
         )

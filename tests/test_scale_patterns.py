@@ -779,9 +779,12 @@ def test_eval_broadcast_bounded_by_size_estimate(spark, monkeypatch):
     13 sampling), so its broadcast hint must derive from the observed
     size estimate, not be pinned: below the byte cap the equi-join plans
     BroadcastHashJoin, above it the hint is dropped and Spark falls back
-    to a shuffle join; unknown size keeps the hint (sandbox fixtures are
-    KB-scale). Output is strategy-independent: d3_ivf_recall_eval stays
-    bit-identical with the hint forced off."""
+    to a shuffle join; unknown size also DROPS the hint (fail-safe,
+    VERDICT r9 ask #2 — a broken statistic source at a 100 TB corpus
+    must degrade to a shuffle, never silently force the broadcast; AQE's
+    runtime measurement still broadcasts genuinely small sides). Output
+    is strategy-independent: d3_ivf_recall_eval stays bit-identical with
+    the hint forced off."""
     from bigdatainvesttink_spark.operators import similarity as S
 
     left = spark.range(100).selectExpr("id AS label", "id AS vec_id")
@@ -794,40 +797,43 @@ def test_eval_broadcast_bounded_by_size_estimate(spark, monkeypatch):
         )
         return joined._jdf.queryExecution().executedPlan().toString()
 
-    monkeypatch.delenv("SPARK_GRAFT_EVAL_BROADCAST_BYTES", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BOUNDED_BROADCAST_BYTES", raising=False)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         below = plan((10 << 20) // 32, 32)      # at the cap -> hinted
         above = plan((10 << 20) // 32 + 1, 32)  # one past -> dropped
-        unknown = plan(None, 32)                # no statistic -> hinted
+        unknown = plan(None, 32)                # no statistic -> dropped
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" in below
     assert "BroadcastHashJoin" not in above
     assert "SortMergeJoin" in above or "ShuffledHashJoin" in above
-    assert "BroadcastHashJoin" in unknown
+    assert "BroadcastHashJoin" not in unknown  # fail-safe: no statistic,
+    assert "SortMergeJoin" in unknown or "ShuffledHashJoin" in unknown
     # full-query output identity across regimes
     import __spark_entry__ as entrymod
 
     fn = entrymod.queries()["d3_ivf_recall_eval"]
     want = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
     assert want
-    monkeypatch.setenv("SPARK_GRAFT_EVAL_BROADCAST_BYTES", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BOUNDED_BROADCAST_BYTES", "0")
     assert sorted(map(tuple, fn(spark, SF_SMALL).collect())) == want
 
 
 def test_hot_shingle_broadcast_statistic():
     """The hot-shingle anti-join hint derives from the documents parquet
-    footer: |hot| <= text_bytes/6 x 1.09 / DF_CAP — small at sandbox
-    scales (hint kept: it saves a shuffle of the exploded shingle set,
-    measured 2x on d2_neardup_jaccard), and past the 10 MB cap the
-    _bounded_broadcast gate drops it. Unknown paths degrade to None
-    (hint kept — AQE still measures the real size at runtime)."""
+    footer: |hot| <= text_bytes/2 x 1.09 / DF_CAP (worst-case bound —
+    ADVICE r9: /6 was average-case and a short-token corpus could beat
+    it) — small at sandbox scales (hint kept: it saves a shuffle of the
+    exploded shingle set, measured 2x on d2_neardup_jaccard), and past
+    the 10 MB cap the _bounded_broadcast gate drops it. Unknown paths
+    degrade to None (hint DROPPED — fail-safe; AQE still measures the
+    real size at runtime)."""
     from bigdatainvesttink_spark.operators.dedup import DF_CAP, _est_hot_rows
 
     est = _est_hot_rows("/root/testdata/sf0.1")
-    assert est is not None and 0 < est < 100_000  # ~4k at sf0.1
+    assert est is not None and 0 < est < 100_000  # ~13k at sf0.1
     # scales with text volume: sf0.001 strictly smaller
     assert _est_hot_rows("/root/testdata/sf0.001") < est
     assert _est_hot_rows(None) is None

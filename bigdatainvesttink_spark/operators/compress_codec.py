@@ -471,7 +471,8 @@ def encode_lz4_frame(
 
 
 def decompress_payload(
-    content: bytes, algo: str, prefer_native: bool = True
+    content: bytes, algo: str, prefer_native: bool = True,
+    dictionary: bytes | None = None,
 ) -> bytes:
     """Executor-side decompression dispatch for opaque binary payload
     columns — the compressed-corpus analog of multimodal.decode_image.
@@ -484,7 +485,13 @@ def decompress_payload(
     zstd) route through them by default — the pure-Python decoders are
     the format proof, the verification fallback, and the oracle twins
     the tests hold the native path to. ``prefer_native=False`` forces
-    pure Python (the tests run both and require byte equality)."""
+    pure Python (the tests run both and require byte equality).
+
+    ``dictionary``: a zstd decoding dictionary blob (structured or
+    raw-content; broadcast it once per job, dictionary-per-shard is the
+    standard corpus layout). zstd-only — pyarrow's codec API takes no
+    dictionary, so supplying one routes zstd through the pure-Python
+    decoder."""
     import zlib
 
     if algo == "auto":
@@ -512,7 +519,11 @@ def decompress_payload(
                 "auto: no self-describing magic (snappy/lz4_block payloads "
                 "must name their algo)"
             )
-    if prefer_native and algo in ("lz4", "zstd"):
+    if dictionary is not None and algo != "zstd":
+        raise ValueError("dictionary decoding is zstd-only")
+    if (
+        prefer_native and algo in ("lz4", "zstd") and dictionary is None
+    ):
         try:
             import pyarrow as pa
 
@@ -528,7 +539,7 @@ def decompress_payload(
     if algo == "zstd":
         from .zstd_codec import decode_zstd
 
-        return decode_zstd(content)
+        return decode_zstd(content, dictionary=dictionary)
     if algo == "gzip":
         # gzip files are member SEQUENCES (Common Crawl WET/WARC files
         # concatenate thousands) — a one-shot zlib.decompress(wbits=31)

@@ -17,9 +17,15 @@ checksum verified).
 Scope: single-segment and windowed frames, raw/RLE/compressed blocks,
 all four literals types, all three sequence-table modes per code
 (predefined / RLE / FSE / repeat), repeat-offset history with the
-literal-length-0 twist, and frame content checksums (xxHash64 low 32).
-Out of scope (documented raises): dictionaries (DID field nonzero) and
-the skippable-frame/multi-frame concatenation wrappers.
+literal-length-0 twist, frame content checksums (xxHash64 low 32),
+skippable-frame/multi-frame concatenation, and DICTIONARIES (round 10,
+VERDICT r9 stretch #7): both the structured format (RFC 8878 section 5
+— magic 0xEC30A437, dictionary ID, initial Huffman + OF/ML/LL FSE
+tables, initial repeat offsets, content-as-history) and raw-content
+dictionaries (the whole blob is history — libzstd's ZSTD_dlm auto
+behavior for blobs without the magic). Oracle: the container's real
+zstd CLI trains dictionaries (--train) and compresses with -D; the
+tests decode those streams and require byte identity.
 """
 
 from __future__ import annotations
@@ -381,18 +387,78 @@ def _seq_table(mode: int, fb_data: bytes, off: int, kind: str, prev):
 
 
 # ---------------------------------------------------------------------------
+# Dictionaries (RFC 8878 section 5)
+
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """A parsed decoding dictionary.
+
+    Structured dictionaries (magic 0xEC30A437, what ``zstd --train``
+    emits) carry a dictionary ID, INITIAL entropy tables — one Huffman
+    literals table plus FSE tables in stored order offsets, match
+    lengths, literals lengths (they serve the first block's treeless /
+    repeat modes) — three initial repeat offsets replacing {1, 4, 8},
+    and content that acts as the history window preceding the frame.
+    A blob without the magic is a raw-content dictionary: all content,
+    no ID, no tables (libzstd's auto/raw-content load mode)."""
+
+    __slots__ = ("dict_id", "huf", "ll", "of", "ml", "rep", "content")
+
+    def __init__(self, data: bytes) -> None:
+        if len(data) >= 8 and struct.unpack_from("<I", data)[0] == _DICT_MAGIC:
+            self.dict_id = struct.unpack_from("<I", data, 4)[0]
+            weights, consumed = _read_huffman_weights(data[8:])
+            self.huf = HufTable(weights)
+            pos = 8 + consumed
+            tables = {}
+            for kind in ("of", "ml", "ll"):  # stored order per RFC 8878 §5
+                fb = ForwardBits(data[pos:])
+                tables[kind] = read_fse_description(fb, _MAX_LOG[kind])
+                pos += fb.bytes_consumed()
+            self.of, self.ml, self.ll = tables["of"], tables["ml"], tables["ll"]
+            if pos + 12 > len(data):
+                raise ValueError("malformed zstd dictionary: missing offsets")
+            self.rep = list(struct.unpack_from("<3I", data, pos))
+            pos += 12
+            self.content = data[pos:]
+            for r in self.rep:
+                if r == 0 or r > len(self.content):
+                    raise ValueError(
+                        "malformed zstd dictionary: repeat offset out of range"
+                    )
+        else:
+            self.dict_id = 0
+            self.huf = self.ll = self.of = self.ml = None
+            self.rep = [1, 4, 8]
+            self.content = data
+
+
+# ---------------------------------------------------------------------------
 # Block and frame decoding
 
 
 class _Ctx:
-    """Cross-block state: huffman table + sequence tables + rep offsets."""
+    """Cross-block state: huffman table + sequence tables + rep offsets.
 
-    def __init__(self) -> None:
-        self.huf: HufTable | None = None
-        self.ll = None
-        self.of = None
-        self.ml = None
-        self.rep = [1, 4, 8]
+    A dictionary seeds the state: its entropy tables serve the first
+    block's treeless-literals / repeat-mode references and its repeat
+    offsets replace the {1, 4, 8} defaults (RFC 8878 §5)."""
+
+    def __init__(self, zdict: ZstdDict | None = None) -> None:
+        if zdict is None:
+            self.huf: HufTable | None = None
+            self.ll = None
+            self.of = None
+            self.ml = None
+            self.rep = [1, 4, 8]
+        else:
+            self.huf = zdict.huf
+            self.ll = zdict.ll
+            self.of = zdict.of
+            self.ml = zdict.ml
+            self.rep = list(zdict.rep)
 
 
 def _decode_literals(block: bytes, ctx: _Ctx) -> tuple[bytes, int]:
@@ -553,7 +619,9 @@ def _decode_block(block: bytes, out: bytearray, ctx: _Ctx) -> None:
     out += literals[lit_pos:]
 
 
-def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+def _decode_frame(
+    data: bytes, pos: int, zdict: ZstdDict | None = None
+) -> tuple[bytes, int]:
     """Decode one zstd frame starting at ``pos``; returns (payload, end)."""
     fhd = data[pos + 4]
     did_size = (0, 1, 2, 4)[fhd & 0x03]
@@ -568,7 +636,18 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
     if did_size:
         did = int.from_bytes(data[pos:pos + did_size], "little")
         if did:
-            raise NotImplementedError("zstd dictionaries not supported")
+            if zdict is None:
+                raise ValueError(
+                    f"zstd frame requires dictionary id {did}; pass "
+                    "decode_zstd(..., dictionary=...)"
+                )
+            # raw-content dicts carry no id (0) — libzstd accepts them
+            # for any frame; a structured dict must match the frame's id
+            if zdict.dict_id and zdict.dict_id != did:
+                raise ValueError(
+                    f"zstd dictionary mismatch: frame wants id {did}, "
+                    f"dictionary is id {zdict.dict_id}"
+                )
         pos += did_size
     fcs = None
     if fcs_flag == 0:
@@ -584,8 +663,12 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
     else:
         fcs = struct.unpack_from("<Q", data, pos)[0]
         pos += 8
-    out = bytearray()
-    ctx = _Ctx()
+    # Dictionary content is the "past" of the frame: prefix the output
+    # window so matches can reach into it (offset checks and out[-offset]
+    # copies then work unchanged), and strip it before returning.
+    hist = len(zdict.content) if zdict is not None else 0
+    out = bytearray(zdict.content) if zdict is not None else bytearray()
+    ctx = _Ctx(zdict)
     while True:
         if pos + 3 > len(data):
             raise ValueError("malformed zstd: truncated block header")
@@ -607,21 +690,27 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
             raise ValueError("malformed zstd: reserved block type")
         if last:
             break
+    payload = bytes(out[hist:])
     if has_checksum:
         (cc,) = struct.unpack_from("<I", data, pos)
         pos += 4
-        if cc != (xxhash64(bytes(out)) & 0xFFFFFFFF):
+        if cc != (xxhash64(payload) & 0xFFFFFFFF):
             raise ValueError("malformed zstd: content checksum mismatch")
-    if fcs is not None and len(out) != fcs:
+    if fcs is not None and len(payload) != fcs:
         raise ValueError("malformed zstd: content size mismatch")
-    return bytes(out), pos
+    return payload, pos
 
 
-def decode_zstd(data: bytes) -> bytes:
+def decode_zstd(data: bytes, dictionary: bytes | None = None) -> bytes:
     """Decode a Zstandard payload to its exact original bytes. Real .zst
     files are frame SEQUENCES (RFC 8878 section 3: concatenated frames
     decode to the concatenation, skippable frames are ignored), so this
-    loops frames until the input is exhausted."""
+    loops frames until the input is exhausted. ``dictionary`` is a raw
+    dictionary blob — structured (``zstd --train`` output, RFC 8878 §5)
+    or raw-content — applied to every frame (libzstd semantics: a
+    provided dictionary is used whether or not the frame names an id; a
+    frame naming an id without a dictionary fails loud)."""
+    zdict = ZstdDict(dictionary) if dictionary is not None else None
     if len(data) < 4:
         raise ValueError("malformed zstd: bad magic")
     (magic0,) = struct.unpack_from("<I", data, 0)
@@ -634,7 +723,7 @@ def decode_zstd(data: bytes) -> bytes:
             raise ValueError("malformed zstd: trailing garbage")
         (magic,) = struct.unpack_from("<I", data, pos)
         if magic == _ZSTD_MAGIC:
-            payload, pos = _decode_frame(data, pos)
+            payload, pos = _decode_frame(data, pos, zdict)
             out += payload
         elif 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
             if pos + 8 > len(data):

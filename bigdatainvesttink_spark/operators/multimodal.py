@@ -7,10 +7,11 @@ lossless decode, CRC-verified, round 7); ``decode_image`` decodes 8-bit
 gray/RGB/RGBA PNG (stdlib ``zlib`` — header parse, inflate, scanline
 un-filter incl. Adam7 since r8) and JPEG (jpeg_codec.py — Huffman +
 IDCT; baseline round 6, progressive/SOF2 round 8),
-each with a sample-exact (or 1-LSB for lossy JPEG) roundtrip test. Formats
-whose entropy coders genuinely need codec libs this container doesn't ship
-(WebP/VP8, MP3's hybrid filterbank) raise a clearly-marked
-NotImplementedError, and the
+each with a sample-exact (or 1-LSB for lossy JPEG) roundtrip test, plus
+WebP in BOTH profiles (lossless VP8L round 7, lossy VP8 round 10 —
+vp8_codec.py, YUV byte-exact vs libwebp). Formats whose entropy coders
+genuinely lack an oracle here (MP3's hybrid filterbank, the VP8X
+extended container) raise a clearly-marked NotImplementedError, and the
 registered pipeline queries run with ``fake_decode_meta`` — a deterministic
 stand-in that derives metadata from the md5 of the bytes (SQL-oracle
 checkable, which a real codec's output would not be). What
@@ -66,19 +67,38 @@ def decode_image(content: bytes) -> dict:
     Huffman/IDCT). Animated GIF decodes for real too (round 7 —
     gif_codec.py, stdlib LZW + frame composition), making it the first
     format whose n_frames is an actual decoded frame count rather than
-    header metadata. WebP-LOSSLESS (VP8L) decodes for real as well
-    (round 7 — webp_codec.py, canonical-prefix-coded so no codec lib is
-    needed; validated bit-exact against libwebp in the tests). Remaining
-    raises: lossy WebP (the VP8 arithmetic coder stays out of scope) and
-    the documented PNG/JPEG subset guards."""
+    header metadata. WebP decodes for real in BOTH profiles: lossless
+    VP8L (round 7 — webp_codec.py, bit-exact vs libwebp) and lossy VP8
+    (round 10 — vp8_codec.py, the full RFC 6386 keyframe decoder, YUV
+    planes byte-exact vs WebPDecodeYUV). Remaining raises: the VP8X
+    extended container and the documented PNG/JPEG subset guards."""
     import struct
     import zlib
 
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
-        # REAL WebP-lossless decode (round 7): VP8L prefix codes + LZ77 +
-        # color cache + all four transforms in webp_codec.py;
-        # decoded_pixels carries the RGBA samples. Lossy VP8/VP8X raise
-        # NotImplementedError inside decode_webp_lossless.
+        # REAL WebP decode, both profiles: lossless VP8L (round 7 —
+        # prefix codes + LZ77 + color cache + all four transforms,
+        # webp_codec.py) and lossy VP8 (round 10 — the full RFC 6386
+        # keyframe decoder in vp8_codec.py, YUV planes byte-exact vs
+        # WebPDecodeYUV; RGBA here via the documented point-upsample +
+        # libwebp integer BT.601 conversion). VP8X (extended container)
+        # still raises inside decode_webp_lossy.
+        if content[12:16] == b"VP8 ":
+            from .vp8_codec import decode_webp_lossy, yuv420_to_rgba
+
+            d = decode_webp_lossy(content)
+            return {
+                "n_bytes": len(content),
+                "fmt": "webp",
+                "width": d["width"],
+                "height": d["height"],
+                "n_frames": 1,
+                "thumb_width": min(d["width"], 256),
+                "thumb_height": min(d["height"], 256),
+                "decoded_pixels": yuv420_to_rgba(
+                    d["y"], d["u"], d["v"], d["width"], d["height"]
+                ),
+            }
         from .webp_codec import decode_webp_lossless
 
         v = decode_webp_lossless(content)
@@ -130,9 +150,9 @@ def decode_image(content: bytes) -> dict:
         }
     if not content.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "only PNG, JPEG (baseline+progressive), GIF and lossless WebP "
-            "decodable in "
-            "this environment (stdlib zlib/numpy); use fake_decode_meta "
+            "only PNG, JPEG (baseline+progressive+arithmetic), GIF and "
+            "WebP (lossless VP8L + lossy VP8) decodable in this "
+            "environment (stdlib zlib/numpy); use fake_decode_meta "
             "for plumbing tests"
         )
     pos, width = len(_PNG_SIG), None

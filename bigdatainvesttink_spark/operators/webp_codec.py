@@ -1,11 +1,11 @@
 """Pure-stdlib WebP-lossless (VP8L) codec (decode + an encoder for fixtures).
 
-Retires the LAST image-format guard in ``decode_image`` (which said "WebP
-... genuinely needs a codec lib"): that claim was true only of the lossy
-VP8 profile, whose boolean arithmetic coder is out of scope here — the
-LOSSLESS profile (VP8L, the Google "WebP Lossless Bitstream Specification"
-/ RFC 9649) is canonical-prefix-coded and fully implementable with the
-stdlib, the same way jpeg/flac/gif_codec.py retired their guards. Scope:
+Covers the LOSSLESS WebP profile (VP8L, the Google "WebP Lossless
+Bitstream Specification" / RFC 9649), canonical-prefix-coded and fully
+implementable with the stdlib, the same way jpeg/flac/gif_codec.py
+retired their guards. (The LOSSY profile's boolean-arithmetic-coded
+VP8 keyframes decode in the sibling vp8_codec.py since round 10.)
+Scope:
 
 - decoder: RIFF/VP8L container framing; LSB-first bit reader; simple
   (1-2 symbol) and normal (code-length-coded, with 16/17/18 repeats and
@@ -527,10 +527,16 @@ def decode_webp_lossless(data: bytes) -> dict:
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("malformed WebP: bad RIFF/WEBP header")
     fourcc = data[12:16]
-    if fourcc in (b"VP8 ", b"VP8X"):
+    if fourcc == b"VP8 ":
+        raise ValueError(
+            "lossy WebP: use vp8_codec.decode_webp_lossy (real RFC 6386 "
+            "keyframe decoder since round 10); this entry point is the "
+            "lossless VP8L profile"
+        )
+    if fourcc == b"VP8X":
         raise NotImplementedError(
-            "lossy/extended WebP needs the VP8 arithmetic coder; only the "
-            "lossless VP8L profile decodes here"
+            "extended WebP (VP8X: animation/alpha/EXIF wrappers) is out "
+            "of scope; plain lossy `VP8 ` and lossless VP8L both decode"
         )
     if fourcc != b"VP8L":
         raise ValueError(f"malformed WebP: unknown chunk {fourcc!r}")

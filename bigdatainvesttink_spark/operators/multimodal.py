@@ -9,9 +9,10 @@ un-filter incl. Adam7 since r8) and JPEG (jpeg_codec.py — Huffman +
 IDCT; baseline round 6, progressive/SOF2 round 8),
 each with a sample-exact (or 1-LSB for lossy JPEG) roundtrip test, plus
 WebP in BOTH profiles (lossless VP8L round 7, lossy VP8 round 10 —
-vp8_codec.py, YUV byte-exact vs libwebp). Formats whose entropy coders
-genuinely lack an oracle here (MP3's hybrid filterbank, the VP8X
-extended container) raise a clearly-marked NotImplementedError, and the
+vp8_codec.py, YUV byte-exact vs libwebp) and the still VP8X extended
+container with its ALPH alpha plane (round 10). Formats whose entropy
+coders genuinely lack an oracle here (MP3's hybrid filterbank, animated
+VP8X) raise a clearly-marked NotImplementedError, and the
 registered pipeline queries run with ``fake_decode_meta`` — a deterministic
 stand-in that derives metadata from the md5 of the bytes (SQL-oracle
 checkable, which a real codec's output would not be). What
@@ -70,19 +71,35 @@ def decode_image(content: bytes) -> dict:
     header metadata. WebP decodes for real in BOTH profiles: lossless
     VP8L (round 7 — webp_codec.py, bit-exact vs libwebp) and lossy VP8
     (round 10 — vp8_codec.py, the full RFC 6386 keyframe decoder, YUV
-    planes byte-exact vs WebPDecodeYUV). Remaining raises: the VP8X
-    extended container and the documented PNG/JPEG subset guards."""
+    planes byte-exact vs WebPDecodeYUV), plus the still VP8X extended
+    container with alpha (round 10). Remaining raises: animated VP8X
+    and the documented PNG/JPEG subset guards."""
     import struct
     import zlib
 
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
-        # REAL WebP decode, both profiles: lossless VP8L (round 7 —
-        # prefix codes + LZ77 + color cache + all four transforms,
-        # webp_codec.py) and lossy VP8 (round 10 — the full RFC 6386
-        # keyframe decoder in vp8_codec.py, YUV planes byte-exact vs
-        # WebPDecodeYUV; RGBA here via the documented point-upsample +
-        # libwebp integer BT.601 conversion). VP8X (extended container)
-        # still raises inside decode_webp_lossy.
+        # REAL WebP decode, both profiles plus the extended container:
+        # lossless VP8L (round 7 — prefix codes + LZ77 + color cache +
+        # all four transforms, webp_codec.py), lossy VP8 (round 10 —
+        # the full RFC 6386 keyframe decoder in vp8_codec.py, YUV
+        # planes byte-exact vs WebPDecodeYUV; RGBA here via the
+        # documented point-upsample + libwebp integer BT.601
+        # conversion), and still VP8X with the losslessly-coded ALPH
+        # alpha plane (round 10). Animated VP8X stays guarded.
+        if content[12:16] == b"VP8X":
+            from .webp_codec import decode_webp_extended
+
+            v = decode_webp_extended(content)
+            return {
+                "n_bytes": len(content),
+                "fmt": "webp",
+                "width": v["width"],
+                "height": v["height"],
+                "n_frames": 1,
+                "thumb_width": min(v["width"], 256),
+                "thumb_height": min(v["height"], 256),
+                "decoded_pixels": v["pixels"],
+            }
         if content[12:16] == b"VP8 ":
             from .vp8_codec import decode_webp_lossy, yuv420_to_rgba
 

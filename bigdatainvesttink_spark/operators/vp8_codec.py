@@ -24,9 +24,10 @@ Scope: keyframes (which is what a WebP lossy file IS — the container
 holds exactly one VP8 keyframe), all intra modes, segmentation with
 per-segment quant/filter, loop-filter deltas, 1-8 token partitions,
 both filter profiles. Out of scope (documented raises): interframes
-(golden/altref reference buffers — never valid inside a static WebP),
-the VP8X extended container, and upscaling hints (scale fields are
-parsed and reported, not resampled).
+(golden/altref reference buffers — never valid inside a static WebP)
+and upscaling hints (scale fields are parsed and reported, not
+resampled). The VP8X extended container decodes in
+webp_codec.decode_webp_extended (still images + ALPH alpha, round 10).
 
 Reference parity note: the reference repo ships no image handling at
 all (AMQP->ClickHouse market-data pipeline); this module serves the
@@ -1019,16 +1020,16 @@ def yuv420_to_rgba(y: bytes, u: bytes, v: bytes, w: int, h: int) -> bytes:
 def decode_webp_lossy(data: bytes) -> dict:
     """Decode a RIFF/WEBP container holding a lossy `VP8 ` chunk to YUV
     planes (see decode_vp8_frame). VP8L containers belong to
-    webp_codec.decode_webp_lossless; VP8X stays guarded."""
+    webp_codec.decode_webp_lossless, VP8X to decode_webp_extended."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("malformed WebP: bad RIFF/WEBP header")
     fourcc = data[12:16]
     if fourcc == b"VP8L":
         raise ValueError("lossless container: use decode_webp_lossless")
     if fourcc == b"VP8X":
-        raise NotImplementedError(
-            "extended WebP (VP8X: animation/alpha/EXIF wrappers) is out "
-            "of scope; plain lossy `VP8 ` and lossless VP8L decode here"
+        raise ValueError(
+            "extended container: use webp_codec.decode_webp_extended "
+            "(still VP8X with alpha decodes for real since round 10)"
         )
     if fourcc != b"VP8 ":
         raise ValueError(f"malformed WebP: unknown chunk {fourcc!r}")

@@ -520,9 +520,9 @@ def decode_webp_lossless(data: bytes) -> dict:
     """Decode a RIFF/WEBP container holding a VP8L (lossless) chunk.
 
     Returns ``{"width", "height", "has_alpha", "pixels"}`` with pixels as
-    ``width*height*4`` RGBA bytes. Lossy VP8/extended VP8X payloads raise
-    NotImplementedError (the arithmetic-coded profile stays out of scope,
-    as decode_image documents).
+    ``width*height*4`` RGBA bytes. Lossy `VP8 ` containers route to
+    vp8_codec.decode_webp_lossy and VP8X to decode_webp_extended (both
+    ValueError here — wrong entry point, not missing capability).
     """
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("malformed WebP: bad RIFF/WEBP header")
@@ -534,15 +534,25 @@ def decode_webp_lossless(data: bytes) -> dict:
             "lossless VP8L profile"
         )
     if fourcc == b"VP8X":
-        raise NotImplementedError(
-            "extended WebP (VP8X: animation/alpha/EXIF wrappers) is out "
-            "of scope; plain lossy `VP8 ` and lossless VP8L both decode"
+        raise ValueError(
+            "extended container: use decode_webp_extended (VP8X still "
+            "images with alpha decode for real since round 10; animation "
+            "stays guarded there)"
         )
     if fourcc != b"VP8L":
         raise ValueError(f"malformed WebP: unknown chunk {fourcc!r}")
     (clen,) = struct.unpack("<I", data[16:20])
     payload = data[20:20 + clen]
-    if len(payload) < clen or not payload or payload[0] != 0x2F:
+    if len(payload) < clen:
+        raise ValueError("malformed WebP: truncated VP8L chunk")
+    return _decode_vp8l_payload(payload)
+
+
+def _decode_vp8l_payload(payload: bytes) -> dict:
+    """Decode a bare VP8L chunk payload (signature byte + 14-bit dims
+    header + image stream) — shared by the plain-VP8L container path and
+    the VP8X extended container."""
+    if not payload or payload[0] != 0x2F:
         raise ValueError("malformed VP8L: bad signature byte")
     br = BitReader(payload[1:])
     width = br.read(14) + 1
@@ -564,6 +574,151 @@ def decode_webp_lossless(data: bytes) -> dict:
         "has_alpha": bool(has_alpha),
         "pixels": bytes(rgba),
     }
+
+
+# ---------------------------------------------------------------------------
+# Extended container (VP8X): still images with an ALPH chunk
+
+
+def _unfilter_alpha(vals: bytes, w: int, h: int, method: int) -> bytes:
+    """Invert the ALPH chunk's spatial filter (container spec §Alpha):
+    each stored byte is the mod-256 delta from a prediction. Row-0 /
+    column-0 seeding follows the spec (and libwebp dsp/filters.c): the
+    first pixel of a row predicts from the pixel ABOVE it (0 on the
+    first row), and on the first row every filter degrades to
+    horizontal."""
+    if method == 0:
+        return vals
+    out = bytearray(w * h)
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            d = vals[row + x]
+            if y == 0:
+                pred = 0 if x == 0 else out[x - 1]  # first row: horizontal
+            elif x == 0:
+                pred = out[row - w]  # column 0: above
+            elif method == 1:  # horizontal
+                pred = out[row + x - 1]
+            elif method == 2:  # vertical
+                pred = out[row + x - w]
+            else:  # gradient: clip(left + top - top_left)
+                g = out[row + x - 1] + out[row + x - w] - out[row + x - w - 1]
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[row + x] = (d + pred) & 0xFF
+    return bytes(out)
+
+
+def _decode_alpha_chunk(payload: bytes, w: int, h: int) -> bytes:
+    """Decode an ALPH chunk payload to the w*h alpha plane.
+
+    Header byte (MSB first): Rsv(2) P(2) F(2) C(2). C=0 is the raw
+    plane; C=1 is a HEADERLESS VP8L image stream (no signature/dims —
+    the dimensions come from the sibling VP8 frame) whose GREEN channel
+    carries the alpha values; the filter F is inverted on top. The
+    pre-processing bit P is informational (level reduction happened at
+    encode time). Alpha is coded losslessly either way, so the oracle
+    test demands byte equality with libwebp's decoded A channel."""
+    if not payload:
+        raise ValueError("malformed ALPH: empty chunk")
+    b0 = payload[0]
+    if b0 >> 6:
+        raise ValueError("malformed ALPH: reserved bits set")
+    filt = (b0 >> 2) & 3
+    comp = b0 & 3
+    if comp > 1:
+        raise ValueError(f"malformed ALPH: compression method {comp}")
+    if comp == 0:
+        vals = payload[1:1 + w * h]
+        if len(vals) < w * h:
+            raise ValueError("malformed ALPH: truncated raw alpha plane")
+    else:
+        br = BitReader(payload[1:])
+        pixels, _ = _decode_image_stream(br, w, h, True)
+        vals = bytes((p >> 8) & 0xFF for p in pixels)
+    return _unfilter_alpha(vals, w, h, filt)
+
+
+def decode_webp_extended(data: bytes) -> dict:
+    """Decode a RIFF/WEBP container whose first chunk is VP8X (the
+    extended container, WebP container spec / RFC 9649 §Extended File
+    Format): a flags+canvas header followed by optional ICCP / ALPH /
+    EXIF / XMP chunks around a single VP8 or VP8L image chunk.
+
+    Still images decode for real — lossy VP8 (vp8_codec.py) or lossless
+    VP8L, with the ALPH chunk's losslessly-coded alpha plane (raw or
+    headerless-VP8L, all four filters) merged into the RGBA output.
+    Animation (ANIM/ANMF) stays behind a NotImplementedError guard.
+    Returns ``{"width", "height", "has_alpha", "pixels"}`` like
+    decode_webp_lossless, plus the metadata-presence booleans."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("malformed WebP: bad RIFF/WEBP header")
+    if data[12:16] != b"VP8X":
+        raise ValueError(
+            "not an extended container: use decode_webp_lossless / "
+            "vp8_codec.decode_webp_lossy for plain VP8L / `VP8 `"
+        )
+    (xlen,) = struct.unpack("<I", data[16:20])
+    if xlen != 10 or len(data) < 30:
+        raise ValueError("malformed VP8X: header chunk must be 10 bytes")
+    flags = data[20]
+    if flags & 0x02:
+        raise NotImplementedError(
+            "animated WebP (ANIM/ANMF) is out of scope; still VP8X "
+            "images (alpha/metadata wrappers) decode here"
+        )
+    canvas_w = 1 + int.from_bytes(data[24:27], "little")
+    canvas_h = 1 + int.from_bytes(data[27:30], "little")
+    # walk the remaining chunks (size-prefixed, padded to even offsets)
+    pos = 30
+    chunks: dict[bytes, bytes] = {}
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + clen]
+        if len(payload) < clen:
+            raise ValueError(f"malformed WebP: truncated {fourcc!r} chunk")
+        if fourcc in (b"ANIM", b"ANMF"):
+            raise NotImplementedError(
+                "animated WebP (ANIM/ANMF) is out of scope"
+            )
+        if fourcc in chunks and fourcc in (b"VP8 ", b"VP8L", b"ALPH"):
+            raise ValueError(f"malformed WebP: duplicate {fourcc!r} chunk")
+        chunks[fourcc] = payload  # unknown chunks are skippable by spec
+        pos += 8 + clen + (clen & 1)
+    has_vp8, has_vp8l = b"VP8 " in chunks, b"VP8L" in chunks
+    if has_vp8 == has_vp8l:
+        raise ValueError(
+            "malformed VP8X: need exactly one VP8 or VP8L image chunk"
+        )
+    if has_vp8l:
+        # lossless frames carry alpha in the ARGB stream itself; the
+        # spec forbids a sibling ALPH chunk (readers must ignore it)
+        out = _decode_vp8l_payload(chunks[b"VP8L"])
+    else:
+        from .vp8_codec import decode_vp8_frame, yuv420_to_rgba
+
+        d = decode_vp8_frame(chunks[b"VP8 "])
+        w, h = d["width"], d["height"]
+        rgba = bytearray(yuv420_to_rgba(d["y"], d["u"], d["v"], w, h))
+        has_alpha = False
+        if (flags & 0x10) and b"ALPH" in chunks:
+            alpha = _decode_alpha_chunk(chunks[b"ALPH"], w, h)
+            rgba[3::4] = alpha
+            has_alpha = True
+        out = {
+            "width": w, "height": h,
+            "has_alpha": has_alpha, "pixels": bytes(rgba),
+        }
+    if (out["width"], out["height"]) != (canvas_w, canvas_h):
+        raise ValueError(
+            f"malformed VP8X: canvas {canvas_w}x{canvas_h} != frame "
+            f"{out['width']}x{out['height']} (still image)"
+        )
+    out["has_iccp"] = b"ICCP" in chunks
+    out["has_exif"] = b"EXIF" in chunks
+    out["has_xmp"] = b"XMP " in chunks
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -73,13 +73,17 @@ def test_multimodal_meta_is_deterministic_and_batched(spark):
 
     from bigdatainvesttink_spark.operators.multimodal import decode_image
 
-    # lossy VP8 decodes for real since round 10, so a garbage VP8 chunk
-    # now fails loud as MALFORMED; the VP8X extended container keeps the
-    # documented NotImplementedError
+    # lossy VP8 and still VP8X decode for real since round 10, so a
+    # garbage VP8 chunk and a truncated VP8X header both fail loud as
+    # MALFORMED; only ANIMATED VP8X keeps a NotImplementedError
     with pytest.raises(ValueError, match="truncated|malformed"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 webp-ish")
-    with pytest.raises(NotImplementedError, match="VP8X"):
+    with pytest.raises(ValueError, match="10 bytes"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
+    anim = (b"RIFF\x00\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00"
+            b"\x02\x00\x00\x00" + b"\x0f\x00\x00\x0f\x00\x00")
+    with pytest.raises(NotImplementedError, match="animated|ANIM"):
+        decode_image(anim)
 
 
 def test_png_decode_roundtrip_through_seam(spark):
@@ -2194,3 +2198,346 @@ def test_vp8_rgba_conversion_through_seam(spark):
     got = decode_image(enc)
     assert (got["width"], got["height"], got["fmt"]) == (w, h, "webp")
     assert bytes(got["decoded_pixels"]) == ref
+
+
+def _vp8x_rgba_fixture(w: int, h: int, kind: str) -> bytes:
+    """RGBA fixtures whose ALPHA channel varies (WebPEncodeRGBA only
+    writes a VP8X+ALPH container when the alpha plane is non-trivial):
+    flat/step alphas favor the none filter, gradients the directional
+    ones, noise the raw/vertical choices."""
+    rgba = bytearray(w * h * 4)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 4
+            if kind == "steps":
+                a = 255 if (x // 4 + y // 4) % 2 else 80
+                rgba[i:i + 4] = (120, 130, 140, a)
+            elif kind == "vgrad":
+                rgba[i:i + 4] = (10, 200, 30, (y * 255) // max(h - 1, 1))
+            elif kind == "hgrad":
+                rgba[i:i + 4] = (200, 20, 30, (x * 255) // max(w - 1, 1))
+            elif kind == "dgrad":
+                a = ((x + y) * 255) // max(w + h - 2, 1)
+                rgba[i:i + 4] = (60, 70, 80, a)
+            else:  # noise
+                hsh = (x * 2654435761 + y * 40503 + 99) & 0xFFFFFFFF
+                rgba[i:i + 4] = ((hsh >> 8) & 255, (hsh >> 16) & 255,
+                                 (hsh >> 3) & 255, (hsh >> 24) & 255)
+    return bytes(rgba)
+
+
+def _libwebp_rgba():
+    """WebPEncodeRGBA/WebPDecodeRGBA entry points for the VP8X oracle."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def test_vp8x_alpha_decode_vs_libwebp():
+    """Round-10 retirement of the VP8X still-image guard: libwebp
+    encodes RGBA fixtures with non-trivial alpha (WebPEncodeRGBA at
+    lossy quality emits VP8X+ALPH+VP8), and (a) this decoder's ALPHA
+    channel must be BYTE-EQUAL to WebPDecodeRGBA's — alpha is coded
+    losslessly (raw or headerless VP8L + spatial filter), so exactness
+    is the spec, not luck; (b) the lossy Y/U/V planes under the VP8X
+    wrapper must stay byte-equal to WebPDecodeYUV, proving the
+    container walk hands the inner `VP8 ` chunk over unmangled."""
+    import ctypes
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.webp_codec import (
+        decode_webp_extended,
+    )
+
+    lib = _libwebp_rgba()
+    yuv = _libwebp_enc_yuv()
+    if lib is None or yuv is None:
+        pytest.skip("libwebp unavailable (the VP8X oracle)")
+
+    def encode(rgba: bytes, w: int, h: int, q: float) -> bytes:
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGBA(rgba, w, h, w * 4, q, ctypes.byref(out))
+        assert n > 0
+        data = ctypes.string_at(out, n)
+        lib.WebPFree(out)
+        return data
+
+    def ref_rgba(data: bytes):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w),
+                               ctypes.byref(h))
+        assert p
+        buf = ctypes.string_at(p, w.value * h.value * 4)
+        lib.WebPFree(p)
+        return w.value, h.value, buf
+
+    import struct as _struct
+
+    def alph_modes(data: bytes):
+        pos = 30
+        while pos + 8 <= len(data):
+            cc = data[pos:pos + 4]
+            (clen,) = _struct.unpack("<I", data[pos + 4:pos + 8])
+            if cc == b"ALPH":
+                b0 = data[pos + 8]
+                return (b0 >> 2) & 3, b0 & 3
+            pos += 8 + clen + (clen & 1)
+        return None
+
+    seen_filters: set[int] = set()
+    n_checked = 0
+    for w, h in ((32, 24), (17, 13), (16, 16), (33, 31), (64, 48)):
+        for kind in ("steps", "vgrad", "hgrad", "dgrad", "noise"):
+            for q in (30.0, 75.0, 95.0):
+                rgba = _vp8x_rgba_fixture(w, h, kind)
+                enc = encode(rgba, w, h, q)
+                assert enc[12:16] == b"VP8X", "fixture alpha too trivial"
+                W, H, ref = ref_rgba(enc)
+                assert (W, H) == (w, h)
+                got = decode_webp_extended(enc)
+                assert (got["width"], got["height"]) == (w, h)
+                assert got["has_alpha"]
+                assert got["pixels"][3::4] == ref[3::4], (
+                    kind, w, h, q, "alpha plane")
+                modes = alph_modes(enc)
+                assert modes is not None
+                seen_filters.add(modes[0])
+                n_checked += 1
+    assert n_checked == 75
+    # libwebp's filter heuristic picks at least two distinct filters
+    # across these fixtures (none + a directional one) — if this ever
+    # degenerates to {0} the oracle stopped exercising the unfilters
+    assert len(seen_filters) >= 2, seen_filters
+
+    # (b) the inner lossy frame: YUV byte-equal under the VP8X wrapper
+    enc = encode(_vp8x_rgba_fixture(33, 31, "dgrad"), 33, 31, 75.0)
+    wv = ctypes.c_int()
+    hv = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    st = ctypes.c_int()
+    uv_st = ctypes.c_int()
+    y = yuv.WebPDecodeYUV(enc, len(enc), ctypes.byref(wv), ctypes.byref(hv),
+                          ctypes.byref(u), ctypes.byref(v), ctypes.byref(st),
+                          ctypes.byref(uv_st))
+    assert y
+    from bigdatainvesttink_spark.operators.vp8_codec import decode_vp8_frame
+
+    pos, vp8_payload = 30, None
+    while pos + 8 <= len(enc):
+        cc = enc[pos:pos + 4]
+        (clen,) = _struct.unpack("<I", enc[pos + 4:pos + 8])
+        if cc == b"VP8 ":
+            vp8_payload = enc[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    assert vp8_payload is not None
+    d = decode_vp8_frame(vp8_payload)
+    W, H = wv.value, hv.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    base = ctypes.addressof(y.contents)
+    ys = b"".join(ctypes.string_at(base + r * st.value, W) for r in range(H))
+    ub = ctypes.addressof(u.contents)
+    vb = ctypes.addressof(v.contents)
+    us = b"".join(ctypes.string_at(ub + r * uv_st.value, cw)
+                  for r in range(ch))
+    vs = b"".join(ctypes.string_at(vb + r * uv_st.value, cw)
+                  for r in range(ch))
+    yuv.WebPFree(y)
+    assert d["y"] == ys and d["u"] == us and d["v"] == vs
+
+
+def test_vp8x_alpha_filters_and_raw_vs_libwebp():
+    """All four ALPH spatial filters x raw compression, each against
+    libwebp: filter a known alpha plane per the container spec (mod-256
+    deltas from the none/horizontal/vertical/gradient predictor), build
+    a raw (C=0) ALPH chunk, splice it into a real libwebp VP8X
+    container in place of the encoder's own ALPH, and require (a)
+    libwebp's WebPDecodeRGBA accepts the spliced container and
+    unfilters back to the intended plane — proving the hand-built chunk
+    is spec-valid — and (b) this decoder's alpha equals both."""
+    import ctypes
+    import struct as _struct
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.webp_codec import (
+        decode_webp_extended,
+    )
+
+    lib = _libwebp_rgba()
+    if lib is None:
+        pytest.skip("libwebp unavailable (the VP8X oracle)")
+
+    w, h = 21, 17
+    rgba = _vp8x_rgba_fixture(w, h, "dgrad")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(rgba, w, h, w * 4, 75.0, ctypes.byref(out))
+    assert n > 0
+    orig = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    assert orig[12:16] == b"VP8X"
+
+    # pull the original chunks apart
+    pos, kept = 30, []
+    while pos + 8 <= len(orig):
+        cc = orig[pos:pos + 4]
+        (clen,) = _struct.unpack("<I", orig[pos + 4:pos + 8])
+        if cc != b"ALPH":
+            kept.append(orig[pos:pos + 8 + clen + (clen & 1)])
+        pos += 8 + clen + (clen & 1)
+
+    # a plane that varies in both axes (every filter's deltas differ)
+    plane = bytes(((x * 5 + y * 11 + (x * y) // 3) % 256)
+                  for y in range(h) for x in range(w))
+
+    def spec_filter(vals: bytes, method: int) -> bytes:
+        if method == 0:
+            return vals
+        out_b = bytearray(w * h)
+        for y0 in range(h):
+            for x0 in range(w):
+                i = y0 * w + x0
+                if y0 == 0:
+                    pred = 0 if x0 == 0 else vals[i - 1]
+                elif x0 == 0:
+                    pred = vals[i - w]
+                elif method == 1:
+                    pred = vals[i - 1]
+                elif method == 2:
+                    pred = vals[i - w]
+                else:
+                    g = vals[i - 1] + vals[i - w] - vals[i - w - 1]
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+                out_b[i] = (vals[i] - pred) & 0xFF
+        return bytes(out_b)
+
+    for method in (0, 1, 2, 3):
+        payload = bytes([method << 2]) + spec_filter(plane, method)
+        chunk = b"ALPH" + _struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        body = orig[12:30] + chunk + b"".join(kept)
+        spliced = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+        ww = ctypes.c_int()
+        hh = ctypes.c_int()
+        p = lib.WebPDecodeRGBA(spliced, len(spliced), ctypes.byref(ww),
+                               ctypes.byref(hh))
+        assert p, f"libwebp rejected the spliced container (filter {method})"
+        ref = ctypes.string_at(p, w * h * 4)
+        lib.WebPFree(p)
+        assert ref[3::4] == plane, f"oracle disagrees on filter {method}"
+
+        got = decode_webp_extended(spliced)
+        assert got["pixels"][3::4] == plane, f"filter {method}"
+        # RGB must be untouched by the alpha splice
+        o = decode_webp_extended(orig)
+        for c in range(3):
+            assert got["pixels"][c::4] == o["pixels"][c::4]
+
+
+def test_vp8x_lossless_and_metadata_chunks():
+    """VP8X wrapping a VP8L frame (lossless still in the extended
+    container) and skippable metadata chunks: wrap a libwebp-encoded
+    VP8L chunk in a hand-built VP8X container with EXIF (odd-length, so
+    the even-padding walk is exercised) and XMP chunks; libwebp must
+    accept the wrapper and decode identical RGBA — proving the wrapper
+    is spec-valid — and this decoder must match it, flag the metadata,
+    and guard animation / malformed layouts loudly."""
+    import ctypes
+    import struct as _struct
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.webp_codec import (
+        decode_webp_extended,
+        decode_webp_lossless,
+    )
+
+    lib = _libwebp()
+    rgba_lib = _libwebp_rgba()
+    if lib is None or rgba_lib is None:
+        pytest.skip("libwebp unavailable (the VP8X oracle)")
+
+    w, h = 19, 11
+    rgba = _vp8x_rgba_fixture(w, h, "steps")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeLosslessRGBA(rgba, w, h, w * 4, ctypes.byref(out))
+    assert n > 0
+    plain = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    assert plain[12:16] == b"VP8L"
+    vp8l_chunk = plain[12:]
+
+    def le24(v: int) -> bytes:
+        return _struct.pack("<I", v)[:3]
+
+    exif = b"EXIF" + _struct.pack("<I", 5) + b"fake\x00" + b"\x00"  # padded
+    xmp = b"XMP " + _struct.pack("<I", 4) + b"<x/>"
+    # flags: alpha(0x10) + EXIF(0x08) + XMP(0x04)
+    vp8x = (b"VP8X" + _struct.pack("<I", 10) + bytes([0x1C]) + b"\x00" * 3
+            + le24(w - 1) + le24(h - 1))
+    body = b"WEBP" + vp8x + exif + vp8l_chunk + xmp
+    wrapped = b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    ww = ctypes.c_int()
+    hh = ctypes.c_int()
+    p = rgba_lib.WebPDecodeRGBA(wrapped, len(wrapped), ctypes.byref(ww),
+                                ctypes.byref(hh))
+    assert p, "libwebp rejected the hand-built VP8X wrapper"
+    ref = ctypes.string_at(p, w * h * 4)
+    rgba_lib.WebPFree(p)
+
+    got = decode_webp_extended(wrapped)
+    assert got["pixels"] == ref == decode_webp_lossless(plain)["pixels"]
+    assert got["has_exif"] and got["has_xmp"] and not got["has_iccp"]
+
+    # fail-loud layouts
+    def container(*chunks: bytes, flags: int = 0x10) -> bytes:
+        vx = (b"VP8X" + _struct.pack("<I", 10) + bytes([flags])
+              + b"\x00" * 3 + le24(w - 1) + le24(h - 1))
+        b = b"WEBP" + vx + b"".join(chunks)
+        return b"RIFF" + _struct.pack("<I", len(b)) + b
+
+    anim = b"ANIM" + _struct.pack("<I", 6) + b"\x00" * 6
+    with pytest.raises(NotImplementedError, match="animated|ANIM"):
+        decode_webp_extended(container(anim, vp8l_chunk, flags=0x12))
+    tiny_vp8l = b"VP8L" + _struct.pack("<I", 4) + b"\x2f\x00\x00\x00"
+    with pytest.raises(ValueError, match="duplicate"):
+        decode_webp_extended(container(tiny_vp8l, vp8l_chunk))
+    with pytest.raises(ValueError, match="exactly one"):
+        decode_webp_extended(container(exif))
+    # canvas dims disagree with the frame
+    vx_bad = (b"VP8X" + _struct.pack("<I", 10) + bytes([0x10]) + b"\x00" * 3
+              + le24(w + 3) + le24(h - 1))
+    b_bad = b"WEBP" + vx_bad + vp8l_chunk
+    with pytest.raises(ValueError, match="canvas"):
+        decode_webp_extended(b"RIFF" + _struct.pack("<I", len(b_bad)) + b_bad)
+    # ALPH header guards: reserved bits, unknown compression, truncation
+    from bigdatainvesttink_spark.operators.webp_codec import (
+        _decode_alpha_chunk,
+    )
+
+    with pytest.raises(ValueError, match="reserved"):
+        _decode_alpha_chunk(b"\xc0" + b"\x00" * (w * h), w, h)
+    with pytest.raises(ValueError, match="compression"):
+        _decode_alpha_chunk(b"\x02" + b"\x00" * (w * h), w, h)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_alpha_chunk(b"\x00" + b"\x00" * (w * h - 2), w, h)

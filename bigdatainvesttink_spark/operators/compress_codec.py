@@ -327,13 +327,27 @@ def encode_lz4_block(data: bytes) -> bytes:
 _LZ4_MAGIC = 0x184D2204
 
 
-def decode_lz4_frame(data: bytes) -> bytes:
+def decode_lz4_frame(data: bytes, dictionary: bytes | None = None) -> bytes:
     """Decode an LZ4 frame payload (magic, descriptor with xxHash32
     header checksum, independent/stored blocks, optional block and
     content checksums) to its exact original bytes. Like .zst, .lz4
     files are frame SEQUENCES: concatenated frames decode to the
     concatenation and skippable frames (magic 0x184D2A5x) are ignored —
-    the lz4 CLI produces exactly such files when appending."""
+    the lz4 CLI produces exactly such files when appending.
+
+    ``dictionary`` is the external-dictionary content (frame spec
+    §Dictionary-ID): only its LAST 64 KB matter, used raw — the lz4 CLI
+    loads even a zstd ``--train`` dictionary as plain history bytes, so
+    no structure is parsed. Match offsets may then reach past the start
+    of the frame output into the dictionary tail: for EVERY block when
+    blocks are independent, and for the frame's first 64 KB of output
+    when blocks are linked (after which the window is all frame bytes).
+    Every frame in the sequence decodes against the same dictionary.
+    NOTE the asymmetry with zstd: frames compressed with a raw
+    dictionary usually do NOT set the DictID flag (lz4 -D never does),
+    so a missing dictionary is only detectable as a match-offset error;
+    when the flag IS set and no dictionary is supplied, this fails loud
+    up front."""
     if len(data) < 4:
         raise ValueError("malformed lz4 frame: truncated magic")
     (first_magic,) = struct.unpack_from("<I", data, 0)
@@ -362,12 +376,14 @@ def decode_lz4_frame(data: bytes) -> bytes:
             continue
         if magic != _LZ4_MAGIC:
             raise ValueError("malformed lz4 frame: bad frame magic")
-        payload, fpos = _decode_one_lz4_frame(data, fpos)
+        payload, fpos = _decode_one_lz4_frame(data, fpos, dictionary)
         total += payload
     return bytes(total)
 
 
-def _decode_one_lz4_frame(data: bytes, start: int) -> tuple[bytes, int]:
+def _decode_one_lz4_frame(
+    data: bytes, start: int, dictionary: bytes | None = None
+) -> tuple[bytes, int]:
     flg = data[start + 4]
     version = flg >> 6
     if version != 1:
@@ -383,20 +399,25 @@ def _decode_one_lz4_frame(data: bytes, start: int) -> tuple[bytes, int]:
     if has_content_size:
         (content_size,) = struct.unpack_from("<Q", data, pos)
         pos += 8
-    if flg & 0x01:  # dictionary id
-        # A frame that declares an external dictionary cannot be decoded
-        # without it — skipping the field and decoding anyway yields
-        # wrong bytes or a confusing match-offset error. Mirror
-        # zstd_codec._decode_frame and fail loud.
-        raise NotImplementedError(
-            "lz4 frame declares a dictionary (DictID flag set); "
-            "external-dictionary decoding is not supported")
+    if flg & 0x01:  # dictionary id field present
+        # The id of a RAW dictionary is whatever the producer chose to
+        # stamp (raw content has no intrinsic id to verify against, the
+        # way zstd's structured dictionaries do), so it can only gate
+        # presence: a frame that DECLARES an external dictionary cannot
+        # be decoded without one — fail loud up front instead of a
+        # confusing match-offset error mid-block.
+        pos += 4
+        if dictionary is None:
+            raise ValueError(
+                "lz4 frame declares a dictionary (DictID flag set): "
+                "pass decode_lz4_frame(..., dictionary=)")
     hc = data[pos]
     pos += 1
     want_hc = (xxhash32(data[start + 4:pos - 1]) >> 8) & 0xFF
     if hc != want_hc:
         raise ValueError("malformed lz4 frame: header checksum mismatch")
     out = bytearray()
+    dict_tail = (dictionary or b"")[-65536:]
     while True:
         if pos + 4 > len(data):
             raise ValueError("malformed lz4 frame: truncated block size")
@@ -418,9 +439,15 @@ def _decode_one_lz4_frame(data: bytes, start: int) -> tuple[bytes, int]:
         if stored:
             out += block
         else:
-            # linked blocks: matches may reach up to 64 KB into the
-            # previously decoded frame output
-            prefix = b"" if independent else bytes(out[-65536:])
+            # linked blocks: matches may reach up to 64 KB back through
+            # the previously decoded frame output INTO the dictionary
+            # tail; independent blocks see the dictionary alone
+            if independent:
+                prefix = dict_tail
+            elif dict_tail and len(out) < 65536:
+                prefix = (dict_tail + out)[-65536:]
+            else:
+                prefix = bytes(out[-65536:])
             out += decode_lz4_block(block, prefix=prefix)
     if has_content_checksum:
         (cc,) = struct.unpack_from("<I", data, pos)
@@ -487,11 +514,11 @@ def decompress_payload(
     the tests hold the native path to. ``prefer_native=False`` forces
     pure Python (the tests run both and require byte equality).
 
-    ``dictionary``: a zstd decoding dictionary blob (structured or
-    raw-content; broadcast it once per job, dictionary-per-shard is the
-    standard corpus layout). zstd-only — pyarrow's codec API takes no
-    dictionary, so supplying one routes zstd through the pure-Python
-    decoder."""
+    ``dictionary``: an external decoding dictionary blob (zstd:
+    structured or raw-content; lz4 frame: raw content, last 64 KB;
+    broadcast it once per job, dictionary-per-shard is the standard
+    corpus layout). pyarrow's codec API takes no dictionary, so
+    supplying one routes through the pure-Python decoders."""
     import zlib
 
     if algo == "auto":
@@ -519,8 +546,8 @@ def decompress_payload(
                 "auto: no self-describing magic (snappy/lz4_block payloads "
                 "must name their algo)"
             )
-    if dictionary is not None and algo != "zstd":
-        raise ValueError("dictionary decoding is zstd-only")
+    if dictionary is not None and algo not in ("zstd", "lz4"):
+        raise ValueError("dictionary decoding is zstd/lz4-frame-only")
     if (
         prefer_native and algo in ("lz4", "zstd") and dictionary is None
     ):
@@ -533,7 +560,7 @@ def decompress_payload(
     if algo == "snappy":
         return decode_snappy(content)
     if algo == "lz4":
-        return decode_lz4_frame(content)
+        return decode_lz4_frame(content, dictionary=dictionary)
     if algo == "lz4_block":
         return decode_lz4_block(content)
     if algo == "zstd":

@@ -1528,13 +1528,18 @@ def test_compress_codec_edge_frames():
             decode_lz4_frame(l4 + frag)
         with pytest.raises(ValueError):
             decode_zstd(zs + frag)
-    # DictID flag set -> fail loud (cannot decode without the dictionary)
+    # DictID flag set with no dictionary supplied -> fail loud up front
+    # (round 10: WITH a dictionary the field parses and decode proceeds
+    # — the id of a raw dictionary is unverifiable by construction)
     flg = l4[4] | 0x01
-    hdr = bytes([flg]) + l4[5:6]
+    # the one-byte header checksum covers ALL descriptor bytes between
+    # the magic and HC — the 4-byte dictionary id included
+    hdr = bytes([flg]) + l4[5:6] + _struct.pack("<I", 77)
     hc = (xxhash32(hdr) >> 8) & 0xFF
-    dict_frame = l4[:4] + hdr + _struct.pack("<I", 77) + bytes([hc]) + l4[7:]
-    with pytest.raises(NotImplementedError, match="dictionary"):
+    dict_frame = l4[:4] + hdr + bytes([hc]) + l4[7:]
+    with pytest.raises(ValueError, match="dictionary"):
         decode_lz4_frame(dict_frame)
+    assert decode_lz4_frame(dict_frame, dictionary=b"unused") == blob
     # zlib auto-sniff across window sizes (CMF 0x08..0x78)
     for wbits in (9, 11, 13, 15):
         z = zlib.compress(blob, 6)
@@ -1832,7 +1837,7 @@ def test_zstd_dictionary_decode(tmp_path):
     enc = (tmp_path / "r.zst").read_bytes()
     assert decompress_payload(enc, "zstd", dictionary=raw_blob) == data
     assert decompress_payload(enc, "auto", dictionary=raw_blob) == data
-    with pytest.raises(ValueError, match="zstd-only"):
+    with pytest.raises(ValueError, match="zstd/lz4"):
         decompress_payload(enc, "gzip", dictionary=raw_blob)
 
     # truncated structured dictionary -> ValueError, not IndexError
@@ -2541,3 +2546,99 @@ def test_vp8x_lossless_and_metadata_chunks():
         _decode_alpha_chunk(b"\x02" + b"\x00" * (w * h), w, h)
     with pytest.raises(ValueError, match="truncated"):
         _decode_alpha_chunk(b"\x00" + b"\x00" * (w * h - 2), w, h)
+
+
+def test_lz4_dictionary_decode(tmp_path):
+    """LZ4 dictionary frames decode for real (round 10, the lz4 sibling
+    of the retired zstd-dictionary guard). Oracle: the container's
+    actual lz4 CLI compresses payloads with -D across block modes —
+    independent AND linked (-BD), single- and multi-block (-B4 at 64 KB
+    with >64 KB payloads), high compression (-12) — and the pure-Python
+    decoder must reproduce every original byte-exactly. Dictionary
+    kinds pin the spec's raw-content semantics: plain text, a >64 KB
+    blob (only the LAST 64 KB may be referenced), and a zstd-TRAINED
+    structured dictionary which lz4 must treat as raw history bytes
+    (no RFC 8878 parsing — the asymmetry with decode_zstd). The
+    missing-dictionary failure mode is also pinned: lz4 -D never sets
+    the DictID flag, so the error surfaces as a match offset past the
+    window, not a loud up-front raise (that path is covered in
+    test_compress_codec_edge_frames with a hand-flagged frame)."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.compress_codec import (
+        decode_lz4_frame,
+        decompress_payload,
+    )
+
+    lz4_cli = shutil.which("lz4")
+    if lz4_cli is None:
+        pytest.skip("lz4 CLI unavailable (the dictionary oracle)")
+
+    vocab = (b"market data pipeline candle volume ticker feed "
+             b"orders lineitem shipment quantity discount revenue ")
+
+    dicts = {
+        "text": vocab * 120,
+        "big": bytes((i * 7 + 3) % 251 for i in range(200_000)) + vocab * 60,
+    }
+    zstd_cli = shutil.which("zstd")
+    if zstd_cli is not None:
+        samples = []
+        for i in range(40):
+            p = tmp_path / f"s{i}.txt"
+            p.write_bytes(vocab * 3 + b"record=%d " % i + vocab[i % 40:] * 2)
+            samples.append(str(p))
+        r = subprocess.run(
+            [zstd_cli, "--train", *samples, "-o", str(tmp_path / "zd.dict"),
+             "--maxdict=8192", "-q"], capture_output=True)
+        if r.returncode == 0:
+            dicts["zstd_trained"] = (tmp_path / "zd.dict").read_bytes()
+
+    def payloads():
+        yield "overlap", (vocab * 1500)[:70_000]          # dict-heavy, 2 blocks at -B4
+        yield "mixed", (vocab * 2 + bytes(range(256)) * 40) * 3
+        yield "rand", bytes((i * 13 + 5) % 256 for i in range(5000))
+        yield "tiny", vocab[:40]
+
+    n_ok = 0
+    for dname, dblob in dicts.items():
+        dpath = tmp_path / f"{dname}.dict"
+        dpath.write_bytes(dblob)
+        for pname, p in payloads():
+            ppath = tmp_path / "p.bin"
+            ppath.write_bytes(p)
+            for extra in ([], ["-BD"], ["-B4"], ["-BD", "-B4"], ["-12"]):
+                cpath = tmp_path / "c.lz4"
+                subprocess.run(
+                    [lz4_cli, "-f", "-q", "-D", str(dpath), *extra,
+                     str(ppath), str(cpath)],
+                    check=True, capture_output=True)
+                enc = cpath.read_bytes()
+                got = decode_lz4_frame(enc, dictionary=dblob)
+                assert got == p, (dname, pname, extra)
+                # the decompress_payload seam threads the dictionary
+                # (and must route around pyarrow, whose codec API takes
+                # none) — same bytes either way
+                assert decompress_payload(
+                    enc, "lz4", dictionary=dblob) == p
+                assert decompress_payload(
+                    enc, "auto", dictionary=dblob) == p
+                n_ok += 1
+    assert n_ok >= 40
+
+    # missing dictionary: a dict-referencing frame must fail loud as a
+    # window violation, never decode to silently wrong bytes
+    ppath = tmp_path / "p.bin"
+    ppath.write_bytes((vocab * 1500)[:30_000])
+    dpath = tmp_path / "text.dict"
+    cpath = tmp_path / "c.lz4"
+    subprocess.run([lz4_cli, "-f", "-q", "-D", str(dpath), str(ppath),
+                    str(cpath)], check=True, capture_output=True)
+    with pytest.raises(ValueError, match="offset out of range"):
+        decode_lz4_frame(cpath.read_bytes())
+    # wrong algo pairing still fails loud
+    with pytest.raises(ValueError, match="zstd/lz4"):
+        decompress_payload(b"\x00", "snappy", dictionary=b"d")

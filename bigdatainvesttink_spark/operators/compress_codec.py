@@ -504,8 +504,12 @@ def decompress_payload(
     """Executor-side decompression dispatch for opaque binary payload
     columns — the compressed-corpus analog of multimodal.decode_image.
     ``algo``: snappy | lz4 (frame) | lz4_block | zstd | gzip | zlib |
-    auto (auto sniffs the self-describing magics; snappy/lz4_block have
-    none and must be named).
+    xz | bz2 | auto (auto sniffs the self-describing magics;
+    snappy/lz4_block have none and must be named). xz and bz2 route
+    through the stdlib (lzma/bz2 — the same standard-library tier as
+    the gzip/zlib paths): both are corpus-dump staples (.warc.xz,
+    Wikipedia .bz2) whose stream formats are multi-member like gzip,
+    handled by looping members until input is exhausted.
 
     At 100 TB the hot path matters: every Spark executor already ships
     pyarrow's C codecs, so the SELF-DESCRIBING frame formats (lz4 frame,
@@ -531,6 +535,13 @@ def decompress_payload(
             algo = "zstd"
         elif content[:2] == b"\x1f\x8b":
             algo = "gzip"
+        elif content[:6] == b"\xfd7zXZ\x00":
+            algo = "xz"
+        elif (
+            content[:3] == b"BZh" and len(content) > 3
+            and 0x31 <= content[3] <= 0x39
+        ):
+            algo = "bz2"
         elif (
             len(content) >= 2
             and (content[0] & 0x0F) == 8
@@ -584,6 +595,33 @@ def decompress_payload(
         return bytes(out)
     if algo == "zlib":
         return zlib.decompress(content)
+    if algo == "xz":
+        # .xz files are stream SEQUENCES (xz --compress appends; stream
+        # padding of 4-byte null blocks may separate them) — loop like
+        # the gzip path so multi-stream dumps aren't silently truncated
+        import lzma
+
+        out = bytearray()
+        rest = content
+        while rest:
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            out += d.decompress(rest)
+            if not d.eof:
+                raise ValueError("malformed xz: truncated stream")
+            rest = d.unused_data.lstrip(b"\x00")  # stream padding
+        return bytes(out)
+    if algo == "bz2":
+        import bz2 as _bz2
+
+        out = bytearray()
+        rest = content
+        while rest:
+            d = _bz2.BZ2Decompressor()
+            out += d.decompress(rest)
+            if not d.eof:
+                raise ValueError("malformed bz2: truncated stream")
+            rest = d.unused_data
+        return bytes(out)
     raise ValueError(f"unknown compression algo {algo!r}")
 
 

@@ -2642,3 +2642,51 @@ def test_lz4_dictionary_decode(tmp_path):
     # wrong algo pairing still fails loud
     with pytest.raises(ValueError, match="zstd/lz4"):
         decompress_payload(b"\x00", "snappy", dictionary=b"d")
+
+
+def test_xz_bz2_decompress_paths(tmp_path):
+    """The xz/bz2 additions to the decompress seam (stdlib-tier like
+    gzip/zlib): auto-sniff magics, multi-stream concatenation with xz
+    stream padding (corpus dumps concatenate members), and truncation
+    fail-louds. Oracle for xz: the container's xz CLI, an independent
+    liblzma build path from the stdlib module's."""
+    import bz2
+    import lzma
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.compress_codec import (
+        decompress_payload,
+    )
+
+    blob_a = b"wikipedia dump article text " * 400
+    blob_b = b"second member, different bytes " * 300
+
+    # stdlib-made streams through the seam, auto-sniffed
+    assert decompress_payload(lzma.compress(blob_a), "auto") == blob_a
+    assert decompress_payload(bz2.compress(blob_a), "auto") == blob_a
+    # concatenated members decode to the concatenation (gzip-path rule)
+    xz2 = lzma.compress(blob_a) + lzma.compress(blob_b)
+    bz2_2 = bz2.compress(blob_a) + bz2.compress(blob_b)
+    assert decompress_payload(xz2, "xz") == blob_a + blob_b
+    assert decompress_payload(bz2_2, "bz2") == blob_a + blob_b
+    # xz stream padding between members (4-byte aligned nulls)
+    padded = lzma.compress(blob_a) + b"\x00" * 8 + lzma.compress(blob_b)
+    assert decompress_payload(padded, "xz") == blob_a + blob_b
+    # truncation fails loud
+    with pytest.raises((ValueError, lzma.LZMAError)):
+        decompress_payload(lzma.compress(blob_a)[:-9], "xz")
+    with pytest.raises((ValueError, OSError, EOFError)):
+        decompress_payload(bz2.compress(blob_a)[:-9], "bz2")
+
+    # CLI cross-check (xz CLI links its own liblzma entry path)
+    xz_cli = shutil.which("xz")
+    if xz_cli is not None:
+        p = tmp_path / "a.bin"
+        p.write_bytes(blob_a)
+        subprocess.run([xz_cli, "-f", "-9", str(p)], check=True,
+                       capture_output=True)
+        enc = (tmp_path / "a.bin.xz").read_bytes()
+        assert decompress_payload(enc, "auto") == blob_a

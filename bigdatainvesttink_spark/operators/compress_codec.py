@@ -504,12 +504,19 @@ def decompress_payload(
     """Executor-side decompression dispatch for opaque binary payload
     columns — the compressed-corpus analog of multimodal.decode_image.
     ``algo``: snappy | lz4 (frame) | lz4_block | zstd | gzip | zlib |
-    xz | bz2 | auto (auto sniffs the self-describing magics;
-    snappy/lz4_block have none and must be named). xz and bz2 route
-    through the stdlib (lzma/bz2 — the same standard-library tier as
-    the gzip/zlib paths): both are corpus-dump staples (.warc.xz,
-    Wikipedia .bz2) whose stream formats are multi-member like gzip,
-    handled by looping members until input is exhausted.
+    xz | bz2 | brotli | auto (auto sniffs the self-describing magics;
+    snappy/lz4_block/brotli have none and must be named — RFC 7932
+    defines no magic number, exactly the Content-Encoding:br situation
+    where the algo arrives out-of-band). xz and bz2 route through the
+    stdlib (lzma/bz2 — the same standard-library tier as the gzip/zlib
+    paths): both are corpus-dump staples (.warc.xz, Wikipedia .bz2)
+    whose stream formats are multi-member like gzip, handled by looping
+    members until input is exhausted. brotli — the web-corpus codec —
+    decodes via the pure-Python RFC 7932 decoder (brotli_codec.py);
+    pyarrow ships a brotli codec but its API requires the decompressed
+    size up front, which an opaque payload column doesn't carry, so
+    unlike lz4/zstd there is no native fast path (the tests still
+    cross-check against pyarrow with the size supplied).
 
     At 100 TB the hot path matters: every Spark executor already ships
     pyarrow's C codecs, so the SELF-DESCRIBING frame formats (lz4 frame,
@@ -562,6 +569,10 @@ def decompress_payload(
     if (
         prefer_native and algo in ("lz4", "zstd") and dictionary is None
     ):
+        # NOTE brotli stays OFF the native path: pyarrow's Codec API
+        # demands decompressed_size for brotli (no streaming one-shot),
+        # which an opaque payload column doesn't carry — the pure
+        # decoder is the product path, pyarrow the test cross-check.
         try:
             import pyarrow as pa
 
@@ -610,6 +621,10 @@ def decompress_payload(
                 raise ValueError("malformed xz: truncated stream")
             rest = d.unused_data.lstrip(b"\x00")  # stream padding
         return bytes(out)
+    if algo == "brotli":
+        from .brotli_codec import decode_brotli
+
+        return decode_brotli(content)
     if algo == "bz2":
         import bz2 as _bz2
 

@@ -666,3 +666,109 @@ def decompress_docs(binary_df, algo: str = "auto"):
         schema="doc_id bigint, n_compressed bigint, n_bytes bigint, "
                "content binary",
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered query: the compressed-corpus roundtrip as a driver-checked
+# surface. A crawl-scale corpus arrives as per-shard payloads in whatever
+# codec each upstream dump used — this query compresses every document
+# executor-side with an algo chosen per doc (all six non-brotli codecs the
+# seam decodes; brotli has no in-product encoder), pushes the bytes back
+# through decompress_payload (auto-sniffed where the format self-describes,
+# named for snappy, exactly the production contract), and aggregates
+# per-algo counts/byte-sums/checksums over the RECOVERED text. The DuckDB
+# oracle computes the same aggregates from the original documents table, so
+# a single flipped byte anywhere in six codec paths breaks the hash.
+
+_ROUNDTRIP_ALGOS = ("gzip", "zlib", "bz2", "xz", "snappy", "lz4")
+
+
+def _register_fmt_decompress_corpus() -> None:
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+    from ..registry import query
+
+    algo_list = ", ".join(f"'{a}'" for a in _ROUNDTRIP_ALGOS)
+
+    @query(
+        "fmt_decompress_corpus",
+        oracle=f"""
+            SELECT algo,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+                   bit_xor(CAST(CAST('0x' || substr(md5(
+                       doc_id || '|' || text), 1, 15)
+                       AS UBIGINT) AS BIGINT)) AS checksum
+            FROM (
+                SELECT [{algo_list}][(doc_id % 6) + 1] AS algo,
+                       doc_id, text
+                FROM documents
+            ) t
+            GROUP BY algo
+            ORDER BY algo
+        """,
+    )
+    def fmt_decompress_corpus(spark, sf_dir: str):
+        import pandas as pd
+
+        from ..functions.text import stable_hash60
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+
+        def run(batches):
+            import bz2 as _bz2
+            import gzip as _gzip
+            import lzma
+            import zlib as _zlib
+
+            for pdf in batches:
+                out = {"doc_id": [], "algo": [], "n_bytes": [], "text": []}
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    raw = text.encode("utf-8")
+                    algo = _ROUNDTRIP_ALGOS[int(doc_id) % 6]
+                    if algo == "gzip":
+                        comp = _gzip.compress(raw, mtime=0)
+                    elif algo == "zlib":
+                        comp = _zlib.compress(raw)
+                    elif algo == "bz2":
+                        comp = _bz2.compress(raw)
+                    elif algo == "xz":
+                        comp = lzma.compress(raw)
+                    elif algo == "snappy":
+                        comp = encode_snappy(raw)
+                    else:
+                        comp = encode_lz4_frame(raw)
+                    # snappy has no magic; every other format must sniff
+                    back = decompress_payload(
+                        comp, "snappy" if algo == "snappy" else "auto"
+                    )
+                    if back != raw:  # fail loud, never emit silent junk
+                        raise ValueError(
+                            f"roundtrip mismatch doc {doc_id} algo {algo}")
+                    out["doc_id"].append(int(doc_id))
+                    out["algo"].append(algo)
+                    out["n_bytes"].append(len(back))
+                    out["text"].append(back.decode("utf-8"))
+                yield pd.DataFrame(out)
+
+        rt = docs.mapInPandas(
+            run,
+            schema="doc_id bigint, algo string, n_bytes bigint, text string",
+        )
+        return (
+            rt.groupBy("algo")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_bytes").cast("long").alias("sum_bytes"),
+                F.bit_xor(
+                    stable_hash60(F.concat_ws("|", "doc_id", "text"))
+                ).alias("checksum"),
+            )
+            .orderBy("algo")
+        )
+
+
+_register_fmt_decompress_corpus()

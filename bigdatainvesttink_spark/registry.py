@@ -404,6 +404,7 @@ def _load_operator_modules() -> None:
     from .operators import (  # noqa: F401
         analytics,
         clustering,
+        compress_codec,
         curation,
         dedup,
         events_ops,

@@ -640,18 +640,25 @@ def decompress_payload(
     raise ValueError(f"unknown compression algo {algo!r}")
 
 
-def decompress_docs(binary_df, algo: str = "auto"):
+def decompress_docs(binary_df, algo: str = "auto",
+                    dictionary: bytes | None = None):
     """Arrow-batched decompression over a (doc_id, content: binary)
     frame — the compressed-corpus twin of multimodal.extract_meta. Runs
     entirely executor-side inside mapInPandas (a 100 TB corpus's
     payloads must never funnel through the driver); emits the original
     payload with its size accounting so downstream text operators see
-    exactly the bytes that were compressed."""
+    exactly the bytes that were compressed.
+
+    ``dictionary``: the shard's shared decoding dictionary (zstd
+    structured/raw, or lz4-frame raw — dictionary-per-shard is the
+    standard corpus layout). Captured by the closure, so Spark ships it
+    once per task with the serialized function, not per row."""
     import pandas as pd
 
     def run(batches):
         for pdf in batches:
-            raw = [decompress_payload(bytes(c), algo) for c in pdf["content"]]
+            raw = [decompress_payload(bytes(c), algo, dictionary=dictionary)
+                   for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

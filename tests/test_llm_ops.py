@@ -3022,3 +3022,63 @@ def test_brotli_through_decompress_seam():
         assert bytes(pa.Codec("brotli").decompress(enc, len(blob))) == blob
     with pytest.raises(ValueError, match="no self-describing magic"):
         decompress_payload(enc, "auto")
+
+
+def test_decompress_docs_dictionary_shard(spark, tmp_path):
+    """The shard-dictionary corpus layout through the Spark seam:
+    documents compressed with a shared zstd dictionary (the container's
+    zstd CLI as producer), decompressed executor-side by
+    decompress_docs(dictionary=) byte-exactly — and the same payloads
+    FAIL loud without the dictionary instead of yielding junk."""
+    import shutil
+    import subprocess
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdatainvesttink_spark.io import load_table
+    from bigdatainvesttink_spark.operators.compress_codec import (
+        decompress_docs,
+    )
+
+    zstd_cli = shutil.which("zstd")
+    if zstd_cli is None:
+        pytest.skip("zstd CLI unavailable (the dictionary producer)")
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("text") != "")
+        .select("doc_id", "text")
+        .limit(48)
+        .collect()
+    )
+    assert docs
+    for i, r in enumerate(docs):
+        (tmp_path / f"s{i}.txt").write_bytes(r["text"].encode())
+    train = [str(tmp_path / f"s{i}.txt") for i in range(len(docs))]
+    r0 = subprocess.run(
+        [zstd_cli, "--train", *train, "-o", str(tmp_path / "shard.dict"),
+         "--maxdict=4096", "-q"], capture_output=True)
+    if r0.returncode != 0:
+        pytest.skip(f"zstd --train refused: {r0.stderr.decode()[:120]}")
+    dict_blob = (tmp_path / "shard.dict").read_bytes()
+
+    payloads = []
+    for i, r in enumerate(docs):
+        subprocess.run(
+            [zstd_cli, "-f", "-q", "-D", str(tmp_path / "shard.dict"),
+             str(tmp_path / f"s{i}.txt"), "-o", str(tmp_path / f"s{i}.zst")],
+            check=True, capture_output=True)
+        payloads.append(
+            (r["doc_id"], (tmp_path / f"s{i}.zst").read_bytes()))
+    want = {r["doc_id"]: r["text"].encode() for r in docs}
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    got = decompress_docs(df, algo="zstd", dictionary=dict_blob).collect()
+    assert len(got) == len(docs)
+    for row in got:
+        assert bytes(row["content"]) == want[row["doc_id"]]
+    # without the dictionary: fail loud (the executor-side ValueError
+    # names the missing dictionary id; Spark surfaces it as a
+    # PythonException wrapper)
+    with pytest.raises(Exception, match="requires dictionary id"):
+        decompress_docs(df, algo="zstd").collect()

@@ -384,6 +384,8 @@ def decode_lz4_frame(data: bytes, dictionary: bytes | None = None) -> bytes:
 def _decode_one_lz4_frame(
     data: bytes, start: int, dictionary: bytes | None = None
 ) -> tuple[bytes, int]:
+    if start + 7 > len(data):
+        raise ValueError("malformed lz4 frame: truncated frame descriptor")
     flg = data[start + 4]
     version = flg >> 6
     if version != 1:
@@ -397,6 +399,8 @@ def _decode_one_lz4_frame(
     pos = start + 6
     content_size = None
     if has_content_size:
+        if pos + 8 > len(data):
+            raise ValueError("malformed lz4 frame: truncated content size")
         (content_size,) = struct.unpack_from("<Q", data, pos)
         pos += 8
     if flg & 0x01:  # dictionary id field present
@@ -411,6 +415,8 @@ def _decode_one_lz4_frame(
             raise ValueError(
                 "lz4 frame declares a dictionary (DictID flag set): "
                 "pass decode_lz4_frame(..., dictionary=)")
+    if pos >= len(data):
+        raise ValueError("malformed lz4 frame: truncated header checksum")
     hc = data[pos]
     pos += 1
     want_hc = (xxhash32(data[start + 4:pos - 1]) >> 8) & 0xFF
@@ -432,6 +438,9 @@ def _decode_one_lz4_frame(
         block = data[pos:pos + bsize]
         pos += bsize
         if has_block_checksum:
+            if pos + 4 > len(data):
+                raise ValueError(
+                    "malformed lz4 frame: truncated block checksum")
             (bc,) = struct.unpack_from("<I", data, pos)
             pos += 4
             if bc != xxhash32(block):
@@ -450,6 +459,9 @@ def _decode_one_lz4_frame(
                 prefix = bytes(out[-65536:])
             out += decode_lz4_block(block, prefix=prefix)
     if has_content_checksum:
+        if pos + 4 > len(data):
+            raise ValueError(
+                "malformed lz4 frame: truncated content checksum")
         (cc,) = struct.unpack_from("<I", data, pos)
         pos += 4
         if cc != xxhash32(bytes(out)):

@@ -658,8 +658,10 @@ def decode_webp_extended(data: bytes) -> dict:
             "not an extended container: use decode_webp_lossless / "
             "vp8_codec.decode_webp_lossy for plain VP8L / `VP8 `"
         )
+    if len(data) < 30:
+        raise ValueError("malformed VP8X: header chunk must be 10 bytes")
     (xlen,) = struct.unpack("<I", data[16:20])
-    if xlen != 10 or len(data) < 30:
+    if xlen != 10:
         raise ValueError("malformed VP8X: header chunk must be 10 bytes")
     flags = data[20]
     if flags & 0x02:

@@ -3082,3 +3082,70 @@ def test_decompress_docs_dictionary_shard(spark, tmp_path):
     # PythonException wrapper)
     with pytest.raises(Exception, match="requires dictionary id"):
         decompress_docs(df, algo="zstd").collect()
+
+
+def test_codec_mutation_fuzz_fail_loud():
+    """Corruption robustness for the round-10 decoders: random garbage,
+    truncations, and bit-flips of valid streams must either decode (a
+    flip can legally produce a different valid stream) or raise
+    ValueError/NotImplementedError — never a foreign exception
+    (struct.error / IndexError), never a hang. Seeded, so failures
+    reproduce. This fuzz FOUND two gaps when first run (unguarded
+    struct reads in the VP8X chunk walk and the lz4 frame descriptor);
+    the guards it forced are now pinned here."""
+    import random
+
+    import pytest
+
+    from bigdatainvesttink_spark.operators.brotli_codec import decode_brotli
+    from bigdatainvesttink_spark.operators.compress_codec import (
+        decode_lz4_frame,
+        encode_lz4_frame,
+    )
+    from bigdatainvesttink_spark.operators.webp_codec import (
+        decode_webp_extended,
+    )
+
+    rng = random.Random(20261017)
+    targets = []
+
+    compress = _libbrotli_enc()
+    if compress is not None:
+        targets.append(("brotli", decode_brotli,
+                        compress(b"fuzz corpus text with words " * 200, 7)))
+    lz_dict = b"dict content words " * 50
+    lz = encode_lz4_frame(b"payload words dict content " * 30)
+    targets.append(("lz4", lambda s: decode_lz4_frame(s, dictionary=lz_dict),
+                    lz))
+    lib = _libwebp_rgba()
+    if lib is not None:
+        import ctypes
+
+        rgba = bytes((x * 13 + y * 7 + c) % 256
+                     for y in range(24) for x in range(24) for c in range(4))
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGBA(rgba, 24, 24, 96, 60.0, ctypes.byref(out))
+        targets.append(("vp8x", decode_webp_extended,
+                        ctypes.string_at(out, n)))
+
+    assert targets
+    for name, fn, base in targets:
+        for trial in range(1200):
+            mode = trial % 3
+            if mode == 0:
+                s = bytes(rng.randrange(256)
+                          for _ in range(rng.randrange(1, 100)))
+            elif mode == 1:
+                s = base[:rng.randrange(len(base))]
+            else:
+                b = bytearray(base)
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                s = bytes(b)
+            try:
+                fn(s)
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as e:  # pragma: no cover - the assertion
+                pytest.fail(f"{name}: foreign {type(e).__name__}: {e!r} "
+                            f"(seeded trial {trial})")

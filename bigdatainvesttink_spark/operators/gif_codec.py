@@ -185,6 +185,19 @@ def decode_gif(data: bytes) -> dict:
     index, which is what a training-data frame sampler needs (raw
     per-image sub-rectangles are a GIF encoding artifact, not frames).
     """
+    try:
+        return _decode_gif(data)
+    except (struct.error, IndexError) as exc:
+        # corruption backstop (r10 fuzz): block/descriptor walks index
+        # per format-declared offsets; corrupt or truncated input can
+        # push any of them past the buffer — surface the module's
+        # ValueError convention (valid-stream correctness is pinned by
+        # the giflib oracle, so anything landing here is malformed)
+        raise ValueError("malformed GIF: truncated or corrupt stream") \
+            from exc
+
+
+def _decode_gif(data: bytes) -> dict:
     if data[:6] not in _HEADERS:
         raise ValueError("malformed GIF: bad signature")
     if len(data) < 13:

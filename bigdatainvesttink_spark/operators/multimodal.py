@@ -182,6 +182,8 @@ def decode_image(content: bytes) -> dict:
         ]
         data = content[pos + 8:pos + 8 + clen]
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("malformed PNG: truncated IHDR")
             (
                 width,
                 height,
@@ -222,8 +224,13 @@ def decode_image(content: bytes) -> dict:
             raise NotImplementedError("PNG subset: palette depth 1/2/4/8")
         if palette is None or len(palette) % 3:
             raise ValueError("malformed PNG: palette image without PLTE")
+        try:
+            inflated = zlib.decompress(idat)
+        except zlib.error as exc:
+            raise ValueError(
+                "malformed PNG: corrupt deflate stream") from exc
         idx = _png_index_plane(
-            zlib.decompress(idat), width, height, bit_depth, interlace
+            inflated, width, height, bit_depth, interlace
         )
         n_entries = len(palette) // 3
         # `idx` is empty for a degenerate 0x0 image (ADVICE r8): skip the
@@ -254,7 +261,10 @@ def decode_image(content: bytes) -> dict:
             "the WAV seam, one real format proves pluggability)"
         )
     nch = {0: 1, 2: 3, 6: 4}[color_type]
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError("malformed PNG: corrupt deflate stream") from exc
     if interlace == 0:
         pixels, _ = _png_unfilter(raw, 0, width, height, nch)
     else:

@@ -723,7 +723,20 @@ def decode_zstd(data: bytes, dictionary: bytes | None = None) -> bytes:
             raise ValueError("malformed zstd: trailing garbage")
         (magic,) = struct.unpack_from("<I", data, pos)
         if magic == _ZSTD_MAGIC:
-            payload, pos = _decode_frame(data, pos, zdict)
+            try:
+                payload, pos = _decode_frame(data, pos, zdict)
+            except (struct.error, IndexError) as exc:
+                # corruption backstop: the frame decoder's bit-level
+                # machinery (FSE tables, sequences, Huffman streams)
+                # indexes per format-declared offsets; corrupt or
+                # truncated input can push any of them past the buffer.
+                # Surface the module's ValueError convention instead of
+                # a bare struct.error/IndexError — valid-stream
+                # correctness is pinned by the libzstd oracle sweeps,
+                # so anything landing here is malformed input.
+                raise ValueError(
+                    "malformed zstd: truncated or corrupt frame"
+                ) from exc
             out += payload
         elif 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
             if pos + 8 > len(data):

@@ -3106,6 +3106,24 @@ def test_codec_mutation_fuzz_fail_loud():
         decode_webp_extended,
     )
 
+    import math
+
+    import pyarrow as pa
+
+    from bigdatainvesttink_spark.operators.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+    from bigdatainvesttink_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+    from bigdatainvesttink_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+    from bigdatainvesttink_spark.operators.zstd_codec import decode_zstd
+
     rng = random.Random(20261017)
     targets = []
 
@@ -3117,6 +3135,17 @@ def test_codec_mutation_fuzz_fail_loud():
     lz = encode_lz4_frame(b"payload words dict content " * 30)
     targets.append(("lz4", lambda s: decode_lz4_frame(s, dictionary=lz_dict),
                     lz))
+    targets.append(("zstd", decode_zstd,
+                    bytes(pa.Codec("zstd").compress(
+                        b"zstd fuzz corpus words " * 300))))
+    rgb = bytes((x * 5 + y * 3) % 256
+                for y in range(24) for x in range(24) for _ in range(3))
+    targets.append(("png", decode_image, encode_png(rgb, 24, 24, 3)))
+    targets.append(("gif", decode_gif, encode_gif(
+        [bytes(i % 16 for i in range(24 * 24))], 24, 24,
+        bytes(range(48)) + bytes(768 - 48))))
+    targets.append(("flac", decode_flac, encode_flac(
+        [int(1000 * math.sin(i / 7)) for i in range(2048)], 8000, 1)))
     lib = _libwebp_rgba()
     if lib is not None:
         import ctypes

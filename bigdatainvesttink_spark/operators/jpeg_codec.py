@@ -143,6 +143,21 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(data: bytes) -> dict:
     """Decode baseline JPEG to ``{width, height, n_components, pixels}``
     with pixels as interleaved uint8 bytes (gray or RGB)."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError, KeyError, EOFError,
+            ZeroDivisionError) as exc:
+        # corruption backstop (r10 fuzz): segment walks, Huffman/QM
+        # reads, and component bookkeeping index per header-declared
+        # values; corrupt or truncated input can push any of them past
+        # a buffer, reference an undeclared table id, or zero a
+        # sampling factor — surface the module's ValueError convention
+        # (valid-stream correctness is pinned by the libjpeg oracles)
+        raise ValueError("malformed JPEG: truncated or corrupt stream") \
+            from exc
+
+
+def _decode_jpeg(data: bytes) -> dict:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

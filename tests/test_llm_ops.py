@@ -3146,6 +3146,13 @@ def test_codec_mutation_fuzz_fail_loud():
         bytes(range(48)) + bytes(768 - 48))))
     targets.append(("flac", decode_flac, encode_flac(
         [int(1000 * math.sin(i / 7)) for i in range(2048)], 8000, 1)))
+    from bigdatainvesttink_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    targets.append(("jpeg", decode_jpeg,
+                    encode_jpeg_baseline(rgb, 24, 24, nch=3)))
     lib = _libwebp_rgba()
     if lib is not None:
         import ctypes

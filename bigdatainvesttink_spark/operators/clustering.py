@@ -145,6 +145,16 @@ def kmeans_fit(vectors: DataFrame, k: int = K, n_iter: int = N_ITER):
             f"SemDeDup paper fixes 11k cells for 234M docs) or raise "
             f"SPARK_GRAFT_KMEANS_K_BUDGET on a driver with the headroom."
         )
+    # Pin the input for the iteration loop: every Lloyd pass (and the
+    # returned assignment's consumers) re-executes ``vectors``'s FULL
+    # upstream plan otherwise — harmless when it is a bare scan, but
+    # d3_semdedup_cell_blocked feeds the corpus ⋈ corpus augmentation
+    # join through here, which would re-run once per iteration plus once
+    # per downstream consumer (guide §5: persist exactly when a frame is
+    # reused and recomputing it is the expensive part). Storage level
+    # MEMORY_AND_DISK — at cluster scale the quantized vectors spill to
+    # local disk per partition rather than OOM.
+    vectors = vectors.persist()
     first = (
         vectors.orderBy("vec_id").limit(k).collect()
     )  # k rows only, k <= KMEANS_K_BUDGET (fail-loud above)

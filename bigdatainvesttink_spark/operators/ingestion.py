@@ -540,16 +540,26 @@ def a_backfill_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.ingest import ingest
 
     tables = ("trades", "order_book", "companies")
-    wire = _wire_stream(spark, sf_dir, tables).persist()
-    doubled = wire.unionAll(wire)
+    wire = _wire_stream(spark, sf_dir, tables)
+    # Parse the wire ONCE and replay the PARSED rows: ingest() is row-wise
+    # (stateless filter+map per message), so ingest(wire ∪ wire) is
+    # row-for-row ingest(wire) ∪ ingest(wire) — the doubled-tape replay is
+    # built from the single-run clean rows instead of re-running the JSON
+    # parse over a twice-sized wire (guide §1.2/§2.3: the old plan paid
+    # 5 parse passes plus 9 full-wire dispatch probes across its aggregate
+    # branches; this one parses each message exactly once). The persisted
+    # intermediate is per-table typed columns — strictly smaller than the
+    # raw JSON strings the previous version pinned. The dedup still scans
+    # the full doubled row set, so the idempotency property being verified
+    # is unchanged; oracle-equal by the driver's hash check.
     single_clean = ingest(wire)
-    double_clean = ingest(doubled)
     out = None
     for t in tables:
-        single_n = single_clean[t].agg(
+        clean = single_clean[t].persist()
+        single_n = clean.agg(
             F.count("*").cast("long").alias("n_single")
         )
-        dbl = double_clean[t]
+        dbl = clean.unionAll(clean)
         row = (
             single_n.crossJoin(
                 dbl.agg(F.count("*").cast("long").alias("n_double"))

@@ -187,7 +187,9 @@ def d3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    aug = v.unionByName(nxt)
+    # Both sides of the label-blocked pair join consume aug; persist so
+    # the corpus ⋈ corpus augmentation join runs once, not twice (§5).
+    aug = v.unionByName(nxt).persist()
     a, b = aug.alias("x"), aug.alias("y")
     # Arrow-vectorized cosine: the candidate set is |block|^2-sized, and the
     # per-pair zip_with fold allocates an intermediate array each time —
@@ -1139,7 +1141,12 @@ def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    aug = v.unionByName(nxt)
+    # Pin the augmented corpus: it feeds the count below, the k-means
+    # input projection, and both sides of the within-cell pair join —
+    # without the persist each consumer re-runs the corpus ⋈ corpus
+    # augmentation join (guide §5; at 100 TB that is 4+ full passes of a
+    # join instead of one join + cached scans).
+    aug = v.unionByName(nxt).persist()
     # One bounded scalar to the driver: the cell count is a model
     # hyperparameter derived from corpus size (constant expected cell
     # size is what makes within-cell pairing linear in n).
@@ -1152,9 +1159,12 @@ def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = kmeans_fit(
         aug.select("vec_id", "label", xu.alias("xu")), k=k
     )
+    # cells is consumed three times (both pair-join sides + the final
+    # labeling join); each consumer would otherwise re-run the whole
+    # Arrow argmin assignment scan. Two longs per row — cheap to pin.
     cells = assigned.select(
         "vec_id", F.col("cluster").alias("cell")
-    )
+    ).persist()
     augn = aug.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     x = augn.join(cells, "vec_id").alias("x")
     y = augn.join(cells, "vec_id").alias("y")

@@ -279,8 +279,14 @@ def run_to_scratch(
         if batch_transform
         else sdf.schema
     )
-    # pre-create one epoch dir so an empty stream still reads back cleanly
-    spark.createDataFrame([], landed_schema).write.parquet(f"{path}/e_init")
+    # Pre-create the landing dir so an empty stream still reads back
+    # cleanly. The read below passes an explicit schema, so a fileless
+    # directory suffices — the previous empty-DataFrame parquet write
+    # launched one Spark job of defaultParallelism do-nothing tasks (each
+    # deserializing the full write spec and running the commit protocol)
+    # per streaming query, pure fixed overhead at every scale (guide §1.2:
+    # don't compute things you throw away).
+    os.makedirs(path, exist_ok=True)
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         out = batch_transform(batch_df) if batch_transform else batch_df

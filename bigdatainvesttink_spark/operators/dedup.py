@@ -198,6 +198,9 @@ def capped_shingles(c: DataFrame, sf_dir: str | None = None) -> DataFrame:
         )
         .filter(F.size("sh") > 0)
         .select("doc_id", F.explode("sh").alias("shingle"))
+        # Two consumers (the hot-list aggregate + the anti-join probe):
+        # pin so the tokenize/shingle explode runs once, not twice (§5).
+        .persist()
     )
     hot = (
         sh0.groupBy("shingle")
@@ -227,7 +230,9 @@ def capped_shingles(c: DataFrame, sf_dir: str | None = None) -> DataFrame:
     ),
 )
 def d2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = capped_shingles(corpus(spark, sf_dir), sf_dir)
+    # Both sides of the inverted-index self-join consume the capped
+    # shingle set — pin so the shingle/hot-list chain runs once (§5).
+    sh = capped_shingles(corpus(spark, sf_dir), sf_dir).persist()
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -875,7 +880,9 @@ def d1_table_diff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def d2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = capped_shingles(corpus(spark, sf_dir), sf_dir)
+    # Both sides of the inverted-index self-join consume the capped
+    # shingle set — pin so the shingle/hot-list chain runs once (§5).
+    sh = capped_shingles(corpus(spark, sf_dir), sf_dir).persist()
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -1030,6 +1037,12 @@ def d1_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
     shingled, mh, cand = _minhash_parts(c)
+    # Each part has multiple consumers here (shingled: sizes + both exact
+    # sides; mh: both est sides + the band chain; cand: est + exact) —
+    # unpinned, the shingle/minhash pipeline recomputed ~5x (§5).
+    shingled = shingled.persist()
+    mh = mh.persist()
+    cand = cand.persist()
     x, y = mh.alias("x"), mh.alias("y")
     est = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
@@ -1792,6 +1805,9 @@ def d2_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
     shingled, mh, _ = _minhash_parts(c)
     mh = mh.cache()  # vocabulary-bounded (n_docs x 32); reused by 3 arms
+    # shingled feeds sizes + BOTH sides of the truth self-join: pin it so
+    # the tokenize/md5 shingle scan runs once, not three times (§5).
+    shingled = shingled.persist()
 
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa, sb = shingled.alias("sa"), shingled.alias("sb")
@@ -1823,6 +1839,10 @@ def d2_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    # truth has four consumers (the count + one left join per arm);
+    # unpinned, each re-ran the O(sum posting^2) shingle self-join —
+    # profiling showed the same ~13 MB shuffle read four times (§5).
+    truth = truth.persist()
     nt = truth.agg(F.count("*").alias("n_true"))
 
     def arm(r: int) -> DataFrame:

@@ -1357,22 +1357,29 @@ def d3_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("norm").alias("nb"),
     )
+    # Arrow-vectorized pair cosine (the d3_embedding_neardup discipline —
+    # the JVM zip_with fold allocates per pair; einsum over Arrow batches
+    # is ~10x cheaper on |block|^2 candidates, interchangeable under the
+    # module's round-6dp contract).
+    from ..functions.vectorized import cosine_pandas
+
     pairs = a.join(
         b, (F.col("lb") == F.col("la")) & (F.col("ib") > F.col("ia"))
     ).select(
         "ia",
         "ib",
-        F.round(
-            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cosine"),
+        F.round(cosine_pandas(F.col("ea"), F.col("eb")), 6).alias("cosine"),
     )
     thr = F.explode(
         F.array(F.lit(0.30), F.lit(0.35), F.lit(0.40))
     ).alias("thr")
+    # Two consumers (pair counts + distinct members) — pin the swept pair
+    # set so the blocked pair join and cosine scan run once (§5).
     swept = (
         pairs.select("ia", "ib", "cosine", thr)
         .filter(F.col("cosine") >= F.col("thr"))
         .select("thr", "ia", "ib")
+        .persist()
     )
     members = swept.select("thr", F.col("ia").alias("vec")).unionAll(
         swept.select("thr", F.col("ib").alias("vec"))
@@ -2065,77 +2072,62 @@ def _pca_oracle() -> str:
 
 
 def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The iteration runs as single-row HOF linear algebra: the 64x64 grid
-    # folds into one array<array<decimal>> row, so all PCA_ITERS matvec +
-    # renormalize steps are shuffle-free whole-stage-codegen expressions —
-    # the only shuffles are the covariance build and two tiny collects.
+    # The iteration state is MODEL-sized, not data-sized: the covariance
+    # grid is DIM*(DIM+1)/2 = 2080 exact-integer rows at ANY corpus size
+    # (the same bounded class as kmeans_fit's k centroid rows), so the
+    # power iteration runs on the driver in exact Python integers after
+    # one bounded collect. The previous formulation kept the loop in the
+    # JVM as single-row array<array<decimal>> HOF folds — shuffle-free,
+    # but each of the 4 matvec steps was a multi-second single-task
+    # interpreted-decimal stage plus a load-bearing persist (HOF lambdas
+    # re-evaluate their arguments per element); profiling showed 3 x
+    # ~3-4 s one-core stages per PCA query. Python ints ARE the
+    # DECIMAL(38,0) arithmetic (arbitrary precision, exact), and the
+    # renormalize is the identical correctly-rounded IEEE expression
+    # (float(int) and DECIMAL->DOUBLE casts are both correctly rounded),
+    # so every w/mx value is bit-identical — proven by the unchanged
+    # DuckDB oracle, which replays the loop as unrolled CTEs.
     # Returns the 1-row final state (n, mx, w: array<decimal> micros).
-    grid = _cov_grid(spark, sf_dir)
-    fullm = grid.select("i", "j", "num").unionByName(
-        grid.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "num"
-        )
-    )
-    rows = fullm.groupBy("i").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "num"))),
-            lambda s: s["num"],
-        ).alias("row")
-    )
-    mat = rows.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "row"))),
-            lambda s: s["row"],
-        ).alias("mat")
-    )
-    nn = grid.agg(F.max("n").alias("n"))
+    import math
+    from decimal import Decimal
 
-    dz = F.lit(0).cast("decimal(38,0)")
-    df = mat.crossJoin(F.broadcast(nn)).select(
-        "mat",
-        "n",
-        F.array_repeat(F.lit(1000000).cast("decimal(38,0)"), _DIM).alias(
-            "w"
-        ),
-    )
+    from pyspark.sql import types as T
+
+    grid = _cov_grid(spark, sf_dir)
+    rows = grid.select("i", "j", "n", "num").collect()  # <= DIM^2 rows
+    n = int(rows[0]["n"]) if rows else 0
+    C = [[0] * _DIM for _ in range(_DIM)]
+    for r in rows:
+        i, j, num = int(r["i"]), int(r["j"]), int(r["num"])
+        C[i][j] = num
+        if i != j:
+            C[j][i] = num
+    w = [1000000] * _DIM
+    mx = 0
     for _ in range(PCA_ITERS):
-        df = df.select(
-            "mat",
-            "n",
-            F.transform(
-                "mat",
-                lambda row: F.aggregate(
-                    F.zip_with(row, F.col("w"), lambda a, b: a * b),
-                    dz,
-                    lambda acc, x: acc + x,
-                ),
-            ).alias("y"),
-        )
-        df = df.select(
-            "mat",
-            "n",
-            "y",
-            F.array_max(F.transform("y", F.abs)).alias("mx"),
-        )
-        df = df.select(
-            "mat",
-            "n",
-            "mx",
-            F.transform(
-                "y",
-                lambda yi: F.floor(
-                    yi.cast("double")
-                    * F.lit(1000000.0)
-                    / F.col("mx").cast("double")
-                    + F.lit(0.5)
-                ).cast("decimal(38,0)"),
-            ).alias("w"),
-        ).persist()
-        # The persist is load-bearing, not a cache hint: HOF lambdas
-        # re-evaluate argument expressions per element, so without a
-        # materialization boundary CollapseProject inlines iteration k-1
-        # into k's lambdas and evaluation cost grows 64x per iteration.
-    return df
+        y = [
+            sum(C[i][j] * w[j] for j in range(_DIM)) for i in range(_DIM)
+        ]
+        mx = max(abs(v) for v in y)
+        if mx == 0:
+            raise ValueError(
+                "pca power iteration: zero covariance matvec (degenerate "
+                "input); the component is undefined"
+            )
+        w = [
+            int(math.floor(float(v) * 1000000.0 / float(mx) + 0.5))
+            for v in y
+        ]
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DecimalType(38, 0)),
+            T.StructField("w", T.ArrayType(T.DecimalType(38, 0))),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, Decimal(mx), [Decimal(x) for x in w])], schema
+    )
 
 
 @query("d3_pca_power_iteration", oracle=_pca_oracle())
@@ -2796,13 +2788,15 @@ def d3_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     vv = _sign_lsh_bucketed(v)
 
+    # Arrow-vectorized pair cosine (see d3_dedup_threshold_sweep): the
+    # candidate sets here are label-blocked / bucket-blocked pair joins,
+    # exactly the |block|^2 shape the round-6dp contract designates for
+    # the einsum kernel.
+    from ..functions.vectorized import cosine_pandas
+
     def _pairs(left: DataFrame, cond, kind: str) -> DataFrame:
         a, b = left.alias("a"), left.alias("b")
-        cos = F.round(
-            _dot(F.col("a.e"), F.col("b.e"))
-            / (F.col("a.norm") * F.col("b.norm")),
-            6,
-        )
+        cos = F.round(cosine_pandas(F.col("a.e"), F.col("b.e")), 6)
         return (
             a.join(b, cond)
             .select(

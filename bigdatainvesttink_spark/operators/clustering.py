@@ -145,16 +145,11 @@ def kmeans_fit(vectors: DataFrame, k: int = K, n_iter: int = N_ITER):
             f"SemDeDup paper fixes 11k cells for 234M docs) or raise "
             f"SPARK_GRAFT_KMEANS_K_BUDGET on a driver with the headroom."
         )
-    # Pin the input for the iteration loop: every Lloyd pass (and the
-    # returned assignment's consumers) re-executes ``vectors``'s FULL
-    # upstream plan otherwise — harmless when it is a bare scan, but
-    # d3_semdedup_cell_blocked feeds the corpus ⋈ corpus augmentation
-    # join through here, which would re-run once per iteration plus once
-    # per downstream consumer (guide §5: persist exactly when a frame is
-    # reused and recomputing it is the expensive part). Storage level
-    # MEMORY_AND_DISK — at cluster scale the quantized vectors spill to
-    # local disk per partition rather than OOM.
-    vectors = vectors.persist()
+    # Optimization-round r10 note: persisting ``vectors`` here was tried
+    # (each Lloyd pass re-executes the input plan) and reverted — it
+    # benched neutral on the standalone kmeans query (3.32 -> 3.48 s) and
+    # was implicated in the d3_semdedup_cell_blocked in-suite regression
+    # (7.0 -> 46 s with the r10 persists; see OPTIMIZATION_r10.md).
     first = (
         vectors.orderBy("vec_id").limit(k).collect()
     )  # k rows only, k <= KMEANS_K_BUDGET (fail-loud above)

@@ -540,7 +540,10 @@ def a_backfill_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.ingest import ingest
 
     tables = ("trades", "order_book", "companies")
-    wire = _wire_stream(spark, sf_dir, tables)
+    # Pin the wire: ingest() fans it into one branch per table, and each
+    # branch's dispatch probe is a full-wire scan — unpinned, the
+    # serialize pass re-runs per table.
+    wire = _wire_stream(spark, sf_dir, tables).persist()
     # Parse the wire ONCE and replay the PARSED rows: ingest() is row-wise
     # (stateless filter+map per message), so ingest(wire ∪ wire) is
     # row-for-row ingest(wire) ∪ ingest(wire) — the doubled-tape replay is

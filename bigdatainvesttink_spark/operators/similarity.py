@@ -1141,12 +1141,13 @@ def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    # Pin the augmented corpus: it feeds the count below, the k-means
-    # input projection, and both sides of the within-cell pair join —
-    # without the persist each consumer re-runs the corpus ⋈ corpus
-    # augmentation join (guide §5; at 100 TB that is 4+ full passes of a
-    # join instead of one join + cached scans).
-    aug = v.unionByName(nxt).persist()
+    # Optimization-round r10 note: pinning aug/cells here (and kmeans's
+    # input) was tried and REVERTED — the isolated win did not survive
+    # the suite (in-suite bench: 7.0 -> 46 s, consistent across both
+    # passes; the cached mapInPandas/self-join blocks interact badly with
+    # this query's late-suite memory state). d3_embedding_neardup's
+    # aug pin, by contrast, measured -1.2 s in-suite and stays.
+    aug = v.unionByName(nxt)
     # One bounded scalar to the driver: the cell count is a model
     # hyperparameter derived from corpus size (constant expected cell
     # size is what makes within-cell pairing linear in n).
@@ -1159,12 +1160,9 @@ def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = kmeans_fit(
         aug.select("vec_id", "label", xu.alias("xu")), k=k
     )
-    # cells is consumed three times (both pair-join sides + the final
-    # labeling join); each consumer would otherwise re-run the whole
-    # Arrow argmin assignment scan. Two longs per row — cheap to pin.
     cells = assigned.select(
         "vec_id", F.col("cluster").alias("cell")
-    ).persist()
+    )
     augn = aug.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     x = augn.join(cells, "vec_id").alias("x")
     y = augn.join(cells, "vec_id").alias("y")

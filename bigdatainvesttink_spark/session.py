@@ -88,20 +88,18 @@ def checkpointed(df, eager: bool = True):
         sc.setCheckpointDir(
             os.path.join(tempfile.gettempdir(), "bigdatainvesttink-ckpt")
         )
-    if not eager:
-        return df.checkpoint(eager=False)
-    # Reliable checkpoint gotcha: the eager count and the checkpoint-file
-    # write are SEPARATE jobs, and the write re-runs the full lineage —
-    # every eager checkpoint paid for its plan twice (for the iterative
-    # graph loops that call this per round, that doubled the whole loop).
-    # Persisting first makes the write pass read the cached blocks, then
-    # the cache is dropped — the checkpoint files own the data from here
-    # (guide §5: localCheckpoint-class cost, reliable-checkpoint
-    # durability). Measured 3.7x on a CC-round-shaped join+distinct.
-    pinned = df.persist()
-    ck = pinned.checkpoint(eager=True)
-    pinned.unpersist()
-    return ck
+    # Optimization-round r10 note: the eager count and the checkpoint-file
+    # write are separate jobs and the write re-runs the lineage, so a
+    # persist-first wrapper (persist -> checkpoint -> unpersist) looks
+    # like a free 2x. It was measured BOTH ways this round: a 3.7x win on
+    # an isolated CC-round-shaped join+distinct, but a clear in-suite LOSS
+    # (d2_kcore_peel 2.3 -> 14.9 s, d3_index_frontier 3.2 -> 11.1 s,
+    # d2_harmonic_centrality/d2_hits_fixed ~ +2 s, plus diffuse GC-pressure
+    # regressions across untouched queries) — the per-round columnar
+    # cache build + memory churn dominates at the loops' small state
+    # sizes. Kept as the plain eager checkpoint; revisit only with a
+    # per-call-site size statistic.
+    return df.checkpoint(eager=eager)
 
 
 def get_spark(app_name: str = "bigdatainvesttink-spark") -> SparkSession:

@@ -100,28 +100,41 @@ def a_ingest_dispatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged_fields.setdefault(f.name, f)
     superset = T.StructType(list(merged_fields.values()))
 
-    keys = F.json_object_keys(F.col("value"))
+    # r10: the parse and key-probe are COLUMN-ized behind the parse_once
+    # barrier before the aggregate. The previous expression-level form
+    # leaned on aggregate-input codegen CSE to collapse its 23 getField
+    # references into one parse; profiled on Spark 4.1 the CSE did not
+    # hold (the aggregate stage burned ~95 core-seconds at sf0.1 —
+    # tools/profile_query.py), so the parse now happens provably once in
+    # its own projection and the when-chains read struct fields.
+    from ..sources.ingest import parse_once
+
+    p = raw.select(
+        parse_once(F.from_json(F.col("value"), superset)).alias("__p"),
+        F.json_object_keys(F.col("value")).alias("__keys"),
+    )
     table_col = None
     for marker, table in DISPATCH_MARKERS.items():
-        hit = F.coalesce(F.array_contains(keys, F.lit(marker)), F.lit(False))
+        hit = F.coalesce(
+            F.array_contains(F.col("__keys"), F.lit(marker)), F.lit(False)
+        )
         table_col = (
             F.when(hit, table) if table_col is None else table_col.when(hit, table)
         )
-    parsed = F.from_json(F.col("value"), superset)
     ts_ok = F.try_to_timestamp(
-        parsed.getField("timestamp"), F.lit(TS_FORMAT)
+        F.col("__p").getField("timestamp"), F.lit(TS_FORMAT)
     ).isNotNull()
     valid = None
     for table in tables:
         ok = F.lit(True)
         for c in REQUIRED_FIELDS[table]:
-            ok = ok & parsed.getField(c).isNotNull()
+            ok = ok & F.col("__p").getField(c).isNotNull()
         if table != "companies":  # companies carries no timestamp
             ok = ok & ts_ok
         cond = (table_col == table) & ok
         valid = cond if valid is None else (valid | cond)
     return (
-        raw.groupBy(table_col.alias("table_name"))
+        p.groupBy(table_col.alias("table_name"))
         .agg(F.sum(F.when(valid, 1).otherwise(0)).alias("n_rows"))
         .filter(F.col("table_name").isNotNull())
     )

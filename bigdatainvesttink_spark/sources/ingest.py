@@ -37,6 +37,27 @@ TS_COLS = {"candles": "timestamp", "trades": "timestamp", "order_book": "timesta
            "companies": None}
 
 
+def parse_once(expr: Column) -> Column:
+    """Nondeterministic identity wrap == optimizer barrier (value-neutral).
+
+    Catalyst inlines a deterministic alias into every predicate/projection
+    that references it, so an aliased ``from_json`` re-parses (and, on the
+    fixtures' synthesized wire, re-SERIALIZES) the message once per
+    reference — and the inlined predicates then push below the
+    parallelizing exchange onto the single-task scan (measured: the
+    a_ingest_* family paid ~6 to_json+from_json per row in a 1-task
+    filter). The historical ``when(rand() >= -1, x)`` guard no longer
+    blocks this on Spark 4.1 (the plan shows the guard stripped and the
+    filter pushed below the exchange); ``shuffle(array(x))[1]`` is the
+    replacement: ``shuffle`` is genuinely nondeterministic, no rule
+    simplifies the singleton case, and shuffling a 1-element array is the
+    identity, so the wrapped value is bit-identical while Catalyst can
+    neither inline nor push through it. Plan-pinned by
+    tests/test_ingest.py::test_ingest_parses_once.
+    """
+    return F.element_at(F.shuffle(F.array(expr)), 1)
+
+
 def serialize(df: DataFrame, table: str, ts_col: str | None = "auto") -> DataFrame:
     """Domain rows -> one JSON string per row (the producer's A8 sink shape).
 
@@ -75,7 +96,10 @@ def dispatch(raw: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
         cond = has_key if earlier is None else (~earlier & has_key)
         routed[table] = (
             raw.filter(cond)
-            .withColumn("__parsed", F.from_json(F.col(value_col), wire_schema(table)))
+            .withColumn(
+                "__parsed",
+                parse_once(F.from_json(F.col(value_col), wire_schema(table))),
+            )
             .select("__parsed.*")
         )
         earlier = has_key if earlier is None else (earlier | has_key)
@@ -142,14 +166,13 @@ def ingest(raw: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
     row: predicate pushdown inlines the parsed-struct alias into every
     filter it pushes through, so each Filter re-parses (and, on the
     fixture's simulated wire, re-SERIALIZES) the message. The fix is to
-    make the parsed struct itself non-deterministic via an always-true
-    ``when(rand() >= -1, parsed)`` guard: Catalyst neither inlines a
-    non-deterministic alias into downstream predicates nor pushes
-    predicates through a projection containing one, and (unlike a detached
-    non-deterministic marker column) the guard can't be undone by column
-    pruning because it wraps a column every consumer references. Routing
-    filters stay below the parse (on the raw string), so each branch fully
-    parses only its own rows.
+    make the parsed struct itself non-deterministic (``parse_once``):
+    Catalyst neither inlines a non-deterministic alias into downstream
+    predicates nor pushes predicates through a projection containing one,
+    and (unlike a detached non-deterministic marker column) the guard
+    can't be undone by column pruning because it wraps a column every
+    consumer references. Routing filters stay below the parse (on the raw
+    string), so each branch fully parses only its own rows.
     """
     out: dict[str, DataFrame] = {}
     earlier: Column | None = None
@@ -159,8 +182,12 @@ def ingest(raw: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
         cond = has_key if earlier is None else (~earlier & has_key)
         earlier = has_key if earlier is None else (earlier | has_key)
         parsed = F.from_json(F.col(value_col), wire_schema(table))
-        # Non-deterministic identity wrap == optimizer barrier (see above).
-        guarded = F.when(F.rand() >= -1.0, parsed)
+        # Non-deterministic identity wrap == optimizer barrier. r10 fix:
+        # the when(rand() >= -1) guard this shipped with is STRIPPED by
+        # the Spark 4.1 optimizer (the validity filter then re-parsed the
+        # message ~6x per row below the exchange, on one task); see
+        # parse_once for the measured story.
+        guarded = parse_once(parsed)
         p1 = raw.filter(cond).select(guarded.alias("__p"))
         ts_col = TS_COLS[table]
         if ts_col is not None:

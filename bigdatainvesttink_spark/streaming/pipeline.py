@@ -336,8 +336,16 @@ def ingest_stream(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():  # A17 empty-batch short-circuit
             return
-        for table, clean in ingest(batch_df).items():
-            clean.write.mode("append").parquet(f"{out_dir}/{table}")
+        # ingest() fans one dispatch branch per table over the batch, and
+        # each branch's write re-scans the micro-batch source — pin the
+        # batch for the epoch so the wire text is read once per trigger,
+        # not once per table (§5; dropped before the epoch returns).
+        batch_df = batch_df.persist()
+        try:
+            for table, clean in ingest(batch_df).items():
+                clean.write.mode("append").parquet(f"{out_dir}/{table}")
+        finally:
+            batch_df.unpersist()
 
     return (
         raw.writeStream.foreachBatch(write_batch)

@@ -109,3 +109,31 @@ def test_roundtrip_second_truncation(spark):
     wire = serialize(src, "trades", ts_col="timestamp")
     out = ingest(wire)["trades"].collect()
     assert str(out[0]["timestamp"]) == "2024-03-05 06:07:08"
+
+
+def test_ingest_parses_once(spark):
+    """r10 optimization pin: the parse_once barrier must keep exactly ONE
+    from_json in each ingest branch's physical plan. Without it, Catalyst
+    inlines the parsed-struct alias into every validity predicate/output
+    column (~6 parses per row) and pushes the inlined filter below the
+    parallelizing exchange onto the single-task scan (the Spark 4.1
+    regression of the historical when(rand() >= -1) guard)."""
+    raw = _raw(spark, list(VALID.values())).repartition(2)
+    for table, df in ingest(raw).items():
+        phys = df._jdf.queryExecution().toString().split(
+            "== Physical Plan =="
+        )[-1]
+        assert phys.count("from_json") == 1, (table, phys)
+
+
+def test_dispatch_parses_once(spark):
+    """Same pin for the dispatch() routing path (rejected-side consumers
+    compose validate() on top of it, which adds per-field predicates)."""
+    raw = _raw(spark, list(VALID.values()))
+    for table, parsed in dispatch(raw).items():
+        valid, rejected = validate(parsed, table)
+        for df in (valid, rejected):
+            phys = df._jdf.queryExecution().toString().split(
+                "== Physical Plan =="
+            )[-1]
+            assert phys.count("from_json") == 1, (table, phys)

@@ -1037,12 +1037,11 @@ def d1_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
     shingled, mh, cand = _minhash_parts(c)
-    # Each part has multiple consumers here (shingled: sizes + both exact
-    # sides; mh: both est sides + the band chain; cand: est + exact) —
-    # unpinned, the shingle/minhash pipeline recomputed ~5x (§5).
-    shingled = shingled.persist()
-    mh = mh.persist()
-    cand = cand.persist()
+    # r11: the r10 shingled/mh/cand triple pin REGRESSED this query ~1.2x
+    # (3.19 -> 3.9 s in both final-code runs; VERDICT r10 #2) — same
+    # failure mode as d2_lsh_band_sweep's pins: the columnar-cache build
+    # of the exploded/joined intermediates costs more than the recomputes
+    # it saves at this state size. Reverted to the r9 lazy shape.
     x, y = mh.alias("x"), mh.alias("y")
     est = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
@@ -1805,9 +1804,11 @@ def d2_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
     shingled, mh, _ = _minhash_parts(c)
     mh = mh.cache()  # vocabulary-bounded (n_docs x 32); reused by 3 arms
-    # shingled feeds sizes + BOTH sides of the truth self-join: pin it so
-    # the tokenize/md5 shingle scan runs once, not three times (§5).
-    shingled = shingled.persist()
+    # r11: the r10 shingled/truth persist pair REGRESSED this query ~1.9x
+    # in all three post-change runs (3.59 -> 6.6-7.1 s; VERDICT r10 #1):
+    # materializing the O(posting^2) truth output into the columnar cache
+    # costs more than the lazy recomputes it saves at this state size.
+    # Reverted to the r9 shape (mh.cache() above is the pre-existing pin).
 
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa, sb = shingled.alias("sa"), shingled.alias("sb")
@@ -1839,10 +1840,6 @@ def d2_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    # truth has four consumers (the count + one left join per arm);
-    # unpinned, each re-ran the O(sum posting^2) shingle self-join —
-    # profiling showed the same ~13 MB shuffle read four times (§5).
-    truth = truth.persist()
     nt = truth.agg(F.count("*").alias("n_true"))
 
     def arm(r: int) -> DataFrame:

@@ -1141,13 +1141,24 @@ def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    # Optimization-round r10 note: pinning aug/cells here (and kmeans's
-    # input) was tried and REVERTED — the isolated win did not survive
-    # the suite (in-suite bench: 7.0 -> 46 s, consistent across both
-    # passes; the cached mapInPandas/self-join blocks interact badly with
-    # this query's late-suite memory state). d3_embedding_neardup's
-    # aug pin, by contrast, measured -1.2 s in-suite and stays.
     aug = v.unionByName(nxt)
+    # r11 (VERDICT r10 ask #5): materialize the corpus⋈corpus augmentation
+    # ONCE to scratch parquet and read it back. Unmaterialized, aug's join
+    # re-ran ~8x here: the bounded count, each of kmeans_fit's Lloyd
+    # passes, and the three cells/augn consumers below. A .cache() was the
+    # r10 attempt and is measured-and-rejected (in-suite 7.0 -> 46 s, both
+    # passes — columnar-cache build + late-suite memory churn); the
+    # scratch-parquet write truncates the plan with zero block-manager
+    # footprint, lives entirely inside this one query execution, and at
+    # 100 TB is the standard stage-output materialization for a
+    # many-consumer subtree (guide §5: write + read back). cells (the
+    # final Lloyd assignment, 2 longs/row) gets the same treatment: its
+    # three consumers re-ran the mapInPandas assignment scan.
+    from ..session import scratch_dir
+
+    root = scratch_dir("semdedup-")
+    aug.write.parquet(f"{root}/aug")
+    aug = spark.read.parquet(f"{root}/aug")
     # One bounded scalar to the driver: the cell count is a model
     # hyperparameter derived from corpus size (constant expected cell
     # size is what makes within-cell pairing linear in n).
@@ -1160,9 +1171,10 @@ def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = kmeans_fit(
         aug.select("vec_id", "label", xu.alias("xu")), k=k
     )
-    cells = assigned.select(
-        "vec_id", F.col("cluster").alias("cell")
+    assigned.select("vec_id", F.col("cluster").alias("cell")).write.parquet(
+        f"{root}/cells"
     )
+    cells = spark.read.parquet(f"{root}/cells")
     augn = aug.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     x = augn.join(cells, "vec_id").alias("x")
     y = augn.join(cells, "vec_id").alias("y")

@@ -71,19 +71,50 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def checkpointed(df, eager: bool = True):
-    """Reliably checkpoint a DataFrame (cut lineage + durable materialization).
+def _reliable_checkpoint(sc) -> bool:
+    """Whether loop-state checkpoints must be RELIABLE (checkpoint-dir
+    files) rather than LOCAL (executor-held blocks).
 
-    Iterative algorithms (connected components, k-means) must not recompute
-    their full upstream plan every round, and at cluster scale the
-    materialized state must survive executor loss — which ``localCheckpoint``
-    (executor-local blocks, non-replicated) does not. On a real cluster the
-    checkpoint dir is HDFS/S3 (set by deployment); locally we default it to
-    a temp dir on first use.
+    Reliable RDD checkpointing computes the lineage TWICE per call — the
+    eager action runs it, then the post-action checkpoint-file write
+    re-runs it (Spark's own docs recommend persisting first; the r10
+    persist-wrapper experiment measured that cure as worse than the
+    disease in-suite, see below). ``localCheckpoint`` computes ONCE and
+    keeps the blocks in the block manager (MEMORY_AND_DISK), but those
+    blocks die with their executor, so a cluster loses job-level fault
+    tolerance for the loop. The default is therefore scale-adaptive, not
+    constant: on a ``local[*]`` master the "executor" IS the driver JVM
+    and a checkpoint file on the same machine's disk survives exactly the
+    same failures the block manager does (none), so local mode takes the
+    halve-the-jobs localCheckpoint; any non-local master keeps the durable
+    reliable checkpoint. ``SPARK_GRAFT_RELIABLE_CKPT=1|0`` overrides in
+    either direction (e.g. a cluster with cheap recompute and pricey
+    object-store writes can opt into local; a local run exercising the
+    reliable path for tests can opt back in).
+    """
+    raw = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT")
+    if raw is not None:
+        return raw not in ("0", "false", "")
+    return not sc.master.startswith("local")
+
+
+def checkpointed(df, eager: bool = True):
+    """Checkpoint a DataFrame (cut lineage + materialize loop state).
+
+    Iterative algorithms (connected components, k-core, BFS, pagerank)
+    must not recompute their full upstream plan every round. Reliable vs
+    local is decided by :func:`_reliable_checkpoint` (scale-adaptive with
+    an env override); on a real cluster the checkpoint dir is HDFS/S3
+    (set by deployment), locally it defaults to a temp dir on first use.
     """
     import tempfile
 
     sc = df.sparkSession.sparkContext
+    if not _reliable_checkpoint(sc):
+        # r11 (VERDICT r10 ask #3): one job per round instead of two — the
+        # graph loops were measured job-count-dominated (69-72 jobs for
+        # ~4 s of wall at sf0.1, ~0.2-0.3 s/round of fixed overhead).
+        return df.localCheckpoint(eager=eager)
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(
             os.path.join(tempfile.gettempdir(), "bigdatainvesttink-ckpt")
@@ -91,14 +122,13 @@ def checkpointed(df, eager: bool = True):
     # Optimization-round r10 note: the eager count and the checkpoint-file
     # write are separate jobs and the write re-runs the lineage, so a
     # persist-first wrapper (persist -> checkpoint -> unpersist) looks
-    # like a free 2x. It was measured BOTH ways this round: a 3.7x win on
+    # like a free 2x. It was measured BOTH ways in r10: a 3.7x win on
     # an isolated CC-round-shaped join+distinct, but a clear in-suite LOSS
     # (d2_kcore_peel 2.3 -> 14.9 s, d3_index_frontier 3.2 -> 11.1 s,
     # d2_harmonic_centrality/d2_hits_fixed ~ +2 s, plus diffuse GC-pressure
     # regressions across untouched queries) — the per-round columnar
     # cache build + memory churn dominates at the loops' small state
-    # sizes. Kept as the plain eager checkpoint; revisit only with a
-    # per-call-site size statistic.
+    # sizes. Kept as the plain eager checkpoint on the reliable path.
     return df.checkpoint(eager=eager)
 
 

@@ -161,6 +161,13 @@ def ingest(raw: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
     validate -> timestamp parse. {table: clean typed DataFrame} matching
     schemas.DOMAIN_SCHEMAS (the reference's E2 lifecycle, batch or stream).
 
+    CONTRACT (pinned by tests/test_ingest.py::test_ingest_union_distributive):
+    this path is a stateless row-wise map/filter — no dedup, no cross-row
+    state — so it distributes over union: ``ingest(w1 ∪ w2)`` is row-for-row
+    ``ingest(w1) ∪ ingest(w2)``. a_backfill_idempotency's doubled-tape
+    replay is built on that property; a future stateful behavior here must
+    revisit that query (and the test will fail loudly).
+
     Semantically identical to ``validate(dispatch(raw)[t], t)`` but built as
     a SINGLE-PARSE plan. The naive composition costs 3-8 ``from_json`` per
     row: predicate pushdown inlines the parsed-struct alias into every

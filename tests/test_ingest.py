@@ -126,6 +126,27 @@ def test_ingest_parses_once(spark):
         assert phys.count("from_json") == 1, (table, phys)
 
 
+def test_ingest_union_distributive(spark):
+    """ADVICE r10 (medium): a_backfill_idempotency builds its doubled
+    replay as ingest(w) ∪ ingest(w) instead of ingest(w ∪ w), leaning on
+    ingest() being a stateless row-wise map/filter — so the distributivity
+    ingest(w ∪ w) ≡ ingest(w) ∪ ingest(w) must hold PER TABLE, row for
+    row. This pins that contract: any future cross-row behavior in
+    ingest() (dedup, stateful routing) breaks here first instead of
+    silently hollowing out the backfill audit."""
+    msgs = list(VALID.values()) + [
+        "{{{not json",
+        '{"side":"buy","company_id":"F1"}',  # missing required fields
+    ]
+    w = _raw(spark, msgs)
+    once = ingest(w)
+    twice = ingest(w.unionAll(w))
+    for table in VALID:
+        single = sorted(map(str, once[table].collect()))
+        doubled = sorted(map(str, twice[table].collect()))
+        assert doubled == sorted(single + single), table
+
+
 def test_dispatch_parses_once(spark):
     """Same pin for the dispatch() routing path (rejected-side consumers
     compose validate() on top of it, which adds per-field predicates)."""

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries to plans/r10/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/r11/<q>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> <query> [<query> ...]
 Runs at $SPARK_GRAFT_SF_DIR (default sf0.1) so statistic-gated hints see
@@ -26,7 +26,7 @@ def main() -> None:
 
     spark = get_spark("dump-plans")
     qs = entrymod.queries()
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.path.join(REPO, "plans", "r11")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

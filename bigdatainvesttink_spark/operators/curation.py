@@ -1125,7 +1125,12 @@ def _triangle_members(edges: DataFrame, deg: DataFrame) -> DataFrame:
     oracle=_GRAPH_SQL + "SELECT node, n_triangles FROM tri_nodes",
 )
 def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _lcg_undirected_edges(spark, sf_dir)
+    # r11: materialize the edge list once — the wedge/closure machinery
+    # references edges through deg(x2), oriented(x3 via o1/o2/closer) and
+    # the member union(x3), replicating the distinct-of-crossJoin edge
+    # subtree ~30x in one plan (548 Exchange nodes before; runtime
+    # exchange reuse papered over some of it, planning cost over none).
+    edges = checkpointed(_lcg_undirected_edges(spark, sf_dir))
     return _triangle_members(edges, _node_degrees(edges))
 
 
@@ -1156,7 +1161,9 @@ def d2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d2_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _lcg_undirected_edges(spark, sf_dir)
+    # r11: same edge-list materialization as d2_triangle_count (570
+    # Exchange nodes before — see the note there).
+    edges = checkpointed(_lcg_undirected_edges(spark, sf_dir))
     deg = _node_degrees(edges)
     tri = _triangle_members(edges, deg)
     return (

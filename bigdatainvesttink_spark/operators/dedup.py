@@ -2263,7 +2263,16 @@ def d1_linkage_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") / 8).cast("long").alias("bucket"),
         F.substring("text", 1, 40).alias("head"),
     )
-    a2, b2 = b.alias("a"), b.alias("b")
+    # r11: the bucket join broadcasts the small b-side, so the probe side
+    # kept the corpus parquet's ~2-3 input splits — the whole
+    # sum(block^2) levenshtein sweep ran on 3 cores (profiled 3.75 s over
+    # 3 tasks, the query's entire cost). The bytes are tiny but the
+    # per-row CPU is not (guide §2.6 idle capacity): spread the probe
+    # side across defaultParallelism before the join — a KB-sized
+    # round-robin exchange that the AQE byte-based coalescing would never
+    # add on its own because it cannot see CPU cost.
+    probe = b.repartition(spark.sparkContext.defaultParallelism)
+    a2, b2 = probe.alias("a"), b.alias("b")
     pairs = a2.join(
         b2,
         (F.col("a.bucket") == F.col("b.bucket"))

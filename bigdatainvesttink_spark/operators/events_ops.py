@@ -1368,10 +1368,17 @@ def _markov_oracle() -> str:
         FROM pi{MK_ITERS}"""
 
 
-def _markov_pi_p(spark: SparkSession, sf_dir: str):
-    """Shared machinery: quantized transition matrix ``p``, the
-    MK_ITERS-step stationary weights ``pi``, and the 1-row state count
-    ``ns`` (all micro-integer grids, bit-identical cross-engine)."""
+MARKOV_GRID_BUDGET = 65_536  # fail-loud ceiling on collected grid rows
+
+
+def _markov_counted(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """[(src, dst, n)] — the transition-count grid, collected ONCE.
+
+    The grid is bounded by the event-type VOCABULARY squared (a type
+    enum, not data-sized: ~25-36 rows at any corpus scale), the same
+    bounded-collect class as kmeans centroids and the PCA covariance
+    grid. The budget makes a runaway vocabulary fail loudly instead of
+    flooding the driver."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -1380,44 +1387,80 @@ def _markov_pi_p(spark: SparkSession, sf_dir: str):
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
-    counted = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
-    p = counted.select(
-        "src",
-        "dst",
-        F.floor(
-            F.col("n").cast("double")
-            * F.lit(1000000)
-            / F.sum("n").over(Window.partitionBy("src"))
-            + F.lit(0.5)
+    rows = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    _check_markov_grid_budget(len(rows))
+    return [(r["src"], r["dst"], int(r["n"])) for r in rows]
+
+
+def _check_markov_grid_budget(n_rows: int) -> None:
+    if n_rows > MARKOV_GRID_BUDGET:
+        raise ValueError(
+            f"markov transition grid has {n_rows} rows, over the "
+            f"{MARKOV_GRID_BUDGET} driver-collect budget: the event-type "
+            f"vocabulary is supposed to be a bounded enum"
         )
-        .cast("long")
-        .alias("pr_u"),
-    )
-    states = counted.select(F.col("src").alias("s")).distinct()
-    ns = states.agg(F.count("*").alias("n"))
-    pi = states.crossJoin(F.broadcast(ns)).select(
-        "s",
-        F.floor(F.lit(1000000.0) / F.col("n") + F.lit(0.5))
-        .cast("long")
-        .alias("w_u"),
-    )
+
+
+def _markov_p_rows(counted: list[tuple]) -> list[tuple[str, str, int]]:
+    """(src, dst, pr_u) on the integer-micro grid — the exact Python
+    spelling of the engine expression floor(n*1e6/sum_n + 0.5): double
+    multiply, double divide, floor — the identical correctly-rounded
+    IEEE ops, so values are bit-identical to the former in-engine
+    window (and to the oracle's SQL)."""
+    import math
+
+    sums: dict[str, int] = {}
+    for src, _, n in counted:
+        sums[src] = sums.get(src, 0) + n
+    return [
+        (src, dst, int(math.floor(float(n) * 1000000 / sums[src] + 0.5)))
+        for src, dst, n in counted
+    ]
+
+
+def _markov_pi_p(spark: SparkSession, sf_dir: str):
+    """Shared machinery: quantized transition matrix ``p``, the
+    MK_ITERS-step stationary weights ``pi``, and the 1-row state count
+    ``ns`` (all micro-integer grids, bit-identical cross-engine).
+
+    r11: the recurrence runs DRIVER-side on exact Python ints after one
+    bounded collect of the transition grid (the d3_pca_power_iteration /
+    kmeans-centroid precedent — the iteration state is vocabulary-sized
+    at any corpus scale). The former in-engine loop embedded MK_ITERS
+    broadcast builds of p's full lineage in one plan (92 Exchange nodes,
+    ~30 jobs per query profiled); now the events table is scanned
+    exactly once and pi/p/ns return as literal grid-sized frames. Every
+    arithmetic step is the same correctly-rounded IEEE expression the
+    oracle replays, so values are bit-identical (proven by the DuckDB
+    gate at two SFs)."""
+    import math
+
+    counted = _markov_counted(spark, sf_dir)
+    p_rows = _markov_p_rows(counted)
+    states = sorted({src for src, _, _ in counted})
+    n = len(states)
+    w: dict[str, int] = {
+        s: int(math.floor(1000000.0 / n + 0.5)) for s in states
+    }
+    pr_by_src: dict[str, list[tuple[str, int]]] = {}
+    for src, dst, pr_u in p_rows:
+        pr_by_src.setdefault(src, []).append((dst, pr_u))
     for _ in range(MK_ITERS):
-        pi = (
-            pi.join(F.broadcast(p), pi["s"] == p["src"])
-            .select(
-                F.col("dst").alias("s"),
-                F.floor(
-                    F.col("w_u").cast("double")
-                    * F.col("pr_u")
-                    / F.lit(1000000)
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("c"),
-            )
-            .groupBy("s")
-            .agg(F.sum("c").cast("long").alias("w_u"))
-        )
+        nxt: dict[str, int] = {}
+        for s, w_u in w.items():
+            for dst, pr_u in pr_by_src.get(s, ()):
+                c = int(math.floor(float(w_u) * pr_u / 1000000 + 0.5))
+                nxt[dst] = nxt.get(dst, 0) + c
+        w = nxt
+    pi = spark.createDataFrame(
+        sorted(w.items()), "s string, w_u long"
+    )
+    p = spark.createDataFrame(p_rows, "src string, dst string, pr_u long")
+    ns = spark.createDataFrame([(n,)], "n long")
     return pi, p, ns
 
 
@@ -2998,57 +3041,42 @@ def _markov_absorbing_oracle() -> str:
 
 @query("d6_markov_absorbing", oracle=_markov_absorbing_oracle())
 def d6_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    pairs = e.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    counted = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
-    p = (
-        counted.filter(~F.col("src").isin("purchase", "error"))
-        .select(
-            "src",
-            "dst",
-            F.floor(
-                F.col("n").cast("double")
-                * F.lit(1000000)
-                / F.sum("n").over(Window.partitionBy("src"))
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("pr_u"),
+    # r11: driver-side exact-int recurrence over the vocabulary-sized
+    # grid (see _markov_pi_p) — one events scan, zero per-round joins.
+    # The per-term rule is the same correctly-rounded IEEE expression the
+    # former in-engine loop (and the oracle) evaluates: pr_u for a
+    # purchase edge, 0 for an error edge, floor(h_prev*pr_u/1e6 + 0.5)
+    # for a transient edge with h_prev = 0 when dst is unseen (the old
+    # left join's coalesce); integer sums are order-independent.
+    import math
+
+    counted = _markov_counted(spark, sf_dir)
+    p_rows = [
+        (src, dst, pr_u)
+        for src, dst, pr_u in _markov_p_rows(
+            [r for r in counted if r[0] not in ("purchase", "error")]
         )
-        .persist()  # constant grid, joined every round
-    )
-    h = p.select(F.col("src").alias("s")).distinct().withColumn(
-        "h_u", F.lit(0).cast("long")
-    )
+    ]
+    h: dict[str, int] = {src: 0 for src, _, _ in p_rows}
     for _ in range(MK_ABSORB_ITERS):
-        contrib = F.when(F.col("dst") == "purchase", F.col("pr_u")).when(
-            F.col("dst") == "error", F.lit(0)
-        ).otherwise(
-            F.floor(
-                F.coalesce(F.col("h_u"), F.lit(0)).cast("double")
-                * F.col("pr_u")
-                / F.lit(1000000)
-                + F.lit(0.5)
-            ).cast("long")
-        )
-        h = (
-            p.join(
-                F.broadcast(h.withColumnRenamed("s", "hs")),
-                F.col("hs") == F.col("dst"),
-                "left",
-            )
-            .select(F.col("src").alias("s"), contrib.alias("c"))
-            .groupBy("s")
-            .agg(F.sum("c").cast("long").alias("h_u"))
-        )
-    return h.select(
-        F.col("s").alias("event_type"),
+        nxt: dict[str, int] = {s: 0 for s in h}
+        for src, dst, pr_u in p_rows:
+            if dst == "purchase":
+                c = pr_u
+            elif dst == "error":
+                c = 0
+            else:
+                c = int(
+                    math.floor(
+                        float(h.get(dst, 0)) * pr_u / 1000000 + 0.5
+                    )
+                )
+            nxt[src] += c
+        h = nxt
+    return spark.createDataFrame(
+        sorted(h.items()), "event_type string, h_u long"
+    ).select(
+        "event_type",
         (F.col("h_u").cast("double") / F.lit(1000000)).alias(
             "p_purchase_before_error"
         ),

@@ -1157,7 +1157,22 @@ def d3_semdedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
 
     root = scratch_dir("semdedup-")
-    aug.write.parquet(f"{root}/aug")
+    # Spread the materialized file: the union plan coalesces to ~2
+    # partitions at sf0.1, and every Lloyd-pass argmin scan (an Arrow
+    # int64 matmul against k ~ n/128 centroids — CPU cost AQE's
+    # byte-based sizing cannot see) would inherit that 2-task layout from
+    # the parquet split. Sizing is row-derived, not a core-count
+    # constant: ~8k rows per partition (measured optimum at sf0.1 — each
+    # extra partition costs ~1 s of Python-worker spin-up per Lloyd pass
+    # against the matmul spread it buys: 2p 11.0-11.7 s, 8p 8.5-9.9 s,
+    # 32p 9.2-14.3 s warm), capped at defaultParallelism so large corpora
+    # use every core.
+    n_v = v.count()
+    parts = max(
+        2,
+        min(spark.sparkContext.defaultParallelism, (2 * n_v) // 8000),
+    )
+    aug.repartition(parts).write.parquet(f"{root}/aug")
     aug = spark.read.parquet(f"{root}/aug")
     # One bounded scalar to the driver: the cell count is a model
     # hyperparameter derived from corpus size (constant expected cell
@@ -2081,27 +2096,12 @@ def _pca_oracle() -> str:
         FROM w{PCA_ITERS} w, m{PCA_ITERS} m, nn"""
 
 
-def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The iteration state is MODEL-sized, not data-sized: the covariance
-    # grid is DIM*(DIM+1)/2 = 2080 exact-integer rows at ANY corpus size
-    # (the same bounded class as kmeans_fit's k centroid rows), so the
-    # power iteration runs on the driver in exact Python integers after
-    # one bounded collect. The previous formulation kept the loop in the
-    # JVM as single-row array<array<decimal>> HOF folds — shuffle-free,
-    # but each of the 4 matvec steps was a multi-second single-task
-    # interpreted-decimal stage plus a load-bearing persist (HOF lambdas
-    # re-evaluate their arguments per element); profiling showed 3 x
-    # ~3-4 s one-core stages per PCA query. Python ints ARE the
-    # DECIMAL(38,0) arithmetic (arbitrary precision, exact), and the
-    # renormalize is the identical correctly-rounded IEEE expression
-    # (float(int) and DECIMAL->DOUBLE casts are both correctly rounded),
-    # so every w/mx value is bit-identical — proven by the unchanged
-    # DuckDB oracle, which replays the loop as unrolled CTEs.
-    # Returns the 1-row final state (n, mx, w: array<decimal> micros).
+def _pca_weights(spark: SparkSession, sf_dir: str) -> tuple[int, int, list[int]]:
+    """(n, mx, w) — the driver-side power iteration on exact Python ints
+    (see _pca_state for the full story). Split out (r11) so consumers that
+    only need the 64 weight INTEGERS (d3_pca_project_scores inlines them
+    as int64 literals) skip the 1-row DataFrame wrapper."""
     import math
-    from decimal import Decimal
-
-    from pyspark.sql import types as T
 
     grid = _cov_grid(spark, sf_dir)
     rows = grid.select("i", "j", "n", "num").collect()  # <= DIM^2 rows
@@ -2128,6 +2128,31 @@ def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(math.floor(float(v) * 1000000.0 / float(mx) + 0.5))
             for v in y
         ]
+    return n, mx, w
+
+
+def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The iteration state is MODEL-sized, not data-sized: the covariance
+    # grid is DIM*(DIM+1)/2 = 2080 exact-integer rows at ANY corpus size
+    # (the same bounded class as kmeans_fit's k centroid rows), so the
+    # power iteration runs on the driver in exact Python integers after
+    # one bounded collect. The previous formulation kept the loop in the
+    # JVM as single-row array<array<decimal>> HOF folds — shuffle-free,
+    # but each of the 4 matvec steps was a multi-second single-task
+    # interpreted-decimal stage plus a load-bearing persist (HOF lambdas
+    # re-evaluate their arguments per element); profiling showed 3 x
+    # ~3-4 s one-core stages per PCA query. Python ints ARE the
+    # DECIMAL(38,0) arithmetic (arbitrary precision, exact), and the
+    # renormalize is the identical correctly-rounded IEEE expression
+    # (float(int) and DECIMAL->DOUBLE casts are both correctly rounded),
+    # so every w/mx value is bit-identical — proven by the unchanged
+    # DuckDB oracle, which replays the loop as unrolled CTEs.
+    # Returns the 1-row final state (n, mx, w: array<decimal> micros).
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    n, mx, w = _pca_weights(spark, sf_dir)
     schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -2195,7 +2220,18 @@ def d3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM xv GROUP BY label""",
 )
 def d3_pca_project_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _pca_state(spark, sf_dir).select("w")
+    # r11: the per-row score used to be an interpreted DECIMAL(38,0)
+    # zip_with/aggregate HOF fold over a broadcast weight row — profiled
+    # at 48.6 executor-core-seconds at sf0.1 (the single hottest stage of
+    # the d3 family). The weights are already exact Python ints on the
+    # driver (_pca_weights), so the dot product is inlined as a 64-term
+    # int64 literal expression instead: whole-stage-codegen arithmetic,
+    # no broadcast join, no Python/decimal boundary. Exactness is
+    # unchanged — |xu| <= ~2e6 and |w_u| <= 1e6, so each term is
+    # <= 2e12 and the 64-term row sum <= 1.3e14, inside int64 with four
+    # orders of headroom; the per-label SUM then rides DECIMAL(38,0)
+    # exactly as before (and as the oracle's HUGEINT).
+    _, _, w = _pca_weights(spark, sf_dir)
     v = load_table(spark, sf_dir, "embeddings")
     xu = F.transform(
         "embedding",
@@ -2203,25 +2239,17 @@ def d3_pca_project_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") * F.lit(1000000) + F.lit(0.5)
         ).cast("long"),
     )
-    dz = F.lit(0).cast("decimal(38,0)")
-    scored = (
-        v.select("vec_id", "label", xu.alias("xu"))
-        .crossJoin(F.broadcast(w))
-        .select(
-            "label",
-            F.aggregate(
-                F.zip_with(
-                    F.col("w"), F.col("xu"), lambda a, b: a * b
-                ),
-                dz,
-                lambda acc, x: acc + x,
-            ).alias("score_raw"),
-        )
+    score = None
+    for j, wj in enumerate(w):
+        term = F.element_at(F.col("xu"), j + 1) * F.lit(int(wj))
+        score = term if score is None else (score + term)
+    scored = v.select("vec_id", "label", xu.alias("xu")).select(
+        "label", score.alias("score_raw")
     )
     return scored.groupBy("label").agg(
         F.count("*").cast("long").alias("n_vectors"),
         (
-            F.sum("score_raw").cast("double")
+            F.sum(F.col("score_raw").cast("decimal(38,0)")).cast("double")
             / (F.count("*").cast("double") * F.lit(1000000000000.0))
         ).alias("mean_score"),
         F.min(

@@ -76,6 +76,31 @@ STREAM_STATE_PARTITIONS = int(
 )
 
 
+def _stream_state_partitions(
+    n_keys: int | None = None, n_salts: int = 1
+) -> int:
+    """State-store partition count for a stateful drive, derived from the
+    observed key/salt domain when the caller knows it (VERDICT r10 ask #4).
+
+    Every state partition pays fixed per-micro-batch overhead (store
+    instantiation, commit, snapshot), so the honest sizing statistic is
+    how many (key, salt) groups there are to spread: ~8 sub-keys per
+    partition (the balance point of the r7 10x salt sweep), floored at 1,
+    capped at the harness core budget — a key domain smaller than
+    8 x partitions leaves stores near-empty (pure overhead at sf0.1, real
+    straggler waste at 100 TB), while a domain past 8 x cores earns every
+    core a store. The env override always wins (production sizes to state
+    VOLUME, which only the deployment knows); callers with no key
+    statistic keep the static default."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if raw is not None:
+        return int(raw)
+    if not n_keys or n_keys <= 0:
+        return STREAM_STATE_PARTITIONS
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(STREAM_STATE_PARTITIONS)))
+    return max(1, min(cpus, (n_keys * n_salts + 7) // 8))
+
+
 def _stream_join_salt(n_keys: int | None = None) -> int:
     """Hot-key salt factor for stream-stream joins (read per call so the
     scale harness and tests can set it per run).
@@ -240,6 +265,7 @@ def run_to_scratch(
     sdf: DataFrame,
     output_mode: str = "append",
     batch_transform=None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming frame to completion, landing in scratch PARQUET.
 
@@ -295,7 +321,8 @@ def run_to_scratch(
     with _SHUFFLE_OVERRIDE_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+            "spark.sql.shuffle.partitions",
+            str(state_partitions or STREAM_STATE_PARTITIONS),
         )
         try:
             q = (
@@ -614,6 +641,8 @@ def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # aggregates instead (grid-sized: <= n_companies rows per
     # micro-batch); count and exact-decimal sum are associative, so the
     # final combine is bit-identical to aggregating the raw pairs.
+    # r11: state partitions derived from the observed (key x salt) domain
+    # instead of the static default — see _stream_state_partitions.
     landed = run_to_scratch(
         joined,
         "append",
@@ -621,6 +650,7 @@ def c_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("n"),
             F.sum(F.col("bid_price").cast("decimal(27,6)")).alias("s"),
         ),
+        state_partitions=_stream_state_partitions(n_keys, n_salts),
     )
     return landed.groupBy("company_id").agg(
         F.sum("n").cast("long").alias("n_pairs"),
@@ -707,6 +737,7 @@ def c_stream_interval_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("n"),
             F.sum(F.col("bid_price").cast("decimal(27,6)")).alias("s"),
         ),
+        state_partitions=_stream_state_partitions(n_keys, n_salts),
     )
     return landed.groupBy("company_id").agg(
         F.sum("n").cast("long").alias("n_pairs"),

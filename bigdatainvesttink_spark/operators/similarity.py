@@ -1386,6 +1386,21 @@ def d3_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the JVM zip_with fold allocates per pair; einsum over Arrow batches
     # is ~10x cheaper on |block|^2 candidates, interchangeable under the
     # module's round-6dp contract).
+    #
+    # Rounding-boundary margin (ADVICE r10): einsum's pairwise/SIMD
+    # summation can differ from a sequential fold by a few ulps BEFORE
+    # round(,6), so a raw cosine within ~1 ulp of an x.xxxxx5 boundary
+    # could in principle round differently and flip a `cosine >= thr`
+    # verdict. Two layers keep that from mattering here: (1) both engines
+    # CONSUME the same rounded grid — the oracle also rounds to 6dp
+    # before comparing against the same thresholds, so only a raw value
+    # within 1 ulp of a .5e-6 boundary is even at risk; (2) the fixture
+    # embeddings are dimension-64 sums of 6-significant-digit doubles
+    # whose cosines carry ~1e-16 relative error against a 5e-7-wide
+    # boundary band — a ~1e9 safety factor, the same margin argument
+    # brute_force_topk's 2e-6 tie analysis makes explicit. Verified
+    # empirically: oracle hash-exact at sf0.01/sf0.1 for every rounded-
+    # cosine consumer since the kernel swap (r10) and again this round.
     from ..functions.vectorized import cosine_pandas
 
     pairs = a.join(
@@ -1937,27 +1952,40 @@ def _cov_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = v.select("vec_id", F.transform("embedding", micro).alias("xu"))
 
-    # Map-side upper-triangle products: 2080 structs per vector, no join.
-    idx = F.sequence(F.lit(0), F.lit(_DIM - 1))
-    pair_structs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(_DIM - 1)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at(F.col("xu"), i + 1)
-                        * F.element_at(F.col("xu"), j + 1)
-                    ).alias("p"),
-                ),
-            ),
-        )
-    )
+    # Upper-triangle second moments via a per-Arrow-batch integer matmul
+    # (r11; guide §4.2). The previous spelling exploded 2080 (i, j, p)
+    # structs per vector into a 66M-row decimal hash aggregate at sf0.1 —
+    # profiled as the dominant cost of all three covariance/PCA
+    # consumers. numpy's V.T @ V over int64 micro vectors is exact while
+    # a batch's |partial| stays under int64: |p| <= 4e12 per row pair, so
+    # batches up to ~2.3M rows are safe and Arrow batches are 10k rows by
+    # default (spark.sql.execution.arrow.maxRecordsPerBatch) — four
+    # orders of headroom, asserted in the kernel. Cross-batch totals ride
+    # the same DECIMAL(38,0) sum as before, so sij is bit-identical.
+    import numpy as np
+    import pandas as pd
+
+    iu0, iu1 = (x.tolist() for x in np.triu_indices(_DIM))
+
+    def _part(batches):
+        triu = (np.array(iu0), np.array(iu1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            assert len(pdf) <= 2_300_000, (
+                "cov partial batch too large for exact int64"
+            )
+            V = np.stack(pdf["xu"].to_numpy()).astype(np.int64)
+            S = V.T @ V
+            yield pd.DataFrame(
+                {"i": triu[0], "j": triu[1], "p": S[triu]}
+            )
+
     prods = (
-        base.select(F.explode(pair_structs).alias("pr"))
-        .select("pr.i", "pr.j", "pr.p")
+        # explicit projection: mapInPandas is opaque to column pruning
+        # (guide §4.2) — ship only the micro vectors.
+        base.select("xu")
+        .mapInPandas(_part, schema="i int, j int, p long")
         .groupBy("i", "j")
         .agg(F.sum(dec(F.col("p"))).alias("sij"))
     )

@@ -98,7 +98,13 @@ def _stream_state_partitions(
     if not n_keys or n_keys <= 0:
         return STREAM_STATE_PARTITIONS
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(STREAM_STATE_PARTITIONS)))
-    return max(1, min(cpus, (n_keys * n_salts + 7) // 8))
+    target = max(1, (n_keys * n_salts + 7) // 8)
+    # Round UP to a power of two before capping: measured A/B at sf0.1
+    # (50 keys -> target 7) read 9.5-11.3 s vs 8.3 s at 8 partitions on
+    # the headline interval join — sub-power-of-two counts left a longer
+    # straggler tail in the state stages for zero overhead saved.
+    pow2 = 1 << (target - 1).bit_length()
+    return min(cpus, pow2)
 
 
 def _stream_join_salt(n_keys: int | None = None) -> int:
